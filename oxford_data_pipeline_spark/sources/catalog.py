@@ -1,0 +1,77 @@
+"""Source catalog: the driver star schema + session-file discovery.
+
+Reference parity (SURVEY.md §2.1):
+- S3 session-file discovery by glob (`CCA_test_all.py:187-192`) →
+  path glob + ``input_file_name()``-derived keys.
+- S4 multi-condition source union (`cross_trial_type_cca_analysis.py:
+  67-70,290-340`) → ``unionByName`` with a ``lit(condition)`` column.
+- S5/S7 sinks → partitioned parquet / json writers.
+
+At 100 TB each table is a partitioned parquet dataset; here each is a
+single file per scale factor under /root/testdata/sf*/.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table; Catalyst prunes columns/filters at the scan.
+
+    The driver's parquet files carry TIMESTAMP(NANOS) physical columns,
+    which Spark 4 rejects unless read as raw nanosecond longs; all time
+    math in the engine therefore uses exact integer-nanosecond columns
+    (`ts DIV 1e9` etc.), mirrored by `epoch_ns(ts)` in oracle SQL.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all catalog tables as temp views for the SQL API."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def union_conditions(frames: dict[str, DataFrame], condition_col: str = "trial_type") -> DataFrame:
+    """S4: union per-condition sources, tagging each with its condition.
+
+    Mirrors the reference's TRIAL_TYPES dict of per-condition result dirs
+    (`cross_trial_type_cca_analysis.py:67-70,290-340`); in Spark the union
+    is lazy and each branch still gets its own pushed-down scan.
+    """
+    out = None
+    for cond, df in frames.items():
+        tagged = df.withColumn(condition_col, F.lit(cond))
+        out = tagged if out is None else out.unionByName(tagged)
+    if out is None:
+        raise ValueError("no condition frames supplied")
+    return out
+
+
+def with_source_file(df: DataFrame, pattern: str = r"([^/]+)\.parquet$") -> DataFrame:
+    """S3: derive a source key from the input file path (glob discovery)."""
+    return df.withColumn(
+        "source_file", F.regexp_extract(F.input_file_name(), pattern, 1)
+    )
