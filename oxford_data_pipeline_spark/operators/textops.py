@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines.
+
+All tokenization/shingling/hashing is expressed with JVM-side built-in
+functions (split/transform/md5/aggregate) — no Python UDFs — so the hot
+path stays inside whole-stage codegen and every op has a DuckDB oracle.
+
+Engine-wide determinism convention: anything "random" (hash seeds,
+hyperplanes) is derived from md5 of explicit keys, so results are
+identical across engines, partitionings, and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Language marker words for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "that", "it"]
+
+
+def normalized(text: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace.
+
+    Oracle SQL: trim(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g')).
+    """
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    return F.trim(F.regexp_replace(c, "[^a-z0-9 ]", " "))
+
+
+def tokens(norm: Column) -> Column:
+    """Whitespace tokens of a normalized string; empty strings dropped.
+
+    Oracle SQL: list_filter(regexp_split_to_array(norm, ' +'), x -> x <> '').
+    """
+    return F.filter(F.split(norm, " +"), lambda x: x != "")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; short docs fall back to the whole
+    token sequence as one shingle.
+
+    Oracle SQL (n=3): CASE WHEN len(toks) >= 3 THEN list_distinct(
+    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' ||
+    toks[i+1] || ' ' || toks[i+2])) ELSE [array_to_string(toks, ' ')] END.
+    """
+    if n != 3:
+        raise NotImplementedError("oracle parity is defined for n=3")
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return F.when(F.size(toks) >= 3, F.array_distinct(gram)).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def count_in_list(toks: Column, words: list[str]) -> Column:
+    """Number of tokens contained in a literal word list (with repeats).
+
+    Oracle SQL: len(list_filter(toks, x -> list_contains([...], x))).
+    """
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(lit_arr, x)))
+
+
+def minhash_values(shingle_df: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """MinHash signature rows: per (doc_id, seed) the lexicographic min
+    of md5(seed|shingle).
+
+    A string-min MinHash is a valid permutation-min (md5 is a uniform
+    permutation of the shingle space) and — unlike integer-truncation
+    schemes — is bit-identical in every engine. Input: (doc_id, shingle)
+    distinct rows. Output: (doc_id, seed, mh).
+    """
+    spark = shingle_df.sparkSession
+    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
+    return (
+        shingle_df.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+
+
+def lsh_band_signatures(mh: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """Collapse MinHash rows into per-(doc, band) signatures:
+    sig = md5 of the seed-ordered minhashes in the band.
+
+    Output: (doc_id, band, sig). Docs sharing any (band, sig) are
+    near-dup candidates — the O(n²) pair space never materializes.
+    """
+    banded = mh.withColumn("band", F.expr(f"seed DIV {rows_per_band}"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
+                "|",
+            )
+        ).alias("sig")
+    )
+
+
+def simhash_bits(token_counts: DataFrame, n_bits: int = 64) -> DataFrame:
+    """SimHash: per (doc_id, bit) the sign of Σ count·(±1) where the ±1
+    comes from bit `b` of md5(token).
+
+    Input: (doc_id, token, cnt). Output: (doc_id, bit, bitval∈{0,1}).
+    Bit b of the md5 = hex digit b//4, shifted by 3-b%4 — reproduced in
+    the oracle with strpos('0123456789abcdef', digit).
+    """
+    spark = token_counts.sparkSession
+    bits = spark.range(n_bits).select(F.col("id").cast("int").alias("bit"))
+    bitof = F.expr(
+        "shiftright(instr('0123456789abcdef',"
+        " substring(md5(token), bit DIV 4 + 1, 1)) - 1,"
+        " 3 - bit % 4) % 2"
+    )
+    return (
+        token_counts.crossJoin(F.broadcast(bits))
+        .withColumn("signed", F.col("cnt") * (2 * bitof - 1))
+        .groupBy("doc_id", "bit")
+        .agg(F.when(F.sum("signed") > 0, 1).otherwise(0).alias("bitval"))
+    )

@@ -1,0 +1,434 @@
+"""Deduplication queries over `documents` / `embeddings`:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design: the only O(n²) construct is pair *verification*, and it
+only ever runs on candidate pairs produced by a blocking stage (LSH
+band buckets / hyperplane sign buckets) — the full pair space never
+materializes. All hashing is md5-derived → engine/partition/retry
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oxford_data_pipeline_spark.functions.compat import round6
+from oxford_data_pipeline_spark.operators.textops import (
+    lsh_band_signatures,
+    minhash_values,
+    normalized,
+    simhash_bits,
+    tokens,
+    word_shingles,
+)
+from oxford_data_pipeline_spark.plans.registry import register
+from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE
+from oxford_data_pipeline_spark.sources.catalog import load_table
+
+# Shared oracle CTE: distinct word-3-gram shingles per doc.
+_SHINGLES_CTE = f"""
+{_TOKENS_CTE},
+shingles AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks
+)
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(tokens(normalized("text")))).alias("shingle"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+_EXACT_ORACLE = f"""
+WITH {_TOKENS_CTE},
+fp AS (
+    SELECT doc_id,
+           md5(norm) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bag_fp
+    FROM toks
+),
+exact_groups AS (
+    SELECT exact_fp, count(*) AS n FROM fp GROUP BY 1
+),
+bag_groups AS (
+    SELECT bag_fp, count(*) AS n FROM fp GROUP BY 1
+)
+SELECT (SELECT count(*) FROM fp) AS n_docs,
+       (SELECT count(*) FROM exact_groups) AS n_exact_distinct,
+       (SELECT count(*) FROM exact_groups WHERE n > 1) AS n_exact_dup_groups,
+       CAST((SELECT coalesce(sum(n - 1), 0) FROM exact_groups WHERE n > 1) AS BIGINT) AS n_exact_removable,
+       (SELECT count(*) FROM bag_groups) AS n_bag_distinct,
+       CAST((SELECT coalesce(sum(n - 1), 0) FROM bag_groups WHERE n > 1) AS BIGINT) AS n_bag_removable
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprints; removable =
+    Σ(group−1). One associative pass; keep-rule = min(doc_id) per group
+    when materializing survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        normalized("text").alias("norm"),
+        tokens(normalized("text")).alias("t"),
+    )
+    fp = t.select(
+        "doc_id",
+        F.md5("norm").alias("exact_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct("t")), " ")).alias("bag_fp"),
+    )
+    eg = fp.groupBy("exact_fp").agg(F.count(F.lit(1)).alias("n"))
+    bg = fp.groupBy("bag_fp").agg(F.count(F.lit(1)).alias("n"))
+    stats = fp.agg(F.count(F.lit(1)).alias("n_docs"))
+    e_stats = eg.agg(
+        F.count(F.lit(1)).alias("n_exact_distinct"),
+        F.count(F.when(F.col("n") > 1, 1)).alias("n_exact_dup_groups"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)).alias(
+            "n_exact_removable"
+        ),
+    )
+    b_stats = bg.agg(
+        F.count(F.lit(1)).alias("n_bag_distinct"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)).alias(
+            "n_bag_removable"
+        ),
+    )
+    return stats.crossJoin(e_stats).crossJoin(b_stats)
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup (blocked pairwise)
+# --------------------------------------------------------------------------
+_JACCARD_THRESHOLD = 0.2
+
+_NGRAM_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc1, i.doc2,
+       round(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - i.n_inter), 6) + 0 AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc1 = sa.doc_id
+JOIN sizes sb ON i.doc2 = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup: shingle-level equi-join computes
+    intersections (only docs actually sharing a shingle ever pair up),
+    |A∪B| = |A|+|B|−|A∩B|. At 100 TB, cap hot shingles (stopword-only
+    grams) or pre-filter by document frequency before the join."""
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc1", "doc2", round6(jac).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup (the scale path)
+# --------------------------------------------------------------------------
+_N_HASHES, _ROWS_PER_BAND = 16, 4
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+seeds AS (SELECT unnest(range({_N_HASHES})) AS seed),
+mh AS (
+    SELECT s.doc_id, d.seed,
+           min(md5(CAST(d.seed AS VARCHAR) || '|' || s.shingle)) AS mh
+    FROM shingles s CROSS JOIN seeds d
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, seed // {_ROWS_PER_BAND} AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+    FROM mh GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+verified AS (
+    SELECT c.doc1, c.doc2, count(*) AS n_inter
+    FROM cand c
+    JOIN shingles s1 ON s1.doc_id = c.doc1
+    JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+    GROUP BY 1, 2
+)
+SELECT v.doc1, v.doc2,
+       round(CAST(v.n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - v.n_inter), 6) + 0 AS jaccard
+FROM verified v
+JOIN sizes sa ON v.doc1 = sa.doc_id
+JOIN sizes sb ON v.doc2 = sb.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: 16 string-min hashes → 4 bands × 4 rows →
+    candidates share a band signature → exact Jaccard verify on
+    candidates only. Candidate generation is groupBy+equi-join on
+    (band, sig): linear in corpus size, the 100 TB dedup shape."""
+    sh = _shingle_df(spark, sf_dir)
+    mh = minhash_values(sh.select("doc_id", "shingle"), _N_HASHES)
+    bands = lsh_band_signatures(mh, _ROWS_PER_BAND)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    verified = (
+        cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("doc2") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        verified.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select("doc1", "doc2", round6(jac).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures
+# --------------------------------------------------------------------------
+_SIMHASH_ORACLE = f"""
+WITH {_TOKENS_CTE},
+tc AS (
+    SELECT doc_id, t.token, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(t) AS token FROM toks) t
+    GROUP BY 1, 2
+),
+bits AS (SELECT unnest(range(64)) AS bit),
+sb AS (
+    SELECT tc.doc_id, b.bit,
+           CASE WHEN sum(tc.cnt * (2 * ((strpos('0123456789abcdef',
+                     substr(md5(tc.token), CAST(b.bit // 4 AS INTEGER) + 1, 1)) - 1
+                     >> CAST(3 - b.bit % 4 AS INTEGER)) % 2) - 1)) > 0
+                THEN 1 ELSE 0 END AS bitval
+    FROM tc CROSS JOIN bits b
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       string_agg(CAST(bitval AS VARCHAR), '' ORDER BY bit) AS simhash,
+       CAST(sum(bitval) AS BIGINT) AS n_ones
+FROM sb GROUP BY 1
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 64-bit signature = sign of count-weighted ±1 votes from
+    md5 token bits; near-dups differ in few bits (Hamming ball lookup
+    via 4×16-bit chunk blocking at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens(normalized("text"))).alias("token"))
+    tc = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = simhash_bits(tc)
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(bit, bitval))), x -> cast(x.bitval as string))"),
+            "",
+        ).alias("simhash"),
+        F.sum("bitval").alias("n_ones"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (LSH-bucketed)
+# --------------------------------------------------------------------------
+_N_PLANES = 8
+_COS_THRESHOLD = 0.5
+
+_EMB_LONG_SQL = """
+    SELECT e.vec_id, CAST(r.range AS INTEGER) AS dim,
+           CAST(e.embedding[CAST(r.range AS INTEGER) + 1] AS DOUBLE) AS val
+    FROM embeddings e CROSS JOIN range(64) r
+"""
+
+# Rademacher hyperplanes: sign(j, dim) = ±1 from the md5 low bit.
+_PLANES_SQL = f"""
+    SELECT CAST(p.range AS INTEGER) AS plane, CAST(d.range AS INTEGER) AS dim,
+           2 * ((strpos('0123456789abcdef',
+                 substr(md5(CAST(p.range AS VARCHAR) || '|' || CAST(d.range AS VARCHAR)), 1, 1))
+                 - 1) % 2) - 1 AS sgn
+    FROM range({_N_PLANES}) p CROSS JOIN range(64) d
+"""
+
+_EMB_DEDUP_ORACLE = f"""
+WITH long AS ({_EMB_LONG_SQL}),
+planes AS ({_PLANES_SQL}),
+buckets AS (
+    SELECT s.vec_id,
+           string_agg(CASE WHEN s.dot > 0 THEN '1' ELSE '0' END, '' ORDER BY s.plane) AS bucket
+    FROM (
+        SELECT l.vec_id, p.plane, sum(l.val * p.sgn) AS dot
+        FROM long l JOIN planes p ON l.dim = p.dim
+        GROUP BY 1, 2
+    ) s
+    GROUP BY 1
+),
+norms AS (
+    SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1
+),
+cand AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+    SELECT c.v1, c.v2, sum(la.val * lb.val) AS dot
+    FROM cand c
+    JOIN long la ON la.vec_id = c.v1
+    JOIN long lb ON lb.vec_id = c.v2 AND la.dim = lb.dim
+    GROUP BY 1, 2
+)
+SELECT d.v1, d.v2,
+       round(d.dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
+FROM dots d
+JOIN norms na ON d.v1 = na.vec_id
+JOIN norms nb ON d.v2 = nb.vec_id
+WHERE d.dot / (na.nrm * nb.nrm) >= {_COS_THRESHOLD}
+"""
+
+
+def _hyperplanes(spark: SparkSession, n_planes: int = _N_PLANES) -> DataFrame:
+    """Rademacher hyperplanes (plane, dim, sgn∈{-1,+1}) derived from the
+    md5 low bit — deterministic on every engine and cluster layout."""
+    return (
+        spark.range(n_planes)
+        .select(F.col("id").cast("int").alias("plane"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("dim")))
+        .withColumn(
+            "sgn",
+            F.expr(
+                "2 * ((instr('0123456789abcdef', substring(md5(concat_ws('|',"
+                " cast(plane as string), cast(dim as string))), 1, 1)) - 1) % 2) - 1"
+            ),
+        )
+    )
+
+
+def _sign_buckets(long: DataFrame, planes: DataFrame) -> DataFrame:
+    """LSH bucket key per vector: concatenated sign bits of the
+    hyperplane projections (one groupBy over the long embedding)."""
+    dots_p = (
+        long.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("val") * F.col("sgn")).alias("dot"))
+    )
+    return dots_p.groupBy("vec_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(plane, dot))),"
+                " x -> case when x.dot > 0 then '1' else '0' end)"
+            ),
+            "",
+        ).alias("bucket")
+    )
+
+
+@register("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: random-hyperplane LSH buckets (8 Rademacher
+    planes from md5 bits) block the pair space; exact cosine verifies
+    only in-bucket pairs ≥ the threshold."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_long
+
+    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
+    buckets = _sign_buckets(long, _hyperplanes(spark))
+    norms = long.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+    la = long.alias("la")
+    lb = long.alias("lb")
+    dots = (
+        cand.join(la, F.col("v1") == F.col("la.vec_id"))
+        .join(
+            lb,
+            (F.col("v2") == F.col("lb.vec_id")) & (F.col("la.dim") == F.col("lb.dim")),
+        )
+        .groupBy("v1", "v2")
+        .agg(F.sum(F.col("la.val") * F.col("lb.val")).alias("dot"))
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        dots.join(na, F.col("v1") == F.col("na.vec_id"))
+        .join(nb, F.col("v2") == F.col("nb.vec_id"))
+        .filter(cos >= _COS_THRESHOLD)
+        .select("v1", "v2", round6(cos).alias("cosine"))
+    )

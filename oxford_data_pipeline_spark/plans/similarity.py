@@ -1,0 +1,188 @@
+"""Similarity search over the embedding column (SURVEY extensions):
+brute-force cosine top-k (correctness baseline) and LSH-bucketed ANN
+(the scale path).
+
+Ranking determinism: candidates are ranked on the ROUNDED cosine with
+vec_id as tiebreak, so the top-k set is identical across engines even
+when two cosines differ only in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from oxford_data_pipeline_spark.functions.compat import round6
+from oxford_data_pipeline_spark.plans.dedup import _EMB_LONG_SQL, _PLANES_SQL
+from oxford_data_pipeline_spark.plans.projection import embeddings_long
+from oxford_data_pipeline_spark.plans.registry import register
+
+_QUERY_MOD = 50  # query set = vec_id % 50 == 0 (deterministic subset)
+_TOP_K = 5
+
+
+_BRUTE_ORACLE = f"""
+WITH long AS ({_EMB_LONG_SQL}),
+norms AS (
+    SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1
+),
+dots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.val * c.val) AS dot
+    FROM long q JOIN long c ON q.dim = c.dim
+    WHERE q.vec_id % {_QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.cand_id,
+           round(d.dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
+    FROM dots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.cand_id = nc.vec_id
+),
+ranked AS (
+    SELECT query_id, cand_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rnk
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("sim_cosine_topk", _BRUTE_ORACLE)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: exact baseline for ANN recall. The
+    query side is a pushed-down filter; the dot product is an equi-join
+    on `dim` + map-side-combining sum. At 100 TB you keep exactly this
+    plan but block the candidate side (see sim_lsh_ann)."""
+    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
+    norms = long.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    q = long.filter(F.col("vec_id") % _QUERY_MOD == 0).alias("q")
+    c = long.alias("c")
+    dots = (
+        q.join(
+            c,
+            (F.col("q.dim") == F.col("c.dim"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .groupBy(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("cand_id"))
+        .agg(F.sum(F.col("q.val") * F.col("c.val")).alias("dot"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    scored = (
+        dots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
+        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+_ANN_ORACLE = f"""
+WITH long AS ({_EMB_LONG_SQL}),
+planes AS ({_PLANES_SQL}),
+buckets AS (
+    SELECT s.vec_id,
+           string_agg(CASE WHEN s.dot > 0 THEN '1' ELSE '0' END, '' ORDER BY s.plane) AS bucket
+    FROM (
+        SELECT l.vec_id, p.plane, sum(l.val * p.sgn) AS dot
+        FROM long l JOIN planes p ON l.dim = p.dim
+        GROUP BY 1, 2
+    ) s
+    GROUP BY 1
+),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+    FROM buckets q JOIN buckets c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id % {_QUERY_MOD} = 0
+),
+dots AS (
+    SELECT cd.query_id, cd.cand_id, sum(lq.val * lc.val) AS dot
+    FROM cand cd
+    JOIN long lq ON lq.vec_id = cd.query_id
+    JOIN long lc ON lc.vec_id = cd.cand_id AND lq.dim = lc.dim
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.cand_id,
+           round(d.dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
+    FROM dots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.cand_id = nc.vec_id
+),
+ranked AS (
+    SELECT query_id, cand_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rnk
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("sim_lsh_ann", _ANN_ORACLE)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN: candidates share an 8-bit
+    hyperplane-sign bucket (same md5-Rademacher planes as the embedding
+    dedup), exact cosine + top-k only within the bucket. Work per query
+    drops from O(n) to O(n / 2^planes) with tunable recall."""
+    from oxford_data_pipeline_spark.plans.dedup import _hyperplanes, _sign_buckets
+
+    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
+    buckets = _sign_buckets(long, _hyperplanes(spark))
+    norms = long.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    q = buckets.alias("qb")
+    c = buckets.alias("cb")
+    cand = (
+        q.join(
+            c,
+            (F.col("qb.bucket") == F.col("cb.bucket"))
+            & (F.col("qb.vec_id") != F.col("cb.vec_id")),
+        )
+        .filter(F.col("qb.vec_id") % _QUERY_MOD == 0)
+        .select(F.col("qb.vec_id").alias("query_id"), F.col("cb.vec_id").alias("cand_id"))
+    )
+    lq = long.alias("lq")
+    lc = long.alias("lc")
+    dots = (
+        cand.join(lq, F.col("query_id") == F.col("lq.vec_id"))
+        .join(
+            lc,
+            (F.col("cand_id") == F.col("lc.vec_id")) & (F.col("lq.dim") == F.col("lc.dim")),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("lq.val") * F.col("lc.val")).alias("dot"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    scored = (
+        dots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
+        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

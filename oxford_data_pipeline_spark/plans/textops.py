@@ -1,0 +1,191 @@
+"""Text-analysis queries over `documents` (training-data pipeline ops:
+quality scoring, token stats, language ID, fingerprinting).
+
+All stay in JVM built-ins; each has a DuckDB oracle. Per-doc work is
+embarrassingly parallel — no shuffles except the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oxford_data_pipeline_spark.functions.compat import round6
+from oxford_data_pipeline_spark.operators.textops import (
+    LANG_MARKERS,
+    STOPWORDS,
+    count_in_list,
+    normalized,
+    tokens,
+)
+from oxford_data_pipeline_spark.plans.registry import register
+from oxford_data_pipeline_spark.sources.catalog import load_table
+
+# Shared oracle CTE: normalized text + token list per doc.
+_TOKENS_CTE = """
+toks AS (
+    SELECT doc_id, lang, source, n_chars,
+           trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) AS norm,
+           list_filter(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +'),
+               x -> x <> '') AS t
+    FROM documents
+)
+"""
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        normalized("text").alias("norm"),
+        tokens(normalized("text")).alias("t"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring + token counting
+# --------------------------------------------------------------------------
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_QUALITY_ORACLE = f"""
+WITH {_TOKENS_CTE},
+feat AS (
+    SELECT doc_id, lang,
+           length(replace(norm, ' ', '')) AS n_token_chars,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_types,
+           len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+    FROM toks
+)
+SELECT doc_id, lang, n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) + 0 AS type_token_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) + 0 AS stopword_ratio,
+       round(n_token_chars * 1.0 / n_tokens, 6) + 0 AS avg_token_len,
+       round(least(n_tokens / 50.0, 1.0) * 0.5
+             + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
+             + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2, 6) + 0 AS quality_score
+FROM feat
+WHERE n_tokens > 0
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting: length/type-token/stopword
+    features combined into a deterministic [0,1] quality score."""
+    t = _tokens_df(spark, sf_dir)
+    feat = t.select(
+        "doc_id",
+        "lang",
+        "norm",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_types"),
+        count_in_list(F.col("t"), STOPWORDS).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return feat.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_types",
+        round6(ttr).alias("type_token_ratio"),
+        round6(stop_ratio).alias("stopword_ratio"),
+        round6(
+            F.length(F.regexp_replace("norm", " ", "")) * F.lit(1.0) / F.col("n_tokens")
+        ).alias("avg_token_len"),
+        round6(
+            F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.5
+            + ttr * 0.3
+            + (1.0 - stop_ratio) * 0.2
+        ).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# --------------------------------------------------------------------------
+_marker_sqls = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in LANG_MARKERS.items()
+}
+_score_cols_sql = ",\n           ".join(
+    f"len(list_filter(t, x -> list_contains({arr}, x))) AS s_{lang}"
+    for lang, arr in _marker_sqls.items()
+)
+_langs = list(LANG_MARKERS)
+_best_sql = "GREATEST(" + ", ".join(f"s_{lang}" for lang in _langs) + ")"
+_case_sql = "CASE " + " ".join(
+    f"WHEN s_{lang} = {_best_sql} THEN '{lang}'" for lang in _langs
+) + " END"
+
+_LANGID_ORACLE = f"""
+WITH {_TOKENS_CTE},
+scored AS (
+    SELECT doc_id, lang AS true_lang,
+           {_score_cols_sql}
+    FROM toks
+)
+SELECT doc_id, true_lang,
+       CASE WHEN {_best_sql} = 0 THEN 'und' ELSE {_case_sql} END AS pred_lang,
+       {_best_sql} AS marker_hits
+FROM scored
+"""
+
+
+@register("text_langid", _LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: marker-word hit counts per language, argmax with a
+    fixed language-priority tiebreak (en > es > de > fr > zh)."""
+    t = _tokens_df(spark, sf_dir)
+    scored = t.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        *[
+            count_in_list(F.col("t"), words).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _langs])
+    pred = F.lit(None).cast("string")
+    # build CASE chain in declaration order (first max wins)
+    chain = None
+    for lang in _langs:
+        cond = F.col(f"s_{lang}") == best
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    return scored.select(
+        "doc_id",
+        "true_lang",
+        F.when(best == 0, "und").otherwise(chain).alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+_FP_ORACLE = f"""
+WITH {_TOKENS_CTE}
+SELECT doc_id,
+       md5(norm) AS exact_fp,
+       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bag_fp,
+       len(t) AS n_tokens
+FROM toks
+"""
+
+
+@register("text_fingerprint", _FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (`exact_fp` = content hash of normalized
+    text; `bag_fp` = order-insensitive token-set hash)."""
+    t = _tokens_df(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        F.md5("norm").alias("exact_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct("t")), " ")).alias("bag_fp"),
+        F.size("t").alias("n_tokens"),
+    )

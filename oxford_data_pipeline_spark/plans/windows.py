@@ -114,7 +114,7 @@ WITH counts AS (
 ),
 grid AS (SELECT unnest({_THRESHOLDS!r}) AS threshold)
 SELECT c.event_type, g.threshold,
-       sum(CASE WHEN c.n >= g.threshold THEN 1 ELSE 0 END) AS n_available,
+       CAST(sum(CASE WHEN c.n >= g.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_available,
        count(*) AS n_total,
        round(sum(CASE WHEN c.n >= g.threshold THEN 1 ELSE 0 END) * 100.0
              / count(*), 6) + 0 AS pct_available
