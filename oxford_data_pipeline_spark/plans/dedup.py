@@ -41,12 +41,14 @@ shingles AS (
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the token array as a named column BEFORE word_shingles:
+    # the shingle expression references its input ~7 times, and an inline
+    # tokenizer expression would be re-evaluated per reference (measured
+    # 45× slower at sf0.1).
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
-            "doc_id",
-            F.explode(word_shingles(tokens(normalized("text")))).alias("shingle"),
-        )
+        docs.select("doc_id", tokens(normalized("text")).alias("toks"))
+        .select("doc_id", F.explode(word_shingles(F.col("toks"))).alias("shingle"))
     )
 
 

@@ -1,0 +1,117 @@
+"""Property + determinism tests for the grouped-UDF ML queries and the
+multimodal plumbing (rows-only operators: no DuckDB oracle exists)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oxford_data_pipeline_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _rows(spark, name):
+    return QUERIES[name](spark, SF_DIR).collect()
+
+
+def test_m4_cv_pca(spark):
+    rows = _rows(spark, "m4_cv_pca")
+    assert rows
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        rs = sorted(rs, key=lambda r: r.component)
+        assert [r.component for r in rs] == [1, 2, 3, 4, 5]
+        ev = [r.explained_variance for r in rs]
+        assert all(e >= 0 for e in ev)
+        cum = [r.cumulative_variance for r in rs]
+        assert cum == sorted(cum)
+        mse = [r.mean_cv_mse for r in rs]
+        assert all(b <= a + 1e-9 for a, b in zip(mse, mse[1:]))
+
+
+def test_m1_cv_cca_bounds(spark):
+    rows = _rows(spark, "m1_cv_cca")
+    assert rows
+    assert all(0.0 <= r.r2 <= 1.0 for r in rows)
+    folds = {r.fold for r in rows}
+    comps = {r.component for r in rows}
+    assert folds == {1, 2, 3, 4, 5}
+    assert comps == {1, 2, 3, 4, 5}
+
+
+def test_m6_glm_inference(spark):
+    rows = _rows(spark, "m6_glm_inference")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.p_value <= 1.0
+        assert r.ci_lo <= r.beta <= r.ci_hi
+        assert r.adj_r2 <= r.r2 + 1e-12
+
+
+def test_m7_sensitivity_monotone_grid(spark):
+    rows = _rows(spark, "m7_sensitivity")
+    assert rows
+    # pct=0: top and random strategies agree (nothing removed)
+    base = {}
+    for r in rows:
+        if r.pct_removed == 0:
+            base.setdefault((r.label, r.strategy), set()).add(round(r.r2, 9))
+    labels = {k[0] for k in base}
+    for lab in labels:
+        assert base[(lab, "top")] == base[(lab, "random")]
+
+
+def test_m8_stability_bounds(spark):
+    rows = _rows(spark, "m8_stability")
+    assert rows
+    assert all(-1.0 <= r.corr_to_ref <= 1.0 for r in rows if r.corr_to_ref is not None)
+
+
+def test_m10_wilcoxon(spark):
+    rows = _rows(spark, "m10_wilcoxon")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n > 0 and 0.0 <= r.p_value <= 1.0
+
+
+def test_m14_angles_bounds(spark):
+    rows = _rows(spark, "m14_principal_angles")
+    assert rows
+    assert all(0.0 <= r.angle_deg <= 90.0 + 1e-9 for r in rows)
+
+
+def test_m15_participation_normalized(spark):
+    rows = _rows(spark, "m15_cca_pca_participation")
+    assert rows
+    by_pair = {}
+    for r in rows:
+        by_pair.setdefault(r.pair_id, []).append(r)
+    for pair, rs in by_pair.items():
+        total = sum(r.alpha_norm for r in rs)
+        assert total == pytest.approx(1.0, abs=1e-9)
+        assert all(1.0 <= r.entropy_effdim <= len(rs) + 1e-9 for r in rs)
+
+
+def test_mm_byte_features(spark):
+    rows = _rows(spark, "mm_byte_features")
+    assert {r.modality for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        assert 0.0 <= r.avg_entropy <= 4.0  # 16 bins → ≤ log2(16)
+        assert 0.0 <= r.avg_hist_bin0 <= 1.0
+
+
+def test_decode_stub_raises():
+    from oxford_data_pipeline_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image")
+
+
+@pytest.mark.parametrize("name", ["m4_cv_pca", "m7_sensitivity", "m8_stability"])
+def test_seed_determinism(spark, name):
+    """Same query twice → identical rows (seeded randomness, sorted
+    group input — SURVEY §7 hard parts 1-2)."""
+    a = sorted(map(tuple, _rows(spark, name)))
+    b = sorted(map(tuple, _rows(spark, name)))
+    assert a == b
