@@ -1,9 +1,17 @@
 """Oracle-compatibility helpers.
 
 The driver hash-compares Spark results against DuckDB on raw values, so
-floating aggregates must be bit-stable across engines: both sides round
-to 6 decimals (Spark `round` and DuckDB `round` both use half-away-from-
-zero, so the results agree except on measure-zero half-way ties).
+floating aggregates must be bit-stable across engines. Naive
+round(x, d) is NOT stable: inputs have 2 decimals, so aggregate means
+frequently land EXACTLY on a half at the d-th decimal, where ~1e-15 of
+engine-order summation noise decides the rounding direction.
+
+Convention (mirrored in every oracle SQL):
+    round_d(x) = round(x * 10^d + 0.01) / 10^d  (+0 to normalize -0.0)
+The +0.01 epsilon is ~100× any cross-engine noise and shifts every
+exact-half boundary off the attainable rationals, so both engines
+always round the same way; the result is k/10^d — the identical double
+in both engines. The ≤1e-8 bias is far below the reported precision.
 """
 
 from __future__ import annotations
@@ -11,24 +19,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-ROUND_DIGITS = 6
+
+def _round_scaled(col: Column | str, scale: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale + F.lit(0.01), 0) / scale + F.lit(0.0)
 
 
 def round6(col: Column | str) -> Column:
-    """Round to 6 decimals; +0.0 normalizes -0.0 → 0.0 so hashes agree.
-
-    Oracle SQL mirrors this as ``round(x, 6) + 0``. Use for means,
-    ratios, stddevs — quantities of magnitude ≲ 1e6 whose cross-engine
-    accumulation error is ≪ 5e-7.
-    """
-    return F.round(col, ROUND_DIGITS) + F.lit(0.0)
+    """6-decimal stable rounding (oracle:
+    ``round(x * 1000000 + 0.01, 0) / 1000000 + 0``). For means, ratios,
+    stddevs — magnitudes ≲ 1e6."""
+    return _round_scaled(col, 1_000_000)
 
 
 def round2(col: Column | str) -> Column:
-    """Round to 2 decimals (oracle: ``round(x, 2) + 0``).
-
-    Use for SUMs over large fact tables: a 1e8–1e10-magnitude double
-    sum carries ~1e-6..1e-4 of engine-order-dependent error, which
-    breaks 6-decimal stability but is far inside 2-decimal stability.
-    """
-    return F.round(col, 2) + F.lit(0.0)
+    """2-decimal stable rounding (oracle:
+    ``round(x * 100 + 0.01, 0) / 100 + 0``). For SUMs over large fact
+    tables where accumulated noise reaches ~1e-4."""
+    return _round_scaled(col, 100)

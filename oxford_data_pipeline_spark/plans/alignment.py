@@ -73,7 +73,7 @@ signed AS (
     JOIN corrs r ON c.event_type = r.event_type AND c.user_id = r.user_id
 )
 SELECT event_type, t,
-       round(avg(v_aligned), 6) + 0 AS aligned_mean,
+       round(avg(v_aligned) * 1000000 + 0.01, 0) / 1000000 + 0 AS aligned_mean,
        count(*) AS n_users,
        CAST(sum(flipped) AS BIGINT) AS n_flipped
 FROM signed

@@ -131,7 +131,7 @@ inter AS (
 )
 SELECT i.doc1, i.doc2,
        round(CAST(i.n_inter AS DOUBLE)
-             / (sa.n_sh + sb.n_sh - i.n_inter), 6) + 0 AS jaccard
+             / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000 + 0.01, 0) / 1000000 + 0 AS jaccard
 FROM inter i
 JOIN sizes sa ON i.doc1 = sa.doc_id
 JOIN sizes sb ON i.doc2 = sb.doc_id
@@ -205,7 +205,7 @@ verified AS (
 )
 SELECT v.doc1, v.doc2,
        round(CAST(v.n_inter AS DOUBLE)
-             / (sa.n_sh + sb.n_sh - v.n_inter), 6) + 0 AS jaccard
+             / (sa.n_sh + sb.n_sh - v.n_inter) * 1000000 + 0.01, 0) / 1000000 + 0 AS jaccard
 FROM verified v
 JOIN sizes sa ON v.doc1 = sa.doc_id
 JOIN sizes sb ON v.doc2 = sb.doc_id
@@ -353,7 +353,7 @@ dots AS (
     GROUP BY 1, 2
 )
 SELECT d.v1, d.v2,
-       round(d.dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
+       round(d.dot / (na.nrm * nb.nrm) * 1000000 + 0.01, 0) / 1000000 + 0 AS cosine
 FROM dots d
 JOIN norms na ON d.v1 = na.vec_id
 JOIN norms nb ON d.v2 = nb.vec_id

@@ -53,10 +53,10 @@ segmented AS (
      AND s.bin BETWEEN t.start_bin - {PRE} AND t.start_bin + {POST}
 )
 SELECT event_type, t,
-       round(avg(value), 6) + 0 AS avg_value,
-       CASE WHEN count(*) > 1 THEN round(stddev_samp(value), 6) + 0 END AS std_value,
+       round(avg(value) * 1000000 + 0.01, 0) / 1000000 + 0 AS avg_value,
+       CASE WHEN count(*) > 1 THEN round(stddev_samp(value) * 1000000 + 0.01, 0) / 1000000 + 0 END AS std_value,
        CASE WHEN count(*) > 1
-            THEN round(stddev_samp(value) / sqrt(count(*)), 6) + 0 END AS sem_value,
+            THEN round(stddev_samp(value) / sqrt(count(*)) * 1000000 + 0.01, 0) / 1000000 + 0 END AS sem_value,
        count(*) AS n_obs
 FROM segmented
 GROUP BY event_type, t

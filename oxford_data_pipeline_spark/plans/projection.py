@@ -70,7 +70,7 @@ centroids AS (
     SELECT label AS c_label, dim, avg(z) AS w FROM z GROUP BY 1, 2
 )
 SELECT z.vec_id, c.c_label,
-       round(sum(z.z * c.w), 6) + 0 AS score
+       round(sum(z.z * c.w) * 1000000 + 0.01, 0) / 1000000 + 0 AS score
 FROM z JOIN centroids c ON z.dim = c.dim
 GROUP BY 1, 2
 """
@@ -108,7 +108,7 @@ extrema AS (
     SELECT label, min(abs(w)) AS lo, max(abs(w)) AS hi FROM centroids GROUP BY 1
 )
 SELECT c.label, c.dim,
-       round((c.w - e.lo) / (e.hi - e.lo), 6) + 0 AS w_norm
+       round((c.w - e.lo) / (e.hi - e.lo) * 1000000 + 0.01, 0) / 1000000 + 0 AS w_norm
 FROM centroids c JOIN extrema e ON c.label = e.label
 """
 

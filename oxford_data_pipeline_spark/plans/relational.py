@@ -26,8 +26,8 @@ _F_ORACLE = """
 SELECT l_returnflag,
        l_linestatus,
        count(*) AS n,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue,
-       round(avg(l_quantity), 6) + 0 AS avg_qty
+       round(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.01, 0) / 100 + 0 AS revenue,
+       round(avg(l_quantity) * 1000000 + 0.01, 0) / 1000000 + 0 AS avg_qty
 FROM lineitem
 WHERE l_returnflag <> 'N'
   AND l_quantity BETWEEN 5 AND 45
@@ -73,7 +73,7 @@ WITH admitted AS (
 )
 SELECT c.c_nationkey,
        count(*) AS n_customers,
-       round(avg(c.c_acctbal), 6) + 0 AS avg_acctbal
+       round(avg(c.c_acctbal) * 1000000 + 0.01, 0) / 1000000 + 0 AS avg_acctbal
 FROM customer c
 WHERE c.c_nationkey IN (SELECT c_nationkey FROM admitted)
 GROUP BY 1
@@ -105,7 +105,7 @@ def f5_having_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 _F7_ORACLE = """
 SELECT l_partkey,
        count(DISTINCT l_orderkey) AS n_orders,
-       round(sum(l_quantity), 2) + 0 AS total_qty
+       round(sum(l_quantity) * 100 + 0.01, 0) / 100 + 0 AS total_qty
 FROM lineitem
 GROUP BY 1
 HAVING count(DISTINCT l_orderkey) >= 3
@@ -134,7 +134,7 @@ _J2_ORACLE = """
 SELECT r.r_name,
        n.n_name,
        count(*) AS n_customers,
-       round(sum(c.c_acctbal), 2) + 0 AS total_acctbal
+       round(sum(c.c_acctbal) * 100 + 0.01, 0) / 100 + 0 AS total_acctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -217,7 +217,7 @@ _J4_ORACLE = """
 SELECT n.n_name,
        o.o_orderpriority,
        count(*) AS n_items,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0 AS revenue
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.01, 0) / 100 + 0 AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -266,7 +266,7 @@ tot AS (
 SELECT p.fold,
        p.n_fold,
        t.n_all - p.n_fold AS n_train,
-       round(t.sum_all - p.sum_fold, 2) + 0 AS sum_train
+       round((t.sum_all - p.sum_fold) * 100 + 0.01, 0) / 100 + 0 AS sum_train
 FROM per_fold p CROSS JOIN tot t
 """
 
@@ -393,8 +393,8 @@ SELECT p_partkey,
        regexp_replace(p_name, ' ', '_', 'g') AS name_underscored,
        str_split(p_type, ' ')[1] AS type_head,
        replace(p_brand, 'Brand#', 'B') AS brand_short,
-       round(abs(p_retailprice - 1000.0), 6) + 0 AS price_dev,
-       round(sqrt(p_size), 6) + 0 AS size_sqrt,
+       round(abs(p_retailprice - 1000.0) * 1000000 + 0.01, 0) / 1000000 + 0 AS price_dev,
+       round(sqrt(p_size) * 1000000 + 0.01, 0) / 1000000 + 0 AS size_sqrt,
        CAST(floor(log(10, p_retailprice)) AS BIGINT) AS price_mag
 FROM part
 WHERE p_size >= 1

@@ -35,7 +35,7 @@ dots AS (
 ),
 scored AS (
     SELECT d.query_id, d.cand_id,
-           round(d.dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
+           round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) / 1000000 + 0 AS cosine
     FROM dots d
     JOIN norms nq ON d.query_id = nq.vec_id
     JOIN norms nc ON d.cand_id = nc.vec_id
@@ -119,7 +119,7 @@ dots AS (
 ),
 scored AS (
     SELECT d.query_id, d.cand_id,
-           round(d.dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
+           round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) / 1000000 + 0 AS cosine
     FROM dots d
     JOIN norms nq ON d.query_id = nq.vec_id
     JOIN norms nc ON d.cand_id = nc.vec_id

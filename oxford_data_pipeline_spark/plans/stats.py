@@ -23,8 +23,8 @@ from oxford_data_pipeline_spark.sources.catalog import load_table
 _M9_ORACLE = """
 SELECT l_returnflag,
        count(*) AS n,
-       round(corr(l_quantity, l_extendedprice), 6) + 0 AS r,
-       round(corr(l_quantity, l_extendedprice) ^ 2, 6) + 0 AS r2,
+       round(corr(l_quantity, l_extendedprice) * 1000000 + 0.01, 0) / 1000000 + 0 AS r,
+       round(corr(l_quantity, l_extendedprice) ^ 2 * 1000000 + 0.01, 0) / 1000000 + 0 AS r2,
        round(corr(l_quantity, l_extendedprice)
              * sqrt((count(*) - 2) / (1 - corr(l_quantity, l_extendedprice) ^ 2)),
              6) + 0 AS t_stat
@@ -65,10 +65,10 @@ WITH per_pair AS (
 ),
 diffs AS (SELECT a - b AS d FROM per_pair)
 SELECT count(*) AS n,
-       round(avg(d), 6) + 0 AS mean_diff,
-       round(stddev_samp(d), 6) + 0 AS std_diff,
-       round(avg(d) / stddev_samp(d), 6) + 0 AS cohens_d,
-       round(avg(d) / stddev_samp(d) * sqrt(count(*)), 6) + 0 AS t_stat
+       round(avg(d) * 1000000 + 0.01, 0) / 1000000 + 0 AS mean_diff,
+       round(stddev_samp(d) * 1000000 + 0.01, 0) / 1000000 + 0 AS std_diff,
+       round(avg(d) / stddev_samp(d) * 1000000 + 0.01, 0) / 1000000 + 0 AS cohens_d,
+       round(avg(d) / stddev_samp(d) * sqrt(count(*)) * 1000000 + 0.01, 0) / 1000000 + 0 AS t_stat
 FROM diffs
 """
 
@@ -122,8 +122,8 @@ shares AS (
 )
 SELECT grp,
        count(*) AS n_components,
-       round(pow(sum(v), 2) / sum(v * v), 6) + 0 AS participation_ratio,
-       round(exp(-sum(p * ln(p))), 6) + 0 AS entropy_dim,
+       round(pow(sum(v), 2) / sum(v * v) * 1000000 + 0.01, 0) / 1000000 + 0 AS participation_ratio,
+       round(exp(-sum(p * ln(p))) * 1000000 + 0.01, 0) / 1000000 + 0 AS entropy_dim,
        min(CASE WHEN cum_share >= 0.9 THEN rnk END) AS k90
 FROM shares
 GROUP BY 1
@@ -182,7 +182,7 @@ WITH ranked AS (
 )
 SELECT o_orderpriority,
        count(*) AS n,
-       round(corr(rx, ry), 6) + 0 AS spearman_r
+       round(corr(rx, ry) * 1000000 + 0.01, 0) / 1000000 + 0 AS spearman_r
 FROM ranked
 GROUP BY 1
 """

@@ -62,12 +62,12 @@ feat AS (
     FROM toks
 )
 SELECT doc_id, lang, n_tokens, n_types,
-       round(CAST(n_types AS DOUBLE) / n_tokens, 6) + 0 AS type_token_ratio,
-       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) + 0 AS stopword_ratio,
-       round(n_token_chars * 1.0 / n_tokens, 6) + 0 AS avg_token_len,
-       round(least(n_tokens / 50.0, 1.0) * 0.5
+       round(CAST(n_types AS DOUBLE) / n_tokens * 1000000 + 0.01, 0) / 1000000 + 0 AS type_token_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_tokens * 1000000 + 0.01, 0) / 1000000 + 0 AS stopword_ratio,
+       round(n_token_chars * 1.0 / n_tokens * 1000000 + 0.01, 0) / 1000000 + 0 AS avg_token_len,
+       round((least(n_tokens / 50.0, 1.0) * 0.5
              + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
-             + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2, 6) + 0 AS quality_score
+             + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2) * 1000000 + 0.01, 0) / 1000000 + 0 AS quality_score
 FROM feat
 WHERE n_tokens > 0
 """

@@ -30,9 +30,9 @@ WITH ranked AS (
     FROM orders
 )
 SELECT o_orderpriority,
-       round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 6) + 0 AS "O",
-       round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6) + 0 AS "F",
-       round(avg(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 6) + 0 AS "P"
+       round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) * 1000000 + 0.01, 0) / 1000000 + 0 AS "O",
+       round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) * 1000000 + 0.01, 0) / 1000000 + 0 AS "F",
+       round(avg(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) * 1000000 + 0.01, 0) / 1000000 + 0 AS "P"
 FROM ranked
 WHERE rnk <= 10
 GROUP BY 1
@@ -66,7 +66,7 @@ WITH per_cust AS (
 )
 SELECT o_orderpriority,
        count(*) AS n_customers,
-       round(avg(max_price), 6) + 0 AS mean_max_price
+       round(avg(max_price) * 1000000 + 0.01, 0) / 1000000 + 0 AS mean_max_price
 FROM per_cust GROUP BY 1
 """
 
@@ -117,7 +117,7 @@ SELECT c.event_type, g.threshold,
        CAST(sum(CASE WHEN c.n >= g.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_available,
        count(*) AS n_total,
        round(sum(CASE WHEN c.n >= g.threshold THEN 1 ELSE 0 END) * 100.0
-             / count(*), 6) + 0 AS pct_available
+             / count(*) * 1000000 + 0.01, 0) / 1000000 + 0 AS pct_available
 FROM counts c CROSS JOIN grid g
 GROUP BY 1, 2
 """
@@ -152,11 +152,11 @@ WITH counts AS (
 )
 SELECT n_regionkey,
        count(*) AS n_groups,
-       round(avg(n), 6) + 0 AS mean_n,
-       round(median(n), 6) + 0 AS median_n,
+       round(avg(n) * 1000000 + 0.01, 0) / 1000000 + 0 AS mean_n,
+       round(median(n) * 1000000 + 0.01, 0) / 1000000 + 0 AS median_n,
        min(n) AS min_n,
        max(n) AS max_n,
-       CASE WHEN count(*) > 1 THEN round(stddev_samp(n), 6) + 0 END AS std_n
+       CASE WHEN count(*) > 1 THEN round(stddev_samp(n) * 1000000 + 0.01, 0) / 1000000 + 0 END AS std_n
 FROM counts GROUP BY 1
 """
 
@@ -190,9 +190,9 @@ _A9_ORACLE = """
 SELECT o_orderpriority,
        grouping(o_orderpriority) AS g,
        count(*) AS n_orders,
-       round(avg(o_totalprice), 6) + 0 AS mean_price,
-       round(min(o_totalprice), 6) + 0 AS min_price,
-       round(max(o_totalprice), 6) + 0 AS max_price
+       round(avg(o_totalprice) * 1000000 + 0.01, 0) / 1000000 + 0 AS mean_price,
+       round(min(o_totalprice) * 1000000 + 0.01, 0) / 1000000 + 0 AS min_price,
+       round(max(o_totalprice) * 1000000 + 0.01, 0) / 1000000 + 0 AS max_price
 FROM orders
 GROUP BY ROLLUP (o_orderpriority)
 """
@@ -239,7 +239,7 @@ flows AS (
 SELECT least(g_cust, g_supp) AS pair_g1,
        greatest(g_cust, g_supp) AS pair_g2,
        count(*) AS n_flows,
-       round(sum(revenue), 2) + 0 AS total_revenue
+       round(sum(revenue) * 100 + 0.01, 0) / 100 + 0 AS total_revenue
 FROM flows
 WHERE g_cust <> g_supp
 GROUP BY 1, 2
@@ -298,9 +298,9 @@ WITH per_nation AS (
 ),
 tot AS (SELECT sum(revenue) AS total FROM per_nation)
 SELECT p.c_nationkey,
-       round(p.revenue, 2) + 0 AS revenue,
+       round(p.revenue * 100 + 0.01, 0) / 100 + 0 AS revenue,
        round(sum(p.revenue) OVER (ORDER BY p.revenue DESC, p.c_nationkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.total, 6) + 0
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.total * 1000000 + 0.01, 0) / 1000000 + 0
            AS cum_share
 FROM per_nation p CROSS JOIN tot t
 """
@@ -344,7 +344,7 @@ WITH ranked AS (
 grid AS (SELECT unnest([0.0, 0.25, 0.5, 0.75]) AS pct_removed)
 SELECT r.o_orderpriority, g.pct_removed,
        count(*) FILTER (WHERE r.pr >= g.pct_removed) AS n_remaining,
-       round(sum(r.o_totalprice) FILTER (WHERE r.pr >= g.pct_removed), 2) + 0
+       round(sum(r.o_totalprice) FILTER (WHERE r.pr >= g.pct_removed) * 100 + 0.01, 0) / 100 + 0
            AS sum_remaining
 FROM ranked r CROSS JOIN grid g
 GROUP BY 1, 2
@@ -394,8 +394,8 @@ tie AS (
     GROUP BY 1
 )
 SELECT t.event_type,
-       round(w.value, 6) + 0 AS peak_value,
-       round(p.peak_abs, 6) + 0 AS peak_abs
+       round(w.value * 1000000 + 0.01, 0) / 1000000 + 0 AS peak_value,
+       round(p.peak_abs * 1000000 + 0.01, 0) / 1000000 + 0 AS peak_abs
 FROM tie t
 JOIN windowed w ON w.event_id = t.peak_event_id AND w.event_type = t.event_type
 JOIN peak p     ON p.event_type = t.event_type
@@ -441,8 +441,8 @@ WITH thresh AS (
 )
 SELECT o.o_orderpriority,
        count(*) AS n_significant,
-       round(min(o.o_totalprice), 6) + 0 AS min_significant,
-       round(t.p90, 6) + 0 AS p90
+       round(min(o.o_totalprice) * 1000000 + 0.01, 0) / 1000000 + 0 AS min_significant,
+       round(t.p90 * 1000000 + 0.01, 0) / 1000000 + 0 AS p90
 FROM orders o JOIN thresh t ON o.o_orderpriority = t.o_orderpriority
 WHERE o.o_totalprice >= t.p90
 GROUP BY 1, t.p90
@@ -486,7 +486,7 @@ WITH ordered AS (
 tot AS (SELECT count(*) AS n FROM ordered)
 SELECT least(rn * 10 // t.n, 9) AS fold,
        count(*) AS n_rows,
-       round(avg(value), 6) + 0 AS avg_value
+       round(avg(value) * 1000000 + 0.01, 0) / 1000000 + 0 AS avg_value
 FROM ordered CROSS JOIN tot t
 GROUP BY 1
 """
@@ -531,7 +531,7 @@ baseline AS (
     FROM peaks WHERE peak > 150 GROUP BY 1
 )
 SELECT b.event_type, b.baseline_user,
-       round(p.peak, 6) + 0 AS baseline_peak
+       round(p.peak * 1000000 + 0.01, 0) / 1000000 + 0 AS baseline_peak
 FROM baseline b
 JOIN peaks p ON p.event_type = b.event_type AND p.user_id = b.baseline_user
 """

@@ -1,0 +1,117 @@
+"""S5-S8 sink semantics + Structured Streaming J1/A1 variants."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from oxford_data_pipeline_spark.sources.catalog import load_table
+from oxford_data_pipeline_spark.sources.sinks import (
+    existing_partitions,
+    incremental_write,
+    write_json_report,
+    write_partitioned,
+    write_text_summary,
+)
+from tests.conftest import SF_DIR
+
+
+def _orders_summary(spark):
+    return (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def test_s5_partitioned_roundtrip(spark):
+    df = _orders_summary(spark)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out")
+        write_partitioned(df, path, ["o_orderstatus"])
+        back = spark.read.parquet(path)
+        assert sorted(map(tuple, back.select("n", "total").collect())) == sorted(
+            map(tuple, df.select("n", "total").collect())
+        )
+        assert existing_partitions(spark, path, "o_orderstatus") == {"O", "F", "P"}
+
+
+def test_s8_incremental_skips_done_partitions(spark):
+    df = _orders_summary(spark)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out")
+        first = incremental_write(df, path, "o_orderstatus")
+        assert first == ["F", "O", "P"]
+        # second run: everything exists → nothing written
+        second = incremental_write(df, path, "o_orderstatus")
+        assert second == []
+        # recompute forces full overwrite
+        third = incremental_write(df, path, "o_orderstatus", recompute=True)
+        assert third == ["F", "O", "P"]
+
+
+def test_s6_s7_report_sinks(spark):
+    df = _orders_summary(spark)
+    with tempfile.TemporaryDirectory() as d:
+        jpath = os.path.join(d, "report.json")
+        tpath = os.path.join(d, "report.txt")
+        write_json_report(df, jpath)
+        write_text_summary(df, tpath, "Order summary")
+        data = json.load(open(jpath))
+        assert len(data) == 3 and {r["o_orderstatus"] for r in data} == {"O", "F", "P"}
+        text = open(tpath).read()
+        assert "Order summary" in text and "o_orderstatus" in text
+
+
+def test_streaming_windowed_agg_matches_batch(spark):
+    from oxford_data_pipeline_spark.streaming.event_align import (
+        run_available_now,
+        streaming_events,
+        windowed_event_rates,
+    )
+
+    stream = streaming_events(spark, SF_DIR)
+    assert stream.isStreaming
+    rows = run_available_now(windowed_event_rates(stream), "win_rates")
+    assert rows
+    # batch equivalent over the same file
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_ts", (F.col("ts") / 1_000_000_000).cast("timestamp")
+    )
+    batch = (
+        ev.groupBy(F.window("event_ts", "1 hour").alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value", "n")
+    )
+    skey = sorted((str(r.window_start), r.event_type, round(r.avg_value, 9), r.n) for r in rows)
+    bkey = sorted(
+        (str(r.window_start), r.event_type, round(r.avg_value, 9), r.n)
+        for r in batch.collect()
+    )
+    assert skey == bkey
+
+
+def test_streaming_trigger_join(spark):
+    from oxford_data_pipeline_spark.streaming.event_align import (
+        run_available_now,
+        stream_trigger_join,
+        streaming_events,
+    )
+
+    stream = streaming_events(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    triggers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("t_user_id"),
+            (F.col("ts") / 1_000_000_000).cast("timestamp").alias("trigger_ts"),
+        )
+        .limit(20)
+    )
+    joined = stream_trigger_join(stream, triggers)
+    rows = run_available_now(joined, "trig_join")
+    assert rows
+    assert all(-75 * 60 <= r.t_offset_sec <= 150 * 60 for r in rows)
