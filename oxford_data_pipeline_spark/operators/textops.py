@@ -126,13 +126,16 @@ def simhash_bits(token_counts: DataFrame, n_bits: int = 64) -> DataFrame:
     """
     spark = token_counts.sparkSession
     bits = spark.range(n_bits).select(F.col("id").cast("int").alias("bit"))
+    # md5 materialized ONCE per token before the 64× bit expansion —
+    # an inline md5 would be re-hashed per exploded row (measured ~3×).
+    hashed = token_counts.withColumn("h", F.md5("token"))
     bitof = F.expr(
         "shiftright(instr('0123456789abcdef',"
-        " substring(md5(token), bit DIV 4 + 1, 1)) - 1,"
+        " substring(h, bit DIV 4 + 1, 1)) - 1,"
         " 3 - bit % 4) % 2"
     )
     return (
-        token_counts.crossJoin(F.broadcast(bits))
+        hashed.crossJoin(F.broadcast(bits))
         .withColumn("signed", F.col("cnt") * (2 * bitof - 1))
         .groupBy("doc_id", "bit")
         .agg(F.when(F.sum("signed") > 0, 1).otherwise(0).alias("bitval"))

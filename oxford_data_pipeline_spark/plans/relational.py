@@ -298,14 +298,18 @@ def j8_fold_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E1/E3/E4 — union / except / distinct
 # --------------------------------------------------------------------------
 _E_ORACLE = """
-WITH o_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-     f_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
-     u AS (SELECT o_custkey FROM o_cust UNION SELECT o_custkey FROM f_cust),
-     x AS (SELECT o_custkey FROM o_cust EXCEPT SELECT o_custkey FROM f_cust),
-     i AS (SELECT o_custkey FROM o_cust INTERSECT SELECT o_custkey FROM f_cust)
-SELECT (SELECT count(*) FROM u) AS n_union,
-       (SELECT count(*) FROM x) AS n_except,
-       (SELECT count(*) FROM i) AS n_intersect
+WITH membership AS (
+    SELECT o_custkey,
+           max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_o,
+           max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_f
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+    GROUP BY 1
+)
+SELECT count(*) AS n_union,
+       count(CASE WHEN in_o = 1 AND in_f = 0 THEN 1 END) AS n_except,
+       count(CASE WHEN in_o = 1 AND in_f = 1 THEN 1 END) AS n_intersect
+FROM membership
 """
 
 
@@ -313,15 +317,28 @@ SELECT (SELECT count(*) FROM u) AS n_union,
 def e_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 union of condition sets (`cross_trial_type_cca_analysis.py:
     1022-1032`), E3 setdiff (`perform_session_cca.m:290`), E5 intersect
-    (`neural_single_session_package_oxford_enhanced.py:629-662`)."""
+    (`neural_single_session_package_oxford_enhanced.py:629-662`).
+
+    Implemented as ONE membership aggregation instead of three separate
+    set-op jobs: union/except/intersect of key sets are conditional
+    counts over per-key membership flags — one scan, one shuffle, lazy."""
     orders = load_table(spark, sf_dir, "orders")
-    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
-    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    n_union = o_cust.union(f_cust).distinct().count()
-    n_except = o_cust.exceptAll(f_cust).count()
-    n_intersect = o_cust.intersect(f_cust).count()
-    return spark.createDataFrame(
-        [(n_union, n_except, n_intersect)], "n_union long, n_except long, n_intersect long"
+    membership = (
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("in_o"),
+            F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("in_f"),
+        )
+    )
+    return membership.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.count(F.when((F.col("in_o") == 1) & (F.col("in_f") == 0), 1)).alias(
+            "n_except"
+        ),
+        F.count(F.when((F.col("in_o") == 1) & (F.col("in_f") == 1), 1)).alias(
+            "n_intersect"
+        ),
     )
 
 
