@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from oxford_data_pipeline_spark.functions.compat import round2, round6
 from oxford_data_pipeline_spark.plans.registry import register
@@ -393,10 +392,11 @@ def o3_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine convention: "random" order = md5 of the key — identical on
     every engine, cluster layout, and retry (SURVEY §7 hard part 2)."""
     part = load_table(spark, sf_dir, "part")
-    w = W.orderBy(F.md5(F.col("p_partkey").cast("string")), F.col("p_partkey"))
+    # orderBy+limit lowers to TakeOrderedAndProject (per-partition top-k
+    # + driver merge) — no single-partition global-sort window
     return (
-        part.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        part.orderBy(F.md5(F.col("p_partkey").cast("string")), F.col("p_partkey"))
+        .limit(20)
         .select("p_partkey", "p_retailprice")
     )
 

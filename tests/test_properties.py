@@ -1,0 +1,113 @@
+"""Hypothesis property tests for the numpy ML kernels — randomized
+inputs, invariant assertions (no Spark involved, fast)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from oxford_data_pipeline_spark.ml.inference import betainc, t_two_sided_p
+from oxford_data_pipeline_spark.ml.linalg import (
+    canoncorr,
+    contiguous_folds,
+    ols_inference,
+    pca_fit,
+    principal_angles,
+    wilcoxon_signed_rank,
+)
+
+finite = st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False)
+
+
+@given(st.floats(0.01, 50), st.floats(0.01, 50), st.floats(0.0, 1.0))
+@settings(max_examples=100, deadline=None)
+def test_betainc_monotone_and_bounded(a, b, x):
+    v = float(betainc(a, b, x)[0])
+    assert -1e-9 <= v <= 1.0 + 1e-9
+    # monotone in x
+    v2 = float(betainc(a, b, min(x + 0.05, 1.0))[0])
+    assert v2 >= v - 1e-9
+
+
+@given(st.floats(-50, 50), st.floats(1.0, 200.0))
+@settings(max_examples=100, deadline=None)
+def test_t_pvalue_bounds_and_symmetry(t, df):
+    p = float(t_two_sided_p(t, df)[0])
+    assert 0.0 <= p <= 1.0
+    p_neg = float(t_two_sided_p(-t, df)[0])
+    assert abs(p - p_neg) < 1e-10
+
+
+@given(st.integers(10, 500), st.integers(2, 10))
+@settings(max_examples=50, deadline=None)
+def test_folds_partition_exactly(n, k):
+    folds = contiguous_folds(n, k)
+    idx = np.concatenate(folds)
+    assert np.array_equal(np.sort(idx), np.arange(n))
+
+
+@given(arrays(np.float64, (30, 4), elements=finite))
+@settings(max_examples=25, deadline=None)
+def test_pca_orthonormal_on_random(X):
+    if np.linalg.matrix_rank(X - X.mean(0)) < 3:
+        return
+    W, ev = pca_fit(X, 3)
+    assert np.allclose(W.T @ W, np.eye(W.shape[1]), atol=1e-6)
+    assert np.all(ev >= -1e-9)
+
+
+@given(arrays(np.float64, (40, 3), elements=finite),
+       arrays(np.float64, (40, 3), elements=finite))
+@settings(max_examples=25, deadline=None)
+def test_canoncorr_r_in_unit_interval(X, Y):
+    if (
+        np.linalg.matrix_rank(X - X.mean(0)) < 3
+        or np.linalg.matrix_rank(Y - Y.mean(0)) < 3
+    ):
+        return
+    _, _, r = canoncorr(X, Y, 3)
+    assert np.all((r >= -1e-9) & (r <= 1.0 + 1e-9))
+    # canonical correlations are non-increasing
+    assert np.all(np.diff(r) <= 1e-9)
+
+
+@given(arrays(np.float64, (25,), elements=finite))
+@settings(max_examples=50, deadline=None)
+def test_wilcoxon_p_bounds(d):
+    res = wilcoxon_signed_rank(d)
+    if res["n"] == 0:
+        return
+    assert 0.0 <= res["p"] <= 1.0
+    # sign-flip symmetry of the two-sided p
+    res2 = wilcoxon_signed_rank(-d)
+    assert abs(res["p"] - res2["p"]) < 1e-9
+
+
+@given(arrays(np.float64, (30, 2), elements=finite),
+       arrays(np.float64, (30,), elements=finite))
+@settings(max_examples=25, deadline=None)
+def test_ols_residual_orthogonality(X, y):
+    Xd = np.column_stack([np.ones(30), X])
+    if np.linalg.matrix_rank(Xd) < 3 or np.linalg.cond(Xd) > 1e6:
+        return  # orthogonality tolerance is meaningless when ill-conditioned
+    res = ols_inference(X, y, inference=False)
+    resid = y - Xd @ res["beta"]
+    # normal equations: residuals orthogonal to design columns
+    scale = max(1.0, float(np.abs(y).max()) * 30)
+    assert np.all(np.abs(Xd.T @ resid) / scale < 1e-6)
+    if res["dof"] > 0 and np.isfinite(res["r2"]):
+        assert res["r2"] <= 1.0 + 1e-9
+
+
+@given(arrays(np.float64, (10, 2), elements=finite),
+       arrays(np.float64, (10, 2), elements=finite))
+@settings(max_examples=25, deadline=None)
+def test_principal_angles_symmetric(U1, U2):
+    if np.linalg.matrix_rank(U1) < 2 or np.linalg.matrix_rank(U2) < 2:
+        return
+    a = principal_angles(U1, U2)
+    b = principal_angles(U2, U1)
+    assert np.allclose(np.sort(a), np.sort(b), atol=1e-8)
+    assert np.all((a >= -1e-9) & (a <= np.pi / 2 + 1e-9))
