@@ -12,11 +12,18 @@ oracle SQL.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from oxford_data_pipeline_spark.plans import ORACLES, QUERIES
+# ensure the package resolves regardless of the driver's CWD
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from oxford_data_pipeline_spark.plans import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -562,3 +562,61 @@ def w7_first_match_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6("peak").alias("baseline_peak"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A12 — Monte-Carlo iteration averaging over seeded subsamples
+# --------------------------------------------------------------------------
+_N_ITERS = 5
+
+_A12_ORACLE = f"""
+WITH iters AS (SELECT unnest(range({_N_ITERS})) AS iteration),
+sampled AS (
+    SELECT i.iteration, o.o_orderpriority, o.o_totalprice
+    FROM orders o CROSS JOIN iters i
+    WHERE substr(md5(CAST(i.iteration AS VARCHAR) || '|' || CAST(o.o_orderkey AS VARCHAR)), 1, 1)
+          IN ('0', '1', '2', '3', '4', '5', '6', '7')
+),
+per_iter AS (
+    SELECT o_orderpriority, iteration,
+           avg(abs(o_totalprice)) AS mean_abs, count(*) AS n
+    FROM sampled GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       count(*) AS n_iterations,
+       round(avg(mean_abs) * 1000000 + 0.01, 0) / 1000000 + 0 AS mc_mean,
+       round(stddev_samp(mean_abs) * 1000000 + 0.01, 0) / 1000000 + 0 AS mc_std
+FROM per_iter
+GROUP BY 1
+"""
+
+
+@register("a12_mc_average", _A12_ORACLE)
+def a12_mc_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — mean over seeded Monte-Carlo iterations
+    (`oxford_neuron_stability.m:450-457`; `perform_session_cca.m:
+    322-323`): each iteration is a deterministic md5-keyed ~50%
+    subsample; the final statistic is the across-iteration mean ± std.
+    The iteration grid is a broadcast literal — rows scale linearly."""
+    orders = load_table(spark, sf_dir, "orders")
+    iters = spark.range(_N_ITERS).select(F.col("id").cast("int").alias("iteration"))
+    member = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|", F.col("iteration").cast("string"), F.col("o_orderkey").cast("string")
+            )
+        ),
+        1,
+        1,
+    ).isin(*"01234567")
+    per_iter = (
+        orders.crossJoin(F.broadcast(iters))
+        .filter(member)
+        .groupBy("o_orderpriority", "iteration")
+        .agg(F.avg(F.abs("o_totalprice")).alias("mean_abs"))
+    )
+    return per_iter.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_iterations"),
+        round6(F.avg("mean_abs")).alias("mc_mean"),
+        round6(F.stddev_samp("mean_abs")).alias("mc_std"),
+    )

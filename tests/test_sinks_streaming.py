@@ -115,3 +115,11 @@ def test_streaming_trigger_join(spark):
     rows = run_available_now(joined, "trig_join")
     assert rows
     assert all(-75 * 60 <= r.t_offset_sec <= 150 * 60 for r in rows)
+
+
+def test_s3_source_file_discovery(spark):
+    from oxford_data_pipeline_spark.sources.catalog import load_table, with_source_file
+
+    df = with_source_file(load_table(spark, SF_DIR, "orders"))
+    names = {r.source_file for r in df.select("source_file").distinct().collect()}
+    assert names == {"orders"}
