@@ -76,44 +76,58 @@ def count_in_list(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda x: F.array_contains(lit_arr, x)))
 
 
-def minhash_values(shingle_df: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """MinHash signature rows: per (doc_id, seed) the lexicographic min
-    of md5(seed|shingle).
+def minhash_band_signatures(
+    shingle_df: DataFrame, n_hashes: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """MinHash + LSH banding in one aggregation pass.
 
-    A string-min MinHash is a valid permutation-min (md5 is a uniform
-    permutation of the shingle space) and — unlike integer-truncation
-    schemes — is bit-identical in every engine. Input: (doc_id, shingle)
-    distinct rows. Output: (doc_id, seed, mh).
+    Per doc: mh_i = lexicographic min over shingles of md5(i|shingle)
+    (a string-min MinHash is a valid permutation-min — md5 is a uniform
+    permutation of the shingle space — and is bit-identical in every
+    engine); band signature = md5 of the seed-ordered minhashes in each
+    band of `rows_per_band` rows.
+
+    Plan shape: the 16 hashes are computed as ONE named array column per
+    shingle row, aggregated with 16 min() expressions — one shuffle of
+    the compact shingle table, no seed-explosion (16× fewer shuffled
+    rows than the naive crossJoin formulation).
+
+    Input: (doc_id, shingle) distinct rows. Output: (doc_id, band, sig).
+    Docs sharing any (band, sig) are near-dup candidates — the O(n²)
+    pair space never materializes.
     """
-    spark = shingle_df.sparkSession
-    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (
-        shingle_df.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))
-            ).alias("mh")
-        )
+    seeds = list(range(n_hashes))
+    harr = F.array(
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))
+            for s in seeds
+        ]
     )
-
-
-def lsh_band_signatures(mh: DataFrame, rows_per_band: int = 4) -> DataFrame:
-    """Collapse MinHash rows into per-(doc, band) signatures:
-    sig = md5 of the seed-ordered minhashes in the band.
-
-    Output: (doc_id, band, sig). Docs sharing any (band, sig) are
-    near-dup candidates — the O(n²) pair space never materializes.
-    """
-    banded = mh.withColumn("band", F.expr(f"seed DIV {rows_per_band}"))
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
-                "|",
+    hashed = shingle_df.select("doc_id", harr.alias("harr"))
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[F.min(F.element_at("harr", s + 1)).alias(f"mh{s}") for s in seeds]
+    )
+    n_bands = n_hashes // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("sig"),
             )
-        ).alias("sig")
+            for b in range(n_bands)
+        ]
     )
+    return per_doc.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
 def simhash_bits(token_counts: DataFrame, n_bits: int = 64) -> DataFrame:
