@@ -1,0 +1,116 @@
+"""Scale-technique tests: salted skew handling, bucketed co-located
+joins, and the S2 binary-ingest job plumbing."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from oxford_data_pipeline_spark.operators.skew import (
+    salted_broadcast_join,
+    salted_sum_count,
+)
+from oxford_data_pipeline_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def test_salted_aggregation_matches_plain(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    plain = {
+        (r.l_returnflag,): (round(r.s, 6), r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag,): (round(r.sum_l_quantity, 6), r.n)
+        for r in salted_sum_count(
+            li, ["l_returnflag"], "l_quantity", salt_cols=["l_orderkey"], n_salts=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").count()
+    salted = salted_broadcast_join(
+        orders, cust, "o_custkey", salt_cols=["o_orderkey"], n_salts=8
+    ).count()
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Bucketing by the join key co-locates both sides: the sort-merge
+    join runs without an Exchange on either input (SURVEY §4 optional
+    physical design for J1/J4)."""
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped afterwards
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("li_bucketed")
+    orders.withColumnRenamed("o_orderkey", "l_orderkey").write.mode(
+        "overwrite"
+    ).bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("ord_bucketed")
+    try:
+        a = spark.table("li_bucketed")
+        b = spark.table("ord_bucketed")
+        joined = a.join(b, "l_orderkey").groupBy("o_orderstatus").count()
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # and the result matches the unbucketed join
+        plain = (
+            li.join(orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_mat_ingest_plumbing_with_fake_decoder(spark):
+    """S2 — drive the binaryFile → mapInPandas conversion job with a
+    deterministic fake decoder (h5py absent in this runtime)."""
+    from oxford_data_pipeline_spark.sources.mat_ingest import ingest_mat_files
+
+    with tempfile.TemporaryDirectory() as d:
+        for s in ("a", "b"):
+            with open(os.path.join(d, f"{s}_analysis.mat"), "wb") as f:
+                f.write(f"fake-mat-{s}".encode() * 10)
+
+        def fake_decoder(path: str, payload: bytes) -> pd.DataFrame:
+            session = os.path.basename(path).split("_")[0]
+            return pd.DataFrame(
+                {
+                    "session": session,
+                    "neuron_id": [0, 1],
+                    "bin": [0, 0],
+                    "rate": [float(len(payload)), 1.0],
+                }
+            )
+
+        out = ingest_mat_files(spark, os.path.join(d, "*.mat"), fake_decoder)
+        rows = sorted(map(tuple, out.collect()))
+        assert len(rows) == 4
+        assert {r[0] for r in rows} == {"a", "b"}
+
+
+def test_mat_decode_stub_raises():
+    from oxford_data_pipeline_spark.sources.mat_ingest import decode_mat_bytes
+
+    with pytest.raises(NotImplementedError):
+        decode_mat_bytes("x.mat", b"bytes")
