@@ -186,3 +186,131 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer cells + multi-probe search
+# --------------------------------------------------------------------------
+_N_PROBE = 2
+
+_IVF_ORACLE = f"""
+WITH long AS ({_EMB_LONG_SQL}),
+centroids AS (
+    SELECT e.label AS cell, CAST(r.range AS INTEGER) AS dim,
+           avg(CAST(e.embedding[CAST(r.range AS INTEGER) + 1] AS DOUBLE)) AS w
+    FROM embeddings e CROSS JOIN range(64) r
+    GROUP BY 1, 2
+),
+cnorms AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM centroids GROUP BY 1),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1),
+cell_aff AS (
+    SELECT l.vec_id, c.cell,
+           round(sum(l.val * c.w) / (n.nrm * cn.cn) * 1000000 + 0.01, 0) / 1000000
+               AS aff
+    FROM long l
+    JOIN centroids c ON l.dim = c.dim
+    JOIN norms n ON l.vec_id = n.vec_id
+    JOIN cnorms cn ON c.cell = cn.cell
+    GROUP BY l.vec_id, c.cell, n.nrm, cn.cn
+),
+ranked_cells AS (
+    SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY aff DESC, cell) AS crnk
+    FROM cell_aff
+),
+assignment AS (SELECT vec_id, cell FROM ranked_cells WHERE crnk = 1),
+probes AS (SELECT vec_id, cell FROM ranked_cells WHERE crnk <= {_N_PROBE}),
+cand AS (
+    SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+    FROM probes p JOIN assignment a ON p.cell = a.cell
+    WHERE p.vec_id % {_QUERY_MOD} = 0 AND p.vec_id <> a.vec_id
+),
+dots AS (
+    SELECT cd.query_id, cd.cand_id, sum(lq.val * lc.val) AS dot
+    FROM cand cd
+    JOIN long lq ON lq.vec_id = cd.query_id
+    JOIN long lc ON lc.vec_id = cd.cand_id AND lq.dim = lc.dim
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.cand_id,
+           round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) / 1000000 + 0 AS cosine
+    FROM dots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.cand_id = nc.vec_id
+),
+ranked AS (
+    SELECT query_id, cand_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rnk
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("sim_ivf_ann", _IVF_ORACLE)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (cells = per-label centroid
+    vectors) assigns every vector to its nearest cell; queries probe
+    their top-2 cells and run exact cosine top-k only within probed
+    cells. The inverted-list structure is just (cell → vectors) —
+    a groupBy — and the probe join is an equi-join on cell."""
+    long = embeddings_long(spark, sf_dir).select("vec_id", "label", "dim", "val")
+    centroids = long.groupBy(F.col("label").alias("cell"), "dim").agg(
+        F.avg("val").alias("w")
+    )
+    cnorms = centroids.groupBy("cell").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn"))
+    norms = long.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    aff = (
+        long.join(F.broadcast(centroids), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+        .join(norms, "vec_id")
+        .join(F.broadcast(cnorms), "cell")
+        .select(
+            "vec_id", "cell",
+            (F.round(F.col("dot") / (F.col("nrm") * F.col("cn")) * 1e6 + 0.01, 0) / 1e6)
+            .alias("aff"),
+        )
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
+    ranked_cells = aff.withColumn("crnk", F.row_number().over(wc))
+    assignment = ranked_cells.filter(F.col("crnk") == 1).select("vec_id", "cell")
+    probes = ranked_cells.filter(F.col("crnk") <= _N_PROBE).select("vec_id", "cell")
+    cand = (
+        probes.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(assignment.withColumnRenamed("vec_id", "cand_id"), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+    lq = long.alias("lq")
+    lc = long.alias("lc")
+    dots = (
+        cand.join(lq, F.col("query_id") == F.col("lq.vec_id"))
+        .join(
+            lc,
+            (F.col("cand_id") == F.col("lc.vec_id")) & (F.col("lq.dim") == F.col("lc.dim")),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("lq.val") * F.col("lc.val")).alias("dot"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    scored = (
+        dots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
+        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id", "cand_id",
+            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

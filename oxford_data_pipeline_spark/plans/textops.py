@@ -189,3 +189,73 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(F.array_distinct("t")), " ")).alias("bag_fp"),
         F.size("t").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish tokenization + rolling-hash fingerprint
+# --------------------------------------------------------------------------
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+_ROLL_B, _ROLL_M = 1000003, 1000000007
+
+_TOKCOUNT_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS bpe,
+           list_filter(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +'),
+               x -> x <> '') AS ws
+    FROM documents
+),
+coded AS (
+    SELECT doc_id, lang, len(bpe) AS n_bpe_tokens, len(ws) AS n_ws_tokens,
+           list_transform(ws, t -> ascii(substr(t, 1, 1)) * 131 + length(t)) AS codes
+    FROM tok
+)
+SELECT doc_id, lang, n_bpe_tokens, n_ws_tokens,
+       round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens * 1000000 + 0.01, 0) / 1000000 + 0
+           AS bpe_ws_ratio,
+       CASE WHEN len(codes) > 0 THEN
+           list_reduce(codes, (a, x) -> (a * {_ROLL_B} + x) % {_ROLL_M})
+       END AS rolling_fp
+FROM coded
+WHERE n_ws_tokens > 0
+"""
+
+
+@register("text_token_count", _TOKCOUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, two tokenizers: whitespace words and a BPE-ish
+    regex (words / digit runs / individual punctuation), plus a
+    polynomial rolling-hash fingerprint over the word codes
+    (acc = (acc·B + code) mod M — an order-sensitive content hash,
+    unlike the bag fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)").alias("bpe"),
+        tokens(normalized("text")).alias("ws"),
+    )
+    coded = tok.select(
+        "doc_id",
+        "lang",
+        F.size("bpe").alias("n_bpe_tokens"),
+        F.size("ws").alias("n_ws_tokens"),
+        F.expr(
+            "transform(ws, t -> cast(ascii(substring(t, 1, 1)) * 131 + length(t) as bigint))"
+        ).alias("codes"),
+    ).filter(F.col("n_ws_tokens") > 0)
+    rolling = F.expr(
+        f"aggregate(slice(codes, 2, size(codes) - 1), codes[0],"
+        f" (a, x) -> (a * {_ROLL_B} + x) % {_ROLL_M})"
+    )
+    return coded.select(
+        "doc_id",
+        "lang",
+        "n_bpe_tokens",
+        "n_ws_tokens",
+        round6(F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens")).alias(
+            "bpe_ws_ratio"
+        ),
+        F.when(F.size("codes") > 0, rolling).alias("rolling_fp"),
+    )
