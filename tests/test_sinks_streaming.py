@@ -123,3 +123,56 @@ def test_s3_source_file_discovery(spark):
     df = with_source_file(load_table(spark, SF_DIR, "orders"))
     names = {r.source_file for r in df.select("source_file").distinct().collect()}
     assert names == {"orders"}
+
+
+def test_stateful_sessionization(spark):
+    """applyInPandasWithState gap-sessionization over the event stream,
+    checked against a batch window/gap computation."""
+    from oxford_data_pipeline_spark.streaming.event_align import (
+        run_available_now,
+        streaming_events,
+    )
+    from oxford_data_pipeline_spark.streaming.sessionize import (
+        GAP_SECONDS,
+        sessionized,
+    )
+    from pyspark.sql.window import Window as W
+
+    stream = streaming_events(spark, SF_DIR).select("user_id", "event_ts", "value")
+    rows = run_available_now(sessionized(stream), "sessions")
+    assert rows
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+
+    # batch equivalent: sessions = runs of events with gaps <= GAP
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", (F.col("ts") / 1_000_000_000).alias("sec"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("sec")
+    batch = (
+        ev.withColumn("prev", F.lag("sec").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev").isNull() | (F.col("sec") - F.col("prev") > GAP_SECONDS), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    batch_sessions = {
+        (r.user_id, r.n_events, r.total_value) for r in batch.collect()
+    }
+    stream_sessions = {
+        (r.user_id, r.n_events, round(r.total_value, 6)) for r in rows
+    }
+    # the stream emits only CLOSED sessions (last session per user may
+    # stay open without further input); every emitted session must match
+    # a batch session
+    assert stream_sessions <= batch_sessions
+    # and most sessions do close
+    assert len(stream_sessions) >= len(batch_sessions) - ev.select("user_id").distinct().count()
