@@ -91,3 +91,56 @@ def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 def extract_features(mm: DataFrame) -> DataFrame:
     """Multimodal feature extraction over binary payloads."""
     return mm.mapInPandas(fake_decode_features, schema=FEATURE_SCHEMA)
+
+
+def fake_resize_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic resize stand-in: downsample the payload byte
+    sequence to a fixed 8-'pixel' strip by mean-pooling (what an image
+    resize does per channel), preserving the mapInPandas batch shape a
+    real PIL resize would use."""
+    for pdf in batches:
+        rows = []
+        for _, row in pdf.iterrows():
+            arr = np.frombuffer(row["payload"], dtype=np.uint8).astype(np.float64)
+            if arr.size == 0:
+                strip = [0.0] * 8
+            else:
+                pad = (-arr.size) % 8
+                arr = np.pad(arr, (0, pad), mode="edge")
+                strip = arr.reshape(8, -1).mean(axis=1).round(6).tolist()
+            rows.append((row["doc_id"], row["meta"]["modality"], strip))
+        yield pd.DataFrame(rows, columns=["doc_id", "modality", "strip"])
+
+
+def fake_frame_sample(
+    batches: Iterator[pd.DataFrame], n_frames: int = 4
+) -> Iterator[pd.DataFrame]:
+    """Deterministic frame-sample stand-in: split the payload into
+    equal chunks ('frames') and keep every (len/n)-th — the ffmpeg
+    keyframe-sampling shape, one output row per sampled frame."""
+    for pdf in batches:
+        rows = []
+        for _, row in pdf.iterrows():
+            payload = row["payload"]
+            size = max(len(payload) // n_frames, 1)
+            for i in range(n_frames):
+                chunk = payload[i * size:(i + 1) * size]
+                if not len(chunk):
+                    break
+                rows.append(
+                    (row["doc_id"], i, len(chunk), float(np.frombuffer(chunk, dtype=np.uint8).mean()))
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "n_bytes", "mean_byte"])
+
+
+def resize_strips(mm: DataFrame) -> DataFrame:
+    return mm.mapInPandas(
+        fake_resize_features, schema="doc_id long, modality string, strip array<double>"
+    )
+
+
+def sample_frames(mm: DataFrame) -> DataFrame:
+    return mm.filter(F.col("meta.modality") == "video").mapInPandas(
+        fake_frame_sample,
+        schema="doc_id long, frame_idx int, n_bytes int, mean_byte double",
+    )

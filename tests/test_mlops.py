@@ -115,3 +115,23 @@ def test_seed_determinism(spark, name):
     a = sorted(map(tuple, _rows(spark, name)))
     b = sorted(map(tuple, _rows(spark, name)))
     assert a == b
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from oxford_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_strips,
+        sample_frames,
+    )
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    mm = attach_binary_payload(load_table(spark, SF_DIR, "documents"))
+    strips = resize_strips(mm).collect()
+    assert strips and all(len(r.strip) == 8 for r in strips)
+    assert all(0.0 <= v <= 255.0 for r in strips for v in r.strip)
+    frames = sample_frames(mm).collect()
+    assert frames
+    assert all(r.frame_idx < 4 for r in frames)
+    # only video-modality docs produce frames
+    vids = {r.doc_id for r in mm.filter("meta.modality = 'video'").collect()}
+    assert {r.doc_id for r in frames} <= vids
