@@ -13,6 +13,7 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
     projection,
     stats,
     alignment,
+    coverage_fill,
     cross_session,
     dedup,
     similarity,
