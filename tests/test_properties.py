@@ -109,5 +109,7 @@ def test_principal_angles_symmetric(U1, U2):
         return
     a = principal_angles(U1, U2)
     b = principal_angles(U2, U1)
-    assert np.allclose(np.sort(a), np.sort(b), atol=1e-8)
+    # arccos near sigma=1 has ~sqrt(eps)=1.5e-8 inherent noise, so the
+    # comparison tolerance must sit above it
+    assert np.allclose(np.sort(a), np.sort(b), atol=1e-6)
     assert np.all((a >= -1e-9) & (a <= np.pi / 2 + 1e-9))
