@@ -112,3 +112,26 @@ def test_partial_aggregation_present(spark):
     # map-side combine: HashAggregate appears in partial+final pairs
     plan = _plan(spark, "f_predicate_stack")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_partition_pruning_on_session_layout(spark, tmp_path):
+    """The canonical layout (partitionBy session) must prune partitions
+    at the scan when filtered on session — the reads-one-session story
+    that replaces the reference's per-session file loop."""
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+    from oxford_data_pipeline_spark.sources.sinks import write_partitioned
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "session", F.concat(F.lit("s"), (F.col("user_id") % 4).cast("string"))
+    )
+    path = str(tmp_path / "by_session")
+    write_partitioned(ev, path, ["session"])
+    back = spark.read.parquet(path).filter(F.col("session") == "s1")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(session" in plan or "PartitionFilters: [" in plan
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "session" in scan_line
+    # only the one partition's rows are read
+    expected = ev.filter(F.col("session") == "s1").count()
+    assert back.count() == expected
