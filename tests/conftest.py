@@ -63,3 +63,33 @@ def assert_matches_oracle(spark_df, con, sql, check_schema=True):
     )
     for i, (a, b) in enumerate(zip(skey, okey)):
         assert a == b, f"row {i} differs:\n spark={a}\n oracle={b}"
+
+
+@pytest.fixture(scope="session")
+def domain_fixtures(spark):
+    """Family A fixtures, generated once per test session."""
+    from oxford_data_pipeline_spark.pipeline.fixtures import generate_fixtures
+
+    return generate_fixtures(spark)
+
+
+@pytest.fixture(scope="session")
+def entry_a(spark, domain_fixtures):
+    """Entry A pipeline results, computed once and cached (the UDF
+    stages are the expensive part of the whole suite)."""
+    from oxford_data_pipeline_spark.pipeline import (
+        PipelineConfig,
+        run_session_pipeline,
+    )
+
+    cfg = PipelineConfig()
+    res = run_session_pipeline(
+        domain_fixtures["firing_rates"],
+        domain_fixtures["trial_events"],
+        domain_fixtures["neurons"],
+        cfg,
+    )
+    for k in ("segmented", "sampled_neurons", "cca_weights", "cca_r2",
+              "projections", "psth"):
+        res[k].cache()
+    return cfg, res

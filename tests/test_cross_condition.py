@@ -11,14 +11,9 @@ from oxford_data_pipeline_spark.pipeline.fixtures import LABELS, generate_fixtur
 
 
 @pytest.fixture(scope="module")
-def entry_b(spark):
-    fx = generate_fixtures(spark)
-    cfg = PipelineConfig()
-    a = run_session_pipeline(fx["firing_rates"], fx["trial_events"], fx["neurons"], cfg)
-    # cache the expensive UDF outputs so each test's action doesn't
-    # re-run the CCA fits (same thing a production job would persist)
-    a["sampled_neurons"].cache()
-    a["cca_weights"].cache()
+def entry_b(spark, domain_fixtures, entry_a):
+    fx = domain_fixtures
+    cfg, a = entry_a
     b = run_cross_condition(
         fx["firing_rates"], fx["trial_events"], a["sampled_neurons"],
         a["cca_weights"], cfg, LABELS,

@@ -21,16 +21,14 @@ from oxford_data_pipeline_spark.pipeline.fixtures import (
 
 
 @pytest.fixture(scope="module")
-def fixtures(spark):
-    return generate_fixtures(spark)
+def fixtures(domain_fixtures):
+    return domain_fixtures
 
 
 @pytest.fixture(scope="module")
-def results(spark, fixtures):
-    cfg = PipelineConfig()
-    return run_session_pipeline(
-        fixtures["firing_rates"], fixtures["trial_events"], fixtures["neurons"], cfg
-    ), cfg
+def results(entry_a):
+    cfg, res = entry_a
+    return res, cfg
 
 
 def test_segmentation_drops_boundary_and_other_labels(fixtures, results):

@@ -23,12 +23,8 @@ from oxford_data_pipeline_spark.pipeline.reports import (
 
 
 @pytest.fixture(scope="module")
-def pipe(spark):
-    fx = generate_fixtures(spark)
-    cfg = PipelineConfig()
-    res = run_session_pipeline(fx["firing_rates"], fx["trial_events"], fx["neurons"], cfg)
-    for k in ("segmented", "sampled_neurons", "projections", "cca_r2"):
-        res[k].cache()
+def pipe(entry_a):
+    cfg, res = entry_a
     return cfg, res
 
 
