@@ -43,7 +43,8 @@ def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="oxford_")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("reference-workflow")
-    cfg = PipelineConfig()
+    from oxford_data_pipeline_spark.pipeline.fixtures import test_config
+    cfg = test_config()
 
     print("== generating domain fixtures (3 sessions) ==")
     fx = generate_fixtures(spark)

@@ -20,6 +20,23 @@ T_TOTAL = 1200  # bins per session (50 Hz → 24 s; enough for ~20 windows)
 N_NEURONS = 80  # per session
 
 
+def test_config(**overrides):
+    """PipelineConfig scaled to these fixtures (the reference-scale
+    defaults need 50-neuron regions and 226-bin windows)."""
+    from oxford_data_pipeline_spark.pipeline.session_pipeline import PipelineConfig
+
+    params = dict(
+        pre_bins=15,
+        post_bins=30,
+        min_neurons_per_region=20,
+        target_neurons=20,
+        n_components=3,
+        cv_folds=5,
+    )
+    params.update(overrides)
+    return PipelineConfig(**params)
+
+
 def generate_fixtures(
     spark: SparkSession, seed: int = 42
 ) -> dict[str, DataFrame]:

@@ -36,16 +36,20 @@ from oxford_data_pipeline_spark.operators.event_window import segment_by_events
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    """Mirror of `analysis_config` (`oxford_single_session_pipeline_
-    mdl.m:56-67`), scaled for the test fixtures."""
+    """Mirror of `analysis_config` with the REFERENCE's defaults
+    (`oxford_single_session_pipeline_mdl.m:56-67`: window [-1.5, 3.0] s
+    = bins [-75, +150] at 50 Hz, ≥50 neurons/region, 50 sampled,
+    10 components, 10 CV folds, 90th-pct significance, seed 12345).
+    Tests use `pipeline.fixtures.TEST_CONFIG`, scaled to the fixture
+    volume."""
 
     trial_type: str = "cued hit long"
-    pre_bins: int = 15
-    post_bins: int = 30
-    min_neurons_per_region: int = 20
-    target_neurons: int = 20
-    n_components: int = 3
-    cv_folds: int = 5
+    pre_bins: int = 75
+    post_bins: int = 150
+    min_neurons_per_region: int = 50
+    target_neurons: int = 50
+    n_components: int = 10
+    cv_folds: int = 10
     significance_pct: float = 0.9
     sample_seed: str = "12345"
     shuffle_trials: bool = False  # M17: permute Y-side trials

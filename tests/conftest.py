@@ -77,12 +77,10 @@ def domain_fixtures(spark):
 def entry_a(spark, domain_fixtures):
     """Entry A pipeline results, computed once and cached (the UDF
     stages are the expensive part of the whole suite)."""
-    from oxford_data_pipeline_spark.pipeline import (
-        PipelineConfig,
-        run_session_pipeline,
-    )
+    from oxford_data_pipeline_spark.pipeline import run_session_pipeline
+    from oxford_data_pipeline_spark.pipeline.fixtures import test_config
 
-    cfg = PipelineConfig()
+    cfg = test_config()
     res = run_session_pipeline(
         domain_fixtures["firing_rates"],
         domain_fixtures["trial_events"],

@@ -199,7 +199,9 @@ def test_s5_save_roundtrip(results, spark):
 
 
 def test_m17_shuffle_changes_cca_but_stays_deterministic(spark, fixtures):
-    cfg = PipelineConfig(shuffle_trials=True)
+    from oxford_data_pipeline_spark.pipeline.fixtures import test_config
+
+    cfg = test_config(shuffle_trials=True)
     res1 = run_session_pipeline(
         fixtures["firing_rates"], fixtures["trial_events"], fixtures["neurons"], cfg
     )
