@@ -176,3 +176,31 @@ def test_stateful_sessionization(spark):
     assert stream_sessions <= batch_sessions
     # and most sessions do close
     assert len(stream_sessions) >= len(batch_sessions) - ev.select("user_id").distinct().count()
+
+
+def test_s4_union_conditions(spark):
+    """S4 — per-condition sources unioned with a condition tag."""
+    from oxford_data_pipeline_spark.sources.catalog import union_conditions
+
+    orders = load_table(spark, SF_DIR, "orders")
+    frames = {
+        "open": orders.filter(F.col("o_orderstatus") == "O"),
+        "finished": orders.filter(F.col("o_orderstatus") == "F"),
+    }
+    u = union_conditions(frames)
+    assert "trial_type" in u.columns
+    counts = {r.trial_type: r.n for r in
+              u.groupBy("trial_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["open"] == frames["open"].count()
+    assert counts["finished"] == frames["finished"].count()
+
+
+def test_a8_group_count_stats_operator(spark):
+    from oxford_data_pipeline_spark.operators.aggregates import group_count_stats
+
+    cust = load_table(spark, SF_DIR, "customer")
+    out = group_count_stats(cust, ["c_custkey"], "c_nationkey").collect()
+    assert out
+    for r in out:
+        assert r.min_n <= r.median_n <= r.max_n
+        assert r.n_groups >= 1
