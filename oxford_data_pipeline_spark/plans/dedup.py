@@ -446,3 +446,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _COS_THRESHOLD)
         .select("v1", "v2", round6(cos).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs
+# --------------------------------------------------------------------------
+@register("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters = connected components of the MinHash-verified
+    pair graph, by iterative min-label propagation (labels start as
+    doc_id; each round every doc takes the min label in its
+    neighborhood; converges in ≤ graph-diameter rounds, checked via a
+    fixed-point count). The keep-rule is then 'survivor = min doc_id of
+    the cluster'. Iterative relational algorithm → rows-only check;
+    determinism is structural (min is order-free).
+
+    At 100 TB this is the standard large-graph CC loop (alternating
+    large-star/small-star); here diameters are tiny so plain
+    propagation with a convergence check suffices."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2").cache()
+    edges = (
+        pairs.union(pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("doc1").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.doc2 == labels.doc_id)
+            .groupBy(F.col("doc1").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )

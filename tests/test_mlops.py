@@ -135,3 +135,24 @@ def test_multimodal_resize_and_frame_sample(spark):
     # only video-modality docs produce frames
     vids = {r.doc_id for r in mm.filter("meta.modality = 'video'").collect()}
     assert {r.doc_id for r in frames} <= vids
+
+
+def test_dedup_clusters_are_consistent(spark):
+    """Cluster labels form valid connected components of the pair graph:
+    every edge joins same-cluster docs, exactly one survivor (= min
+    doc_id) per cluster."""
+    from oxford_data_pipeline_spark.plans.dedup import dedup_minhash_lsh
+
+    rows = _rows(spark, "dedup_clusters")
+    assert rows
+    label = {r.doc_id: r.cluster_id for r in rows}
+    pairs = dedup_minhash_lsh(spark, SF_DIR).collect()
+    for p in pairs:
+        assert label[p.doc1] == label[p.doc2]
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        assert cid == min(m.doc_id for m in members)
+        survivors = [m for m in members if m.is_survivor]
+        assert len(survivors) == 1 and survivors[0].doc_id == cid
