@@ -204,3 +204,69 @@ def test_a8_group_count_stats_operator(spark):
     for r in out:
         assert r.min_n <= r.median_n <= r.max_n
         assert r.n_groups >= 1
+
+
+def test_watermark_finalizes_windows_once(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark emits each
+    event-time window exactly once, after the watermark passes its end
+    — the no-duplicate-finalization guarantee downstream sinks rely on.
+    (Observed Spark 4.1 behavior with the availableNow file source:
+    rows arriving in the same micro-batch as the finalization are still
+    merged — so this test pins finalize-once, not late-drop.)"""
+    import pandas as pd
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    batch1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_ts": [base, base + pd.Timedelta(minutes=30),
+                         base + pd.Timedelta(hours=6)],
+            "value": [10.0, 20.0, 5.0],
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            "user_id": [3, 4],
+            "event_ts": [base + pd.Timedelta(minutes=45),
+                         base + pd.Timedelta(hours=6, minutes=5)],
+            "value": [100.0, 7.0],
+        }
+    )
+    # µs timestamps: the engine session reads TIMESTAMP(NANOS) as raw
+    # longs (nanosAsLong), which would fight the declared schema
+    batch1.to_parquet(d / "b1.parquet", coerce_timestamps="us")
+    batch2.to_parquet(d / "b2.parquet", coerce_timestamps="us")
+
+    schema = "user_id long, event_ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    from pyspark.sql import functions as F2
+
+    agg = (
+        stream.withWatermark("event_ts", "10 minutes")
+        .groupBy(F2.window("event_ts", "1 hour").alias("w"))
+        .agg(F2.sum("value").alias("total"), F2.count(F2.lit(1)).alias("n"))
+        .select(F2.col("w.start").alias("ws"), "total", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("finalize_once")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM finalize_once").collect()
+    # each window appears at most once (finalize-once), and the hour-0
+    # window (whose end the watermark passed) was emitted
+    windows = [str(r.ws) for r in rows]
+    assert len(windows) == len(set(windows))
+    assert "2024-01-01 00:00:00" in windows
+    # the hour-6 window is still open at end-of-input (watermark only
+    # reached 05:55) so it must NOT have been emitted
+    assert "2024-01-01 06:00:00" not in windows
