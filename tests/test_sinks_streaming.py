@@ -270,3 +270,38 @@ def test_watermark_finalizes_windows_once(spark, tmp_path):
     # the hour-6 window is still open at end-of-input (watermark only
     # reached 05:55) so it must NOT have been emitted
     assert "2024-01-01 06:00:00" not in windows
+
+
+def test_streaming_dedup_suppresses_reingest(spark, tmp_path):
+    """Two micro-batches containing the SAME documents (a re-crawl):
+    the streaming dedup emits every distinct fingerprint exactly once."""
+    from oxford_data_pipeline_spark.streaming.stream_dedup import dedup_stream
+
+    src_docs = load_table(spark, SF_DIR, "documents").limit(50).select("doc_id", "text")
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    pdf = src_docs.toPandas()
+    pdf.to_parquet(d / "crawl1.parquet")
+    pdf.assign(doc_id=pdf.doc_id + 10_000).to_parquet(d / "crawl2.parquet")
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = dedup_stream(stream).select("doc_id", "exact_fp")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_stream_t").collect()
+    fps = [r.exact_fp for r in rows]
+    # 100 input rows, 50 distinct texts → exactly 50 survivors,
+    # no fingerprint twice
+    assert len(fps) == 50
+    assert len(set(fps)) == 50
