@@ -189,8 +189,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _N_HASHES, _ROWS_PER_BAND = 16, 4
 
-_MINHASH_ORACLE = f"""
-WITH {_SHINGLES_CTE},
+# Candidate-pair CTE chain (shingles → minhash → bands → cand), shared
+# by the MinHash query itself and the connected-components oracle.
+_MINHASH_CAND_CTES = f"""{_SHINGLES_CTE},
 seeds AS (SELECT unnest(range({_N_HASHES})) AS seed),
 mh AS (
     SELECT s.doc_id, d.seed,
@@ -207,7 +208,10 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
 verified AS (
     SELECT c.doc1, c.doc2, count(*) AS n_inter
@@ -451,51 +455,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Near-dup clustering: connected components over candidate pairs
 # --------------------------------------------------------------------------
-@register("dedup_clusters")
+# Min-label fixpoint as a recursive CTE: `walk` enumerates every label
+# reachable from each node over the symmetrized pair graph; min() per
+# node is the component minimum — exactly what the Spark loop converges
+# to.  (Any two docs sharing a band signature share the shingle that
+# attains the band's minhash, so `cand` IS the verified pair set.)
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CAND_CTES},
+edges AS (
+    SELECT doc1 AS src, doc2 AS dst FROM cand
+    UNION
+    SELECT doc2, doc1 FROM cand
+),
+walk(doc_id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, w.label
+    FROM edges e JOIN walk w ON e.dst = w.doc_id
+)
+SELECT doc_id,
+       min(label) AS cluster_id,
+       doc_id = min(label) AS is_survivor
+FROM walk
+GROUP BY doc_id
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters = connected components of the MinHash-verified
-    pair graph, by iterative min-label propagation (labels start as
-    doc_id; each round every doc takes the min label in its
-    neighborhood; converges in ≤ graph-diameter rounds, checked via a
-    fixed-point count). The keep-rule is then 'survivor = min doc_id of
-    the cluster'. Iterative relational algorithm → rows-only check;
-    determinism is structural (min is order-free).
+    pair graph via `min_label_components`: checkpointed min-label
+    propagation with pointer jumping (label ← label(label) each round),
+    so rounds are O(log path-length) — the large-star/small-star
+    convergence behavior — with exactly one step evaluation per round
+    over materialized inputs and a hard error if the fixpoint is not
+    reached (no silent split clusters).  Keep-rule: survivor = min
+    doc_id of the cluster.  Oracle: DuckDB WITH RECURSIVE reachability.
+    """
+    from oxford_data_pipeline_spark.operators.iterate import min_label_components
 
-    At 100 TB this is the standard large-graph CC loop (alternating
-    large-star/small-star); here diameters are tiny so plain
-    propagation with a convergence check suffices."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2").cache()
-    edges = (
-        pairs.union(pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")))
-        .distinct()
-    )
-    labels = (
-        edges.select(F.col("doc1").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
-    for _ in range(10):
-        neighbor_min = (
-            edges.join(labels, edges.doc2 == labels.doc_id)
-            .groupBy(F.col("doc1").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    labels = min_label_components(pairs, "doc1", "doc2")
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -420,7 +420,12 @@ def w3_restricted_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("event_id").alias("peak_event_id"))
     )
     return (
-        tie.join(windowed, (tie.peak_event_id == windowed.event_id), "inner")
+        tie.join(
+            windowed,
+            (tie.peak_event_id == windowed.event_id)
+            & (tie.event_type == windowed.event_type),
+            "inner",
+        )
         .drop(windowed.event_type)
         .join(peak, "event_type")
         .select(
