@@ -57,34 +57,43 @@ def decode_media(payload: bytes, modality: str):  # pragma: no cover
     )
 
 
-def _byte_histogram(payload: bytes) -> np.ndarray:
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype(np.float64)
-    total = hist.sum()
-    return hist / total if total > 0 else hist
+def _concat_payloads(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a batch of variable-length byte payloads into one uint8
+    array plus per-row (offset, length) — the layout every vectorized
+    kernel below indexes into.  One allocation per Arrow batch; no
+    per-row Python objects beyond the join."""
+    data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(payloads) else np.zeros(0, np.int64)
+    return data, offs, lens
 
 
 def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic decode stand-in for `mapInPandas`: 16-bin byte
-    histogram + entropy per payload. Arrow-batched; never materializes
-    more than one batch per partition."""
+    histogram + entropy per payload.  Whole-batch numpy: one flattened
+    bincount over (row_index·16 + nibble) builds every row's histogram
+    at once — no per-row Python loop, the shape a real vectorized
+    decoder should copy."""
     for pdf in batches:
-        feats = []
-        for _, row in pdf.iterrows():
-            hist = _byte_histogram(row["payload"])
-            pos = hist[hist > 0]
-            entropy = float(-(pos * np.log2(pos)).sum()) if pos.size else 0.0
-            feats.append(
-                (
-                    row["doc_id"],
-                    row["meta"]["modality"],
-                    int(row["meta"]["n_bytes"]),
-                    entropy,
-                    hist.tolist(),
-                )
-            )
+        n = len(pdf)
+        data, offs, lens = _concat_payloads(pdf["payload"])
+        row_idx = np.repeat(np.arange(n), lens)
+        hist2d = np.bincount(
+            row_idx * N_HIST_BINS + (data >> 4), minlength=n * N_HIST_BINS
+        ).astype(np.float64).reshape(n, N_HIST_BINS)
+        totals = hist2d.sum(axis=1, keepdims=True)
+        p = np.divide(hist2d, totals, out=np.zeros_like(hist2d), where=totals > 0)
+        plogp = np.zeros_like(p)
+        np.log2(p, out=plogp, where=p > 0)
+        entropy = -(p * plogp).sum(axis=1)
         yield pd.DataFrame(
-            feats, columns=["doc_id", "modality", "n_bytes", "byte_entropy", "hist"]
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "modality": [m["modality"] for m in pdf["meta"]],
+                "n_bytes": np.array([int(m["n_bytes"]) for m in pdf["meta"]], dtype=np.int32),
+                "byte_entropy": entropy,
+                "hist": list(p),
+            }
         )
 
 
@@ -95,21 +104,36 @@ def extract_features(mm: DataFrame) -> DataFrame:
 
 def fake_resize_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic resize stand-in: downsample the payload byte
-    sequence to a fixed 8-'pixel' strip by mean-pooling (what an image
-    resize does per channel), preserving the mapInPandas batch shape a
-    real PIL resize would use."""
+    sequence to a fixed 8-'pixel' strip by mean-pooling with edge
+    padding (what an image resize does per channel).  Whole-batch
+    numpy: segment sums come from one global prefix-sum indexed by an
+    (n_rows × 8) boundary matrix; edge padding is added analytically as
+    (missing_count × last_byte) — identical values to the former
+    per-row reshape/mean, no per-row loop."""
     for pdf in batches:
-        rows = []
-        for _, row in pdf.iterrows():
-            arr = np.frombuffer(row["payload"], dtype=np.uint8).astype(np.float64)
-            if arr.size == 0:
-                strip = [0.0] * 8
-            else:
-                pad = (-arr.size) % 8
-                arr = np.pad(arr, (0, pad), mode="edge")
-                strip = arr.reshape(8, -1).mean(axis=1).round(6).tolist()
-            rows.append((row["doc_id"], row["meta"]["modality"], strip))
-        yield pd.DataFrame(rows, columns=["doc_id", "modality", "strip"])
+        n = len(pdf)
+        data, offs, lens = _concat_payloads(pdf["payload"])
+        csum = np.concatenate(([0.0], np.cumsum(data, dtype=np.float64)))
+        pad = (-lens) % 8
+        chunk = np.maximum((lens + pad) // 8, 1)  # padded length / 8
+        j = np.arange(9)
+        # padded-space boundaries, clamped to the real data extent
+        bounds = np.minimum(chunk[:, None] * j[None, :], lens[:, None])
+        seg_real = csum[offs[:, None] + bounds[:, 1:]] - csum[offs[:, None] + bounds[:, :-1]]
+        # padding contribution: segment part beyond the real extent,
+        # filled with the row's last byte (np.pad mode="edge")
+        over = np.maximum(chunk[:, None] * j[None, :] - lens[:, None], 0)
+        pad_cnt = over[:, 1:] - over[:, :-1]
+        last_byte = np.where(lens > 0, data[(offs + lens - 1).clip(min=0)], 0).astype(np.float64)
+        strips = (seg_real + pad_cnt * last_byte[:, None]) / chunk[:, None]
+        strips = np.where((lens > 0)[:, None], strips, 0.0).round(6)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "modality": [m["modality"] for m in pdf["meta"]],
+                "strip": list(strips),
+            }
+        )
 
 
 def fake_frame_sample(
@@ -117,20 +141,30 @@ def fake_frame_sample(
 ) -> Iterator[pd.DataFrame]:
     """Deterministic frame-sample stand-in: split the payload into
     equal chunks ('frames') and keep every (len/n)-th — the ffmpeg
-    keyframe-sampling shape, one output row per sampled frame."""
+    keyframe-sampling shape, one output row per sampled frame.
+    Whole-batch numpy: all (row, frame) chunk sums come from one global
+    prefix-sum; empty trailing chunks are mask-dropped (same rows as
+    the former per-row break)."""
     for pdf in batches:
-        rows = []
-        for _, row in pdf.iterrows():
-            payload = row["payload"]
-            size = max(len(payload) // n_frames, 1)
-            for i in range(n_frames):
-                chunk = payload[i * size:(i + 1) * size]
-                if not len(chunk):
-                    break
-                rows.append(
-                    (row["doc_id"], i, len(chunk), float(np.frombuffer(chunk, dtype=np.uint8).mean()))
-                )
-        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "n_bytes", "mean_byte"])
+        n = len(pdf)
+        data, offs, lens = _concat_payloads(pdf["payload"])
+        csum = np.concatenate(([0.0], np.cumsum(data, dtype=np.float64)))
+        size = np.maximum(lens // n_frames, 1)
+        i = np.arange(n_frames + 1)
+        bounds = np.minimum(size[:, None] * i[None, :], lens[:, None])
+        cnt = bounds[:, 1:] - bounds[:, :-1]
+        sums = csum[offs[:, None] + bounds[:, 1:]] - csum[offs[:, None] + bounds[:, :-1]]
+        keep = cnt > 0
+        row_idx = np.repeat(np.arange(n), keep.sum(axis=1))
+        frame_idx = np.nonzero(keep)[1]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy()[row_idx],
+                "frame_idx": frame_idx.astype(np.int32),
+                "n_bytes": cnt[keep].astype(np.int32),
+                "mean_byte": sums[keep] / cnt[keep],
+            }
+        )
 
 
 def resize_strips(mm: DataFrame) -> DataFrame:

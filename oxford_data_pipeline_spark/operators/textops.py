@@ -130,6 +130,48 @@ def minhash_band_signatures(
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
+def simhash_signature(token_counts: DataFrame, n_bits: int = 64) -> DataFrame:
+    """SimHash 64-bit signature per doc WITHOUT row expansion.
+
+    The naive formulation (see `simhash_bits`) crossJoins every
+    (doc, token, cnt) row with 64 bit positions before aggregating —
+    64× the shuffle volume.  Here the 16 hex digits of md5(token) are
+    decoded once per row and the 64 signed votes become 64 partial-agg
+    `sum` expressions, so the shuffle carries exactly one row of 64
+    longs per (doc, partition): map-side combine does the heavy lifting
+    and everything stays inside whole-stage codegen.
+
+    Input: (doc_id, token, cnt).  Output: (doc_id, simhash, n_ones)
+    where simhash is the 64-char '0'/'1' string (bit b = sign of
+    Σ cnt·±1 from bit b of md5(token), MSB-first per hex digit — same
+    bit convention as `simhash_bits` and the DuckDB oracle).
+    """
+    n_digits = n_bits // 4
+    hashed = token_counts.withColumn("h", F.md5("token"))
+    digits = [
+        F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
+        for i in range(n_digits)
+    ]
+    hd = hashed.select("doc_id", "cnt", *digits)
+
+    def vote(b: int):
+        bit = F.shiftright(F.col(f"d{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1))
+        return F.col("cnt") * (2 * bit - 1)
+
+    sums = hd.groupBy("doc_id").agg(
+        *[F.sum(vote(b)).alias(f"s{b}") for b in range(n_bits)]
+    )
+    bitvals = [F.when(F.col(f"s{b}") > 0, 1).otherwise(0) for b in range(n_bits)]
+    n_ones = bitvals[0]
+    for bv in bitvals[1:]:
+        n_ones = n_ones + bv
+    return sums.select(
+        "doc_id",
+        F.concat(*[bv.cast("string") for bv in bitvals]).alias("simhash"),
+        n_ones.cast("long").alias("n_ones"),
+    )
+
+
 def simhash_bits(token_counts: DataFrame, n_bits: int = 64) -> DataFrame:
     """SimHash: per (doc_id, bit) the sign of Σ count·(±1) where the ±1
     comes from bit `b` of md5(token).

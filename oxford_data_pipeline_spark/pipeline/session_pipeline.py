@@ -242,26 +242,46 @@ def fit_pair_cca(
         r1, r2 = pdf["pair_r1"].iloc[0], pdf["pair_r2"].iloc[0]
         xi = pdf[pdf["side"] == "i"]
         xj = pdf[pdf["side"] == "j"]
-        X, nx = _matrix(xi)
-        Y, ny = _matrix(xj)
+        # Both matrices are built on the SHARED (trial_id, t) sample
+        # index — the union of rows observed on either side, zeros
+        # filled per the engine's implicit-zero segment semantics.
+        # Pivoting each side independently and truncating to min length
+        # would silently shift every sample after a one-sided gap and
+        # correlate mismatched timepoints (round-1 ADVICE, medium).
+        shared = pd.MultiIndex.from_frame(
+            pdf[["trial_id", "t"]].drop_duplicates().sort_values(["trial_id", "t"])
+        )
+
+        def side_matrix(sdf: pd.DataFrame) -> tuple[np.ndarray, list[int]]:
+            piv = sdf.pivot_table(
+                index=["trial_id", "t"], columns="neuron_id", values="rate",
+                aggfunc="first", fill_value=0.0,
+            ).reindex(shared, fill_value=0.0)
+            return piv.to_numpy(dtype=float), [int(c) for c in piv.columns]
+
+        X, nx = side_matrix(xi)
+        Y, ny = side_matrix(xj)
         if shuffle:
             # M17 — seeded trial-order shuffle of the Y side
-            # (`perform_session_cca.m:128-133`, rng(12345,'twister'))
-            trials = sorted(xj["trial_id"].unique())
+            # (`perform_session_cca.m:128-133`, rng(12345,'twister')).
+            # Trial blocks are the ACTUAL contiguous row ranges of the
+            # shared index (trial row counts may vary after boundary
+            # drops); permuting ranges keeps every row exactly once.
+            trial_of_row = shared.get_level_values(0).to_numpy()
+            trials = list(dict.fromkeys(trial_of_row))  # index order
             seed = int.from_bytes(f"12345|{session}|{r1}|{r2}".encode()[:4], "big")
             perm = np.random.default_rng(seed).permutation(len(trials))
-            t_per_trial = Y.shape[0] // len(trials)
             idx = np.concatenate(
-                [np.arange(p * t_per_trial, (p + 1) * t_per_trial) for p in perm]
+                [np.nonzero(trial_of_row == trials[p])[0] for p in perm]
             )
             Y = Y[idx]
-        n = min(X.shape[0], Y.shape[0])
-        if n < folds + 2:
+        n = X.shape[0]
+        if n < folds + 2 or X.shape[1] == 0 or Y.shape[1] == 0:
             return pd.DataFrame(
                 columns=["session", "pair_r1", "pair_r2", "fold", "component",
                          "side", "neuron_id", "r2", "weight"]
             )
-        res = cv_cca(X[:n], Y[:n], k, folds)
+        res = cv_cca(X, Y, k, folds)
         rows = []
         for fi in range(res["cv_R2"].shape[0]):
             for ci in range(k):

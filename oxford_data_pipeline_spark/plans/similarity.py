@@ -189,20 +189,67 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF-style ANN: coarse quantizer cells + multi-probe search
+# IVF ANN: trained coarse quantizer (relational Lloyd) + multi-probe search
 # --------------------------------------------------------------------------
 _N_PROBE = 2
+_K_CELLS = 8
+_LLOYD_ITERS = 3
+
+
+def _lloyd_ctes(k: int, iters: int) -> str:
+    """Unrolled k-means CTE chain: c0 = md5-seeded centroids; each
+    iteration = assign (argmax rounded cosine, cell tiebreak) + update
+    (rounded per-dim mean).  Fixed iteration count keeps the quantizer
+    SQL-expressible; every float that crosses an assignment decision is
+    round-nudged so Spark and DuckDB pick identical cells."""
+    parts = [
+        f"""seeds AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+        FROM norms
+    ) WHERE cell <= {k}
+),
+c0 AS (
+    SELECT s.cell, l.dim, l.val AS w
+    FROM seeds s JOIN long l ON l.vec_id = s.vec_id
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""kn{i} AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM c{i} GROUP BY 1),
+kaff{i} AS (
+    SELECT l.vec_id, c.cell,
+           round(sum(l.val * c.w) / (n.nrm * kn{i}.cn) * 1000000 + 0.01, 0) / 1000000 AS aff
+    FROM long l
+    JOIN c{i} c ON l.dim = c.dim
+    JOIN norms n ON l.vec_id = n.vec_id
+    JOIN kn{i} ON c.cell = kn{i}.cell
+    GROUP BY l.vec_id, c.cell, n.nrm, kn{i}.cn
+),
+asg{i} AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS r
+        FROM kaff{i}
+    ) WHERE r = 1
+),
+c{i + 1} AS (
+    SELECT a.cell, l.dim,
+           round(avg(l.val) * 1000000 + 0.01, 0) / 1000000 AS w
+    FROM asg{i} a JOIN long l ON l.vec_id = a.vec_id
+    GROUP BY 1, 2
+)"""
+        )
+    parts.append(f"centroids AS (SELECT cell, dim, w FROM c{iters})")
+    return ",\n".join(parts)
+
 
 _IVF_ORACLE = f"""
 WITH long AS ({_EMB_LONG_SQL}),
-centroids AS (
-    SELECT e.label AS cell, CAST(r.range AS INTEGER) AS dim,
-           avg(CAST(e.embedding[CAST(r.range AS INTEGER) + 1] AS DOUBLE)) AS w
-    FROM embeddings e CROSS JOIN range(64) r
-    GROUP BY 1, 2
-),
-cnorms AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM centroids GROUP BY 1),
 norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1),
+{_lloyd_ctes(_K_CELLS, _LLOYD_ITERS)},
+cnorms AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM centroids GROUP BY 1),
 cell_aff AS (
     SELECT l.vec_id, c.cell,
            round(sum(l.val * c.w) / (n.nrm * cn.cn) * 1000000 + 0.01, 0) / 1000000
@@ -249,21 +296,74 @@ SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_TOP_K}
 """
 
 
+def _trained_centroids(
+    long: DataFrame, norms: DataFrame, k: int = _K_CELLS, iters: int = _LLOYD_ITERS
+) -> DataFrame:
+    """K-means coarse quantizer as relational Lloyd iterations.
+
+    Seeds: the k vectors with lexicographically smallest
+    md5(cast(vec_id)) — deterministic on every engine, selected with a
+    global top-k (TakeOrdered, scale-safe; no full sort).  Each of the
+    `iters` rounds: assign = argmax of the round-nudged cosine between
+    vector and broadcast centroids (cell-id tiebreak), update = per-dim
+    round-nudged mean of the assigned vectors (an empty cell simply
+    drops out — deterministic on both engines).  Rounding after every
+    avg/affinity keeps Spark's and DuckDB's float-sum-order differences
+    from ever flipping an assignment.  Centroids are eagerly
+    checkpointed per round: k×64 rows, so the cost is nil and the plan
+    stays shallow instead of unrolling iterations into the lineage."""
+    seed_key = F.md5(F.col("vec_id").cast("string")).alias("mk")
+    seeds = (
+        norms.select("vec_id", seed_key)
+        .orderBy("mk", "vec_id")
+        .limit(k)
+        .withColumn("cell", F.row_number().over(W.orderBy("mk", "vec_id")))
+        .select("vec_id", "cell")
+    )
+    cent = seeds.join(long, "vec_id").select("cell", "dim", F.col("val").alias("w"))
+    for _ in range(iters):
+        cn = cent.groupBy("cell").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn"))
+        kaff = (
+            long.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+            .join(norms, "vec_id")
+            .join(F.broadcast(cn), "cell")
+            .select(
+                "vec_id", "cell",
+                (F.round(F.col("dot") / (F.col("nrm") * F.col("cn")) * 1e6 + 0.01, 0) / 1e6)
+                .alias("aff"),
+            )
+        )
+        wv = W.partitionBy("vec_id").orderBy(F.col("aff").desc(), "cell")
+        asg = (
+            kaff.withColumn("r", F.row_number().over(wv))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "cell")
+        )
+        cent = (
+            asg.join(long, "vec_id")
+            .groupBy("cell", "dim")
+            .agg((F.round(F.avg("val") * 1e6 + 0.01, 0) / 1e6).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 @register("sim_ivf_ann", _IVF_ORACLE)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer (cells = per-label centroid
-    vectors) assigns every vector to its nearest cell; queries probe
-    their top-2 cells and run exact cosine top-k only within probed
-    cells. The inverted-list structure is just (cell → vectors) —
-    a groupBy — and the probe join is an equi-join on cell."""
-    long = embeddings_long(spark, sf_dir).select("vec_id", "label", "dim", "val")
-    centroids = long.groupBy(F.col("label").alias("cell"), "dim").agg(
-        F.avg("val").alias("w")
-    )
-    cnorms = centroids.groupBy("cell").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn"))
+    """IVF ANN with a TRAINED coarse quantizer: k-means cells fit by
+    `_trained_centroids` (relational Lloyd — no dependence on the
+    `label` column) assign every vector to its nearest cell; queries
+    probe their top-2 cells and run exact cosine top-k only within
+    probed cells. The inverted-list structure is just (cell → vectors)
+    — a groupBy — and the probe join is an equi-join on cell."""
+    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
     norms = long.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
     )
+    centroids = _trained_centroids(long, norms)
+    cnorms = centroids.groupBy("cell").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn"))
     aff = (
         long.join(F.broadcast(centroids), "dim")
         .groupBy("vec_id", "cell")

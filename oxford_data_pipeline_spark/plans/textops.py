@@ -19,7 +19,7 @@ from oxford_data_pipeline_spark.operators.textops import (
     tokens,
 )
 from oxford_data_pipeline_spark.plans.registry import register
-from oxford_data_pipeline_spark.sources.catalog import load_table
+from oxford_data_pipeline_spark.sources.catalog import fan_out, load_table
 
 # Shared oracle CTE: normalized text + token list per doc.
 _TOKENS_CTE = """
@@ -35,7 +35,7 @@ toks AS (
 
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "lang",
@@ -229,7 +229,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial rolling-hash fingerprint over the word codes
     (acc = (acc·B + code) mod M — an order-sensitive content hash,
     unlike the bag fingerprint)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
         "lang",

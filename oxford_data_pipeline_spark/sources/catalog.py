@@ -48,6 +48,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy per-row derivations.
+
+    Parquet splits at row-group boundaries, so a small single-file table
+    (one row group) scans as ONE task — and everything derived from it
+    (tokenization, shingling, hashing) runs single-threaded no matter
+    how many cores exist.  When the scan has fewer partitions than the
+    cluster's default parallelism, shuffle the (compact, compressed)
+    rows once so the expensive derivation runs wide.  On a production
+    corpus with thousands of row groups the condition is false and this
+    is a no-op — no gratuitous shuffle at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all catalog tables as temp views for the SQL API."""
     for t in TABLES:

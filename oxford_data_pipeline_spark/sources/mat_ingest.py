@@ -8,39 +8,64 @@ this engine performs that normalization ONCE at the ingest boundary
 (firing_rates / trial_events / neurons), written partitioned by
 session. Downstream never touches nested structures.
 
-The HDF5 decode itself requires h5py, which is not in this runtime —
-`decode_mat_bytes` raises ImportError-derived NotImplementedError
-unless h5py is installed; `ingest_mat_files` accepts any decoder with
-the same signature so tests drive the real Spark plumbing with a fake.
+Two container formats share the `.mat` extension; `decode_mat_bytes`
+sniffs the magic bytes and routes:
+- **MAT v5** (`MATLAB 5.0` header) — decoded for real by the
+  pure-python `sources.matfile` reader (numeric matrices, compressed
+  or not; scipy's default `savemat` output).
+- **v7.3** (HDF5 magic) — requires h5py, absent from this runtime; the
+  branch raises NotImplementedError.  `ingest_mat_files` accepts any
+  decoder with the same signature, so the h5py decode drops into the
+  same seam without touching the job.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 FIRING_SCHEMA = "session string, neuron_id int, bin int, rate double"
 
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
 Decoder = Callable[[str, bytes], pd.DataFrame]
 
 
 def decode_mat_bytes(path: str, payload: bytes) -> pd.DataFrame:
-    """Decode one `.mat` v7.3 blob into long firing-rate rows.
+    """Decode one `.mat` blob into long firing-rate rows.
 
-    STUB: needs h5py (`h5py.File(io.BytesIO(payload))` →
-    `mdl/predictor/firingrate` dataset → long rows). Install h5py and
-    replace the body; the surrounding job needs no change.
+    The firing-rate variable is the reference's
+    `mdl.predictor.firingrate` dense [n_neurons × T] matrix
+    (`extract_session_data_mdl.m:83-84`); here it is the file's
+    `firingrate` matrix, session = file stem, neuron_id 1-based,
+    bin 0-based — the engine's canonical long layout.
     """
-    try:
-        import h5py  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - runtime has no h5py
-        raise NotImplementedError(
-            "h5py not available in this runtime; supply a custom decoder "
-            "to ingest_mat_files"
-        ) from exc
-    raise NotImplementedError("h5py decode not implemented yet")
+    if payload[:8] == _HDF5_MAGIC:  # v7.3 container
+        try:
+            import h5py  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - runtime has no h5py
+            raise NotImplementedError(
+                "MAT v7.3 (HDF5) decode needs h5py; supply a custom decoder "
+                "to ingest_mat_files"
+            ) from exc
+        raise NotImplementedError("h5py decode not implemented yet")
+    from oxford_data_pipeline_spark.sources.matfile import read_mat5
+
+    session = os.path.splitext(os.path.basename(path))[0]
+    fr = read_mat5(payload)["firingrate"]
+    n_neurons, n_bins = fr.shape
+    return pd.DataFrame(
+        {
+            "session": session,
+            "neuron_id": np.repeat(np.arange(1, n_neurons + 1), n_bins).astype(np.int32),
+            "bin": np.tile(np.arange(n_bins), n_neurons).astype(np.int32),
+            "rate": fr.ravel(order="C"),
+        }
+    )
 
 
 def ingest_mat_files(

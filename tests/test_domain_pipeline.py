@@ -253,3 +253,61 @@ def test_time_seconds_axis(spark, fixtures, results):
     seg = with_time_seconds(res["segmented"])
     row = seg.filter(F.col("t") == cfg.post_bins).limit(1).collect()
     assert row and abs(row[0].t_sec - cfg.post_bins / 50.0) < 1e-12
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_pair_cca_missing_sample_equals_explicit_zero(spark, shuffle):
+    """Implicit-zero contract on the SHARED sample index (round-1
+    ADVICE, medium): a (trial_id, t) row absent on one side must give
+    bit-identical CCA results to the same row present with rate=0.0.
+    Under min-length truncation the sparse variant shifts every later
+    sample and diverges.  Runs with uneven per-trial row counts so the
+    M17 shuffle path must also permute actual trial ranges."""
+    import numpy as np
+    import pandas as pd
+
+    from oxford_data_pipeline_spark.pipeline.fixtures import test_config
+    from oxford_data_pipeline_spark.pipeline.session_pipeline import fit_pair_cca
+
+    rng = np.random.default_rng(7)
+    rows_sparse, rows_dense = [], []
+    for tr in range(1, 9):
+        for t in range(10):
+            for nid in (1, 2, 11, 12):
+                v = float(rng.normal())
+                on_a_side = nid in (1, 2)
+                # two mid-sequence gaps on the A side only
+                if on_a_side and (tr, t) in ((3, 4), (6, 0)):
+                    rows_dense.append(("s1", tr, t, nid, 0.0))
+                    continue
+                rows_sparse.append(("s1", tr, t, nid, v))
+                rows_dense.append(("s1", tr, t, nid, v))
+    cols = ["session", "trial_id", "t", "neuron_id", "rate"]
+    sampled = spark.createDataFrame(
+        pd.DataFrame(
+            [("s1", 1, "RA"), ("s1", 2, "RA"), ("s1", 11, "RB"), ("s1", 12, "RB")],
+            columns=["session", "neuron_id", "region"],
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame([("s1", "RA", "RB")], columns=["session", "pair_r1", "pair_r2"])
+    )
+    cfg = test_config(n_components=2, cv_folds=3, shuffle_trials=shuffle)
+
+    def run(rows):
+        seg = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+        cca_r2, weights = fit_pair_cca(seg, sampled, pairs, cfg)
+        r2 = {(r.fold, r.component): r.r2 for r in cca_r2.collect()}
+        w = {
+            (r.side, r.neuron_id, r.component): r.weight for r in weights.collect()
+        }
+        return r2, w
+
+    r2_s, w_s = run(rows_sparse)
+    r2_d, w_d = run(rows_dense)
+    assert r2_s.keys() == r2_d.keys() and r2_s
+    for key in r2_s:
+        assert r2_s[key] == pytest.approx(r2_d[key], abs=1e-9), key
+    assert w_s.keys() == w_d.keys()
+    for key in w_s:
+        assert w_s[key] == pytest.approx(w_d[key], abs=1e-9), key

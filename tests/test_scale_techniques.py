@@ -109,8 +109,58 @@ def test_mat_ingest_plumbing_with_fake_decoder(spark):
         assert {r[0] for r in rows} == {"a", "b"}
 
 
-def test_mat_decode_stub_raises():
+def test_mat_decode_v73_stub_raises_and_garbage_rejected():
     from oxford_data_pipeline_spark.sources.mat_ingest import decode_mat_bytes
 
+    # v7.3 = HDF5 container: needs h5py, absent here → the seam raises
     with pytest.raises(NotImplementedError):
+        decode_mat_bytes("x.mat", b"\x89HDF\r\n\x1a\n" + b"\0" * 200)
+    with pytest.raises(ValueError):
         decode_mat_bytes("x.mat", b"bytes")
+
+
+def test_mat5_roundtrip_plain_and_compressed():
+    """sources.matfile: write → read returns bit-identical float64
+    matrices (column-major payload, small-element name packing,
+    zlib-compressed top-level elements)."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.matfile import read_mat5, write_mat5
+
+    rng = np.random.default_rng(3)
+    arrays = {
+        "firingrate": rng.normal(size=(7, 13)),
+        "x": rng.normal(size=(1, 1)),
+        "a_longer_name_than_four": rng.normal(size=5),  # 1-D → column
+    }
+    for compress in (False, True):
+        got = read_mat5(write_mat5(arrays, compress=compress))
+        assert set(got) == set(arrays)
+        assert np.array_equal(got["firingrate"], arrays["firingrate"])
+        assert np.array_equal(got["x"], arrays["x"])
+        assert np.array_equal(
+            got["a_longer_name_than_four"],
+            np.asarray(arrays["a_longer_name_than_four"]).reshape(-1, 1),
+        )
+
+
+def test_mat_ingest_end_to_end_with_real_v5_decoder(spark):
+    """S2 — the full conversion job on REAL MAT v5 session files using
+    the DEFAULT decoder: binaryFile scan → pure-python v5 parse →
+    canonical long firing rows (round-1 verdict item 8)."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.mat_ingest import ingest_mat_files
+    from oxford_data_pipeline_spark.sources.matfile import write_mat5
+
+    rng = np.random.default_rng(11)
+    mats = {s: rng.normal(size=(3, 4)) for s in ("sessA", "sessB")}
+    with tempfile.TemporaryDirectory() as d:
+        for s, m in mats.items():
+            with open(os.path.join(d, f"{s}.mat"), "wb") as f:
+                f.write(write_mat5({"firingrate": m}, compress=(s == "sessB")))
+        out = ingest_mat_files(spark, os.path.join(d, "*.mat"))
+        rows = out.collect()
+    assert len(rows) == 2 * 3 * 4
+    for r in rows:
+        assert r.rate == mats[r.session][r.neuron_id - 1, r.bin]
