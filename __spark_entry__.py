@@ -25,37 +25,19 @@ if _REPO_DIR not in sys.path:
 
 from oxford_data_pipeline_spark.plans import ORACLES, QUERIES  # noqa: E402
 
-# The driver's correctness snapshot records at most ~50 queries in
-# iteration order (CORRECTNESS_r01.json recorded exactly the first 50
-# registry entries).  Order the contract so every oracle-bearing query
-# precedes the rows-only ones, with the queries the round-1 verdict
-# flagged as unverified pinned to the very front.
-_PRIORITY = [
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    "dedup_clusters",
-    "dedup_ngram_jaccard_capped",
-]
-
-
-def _ordered_names() -> list[str]:
-    names = list(QUERIES)
-    front = [n for n in _PRIORITY if n in QUERIES]
-    with_oracle = [n for n in names if n in ORACLES and n not in front]
-    rows_only = [n for n in names if n not in ORACLES and n not in front]
-    return front + with_oracle + rows_only
-
-
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (J1 event-window join + PSTH) on sf0.001."""
     return QUERIES["j1_event_psth"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {n: QUERIES[n] for n in _ordered_names()}
+    """One entry per implemented operator from SURVEY.md §2, in
+    registry (definition) order.  The full oracle-parity record across
+    every query — independent of any snapshot cap — is self-reported by
+    the test suite into ``ORACLE_PARITY.json``."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
-    return {n: ORACLES[n] for n in _ordered_names() if n in ORACLES}
+    return dict(ORACLES)

@@ -124,7 +124,10 @@ def fake_resize_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         # filled with the row's last byte (np.pad mode="edge")
         over = np.maximum(chunk[:, None] * j[None, :] - lens[:, None], 0)
         pad_cnt = over[:, 1:] - over[:, :-1]
-        last_byte = np.where(lens > 0, data[(offs + lens - 1).clip(min=0)], 0).astype(np.float64)
+        if data.size:
+            last_byte = np.where(lens > 0, data[(offs + lens - 1).clip(min=0)], 0).astype(np.float64)
+        else:  # every payload in the batch is empty: no bytes to index
+            last_byte = np.zeros(n, dtype=np.float64)
         strips = (seg_real + pad_cnt * last_byte[:, None]) / chunk[:, None]
         strips = np.where((lens > 0)[:, None], strips, 0.0).round(6)
         yield pd.DataFrame(

@@ -16,14 +16,12 @@ from pyspark.sql import functions as F
 from oxford_data_pipeline_spark.functions.compat import round6
 from oxford_data_pipeline_spark.operators.textops import (
     minhash_band_signatures,
-    normalized,
     simhash_signature,
-    tokens,
     word_shingles,
 )
+from oxford_data_pipeline_spark.plans.memo import memoized
 from oxford_data_pipeline_spark.plans.registry import register
-from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE
-from oxford_data_pipeline_spark.sources.catalog import fan_out, load_table
+from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE, tokens_relation
 
 # Shared oracle CTE: distinct word-3-gram shingles per doc.
 _SHINGLES_CTE = f"""
@@ -39,7 +37,7 @@ shingles AS (
 """
 
 
-_shingle_cache: dict[tuple[int, str], DataFrame] = {}
+_shingle_cache: dict[tuple, DataFrame] = {}
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,17 +50,12 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle relation 3-4× (sizes, both self-join sides, verify)
     # and Spark does not reuse the exchange across those subtrees. In
     # production this is a materialized shingle table.
-    key = (id(spark), sf_dir)
-    if key in _shingle_cache:
-        return _shingle_cache[key]
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = (
-        docs.select("doc_id", tokens(normalized("text")).alias("toks"))
-        .select("doc_id", F.explode(word_shingles(F.col("toks"))).alias("shingle"))
-        .persist()
-    )
-    _shingle_cache[key] = sh
-    return sh
+    def build() -> DataFrame:
+        return tokens_relation(spark, sf_dir).select(
+            "doc_id", F.explode(word_shingles(F.col("t"))).alias("shingle")
+        )
+
+    return memoized(_shingle_cache, spark, (sf_dir,), build)
 
 
 # --------------------------------------------------------------------------
@@ -96,12 +89,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content fingerprints; removable =
     Σ(group−1). One associative pass; keep-rule = min(doc_id) per group
     when materializing survivors."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    t = docs.select(
-        "doc_id",
-        normalized("text").alias("norm"),
-        tokens(normalized("text")).alias("t"),
-    )
+    t = tokens_relation(spark, sf_dir)
     fp = t.select(
         "doc_id",
         F.md5("norm").alias("exact_fp"),
@@ -308,7 +296,7 @@ JOIN sizes sb ON v.doc2 = sb.doc_id
 """
 
 
-_pairs_cache: dict[tuple[int, str], DataFrame] = {}
+_pairs_cache: dict[tuple, DataFrame] = {}
 
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
@@ -322,9 +310,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation): `dedup_clusters` consumes it as its edge list, and in
     production it is a materialized table feeding every downstream
     dedup decision."""
-    key = (id(spark), sf_dir)
-    if key in _pairs_cache:
-        return _pairs_cache[key]
+    return memoized(
+        _pairs_cache, spark, (sf_dir,), lambda: _build_minhash_pairs(spark, sf_dir)
+    )
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir)
     bands = minhash_band_signatures(sh.select("doc_id", "shingle"), _N_HASHES, _ROWS_PER_BAND)
     a = bands.alias("a")
@@ -357,14 +348,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter").cast("double") / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
     )
-    out = (
+    return (
         verified.join(sa, F.col("doc1") == F.col("sa.doc_id"))
         .join(sb, F.col("doc2") == F.col("sb.doc_id"))
         .select("doc1", "doc2", round6(jac).alias("jaccard"))
-        .persist()
     )
-    _pairs_cache[key] = out
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -402,8 +390,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     by `simhash_signature` — 64 partial-agg sum expressions over the
     decoded md5 digits, no 64× bit-position expansion (round-1 verdict
     perf item)."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    t = docs.select("doc_id", F.explode(tokens(normalized("text"))).alias("token"))
+    t = tokens_relation(spark, sf_dir).select(
+        "doc_id", F.explode("t").alias("token")
+    )
     tc = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     return simhash_signature(tc)
 

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window as W
 
 from oxford_data_pipeline_spark.functions.compat import round6
 from oxford_data_pipeline_spark.plans.dedup import _EMB_LONG_SQL, _PLANES_SQL
+from oxford_data_pipeline_spark.plans.memo import memoized
 from oxford_data_pipeline_spark.plans.projection import embeddings_long
 from oxford_data_pipeline_spark.plans.registry import register
 
@@ -194,25 +195,40 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PROBE = 2
 _K_CELLS = 8
 _LLOYD_ITERS = 3
+# Quantizer training set: the _TRAIN_SAMPLE vectors with smallest
+# md5(vec_id) — a bounded, engine-deterministic sample (standard IVF
+# practice: the coarse quantizer is fit on a sample, never the full
+# corpus).  Keeps training cost O(sample), not O(corpus), per build.
+_TRAIN_SAMPLE = 256
 
 
 def _lloyd_ctes(k: int, iters: int) -> str:
-    """Unrolled k-means CTE chain: c0 = md5-seeded centroids; each
+    """Unrolled k-means CTE chain: training restricted to the bounded
+    md5-ordered sample (tlong/tnorms); c0 = md5-seeded centroids; each
     iteration = assign (argmax rounded cosine, cell tiebreak) + update
     (rounded per-dim mean).  Fixed iteration count keeps the quantizer
     SQL-expressible; every float that crosses an assignment decision is
     round-nudged so Spark and DuckDB pick identical cells."""
     parts = [
-        f"""seeds AS (
+        f"""tsample AS (
+    SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+        FROM norms
+    ) WHERE r <= {_TRAIN_SAMPLE}
+),
+tlong AS (SELECT l.* FROM long l JOIN tsample ts ON l.vec_id = ts.vec_id),
+tnorms AS (SELECT n.* FROM norms n JOIN tsample ts ON n.vec_id = ts.vec_id),
+seeds AS (
     SELECT vec_id, cell FROM (
         SELECT vec_id,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
-        FROM norms
+        FROM tnorms
     ) WHERE cell <= {k}
 ),
 c0 AS (
     SELECT s.cell, l.dim, l.val AS w
-    FROM seeds s JOIN long l ON l.vec_id = s.vec_id
+    FROM seeds s JOIN tlong l ON l.vec_id = s.vec_id
 )"""
     ]
     for i in range(iters):
@@ -221,9 +237,9 @@ c0 AS (
 kaff{i} AS (
     SELECT l.vec_id, c.cell,
            round(sum(l.val * c.w) / (n.nrm * kn{i}.cn) * 1000000 + 0.01, 0) / 1000000 AS aff
-    FROM long l
+    FROM tlong l
     JOIN c{i} c ON l.dim = c.dim
-    JOIN norms n ON l.vec_id = n.vec_id
+    JOIN tnorms n ON l.vec_id = n.vec_id
     JOIN kn{i} ON c.cell = kn{i}.cell
     GROUP BY l.vec_id, c.cell, n.nrm, kn{i}.cn
 ),
@@ -237,7 +253,7 @@ asg{i} AS (
 c{i + 1} AS (
     SELECT a.cell, l.dim,
            round(avg(l.val) * 1000000 + 0.01, 0) / 1000000 AS w
-    FROM asg{i} a JOIN long l ON l.vec_id = a.vec_id
+    FROM asg{i} a JOIN tlong l ON l.vec_id = a.vec_id
     GROUP BY 1, 2
 )"""
         )
@@ -299,13 +315,21 @@ SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_TOP_K}
 def _trained_centroids(
     long: DataFrame, norms: DataFrame, k: int = _K_CELLS, iters: int = _LLOYD_ITERS
 ) -> DataFrame:
-    """K-means coarse quantizer as relational Lloyd iterations.
+    """K-means coarse quantizer as relational Lloyd iterations, fit on
+    a BOUNDED training sample — never the full corpus.
 
-    Seeds: the k vectors with lexicographically smallest
-    md5(cast(vec_id)) — deterministic on every engine, selected with a
-    global top-k (TakeOrdered, scale-safe; no full sort).  Each of the
-    `iters` rounds: assign = argmax of the round-nudged cosine between
-    vector and broadcast centroids (cell-id tiebreak), update = per-dim
+    Training set: the `_TRAIN_SAMPLE` vectors with lexicographically
+    smallest md5(cast(vec_id)) — deterministic on every engine,
+    selected with a global top-k (TakeOrdered, scale-safe; no full
+    sort), then broadcast-semi-joined against the long relation.  At
+    100 TB the quantizer cost is therefore O(sample·k·iters), constant
+    in corpus size; only the one-pass cell ASSIGNMENT (in the caller)
+    touches every vector, which is inherent to IVF.
+
+    Seeds: the k smallest-md5 vectors (a prefix of the sample, so the
+    seed set is unchanged by sampling).  Each of the `iters` rounds:
+    assign = argmax of the round-nudged cosine between sample vector
+    and broadcast centroids (cell-id tiebreak), update = per-dim
     round-nudged mean of the assigned vectors (an empty cell simply
     drops out — deterministic on both engines).  Rounding after every
     avg/affinity keeps Spark's and DuckDB's float-sum-order differences
@@ -313,21 +337,29 @@ def _trained_centroids(
     checkpointed per round: k×64 rows, so the cost is nil and the plan
     stays shallow instead of unrolling iterations into the lineage."""
     seed_key = F.md5(F.col("vec_id").cast("string")).alias("mk")
-    seeds = (
+    sample_ids = (
         norms.select("vec_id", seed_key)
+        .orderBy("mk", "vec_id")
+        .limit(_TRAIN_SAMPLE)
+        .select("vec_id")
+    )
+    tlong = long.join(F.broadcast(sample_ids), "vec_id")
+    tnorms = norms.join(F.broadcast(sample_ids), "vec_id")
+    seeds = (
+        tnorms.select("vec_id", seed_key)
         .orderBy("mk", "vec_id")
         .limit(k)
         .withColumn("cell", F.row_number().over(W.orderBy("mk", "vec_id")))
         .select("vec_id", "cell")
     )
-    cent = seeds.join(long, "vec_id").select("cell", "dim", F.col("val").alias("w"))
+    cent = seeds.join(tlong, "vec_id").select("cell", "dim", F.col("val").alias("w"))
     for _ in range(iters):
         cn = cent.groupBy("cell").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn"))
         kaff = (
-            long.join(F.broadcast(cent), "dim")
+            tlong.join(F.broadcast(cent), "dim")
             .groupBy("vec_id", "cell")
             .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
-            .join(norms, "vec_id")
+            .join(tnorms, "vec_id")
             .join(F.broadcast(cn), "cell")
             .select(
                 "vec_id", "cell",
@@ -342,7 +374,7 @@ def _trained_centroids(
             .select("vec_id", "cell")
         )
         cent = (
-            asg.join(long, "vec_id")
+            asg.join(tlong, "vec_id")
             .groupBy("cell", "dim")
             .agg((F.round(F.avg("val") * 1e6 + 0.01, 0) / 1e6).alias("w"))
             .localCheckpoint(eager=True)
@@ -350,19 +382,36 @@ def _trained_centroids(
     return cent
 
 
+_centroid_cache: dict[tuple, DataFrame] = {}
+
+
+def _centroids_for(spark: SparkSession, sf_dir: str, long: DataFrame,
+                   norms: DataFrame) -> DataFrame:
+    """Memoized trained centroids per (session, sf_dir): the quantizer
+    is a persisted model artifact, not something re-fit per query — the
+    production shape is a centroids table materialized once."""
+    return memoized(
+        _centroid_cache, spark, (sf_dir, _K_CELLS, _LLOYD_ITERS, _TRAIN_SAMPLE),
+        lambda: _trained_centroids(long, norms),
+    )
+
+
 @register("sim_ivf_ann", _IVF_ORACLE)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: k-means cells fit by
-    `_trained_centroids` (relational Lloyd — no dependence on the
-    `label` column) assign every vector to its nearest cell; queries
+    `_trained_centroids` (relational Lloyd on a bounded md5-ordered
+    sample — no dependence on the `label` column, cost constant in
+    corpus size) assign every vector to its nearest cell; queries
     probe their top-2 cells and run exact cosine top-k only within
     probed cells. The inverted-list structure is just (cell → vectors)
-    — a groupBy — and the probe join is an equi-join on cell."""
+    — a groupBy — and the probe join is an equi-join on cell.  The
+    trained centroids are memoized per (session, sf_dir) like a
+    persisted model artifact."""
     long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
     norms = long.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
     )
-    centroids = _trained_centroids(long, norms)
+    centroids = _centroids_for(spark, sf_dir, long, norms)
     cnorms = centroids.groupBy("cell").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn"))
     aff = (
         long.join(F.broadcast(centroids), "dim")

@@ -18,13 +18,14 @@ from oxford_data_pipeline_spark.operators.textops import (
     normalized,
     tokens,
 )
+from oxford_data_pipeline_spark.plans.memo import memoized
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.sources.catalog import fan_out, load_table
 
 # Shared oracle CTE: normalized text + token list per doc.
 _TOKENS_CTE = """
 toks AS (
-    SELECT doc_id, lang, source, n_chars,
+    SELECT doc_id, lang, source, n_chars, text,
            trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) AS norm,
            list_filter(regexp_split_to_array(
                trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +'),
@@ -33,17 +34,34 @@ toks AS (
 )
 """
 
+_tokens_cache: dict[tuple, DataFrame] = {}
+
+
+def tokens_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical tokenized-documents relation: (doc_id, lang,
+    source, n_chars, text, norm, t).  Persisted + memoized — five
+    queries (text_quality/langid/fingerprint/token_count and
+    dedup_simhash) re-derive it otherwise, and the regex tokenizer is
+    the dominant per-doc cost.  In production this is a materialized
+    tokenization table maintained alongside the corpus."""
+
+    def build() -> DataFrame:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        return docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "text",
+            normalized("text").alias("norm"),
+            tokens(normalized("text")).alias("t"),
+        )
+
+    return memoized(_tokens_cache, spark, (sf_dir,), build)
+
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        normalized("text").alias("norm"),
-        tokens(normalized("text")).alias("t"),
-    )
+    return tokens_relation(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -229,12 +247,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial rolling-hash fingerprint over the word codes
     (acc = (acc·B + code) mod M — an order-sensitive content hash,
     unlike the bag fingerprint)."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
+    tok = tokens_relation(spark, sf_dir).select(
         "doc_id",
         "lang",
         F.expr(f"regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)").alias("bpe"),
-        tokens(normalized("text")).alias("ws"),
+        F.col("t").alias("ws"),
     )
     coded = tok.select(
         "doc_id",

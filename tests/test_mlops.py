@@ -137,6 +137,38 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert {r.doc_id for r in frames} <= vids
 
 
+def test_multimodal_all_empty_payload_batch():
+    """An Arrow batch where EVERY payload is empty must not crash the
+    vectorized kernels (regression: fake_resize_features indexed into a
+    zero-length byte array) and must match the per-row semantics:
+    zero strip, zero entropy, no frames."""
+    import pandas as pd
+
+    from oxford_data_pipeline_spark.operators.multimodal import (
+        fake_decode_features,
+        fake_frame_sample,
+        fake_resize_features,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [b"", b""],
+            "meta": [
+                {"mime": "application/octet-stream", "modality": "image", "n_bytes": 0},
+                {"mime": "application/octet-stream", "modality": "video", "n_bytes": 0},
+            ],
+        }
+    )
+    strips = pd.concat(list(fake_resize_features(iter([pdf]))))
+    assert list(strips["doc_id"]) == [1, 2]
+    assert all(list(s) == [0.0] * 8 for s in strips["strip"])
+    feats = pd.concat(list(fake_decode_features(iter([pdf]))))
+    assert list(feats["byte_entropy"]) == [0.0, 0.0]
+    frames = pd.concat(list(fake_frame_sample(iter([pdf]))))
+    assert len(frames) == 0
+
+
 def test_dedup_clusters_are_consistent(spark):
     """Cluster labels form valid connected components of the pair graph:
     every edge joins same-cluster docs, exactly one survivor (= min
