@@ -30,37 +30,51 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).count()
 
-    def run_all(target_sf_dir: str) -> dict[str, float]:
-        timings: dict[str, float] = {}
-        for name, fn in QUERIES.items():
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, target_sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # pragma: no cover
-                print(f"bench query {name} failed: {exc}", file=sys.stderr)
-                timings[name] = float("nan")
-                continue
-            timings[name] = round(time.perf_counter() - t0, 4)
-        return timings
+    def run_once(name, fn, target_sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, target_sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # pragma: no cover
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+            return float("nan")
+        return round(time.perf_counter() - t0, 4)
 
-    timings = run_all(sf_dir)
+    def run_all(target_sf_dir: str, reps: int = 1) -> list[dict[str, float]]:
+        runs = [dict() for _ in range(reps)]
+        for name, fn in QUERIES.items():
+            for r in range(reps):
+                runs[r][name] = run_once(name, fn, target_sf_dir)
+        return runs
+
+    # Two timed repetitions per query: rep 1 ("queries", comparable
+    # with earlier rounds) and a per-query min ("queries_min") that
+    # filters one-off JIT/GC noise out of round-over-round deltas.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    runs = run_all(sf_dir, reps)
+    timings = runs[0]
+    qmin = {
+        n: min((run[n] for run in runs if run[n] == run[n]), default=float("nan"))
+        for n in timings
+    }
     total = round(sum(v for v in timings.values() if v == v), 4)
     out = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": qmin,
+        "value_min": round(sum(v for v in qmin.values() if v == v), 4),
         "sf": sf,
     }
 
-    # Optional second scale factor for round-over-round attribution
-    # (set SPARK_GRAFT_SECONDARY_SF_DIR=/root/testdata/sf0.01).
-    sec_dir = os.environ.get("SPARK_GRAFT_SECONDARY_SF_DIR")
+    # Second scale factor for round-over-round attribution (default
+    # sf0.01; set SPARK_GRAFT_SECONDARY_SF_DIR="" to disable).
+    sec_dir = os.environ.get("SPARK_GRAFT_SECONDARY_SF_DIR", "/root/testdata/sf0.01")
     if sec_dir:
         sec_match = re.search(r"sf([0-9.]+)", sec_dir)
         out["secondary_sf"] = float(sec_match.group(1)) if sec_match else None
-        out["queries_secondary"] = run_all(sec_dir)
+        out["queries_secondary"] = run_all(sec_dir, 1)[0]
 
     print(json.dumps(out))
 

@@ -13,10 +13,13 @@ sniffs the magic bytes and routes:
 - **MAT v5** (`MATLAB 5.0` header) — decoded for real by the
   pure-python `sources.matfile` reader (numeric matrices, compressed
   or not; scipy's default `savemat` output).
-- **v7.3** (HDF5 magic) — requires h5py, absent from this runtime; the
-  branch raises NotImplementedError.  `ingest_mat_files` accepts any
-  decoder with the same signature, so the h5py decode drops into the
-  same seam without touching the job.
+- **v7.3** (HDF5 container, signature at offset 0 or behind the
+  512-byte MATLAB userblock) — decoded by the pure-python
+  `sources.hdf5mat` reader (superblock v0, contiguous float64
+  datasets).  Chunked/compressed v7.3 layouts raise
+  NotImplementedError; `ingest_mat_files` accepts any decoder with the
+  same signature, so an h5py-backed decode drops into the same seam
+  without touching the job.
 """
 
 from __future__ import annotations
@@ -44,19 +47,14 @@ def decode_mat_bytes(path: str, payload: bytes) -> pd.DataFrame:
     `firingrate` matrix, session = file stem, neuron_id 1-based,
     bin 0-based — the engine's canonical long layout.
     """
-    if payload[:8] == _HDF5_MAGIC:  # v7.3 container
-        try:
-            import h5py  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - runtime has no h5py
-            raise NotImplementedError(
-                "MAT v7.3 (HDF5) decode needs h5py; supply a custom decoder "
-                "to ingest_mat_files"
-            ) from exc
-        raise NotImplementedError("h5py decode not implemented yet")
-    from oxford_data_pipeline_spark.sources.matfile import read_mat5
+    if payload[:8] == _HDF5_MAGIC or payload[512:520] == _HDF5_MAGIC:
+        # v7.3 container (plain HDF5, or behind the MATLAB userblock)
+        from oxford_data_pipeline_spark.sources.hdf5mat import read_mat73 as reader
+    else:
+        from oxford_data_pipeline_spark.sources.matfile import read_mat5 as reader
 
     session = os.path.splitext(os.path.basename(path))[0]
-    fr = read_mat5(payload)["firingrate"]
+    fr = reader(payload)["firingrate"]
     n_neurons, n_bins = fr.shape
     return pd.DataFrame(
         {
@@ -82,7 +80,7 @@ def ingest_mat_files(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                yield decoder(row["path"], row["content"])
+            for path, content in zip(pdf["path"].to_numpy(), pdf["content"].to_numpy()):
+                yield decoder(path, content)
 
     return raw.select("path", "content").mapInPandas(decode, schema=schema)

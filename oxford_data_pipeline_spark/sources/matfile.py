@@ -70,9 +70,11 @@ def write_mat5(arrays: dict[str, np.ndarray], *, compress: bool = False) -> byte
         body.write(data)
         el = body.getvalue()
         if compress:
+            # Spec: miCOMPRESSED elements are exempt from the 8-byte
+            # alignment rule — MATLAB/scipy write them back-to-back.
             comp = zlib.compress(struct.pack("<II", miMATRIX, len(el)) + el)
             buf.write(struct.pack("<II", miCOMPRESSED, len(comp)))
-            buf.write(comp + b"\x00" * _pad8(len(comp)))
+            buf.write(comp)
         else:
             buf.write(struct.pack("<II", miMATRIX, len(el)))
             buf.write(el)
@@ -127,7 +129,11 @@ def read_mat5(payload: bytes) -> dict[str, np.ndarray]:
     while pos + 8 <= len(payload):
         dtype_w, nbytes = struct.unpack_from("<II", payload, pos)
         data = payload[pos + 8 : pos + 8 + nbytes]
-        pos += 8 + nbytes + _pad8(nbytes)
+        # miCOMPRESSED is exempt from the 8-byte alignment rule (the
+        # spec pads every OTHER top-level element): MATLAB and scipy
+        # write compressed elements back-to-back, so padding here would
+        # misalign the second variable of a multi-variable file.
+        pos += 8 + nbytes + (0 if dtype_w == miCOMPRESSED else _pad8(nbytes))
         if dtype_w == miCOMPRESSED:
             sub = zlib.decompress(data)
             sub_t, sub_n = struct.unpack_from("<II", sub, 0)

@@ -109,14 +109,74 @@ def test_mat_ingest_plumbing_with_fake_decoder(spark):
         assert {r[0] for r in rows} == {"a", "b"}
 
 
-def test_mat_decode_v73_stub_raises_and_garbage_rejected():
+def test_mat_decode_rejects_garbage_and_unsupported_hdf5():
     from oxford_data_pipeline_spark.sources.mat_ingest import decode_mat_bytes
 
-    # v7.3 = HDF5 container: needs h5py, absent here → the seam raises
-    with pytest.raises(NotImplementedError):
+    # HDF5 magic but not a parseable superblock → clean error, not a crash
+    with pytest.raises((ValueError, NotImplementedError)):
         decode_mat_bytes("x.mat", b"\x89HDF\r\n\x1a\n" + b"\0" * 200)
     with pytest.raises(ValueError):
         decode_mat_bytes("x.mat", b"bytes")
+
+
+def test_mat73_roundtrip_and_matlab_header():
+    """sources.hdf5mat: write → read returns bit-identical float64
+    matrices through a real HDF5 container (superblock v0, contiguous
+    layout) behind the 512-byte MATLAB v7.3 userblock header."""
+    import struct
+
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.hdf5mat import read_mat73, write_mat73
+
+    rng = np.random.default_rng(7)
+    arrays = {
+        "firingrate": rng.normal(size=(7, 13)),
+        "x": rng.normal(size=(1, 1)),
+        "a_longer_name_than_four": rng.normal(size=5),
+    }
+    blob = write_mat73(arrays)
+    # MATLAB v7.3 container shape: text header, version 0x0200 + 'IM'
+    # at offset 124, HDF5 signature at the 512-byte userblock boundary
+    assert blob[:10] == b"MATLAB 7.3"
+    assert struct.unpack_from("<H2s", blob, 124) == (0x0200, b"IM")
+    assert blob[512:520] == b"\x89HDF\r\n\x1a\n"
+    got = read_mat73(blob)
+    assert set(got) == set(arrays)
+    assert np.array_equal(got["firingrate"], arrays["firingrate"])
+    assert np.array_equal(got["x"], arrays["x"])
+    assert np.array_equal(
+        got["a_longer_name_than_four"],
+        np.asarray(arrays["a_longer_name_than_four"]).reshape(-1, 1),
+    )
+
+
+def test_mat5_compressed_elements_unpadded_per_spec():
+    """Spec: miCOMPRESSED top-level elements are exempt from the 8-byte
+    alignment rule — multi-variable compressed files are back-to-back.
+    (MATLAB/scipy write them unpadded; the reader must advance exactly
+    8+nbytes after a compressed element.)"""
+    import struct
+
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.matfile import (
+        miCOMPRESSED,
+        read_mat5,
+        write_mat5,
+    )
+
+    arrays = {"a": np.arange(6.0).reshape(2, 3), "b": np.arange(4.0).reshape(2, 2)}
+    blob = write_mat5(arrays, compress=True)
+    t1, n1 = struct.unpack_from("<II", blob, 128)
+    assert t1 == miCOMPRESSED
+    # second element's tag starts exactly 8+n1 later — no padding
+    t2, n2 = struct.unpack_from("<II", blob, 128 + 8 + n1)
+    assert t2 == miCOMPRESSED
+    assert len(blob) == 128 + 8 + n1 + 8 + n2
+    got = read_mat5(blob)
+    assert np.array_equal(got["a"], arrays["a"])
+    assert np.array_equal(got["b"], arrays["b"])
 
 
 def test_mat5_roundtrip_plain_and_compressed():
@@ -144,23 +204,31 @@ def test_mat5_roundtrip_plain_and_compressed():
         )
 
 
-def test_mat_ingest_end_to_end_with_real_v5_decoder(spark):
-    """S2 — the full conversion job on REAL MAT v5 session files using
-    the DEFAULT decoder: binaryFile scan → pure-python v5 parse →
-    canonical long firing rows (round-1 verdict item 8)."""
+def test_mat_ingest_end_to_end_both_container_formats(spark):
+    """S2 — the full conversion job on REAL session files in BOTH
+    container formats using the DEFAULT decoder: binaryFile scan →
+    magic-byte routing → pure-python v5 / v7.3(HDF5) parse → canonical
+    long firing rows."""
     import numpy as np
 
+    from oxford_data_pipeline_spark.sources.hdf5mat import write_mat73
     from oxford_data_pipeline_spark.sources.mat_ingest import ingest_mat_files
     from oxford_data_pipeline_spark.sources.matfile import write_mat5
 
     rng = np.random.default_rng(11)
-    mats = {s: rng.normal(size=(3, 4)) for s in ("sessA", "sessB")}
+    mats = {s: rng.normal(size=(3, 4)) for s in ("sessA", "sessB", "sessC")}
+    writers = {
+        "sessA": lambda m: write_mat5({"firingrate": m}),
+        "sessB": lambda m: write_mat5({"firingrate": m}, compress=True),
+        "sessC": lambda m: write_mat73({"firingrate": m}),
+    }
     with tempfile.TemporaryDirectory() as d:
         for s, m in mats.items():
             with open(os.path.join(d, f"{s}.mat"), "wb") as f:
-                f.write(write_mat5({"firingrate": m}, compress=(s == "sessB")))
+                f.write(writers[s](m))
         out = ingest_mat_files(spark, os.path.join(d, "*.mat"))
         rows = out.collect()
-    assert len(rows) == 2 * 3 * 4
+    assert len(rows) == 3 * 3 * 4
+    assert {r.session for r in rows} == set(mats)
     for r in rows:
         assert r.rate == mats[r.session][r.neuron_id - 1, r.bin]
