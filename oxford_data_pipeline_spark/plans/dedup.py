@@ -389,12 +389,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     via 4×16-bit chunk blocking at scale).  The signature is computed
     by `simhash_signature` — 64 partial-agg sum expressions over the
     decoded md5 digits, no 64× bit-position expansion (round-1 verdict
-    perf item)."""
+    perf item).
+
+    Votes are fed per token OCCURRENCE (cnt=1) rather than through a
+    groupBy(doc_id, token) count relation: Σ cnt·vote ≡ Σ-per-occurrence
+    vote, so pre-counting only adds a shuffle keyed on every distinct
+    (doc, token) pair.  The flat form has exactly one exchange — explode
+    preserves partition locality, so map-side combine hands the
+    groupBy(doc_id) shuffle ~one 64-long row per doc per partition.
+    (The oracle keeps the count formulation; results are identical.)"""
     t = tokens_relation(spark, sf_dir).select(
-        "doc_id", F.explode("t").alias("token")
+        "doc_id", F.explode("t").alias("token"), F.lit(1).alias("cnt")
     )
-    tc = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    return simhash_signature(tc)
+    return simhash_signature(t)
 
 
 # --------------------------------------------------------------------------

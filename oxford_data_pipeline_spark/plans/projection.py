@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oxford_data_pipeline_spark.functions.compat import round6
+from oxford_data_pipeline_spark.plans.memo import memoized
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.sources.catalog import load_table
 
@@ -29,18 +30,35 @@ _LONG_SQL = f"""
 """
 
 
+_emb_long_cache: dict[tuple, DataFrame] = {}
+
+
 def embeddings_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long (vec_id, label, dim, val) view of the embedding column.
 
     posexplode is the Spark-native unnest; at 100 TB this long layout is
     the storage layout and the explode disappears.
+
+    Persisted + memoized like the shingle/token relations: the three
+    ANN queries, embedding dedup, and M3/M5 each reference it 2-4×
+    (self-join sides, norm + score passes) and Spark does not reuse the
+    exchange across those subtrees.  In production this is the
+    materialized long table itself, so the persist models a table scan.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("dim", "val_f"),
-    ).withColumn("val", F.col("val_f").cast("double")).drop("val_f")
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return (
+            emb.select(
+                "vec_id",
+                "label",
+                F.posexplode("embedding").alias("dim", "val_f"),
+            )
+            .withColumn("val", F.col("val_f").cast("double"))
+            .drop("val_f")
+        )
+
+    return memoized(_emb_long_cache, spark, ("emb_long", sf_dir), build)
 
 
 def zscore_by_dim(long: DataFrame) -> DataFrame:
