@@ -10,14 +10,20 @@ written without chunking/compression:
 - superblock version 0 with a 512-byte userblock,
 - one root group (v1 object header + symbol-table B-tree v1 +
   local heap + SNOD symbol node, all at level 0),
-- per-variable datasets: v1 object headers carrying dataspace /
-  IEEE-little-endian-f64 datatype / **contiguous** (class-1 v3) data
-  layout messages.
+- per-variable datasets: v1 object headers (with continuation-block
+  support — real MATLAB headers overflow into continuations once the
+  ``MATLAB_class`` attributes are added) carrying dataspace /
+  IEEE-little-endian-f64 datatype / data layout messages,
+- **contiguous** (class-1 v3) AND **chunked** (class-2 v3) layouts —
+  MATLAB writes anything non-tiny chunked — with a v1 chunk B-tree
+  (any depth) and the filter pipeline MATLAB actually uses:
+  deflate (zlib), byte-shuffle, and fletcher32 (checksum stripped).
 
-Out of scope (raises NotImplementedError): chunked/filtered layouts,
-non-f64 datatypes, nested groups, B-trees deeper than one SNOD level —
-the documented seam in ``mat_ingest.ingest_mat_files`` accepts a
-custom decoder (e.g. h5py-backed) for those.
+Out of scope (raises NotImplementedError): non-f64 datatypes (MATLAB
+cell/struct/char variables), nested groups, v2+ object headers,
+group B-trees deeper than one SNOD level — the documented seam in
+``mat_ingest.ingest_mat_files`` accepts a custom decoder (e.g.
+h5py-backed) for those.
 
 MATLAB orientation: an m×n MATLAB matrix is stored as an HDF5 dataset
 of dims (n, m) in C order (i.e. the transpose), matching what h5py
@@ -28,6 +34,7 @@ from __future__ import annotations
 
 import io
 import struct
+import zlib
 
 import numpy as np
 
@@ -37,7 +44,11 @@ _USERBLOCK = 512
 
 # object-header message types
 _MSG_NIL, _MSG_DATASPACE, _MSG_DATATYPE = 0x0000, 0x0001, 0x0003
-_MSG_LAYOUT, _MSG_SYMBOL_TABLE = 0x0008, 0x0011
+_MSG_LAYOUT, _MSG_FILTER = 0x0008, 0x000B
+_MSG_CONTINUATION, _MSG_SYMBOL_TABLE = 0x0010, 0x0011
+
+# filter pipeline ids (HDF5 registered filters)
+_FILTER_DEFLATE, _FILTER_SHUFFLE, _FILTER_FLETCHER32 = 1, 2, 3
 
 
 def _pad8(n: int) -> int:
@@ -47,8 +58,7 @@ def _pad8(n: int) -> int:
 # --------------------------------------------------------------------------
 # writer
 # --------------------------------------------------------------------------
-def _dataset_header(dims: tuple[int, int], data_addr: int, data_size: int) -> bytes:
-    """v1 object header for a contiguous float64 dataset."""
+def _dataspace_datatype_msgs(dims: tuple[int, ...]) -> list[tuple[int, bytes]]:
     msgs = []
     # dataspace: version 1, rank, flags 0, 5 reserved, dims (8 bytes each)
     body = struct.pack("<BBB5x", 1, len(dims), 0) + b"".join(
@@ -65,10 +75,77 @@ def _dataset_header(dims: tuple[int, int], data_addr: int, data_size: int) -> by
         + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
     )
     msgs.append((_MSG_DATATYPE, body))
+    return msgs
+
+
+def _dataset_header(dims: tuple[int, int], data_addr: int, data_size: int) -> bytes:
+    """v1 object header for a contiguous float64 dataset."""
+    msgs = _dataspace_datatype_msgs(dims)
     # data layout: version 3, class 1 = contiguous, address + size
-    body = struct.pack("<BBQQ", 3, 1, data_addr, data_size)
+    msgs.append((_MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr, data_size)))
+    return _object_header(msgs)
+
+
+def _filter_msg(filters: list[tuple[int, bytes, tuple[int, ...]]]) -> bytes:
+    """Filter-pipeline message v1 from [(id, name, client values)]."""
+    body = struct.pack("<BB6x", 1, len(filters))
+    for fid, name, cli in filters:
+        name = name + b"\x00"
+        name += b"\x00" * _pad8(len(name))
+        body += struct.pack("<HHHH", fid, len(name), 0, len(cli))
+        body += name + struct.pack(f"<{len(cli)}I", *cli)
+        if len(cli) % 2:
+            body += b"\x00" * 4
+    return body
+
+
+def _chunked_dataset_header(
+    dims: tuple[int, ...],
+    chunk_shape: tuple[int, ...],
+    btree_addr: int,
+    filters: list[tuple[int, bytes, tuple[int, ...]]],
+) -> bytes:
+    """v1 object header for a chunked (optionally filtered) f64 dataset."""
+    msgs = _dataspace_datatype_msgs(dims)
+    if filters:
+        msgs.append((_MSG_FILTER, _filter_msg(filters)))
+    ndims = len(dims) + 1  # trailing dim = element size
+    body = (
+        struct.pack("<BBB", 3, 2, ndims)
+        + struct.pack("<Q", btree_addr)
+        + struct.pack(f"<{ndims}I", *chunk_shape, 8)
+    )
     msgs.append((_MSG_LAYOUT, body))
     return _object_header(msgs)
+
+
+def _chunk_blobs(
+    stored: np.ndarray,
+    chunk_shape: tuple[int, ...],
+    compress: int | None,
+    shuffle: bool,
+) -> list[tuple[tuple[int, ...], bytes]]:
+    """Split a C-order array into full-size (zero-padded) chunks, apply
+    the write-order filter pipeline, return [(offsets, blob)]."""
+    out: list[tuple[tuple[int, ...], bytes]] = []
+    ranges = [range(0, d, c) for d, c in zip(stored.shape, chunk_shape)]
+    offsets_list = [()]
+    for r in ranges:
+        offsets_list = [o + (i,) for o in offsets_list for i in r]
+    for offs in offsets_list:
+        block = np.zeros(chunk_shape, dtype=np.float64)
+        sel = tuple(
+            slice(o, min(o + c, d))
+            for o, c, d in zip(offs, chunk_shape, stored.shape)
+        )
+        block[tuple(slice(0, s.stop - s.start) for s in sel)] = stored[sel]
+        raw = block.tobytes()
+        if shuffle:
+            raw = np.frombuffer(raw, np.uint8).reshape(-1, 8).T.tobytes()
+        if compress is not None:
+            raw = zlib.compress(raw, compress)
+        out.append((offs + (0,), raw))
+    return out
 
 
 def _object_header(msgs: list[tuple[int, bytes]]) -> bytes:
@@ -80,8 +157,31 @@ def _object_header(msgs: list[tuple[int, bytes]]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(msgs), 1, len(enc)) + enc
 
 
-def write_mat73(arrays: dict[str, np.ndarray]) -> bytes:
-    """Serialize named 1-D/2-D float arrays as a MAT v7.3 (HDF5) blob."""
+def write_mat73(
+    arrays: dict[str, np.ndarray],
+    *,
+    chunks: tuple[int, int] | None = None,
+    compress: int | None = None,
+    shuffle: bool = False,
+    btree_fanout: int | None = None,
+) -> bytes:
+    """Serialize named 1-D/2-D float arrays as a MAT v7.3 (HDF5) blob.
+
+    ``chunks`` (a shape over the STORED/transposed layout) switches every
+    dataset to a class-2 chunked layout with a v1 chunk B-tree —
+    the layout MATLAB itself writes for non-tiny variables; ``compress``
+    (zlib level) and ``shuffle`` add the matching filter pipeline.
+    ``btree_fanout`` caps entries per B-tree node (HDF5's 2K split rule),
+    producing a two-level tree when a dataset has more chunks than that —
+    how large real v7.3 files index their chunks.
+    """
+    if (compress is not None or shuffle) and chunks is None:
+        raise ValueError("filters require a chunked layout")
+    filters: list[tuple[int, bytes, tuple[int, ...]]] = []
+    if shuffle:  # write order: shuffle, then deflate
+        filters.append((_FILTER_SHUFFLE, b"shuffle", (8,)))
+    if compress is not None:
+        filters.append((_FILTER_DEFLATE, b"deflate", (compress,)))
     names = sorted(arrays)  # SNOD entries must be in name order
     if len(names) > 8:
         raise NotImplementedError("single-SNOD writer: at most 8 variables")
@@ -118,14 +218,45 @@ def write_mat73(arrays: dict[str, np.ndarray]) -> bytes:
     snod_size = 8 + 40 * len(names)
     cursor = snod_addr + snod_size
     ds_oh_addr: dict[str, int] = {}
-    data_addr: dict[str, int] = {}
+    plans: dict[str, dict] = {}
     for name in names:
-        a = mats[name]
-        oh = _dataset_header((a.shape[1], a.shape[0]), 0, 0)  # size probe
+        stored = np.ascontiguousarray(mats[name].T)  # MATLAB orientation
+        p: dict = {"stored": stored}
         ds_oh_addr[name] = cursor
-        cursor += len(oh)
-        data_addr[name] = cursor
-        cursor += a.size * 8
+        if chunks is None:
+            cursor += len(_dataset_header(stored.shape, 0, 0))  # size probe
+            p["data_addr"] = cursor
+            cursor += stored.size * 8
+        else:
+            cshape = tuple(
+                max(1, min(c, d)) for c, d in zip(chunks, stored.shape)
+            )
+            blobs = _chunk_blobs(stored, cshape, compress, shuffle)
+            cursor += len(
+                _chunked_dataset_header(stored.shape, cshape, 0, filters)
+            )
+            ndims = stored.ndim + 1
+            p.update(cshape=cshape, blobs=blobs, btree_addr=cursor, ndims=ndims)
+            key_size = 8 + 8 * ndims
+            node_size = lambda g: 24 + g * (key_size + 8) + key_size  # noqa: E731
+            fan = btree_fanout or max(len(blobs), 1)
+            groups = [blobs[i : i + fan] for i in range(0, len(blobs), fan)]
+            p["groups"] = groups
+            if len(groups) <= 1:
+                cursor += node_size(len(blobs))
+            else:
+                cursor += node_size(len(groups))  # level-1 root
+                leaf_addrs = []
+                for g in groups:
+                    leaf_addrs.append(cursor)
+                    cursor += node_size(len(g))
+                p["leaf_addrs"] = leaf_addrs
+            addrs = []
+            for _, raw in blobs:
+                addrs.append(cursor)
+                cursor += len(raw)
+            p["chunk_addrs"] = addrs
+        plans[name] = p
     eof = cursor
 
     # ---- emit
@@ -160,11 +291,81 @@ def write_mat73(arrays: dict[str, np.ndarray]) -> bytes:
     for name in names:
         out.write(struct.pack("<QQI4x16x", name_off[name], ds_oh_addr[name], 0))
     for name in names:
-        a = mats[name]
-        out.write(
-            _dataset_header((a.shape[1], a.shape[0]), data_addr[name], a.size * 8)
-        )
-        out.write(np.ascontiguousarray(a.T).tobytes())  # MATLAB orientation
+        p = plans[name]
+        stored = p["stored"]
+        if chunks is None:
+            out.write(
+                _dataset_header(stored.shape, p["data_addr"], stored.size * 8)
+            )
+            out.write(stored.tobytes())
+        else:
+            out.write(
+                _chunked_dataset_header(
+                    stored.shape, p["cshape"], p["btree_addr"], filters
+                )
+            )
+            blobs, addrs, ndims = p["blobs"], p["chunk_addrs"], p["ndims"]
+            groups = p["groups"]
+
+            def chunk_key(offs: tuple[int, ...], raw: bytes) -> bytes:
+                return struct.pack("<II", len(raw), 0) + struct.pack(
+                    f"<{ndims}Q", *offs
+                )
+
+            upper_key = struct.pack("<II", 0, 0) + struct.pack(
+                f"<{ndims}Q", *stored.shape, 0
+            )
+
+            def node(level: int, entries, left: int, right: int) -> bytes:
+                buf = b"TREE" + struct.pack(
+                    "<BBHQQ", 1, level, len(entries), left, right
+                )
+                for key, child in entries:
+                    buf += key + struct.pack("<Q", child)
+                return buf + upper_key
+
+            if len(groups) <= 1:
+                out.write(
+                    node(
+                        0,
+                        [
+                            (chunk_key(offs, raw), addr)
+                            for (offs, raw), addr in zip(blobs, addrs)
+                        ],
+                        _UNDEF,
+                        _UNDEF,
+                    )
+                )
+            else:  # two-level tree: root keyed by each leaf's first chunk
+                leafs = p["leaf_addrs"]
+                out.write(
+                    node(
+                        1,
+                        [
+                            (chunk_key(g[0][0], g[0][1]), la)
+                            for g, la in zip(groups, leafs)
+                        ],
+                        _UNDEF,
+                        _UNDEF,
+                    )
+                )
+                i = 0
+                for gi, g in enumerate(groups):
+                    ents = [
+                        (chunk_key(offs, raw), addrs[i + j])
+                        for j, (offs, raw) in enumerate(g)
+                    ]
+                    out.write(
+                        node(
+                            0,
+                            ents,
+                            leafs[gi - 1] if gi else _UNDEF,
+                            leafs[gi + 1] if gi + 1 < len(leafs) else _UNDEF,
+                        )
+                    )
+                    i += len(g)
+            for _, raw in blobs:
+                out.write(raw)
     assert out.tell() == _USERBLOCK + eof
     return out.getvalue()
 
@@ -190,23 +391,98 @@ def _read_ste(payload: bytes, pos: int) -> tuple[int, int, int, int, int]:
 
 
 def _parse_object_header(payload: bytes, base: int, addr: int) -> dict[int, bytes]:
-    """v1 object header → {message type: first body}; NILs skipped."""
+    """v1 object header → {message type: first body}; NILs skipped.
+
+    Follows continuation messages (0x0010): real MATLAB headers carry
+    MATLAB_class/MATLAB_int_decode attributes that overflow the first
+    header block into one or more continuation blocks.
+    """
     pos = base + addr
     version, nmsgs, _refs, hsize = struct.unpack_from("<BxHII", payload, pos)
     if version != 1:
         raise NotImplementedError(f"object header version {version}")
-    pos += 16  # 12-byte prefix + 4 alignment pad
-    end = pos + hsize
+    blocks = [(pos + 16, pos + 16 + hsize)]  # 12-byte prefix + 4 pad
     msgs: dict[int, bytes] = {}
-    for _ in range(nmsgs):
-        if pos + 8 > end:
-            break
-        mtype, msize, _flags = struct.unpack_from("<HHB3x", payload, pos)
-        body = payload[pos + 8 : pos + 8 + msize]
-        pos += 8 + msize
-        if mtype != _MSG_NIL and mtype not in msgs:
-            msgs[mtype] = body
+    seen = 0
+    while blocks and seen < nmsgs:
+        pos, end = blocks.pop(0)
+        while seen < nmsgs and pos + 8 <= end:
+            mtype, msize, _flags = struct.unpack_from("<HHB3x", payload, pos)
+            body = payload[pos + 8 : pos + 8 + msize]
+            pos += 8 + msize
+            seen += 1
+            if mtype == _MSG_CONTINUATION:
+                c_off, c_len = struct.unpack_from("<QQ", body, 0)
+                blocks.append((base + c_off, base + c_off + c_len))
+            elif mtype != _MSG_NIL and mtype not in msgs:
+                msgs[mtype] = body
     return msgs
+
+
+def _parse_filters(body: bytes) -> list[tuple[int, tuple[int, ...]]]:
+    """Filter-pipeline message (v1) → [(filter id, client values)] in
+    write order (apply reversed when reading)."""
+    version, nfilters = struct.unpack_from("<BB", body, 0)
+    if version != 1:
+        raise NotImplementedError(f"filter pipeline version {version}")
+    pos = 8  # 6 reserved bytes after version/count
+    out: list[tuple[int, tuple[int, ...]]] = []
+    for _ in range(nfilters):
+        fid, namelen, _flags, ncli = struct.unpack_from("<HHHH", body, pos)
+        pos += 8 + namelen + _pad8(namelen)
+        cli = struct.unpack_from(f"<{ncli}I", body, pos)
+        pos += 4 * ncli + (4 if ncli % 2 else 0)  # pad odd counts to 8
+        out.append((fid, cli))
+    return out
+
+
+def _defilter(raw: bytes, filters: list[tuple[int, tuple[int, ...]]],
+              mask: int, elsize: int) -> bytes:
+    """Undo the filter pipeline for one chunk (reverse write order);
+    bit i of ``mask`` set means filter i was skipped for this chunk."""
+    for i in reversed(range(len(filters))):
+        if mask & (1 << i):
+            continue
+        fid, _cli = filters[i]
+        if fid == _FILTER_DEFLATE:
+            raw = zlib.decompress(raw)
+        elif fid == _FILTER_SHUFFLE:
+            raw = (
+                np.frombuffer(raw, np.uint8)
+                .reshape(elsize, -1)
+                .T.tobytes()
+            )
+        elif fid == _FILTER_FLETCHER32:
+            raw = raw[:-4]  # checksum trailer; integrity re-checked by use
+        else:
+            raise NotImplementedError(f"unsupported HDF5 filter id {fid}")
+    return raw
+
+
+def _walk_chunk_btree(
+    payload: bytes, base: int, addr: int, ndims: int
+) -> list[tuple[tuple[int, ...], int, int, int]]:
+    """v1 chunk B-tree (node type 1, any depth) →
+    [(chunk offsets, stored nbytes, filter mask, data addr)]."""
+    pos = base + addr
+    if payload[pos : pos + 4] != b"TREE":
+        raise ValueError("bad chunk B-tree signature")
+    ntype, level, nentries = struct.unpack_from("<BBH", payload, pos + 4)
+    if ntype != 1:
+        raise ValueError(f"expected chunk B-tree node, got type {ntype}")
+    key_size = 8 + 8 * ndims
+    out: list[tuple[tuple[int, ...], int, int, int]] = []
+    p = pos + 24
+    for _ in range(nentries):
+        nbytes, mask = struct.unpack_from("<II", payload, p)
+        offsets = struct.unpack_from(f"<{ndims}Q", payload, p + 8)
+        (child,) = struct.unpack_from("<Q", payload, p + key_size)
+        if level > 0:
+            out.extend(_walk_chunk_btree(payload, base, child, ndims))
+        else:
+            out.append((offsets, nbytes, mask, child))
+        p += key_size + 8
+    return out
 
 
 def _read_dataset(payload: bytes, base: int, oh_addr: int) -> np.ndarray:
@@ -225,17 +501,41 @@ def _read_dataset(payload: bytes, base: int, oh_addr: int) -> np.ndarray:
         raise NotImplementedError("only little-endian float64 datasets supported")
     lay = msgs[_MSG_LAYOUT]
     lay_ver, lay_cls = lay[0], lay[1]
-    if lay_ver != 3 or lay_cls != 1:
-        raise NotImplementedError(
-            "only contiguous (class-1, v3) data layout supported — "
-            "chunked/compressed v7.3 files need the h5py decoder seam"
-        )
-    addr, nbytes = struct.unpack_from("<QQ", lay, 2)
     n = int(np.prod(dims)) if rank else 1
-    if nbytes != n * 8:
-        raise ValueError("layout size does not match dataspace")
-    arr = np.frombuffer(payload, "<f8", count=n, offset=base + addr)
-    return arr.reshape(dims).transpose()  # back to MATLAB orientation
+    if lay_ver == 3 and lay_cls == 1:  # contiguous
+        addr, nbytes = struct.unpack_from("<QQ", lay, 2)
+        if nbytes != n * 8:
+            raise ValueError("layout size does not match dataspace")
+        arr = np.frombuffer(payload, "<f8", count=n, offset=base + addr)
+        return arr.reshape(dims).transpose()  # back to MATLAB orientation
+    if lay_ver == 3 and lay_cls == 2:  # chunked (what MATLAB writes)
+        ndims = lay[2]  # rank + 1: trailing dim is the element size
+        (btree_addr,) = struct.unpack_from("<Q", lay, 3)
+        chunk_dims = struct.unpack_from(f"<{ndims}I", lay, 11)
+        if ndims != rank + 1 or chunk_dims[-1] != 8:
+            raise NotImplementedError("chunk rank/element size mismatch")
+        filters = (
+            _parse_filters(msgs[_MSG_FILTER]) if _MSG_FILTER in msgs else []
+        )
+        full = np.zeros(dims, dtype=np.float64)
+        if btree_addr != _UNDEF:  # undefined = no chunk written yet
+            for offsets, nbytes, mask, addr in _walk_chunk_btree(
+                payload, base, btree_addr, ndims
+            ):
+                raw = _defilter(
+                    payload[base + addr : base + addr + nbytes], filters, mask, 8
+                )
+                chunk = np.frombuffer(raw, "<f8").reshape(chunk_dims[:-1])
+                sel = tuple(
+                    slice(o, min(o + c, d))
+                    for o, c, d in zip(offsets[:-1], chunk_dims[:-1], dims)
+                )  # edge chunks are stored full-size, zero-padded past bounds
+                full[sel] = chunk[tuple(slice(0, s.stop - s.start) for s in sel)]
+        return full.transpose()
+    raise NotImplementedError(
+        f"data layout v{lay_ver} class {lay_cls} unsupported — "
+        "needs the h5py decoder seam"
+    )
 
 
 def _heap_name(payload: bytes, base: int, heap_hdr: int, off: int) -> str:

@@ -15,8 +15,10 @@ sniffs the magic bytes and routes:
   or not; scipy's default `savemat` output).
 - **v7.3** (HDF5 container, signature at offset 0 or behind the
   512-byte MATLAB userblock) — decoded by the pure-python
-  `sources.hdf5mat` reader (superblock v0, contiguous float64
-  datasets).  Chunked/compressed v7.3 layouts raise
+  `sources.hdf5mat` reader (superblock v0; contiguous AND chunked
+  float64 datasets, deflate/shuffle/fletcher32 filter pipeline,
+  object-header continuations — i.e. what MATLAB actually writes for
+  numeric variables).  Non-numeric variables (cell/struct/char) raise
   NotImplementedError; `ingest_mat_files` accepts any decoder with the
   same signature, so an h5py-backed decode drops into the same seam
   without touching the job.
