@@ -463,3 +463,88 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall audit: LSH top-k vs exact top-k
+# --------------------------------------------------------------------------
+_RECALL_ORACLE = f"""
+WITH brute AS ({_BRUTE_ORACLE}),
+ann AS ({_ANN_ORACLE})
+SELECT b.query_id,
+       count(*) AS n_true,
+       count(a.cand_id) AS n_hit,
+       round(CAST(count(a.cand_id) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS recall
+FROM brute b
+LEFT JOIN ann a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+GROUP BY 1
+"""
+
+
+@register("sim_lsh_recall", _RECALL_ORACLE)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LSH ANN against the exact brute-force
+    top-k — the quality gate you run before trusting an ANN index for
+    corpus-scale retrieval. Per query: |ANN∩exact| / |exact|.
+
+    Pure composition of the two registered plans (both read the
+    persisted `embeddings_long`), so the audit costs one extra
+    broadcast-sized join over the two top-k relations — at 100 TB you
+    run it on a query sample, not the corpus, but the plan is the same.
+    """
+    brute = sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    ann = (
+        sim_lsh_ann(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            round6(
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )
+
+
+_IVF_RECALL_ORACLE = f"""
+WITH brute AS ({_BRUTE_ORACLE}),
+ann AS ({_IVF_ORACLE})
+SELECT b.query_id,
+       count(*) AS n_true,
+       count(a.cand_id) AS n_hit,
+       round(CAST(count(a.cand_id) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS recall
+FROM brute b
+LEFT JOIN ann a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+GROUP BY 1
+"""
+
+
+@register("sim_ivf_recall", _IVF_RECALL_ORACLE)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF multi-probe ANN against the exact
+    top-k (same shape as `sim_lsh_recall`); quantifies what the top-2
+    probe misses so probe count / cell count can be tuned on data."""
+    brute = sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    ann = (
+        sim_ivf_ann(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            round6(
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )
