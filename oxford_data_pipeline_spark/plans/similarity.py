@@ -9,6 +9,8 @@ when two cosines differ only in the last ulp.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -261,8 +263,10 @@ c{i + 1} AS (
     return ",\n".join(parts)
 
 
-_IVF_ORACLE = f"""
-WITH long AS ({_EMB_LONG_SQL}),
+# Shared CTE prefix: sample-trained quantizer, full-corpus cell
+# assignment, probe-based candidate generation.  Reused verbatim by the
+# plain IVF oracle and the IVF-PQ oracle.
+_IVF_CHAIN = f"""long AS ({_EMB_LONG_SQL}),
 norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1),
 {_lloyd_ctes(_K_CELLS, _LLOYD_ITERS)},
 cnorms AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM centroids GROUP BY 1),
@@ -287,7 +291,11 @@ cand AS (
     SELECT p.vec_id AS query_id, a.vec_id AS cand_id
     FROM probes p JOIN assignment a ON p.cell = a.cell
     WHERE p.vec_id % {_QUERY_MOD} = 0 AND p.vec_id <> a.vec_id
-),
+)"""
+
+
+_IVF_ORACLE = f"""
+WITH {_IVF_CHAIN},
 dots AS (
     SELECT cd.query_id, cd.cand_id, sum(lq.val * lc.val) AS dot
     FROM cand cd
@@ -396,6 +404,63 @@ def _centroids_for(spark: SparkSession, sf_dir: str, long: DataFrame,
     )
 
 
+_ranked_cells_cache: dict[tuple, DataFrame] = {}
+
+
+def _ivf_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared IVF search front half: trained centroids, one-pass cell
+    assignment (the only full-corpus step, inherent to IVF), top-2
+    probe candidate generation.  Returns (long, norms, centroids,
+    assignment, cand) — used by the exact-rerank IVF query and the
+    ADC-scored IVF-PQ query.
+
+    The ranked cell-affinity relation is persisted + memoized: it IS
+    the inverted-list index (vector -> cell), referenced by assignment,
+    probes, residual encoding, and ADC scoring — in production a table
+    built once at index time, not per query."""
+    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
+    norms = long.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    centroids = _centroids_for(spark, sf_dir, long, norms)
+
+    def build_ranked() -> DataFrame:
+        cnorms = centroids.groupBy("cell").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn")
+        )
+        aff = (
+            long.join(F.broadcast(centroids), "dim")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+            .join(norms, "vec_id")
+            .join(F.broadcast(cnorms), "cell")
+            .select(
+                "vec_id", "cell",
+                (F.round(F.col("dot") / (F.col("nrm") * F.col("cn")) * 1e6 + 0.01, 0) / 1e6)
+                .alias("aff"),
+            )
+        )
+        wc = W.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
+        return aff.withColumn("crnk", F.row_number().over(wc))
+
+    ranked_cells = memoized(
+        _ranked_cells_cache, spark,
+        (sf_dir, _K_CELLS, _LLOYD_ITERS, _TRAIN_SAMPLE), build_ranked,
+    )
+    assignment = ranked_cells.filter(F.col("crnk") == 1).select("vec_id", "cell")
+    probes = ranked_cells.filter(F.col("crnk") <= _N_PROBE).select("vec_id", "cell")
+    cand = (
+        probes.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(assignment.withColumnRenamed("vec_id", "cand_id"), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+    return long, norms, centroids, assignment, cand
+
+
 @register("sim_ivf_ann", _IVF_ORACLE)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: k-means cells fit by
@@ -407,35 +472,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a groupBy — and the probe join is an equi-join on cell.  The
     trained centroids are memoized per (session, sf_dir) like a
     persisted model artifact."""
-    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
-    norms = long.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
-    )
-    centroids = _centroids_for(spark, sf_dir, long, norms)
-    cnorms = centroids.groupBy("cell").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn"))
-    aff = (
-        long.join(F.broadcast(centroids), "dim")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
-        .join(norms, "vec_id")
-        .join(F.broadcast(cnorms), "cell")
-        .select(
-            "vec_id", "cell",
-            (F.round(F.col("dot") / (F.col("nrm") * F.col("cn")) * 1e6 + 0.01, 0) / 1e6)
-            .alias("aff"),
-        )
-    )
-    wc = W.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
-    ranked_cells = aff.withColumn("crnk", F.row_number().over(wc))
-    assignment = ranked_cells.filter(F.col("crnk") == 1).select("vec_id", "cell")
-    probes = ranked_cells.filter(F.col("crnk") <= _N_PROBE).select("vec_id", "cell")
-    cand = (
-        probes.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(assignment.withColumnRenamed("vec_id", "cand_id"), "cell")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id")
-    )
+    long, norms, _centroids, _assignment, cand = _ivf_candidates(spark, sf_dir)
     lq = long.alias("lq")
     lc = long.alias("lc")
     dots = (
@@ -534,6 +571,375 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
     ann = (
         sim_ivf_ann(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            round6(
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: product-quantized residuals + asymmetric-distance (ADC) scoring
+# --------------------------------------------------------------------------
+_PQ_M = 8        # subspaces (64 dims -> 8 sub-vectors of 8 dims)
+_PQ_SUB = 8      # dims per subspace
+_PQ_K = 16       # codes per subspace codebook
+_PQ_ITERS = 2    # Lloyd rounds per sub-quantizer
+
+
+def _pq_ctes(iters: int) -> str:
+    """PQ CTE chain appended after `_IVF_CHAIN`: residuals vs assigned
+    cell centroid, codebooks trained by relational Lloyd over the
+    compound (m, code) key on the SAME bounded md5 sample as the coarse
+    quantizer, full-corpus encoding, and the per-query ADC tables.
+    Every sum that crosses an argmin/argmax or the final ranking is
+    round-nudged so Spark and DuckDB decide identically."""
+    parts = [
+        f"""resid AS (
+    SELECT l.vec_id, l.dim, l.val - c.w AS r
+    FROM long l
+    JOIN assignment a ON l.vec_id = a.vec_id
+    JOIN centroids c ON c.cell = a.cell AND c.dim = l.dim
+),
+rsub AS (
+    SELECT vec_id, CAST(dim // {_PQ_SUB} AS INTEGER) AS m,
+           CAST(dim % {_PQ_SUB} AS INTEGER) AS sd, r
+    FROM resid
+),
+trsub AS (SELECT rs.* FROM rsub rs JOIN tsample ts ON rs.vec_id = ts.vec_id),
+pseeds AS (
+    SELECT vec_id, code FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code
+        FROM tnorms
+    ) WHERE code <= {_PQ_K}
+),
+pcb0 AS (
+    SELECT t.m, s.code, t.sd, t.r AS w
+    FROM pseeds s JOIN trsub t ON t.vec_id = s.vec_id
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""pdist{i} AS (
+    SELECT t.vec_id, t.m, c.code,
+           round(sum((t.r - c.w) * (t.r - c.w)) * 1000000 + 0.01, 0) / 1000000 AS d
+    FROM trsub t JOIN pcb{i} c ON c.m = t.m AND c.sd = t.sd
+    GROUP BY 1, 2, 3
+),
+pasg{i} AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rk
+        FROM pdist{i}
+    ) WHERE rk = 1
+),
+pcb{i + 1} AS (
+    SELECT a.m, a.code, t.sd,
+           round(avg(t.r) * 1000000 + 0.01, 0) / 1000000 AS w
+    FROM pasg{i} a JOIN trsub t ON t.vec_id = a.vec_id AND t.m = a.m
+    GROUP BY 1, 2, 3
+)"""
+        )
+    parts.append(
+        f"""codebook AS (SELECT m, code, sd, w FROM pcb{iters}),
+enc_d AS (
+    SELECT r.vec_id, r.m, c.code,
+           round(sum((r.r - c.w) * (r.r - c.w)) * 1000000 + 0.01, 0) / 1000000 AS d
+    FROM rsub r JOIN codebook c ON c.m = r.m AND c.sd = r.sd
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rk
+        FROM enc_d
+    ) WHERE rk = 1
+),
+qsub AS (
+    SELECT vec_id, CAST(dim // {_PQ_SUB} AS INTEGER) AS m,
+           CAST(dim % {_PQ_SUB} AS INTEGER) AS sd, val
+    FROM long WHERE vec_id % {_QUERY_MOD} = 0
+),
+adc AS (
+    SELECT q.vec_id AS query_id, c.m, c.code,
+           round(sum(q.val * c.w) * 1000000 + 0.01, 0) / 1000000 AS t
+    FROM qsub q JOIN codebook c ON c.m = q.m AND c.sd = q.sd
+    GROUP BY 1, 2, 3
+),
+qcell AS (
+    SELECT l.vec_id AS query_id, c.cell,
+           round(sum(l.val * c.w) * 1000000 + 0.01, 0) / 1000000 AS qcdot
+    FROM long l JOIN centroids c ON c.dim = l.dim
+    WHERE l.vec_id % {_QUERY_MOD} = 0
+    GROUP BY 1, 2
+),
+adots AS (
+    SELECT cd.query_id, cd.cand_id,
+           round((qc.qcdot + sum(t.t)) * 1000000 + 0.01, 0) / 1000000 AS adot
+    FROM cand cd
+    JOIN assignment a ON a.vec_id = cd.cand_id
+    JOIN qcell qc ON qc.query_id = cd.query_id AND qc.cell = a.cell
+    JOIN codes k ON k.vec_id = cd.cand_id
+    JOIN adc t ON t.query_id = cd.query_id AND t.m = k.m AND t.code = k.code
+    GROUP BY cd.query_id, cd.cand_id, qc.qcdot
+),
+pscored AS (
+    SELECT d.query_id, d.cand_id,
+           round(d.adot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) / 1000000 + 0
+               AS adc_score
+    FROM adots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.cand_id = nc.vec_id
+),
+pranked AS (
+    SELECT query_id, cand_id, adc_score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_score DESC, cand_id) AS rnk
+    FROM pscored
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Rewrite every CTE to ``AS MATERIALIZED`` (DuckDB honors the
+    Postgres hint).  The PQ oracle references the coarse-quantizer
+    chain from many CTEs (training iterations, encode, ADC); inlined
+    re-expansion of that tower is exponential in chain depth, while
+    materialized it is a few thousand rows per node."""
+    return re.sub(r"(^|\n|,\s*\n?)(\w+) AS \(", r"\1\2 AS MATERIALIZED (", sql)
+
+
+_IVFPQ_ORACLE = _materialize_ctes(f"""
+WITH {_IVF_CHAIN},
+{_pq_ctes(_PQ_ITERS)}
+SELECT query_id, cand_id, adc_score, rnk FROM pranked WHERE rnk <= {_TOP_K}
+""")
+
+
+def _rn6(c):
+    """Round-nudge to the 6-decimal grid (intermediate form, no -0
+    normalization — mirrors the oracle's round(x*1e6+0.01)/1e6)."""
+    return F.round(c * 1e6 + F.lit(0.01), 0) / 1e6
+
+
+def _pq_codebook_build(
+    long: DataFrame, norms: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Sub-quantizer codebooks: relational Lloyd over the compound
+    (m, code) key — one shuffle trains all {_PQ_M} sub-quantizers at
+    once — on the residuals of the SAME bounded md5-ordered sample the
+    coarse quantizer trains on.  Seeds: sub-vectors of the {_PQ_K}
+    smallest-md5 sample vectors.  Assignment = argmin round-nudged L2
+    (code tiebreak); update = round-nudged per-(m, code, sd) mean;
+    checkpointed per round (M*K*SUB = 1024 rows)."""
+    seed_key = F.md5(F.col("vec_id").cast("string")).alias("mk")
+    sample_ids = (
+        norms.select("vec_id", seed_key)
+        .orderBy("mk", "vec_id")
+        .limit(_TRAIN_SAMPLE)
+        .select("vec_id")
+    )
+    tlong = long.join(F.broadcast(sample_ids), "vec_id")
+    tnorms = norms.join(F.broadcast(sample_ids), "vec_id")
+    # sample cell assignment (per-vector decision == the full-corpus one)
+    cnorms = centroids.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn")
+    )
+    aff = (
+        tlong.join(F.broadcast(centroids), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+        .join(tnorms, "vec_id")
+        .join(F.broadcast(cnorms), "cell")
+        .select("vec_id", "cell", _rn6(F.col("dot") / (F.col("nrm") * F.col("cn"))).alias("aff"))
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
+    tasg = (
+        aff.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "cell")
+    )
+    trsub = (
+        tlong.join(tasg, "vec_id")
+        .join(F.broadcast(centroids), ["cell", "dim"])
+        .select(
+            "vec_id",
+            F.expr(f"dim div {_PQ_SUB}").cast("int").alias("m"),
+            (F.col("dim") % _PQ_SUB).cast("int").alias("sd"),
+            (F.col("val") - F.col("w")).alias("r"),
+        )
+    )
+    pseeds = (
+        tnorms.select("vec_id", seed_key)
+        .orderBy("mk", "vec_id")
+        .limit(_PQ_K)
+        .withColumn("code", F.row_number().over(W.orderBy("mk", "vec_id")))
+        .select("vec_id", "code")
+    )
+    cb = pseeds.join(trsub, "vec_id").select("m", "code", "sd", F.col("r").alias("w"))
+    for _ in range(_PQ_ITERS):
+        pdist = (
+            trsub.join(F.broadcast(cb), ["m", "sd"])
+            .groupBy("vec_id", "m", "code")
+            .agg(_rn6(F.sum((F.col("r") - F.col("w")) * (F.col("r") - F.col("w")))).alias("d"))
+        )
+        wv = W.partitionBy("vec_id", "m").orderBy("d", "code")
+        pasg = (
+            pdist.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "m", "code")
+        )
+        cb = (
+            pasg.join(trsub, ["vec_id", "m"])
+            .groupBy("m", "code", "sd")
+            .agg(_rn6(F.avg("r")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+_pq_cache: dict[tuple, DataFrame] = {}
+_codes_cache: dict[tuple, DataFrame] = {}
+
+
+def _pq_codebook_for(
+    spark: SparkSession, sf_dir: str, long: DataFrame, norms: DataFrame,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Memoized trained PQ codebooks per (session, sf_dir) — like the
+    coarse centroids, a persisted model artifact in production."""
+    return memoized(
+        _pq_cache, spark, (sf_dir, _PQ_M, _PQ_K, _PQ_ITERS, _TRAIN_SAMPLE),
+        lambda: _pq_codebook_build(long, norms, centroids),
+    )
+
+
+@register("sim_ivfpq_ann", _IVFPQ_ORACLE)
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric-distance (ADC) scoring — the 100 TB ANN
+    shape: vectors are stored as a cell id + {_PQ_M} one-byte codes
+    (24x compression of a 64-dim f32 vector), and candidate scoring
+    never touches the raw candidate vector:
+    dot(q, x) ~= dot(q, cell_centroid) + sum_m dot(q_m, codeword_{{x,m}}).
+
+    Relationally: encode = broadcast-join residuals against the 1024-row
+    codebook + argmin; search = probe cells (from `_ivf_candidates`),
+    build the per-query ADC lookup table (queries x M x K rows), then
+    score candidates with ONE equi-join on (query, m, code) + a
+    map-side-combining sum — no per-candidate vector I/O, which is the
+    entire point of PQ at scale.  Scores are approximate by design
+    (`sim_ivfpq_recall` audits them against the exact top-k)."""
+    long, norms, centroids, assignment, cand = _ivf_candidates(spark, sf_dir)
+    codebook = _pq_codebook_for(spark, sf_dir, long, norms, centroids)
+
+    def build_codes() -> DataFrame:
+        # the PQ-encoded corpus IS the index: built once, persisted
+        rsub = (
+            long.join(assignment, "vec_id")
+            .join(F.broadcast(centroids), ["cell", "dim"])
+            .select(
+                "vec_id",
+                F.expr(f"dim div {_PQ_SUB}").cast("int").alias("m"),
+                (F.col("dim") % _PQ_SUB).cast("int").alias("sd"),
+                (F.col("val") - F.col("w")).alias("r"),
+            )
+        )
+        enc_d = (
+            rsub.join(F.broadcast(codebook), ["m", "sd"])
+            .groupBy("vec_id", "m", "code")
+            .agg(_rn6(F.sum((F.col("r") - F.col("w")) * (F.col("r") - F.col("w")))).alias("d"))
+        )
+        wv = W.partitionBy("vec_id", "m").orderBy("d", "code")
+        return (
+            enc_d.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "m", "code")
+        )
+
+    codes = memoized(
+        _codes_cache, spark,
+        (sf_dir, _PQ_M, _PQ_K, _PQ_ITERS, _TRAIN_SAMPLE), build_codes,
+    )
+    qlong = long.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    adc = (
+        qlong.select(
+            "vec_id",
+            F.expr(f"dim div {_PQ_SUB}").cast("int").alias("m"),
+            (F.col("dim") % _PQ_SUB).cast("int").alias("sd"),
+            "val",
+        )
+        .join(F.broadcast(codebook), ["m", "sd"])
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("m"), F.col("code"))
+        .agg(_rn6(F.sum(F.col("val") * F.col("w"))).alias("t"))
+    )
+    qcell = (
+        qlong.join(F.broadcast(centroids), "dim")
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("cell"))
+        .agg(_rn6(F.sum(F.col("val") * F.col("w"))).alias("qcdot"))
+    )
+    adots = (
+        cand.join(assignment.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(qcell, ["query_id", "cell"])
+        .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(adc, ["query_id", "m", "code"])
+        .groupBy("query_id", "cand_id", "qcdot")
+        .agg(F.sum("t").alias("sum_t"))
+        .select(
+            "query_id", "cand_id",
+            _rn6(F.col("qcdot") + F.col("sum_t")).alias("adot"),
+        )
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    pscored = (
+        adots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
+        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id", "cand_id",
+            round6(F.col("adot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("adc_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_score").desc(), F.col("cand_id"))
+    return (
+        pscored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id", "adc_score", "rnk")
+    )
+
+
+_IVFPQ_RECALL_ORACLE = f"""
+WITH brute AS MATERIALIZED ({_BRUTE_ORACLE}),
+ann AS MATERIALIZED ({_IVFPQ_ORACLE})
+SELECT b.query_id,
+       count(*) AS n_true,
+       count(a.cand_id) AS n_hit,
+       round(CAST(count(a.cand_id) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS recall
+FROM brute b
+LEFT JOIN ann a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+GROUP BY 1
+"""
+
+
+@register("sim_ivfpq_recall", _IVFPQ_RECALL_ORACLE)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of IVF-PQ ADC scoring against the exact top-k:
+    quantifies the combined cell-miss + quantization-error cost, i.e.
+    what the 24x compression buys you and what it loses."""
+    brute = sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    ann = (
+        sim_ivfpq_ann(spark, sf_dir)
         .select("query_id", "cand_id")
         .withColumn("hit", F.lit(1))
     )

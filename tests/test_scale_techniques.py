@@ -325,3 +325,17 @@ def test_mat73_chunked_ingest_end_to_end(spark):
         sub = out[out.session == s].sort_values(["neuron_id", "bin"])
         assert np.allclose(sub.rate.to_numpy(), m.ravel(order="C"))
         assert sub.neuron_id.max() == m.shape[0] and sub.bin.max() == m.shape[1] - 1
+
+
+def test_simhash_plan_single_exchange(spark):
+    """dedup_simhash must shuffle exactly once, keyed on doc_id: the
+    per-occurrence vote formulation exists precisely to avoid a second
+    exchange keyed on every distinct (doc_id, token) pair."""
+    from oxford_data_pipeline_spark.plans.dedup import dedup_simhash
+
+    df = dedup_simhash(spark, "/root/testdata/sf0.001")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}:\n{plan[:2000]}"
+    assert "hashpartitioning(doc_id" in plan
