@@ -35,13 +35,29 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table; Catalyst prunes columns/filters at the scan.
 
-    The driver's parquet files carry TIMESTAMP(NANOS) physical columns,
-    which Spark 4 rejects unless read as raw nanosecond longs; all time
-    math in the engine therefore uses exact integer-nanosecond columns
-    (`ts DIV 1e9` etc.), mirrored by `epoch_ns(ts)` in oracle SQL.
+    All time math in the engine uses exact integer-nanosecond columns
+    (`ts DIV 1e9` etc.), mirrored by `epoch_ns(ts)` in oracle SQL —
+    integer arithmetic is unit-exact and timezone-free at any scale.
+    The driver's parquet files have shipped both TIMESTAMP(NANOS)
+    physical columns (readable only as raw longs via the legacy flag)
+    and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ); normalize either to
+    epoch-nanosecond longs at the scan so every downstream plan sees
+    one canonical schema.  Naive timestamps are interpreted as UTC,
+    matching DuckDB's `epoch_ns` on the same files.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ts_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
+    ]
+    for c in ts_cols:
+        df = df.withColumn(
+            c, F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -20,8 +20,9 @@ NS = 1_000_000_000
 
 
 def streaming_events(spark, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts → timestamp)."""
+    """File-source stream over the events parquet (ts → event-time)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -33,6 +34,12 @@ def streaming_events(spark, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
+    # the driver has shipped ts as both raw nanosecond longs and
+    # TIMESTAMP(MICROS); either way the stream's event-time clock is a
+    # proper timestamp column
+    ts_type = schema["ts"].dataType.typeName()
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        return raw.withColumn("event_ts", F.col("ts").cast("timestamp"))
     return raw.withColumn("event_ts", (F.col("ts") / NS).cast("timestamp"))
 
 
