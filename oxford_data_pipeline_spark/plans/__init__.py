@@ -15,6 +15,7 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
     alignment,
     coverage_fill,
     cross_session,
+    curation,
     dedup,
     similarity,
     textops,

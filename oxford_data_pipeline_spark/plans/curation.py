@@ -1,0 +1,278 @@
+"""Corpus-curation queries over `documents`: repetition filters,
+stratified sampling, mixture weighting, benchmark decontamination.
+
+These are the admission/composition stages of a training-data
+pipeline (the reference has no analog — SURVEY §2 extension ops):
+Gopher-style repetition gates decide per-document admission, stratified
+sampling and mixture weighting decide corpus composition, and
+decontamination removes documents overlapping an evaluation set.
+
+Scale design: every per-doc feature is one map-side-combinable
+aggregation over an exploded n-gram relation (no self-joins); the
+decontamination join is corpus × BENCHMARK where the benchmark side is
+small by construction — a broadcast equi-join on the shingle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oxford_data_pipeline_spark.functions.compat import round6
+from oxford_data_pipeline_spark.plans.dedup import _SHINGLES_CTE, _shingle_df
+from oxford_data_pipeline_spark.plans.registry import register
+from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE, tokens_relation
+
+# --------------------------------------------------------------------------
+# Repetition features + admission gate (Gopher-style filter rules)
+# --------------------------------------------------------------------------
+# Non-distinct word bigrams per doc (repetition is about multiplicity,
+# so unlike the dedup shingles these must NOT be de-duplicated).
+_BIGRAMS_CTE = f"""
+{_TOKENS_CTE},
+bigrams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM toks
+    WHERE len(t) >= 2
+)
+"""
+
+_REPETITION_ORACLE = f"""
+WITH {_BIGRAMS_CTE},
+gram_counts AS (
+    SELECT doc_id, gram, count(*) AS cnt FROM bigrams GROUP BY 1, 2
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           count(*) AS n_distinct_bigrams,
+           max(cnt) AS top_cnt
+    FROM gram_counts GROUP BY 1
+),
+tok AS (
+    SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_types
+    FROM toks WHERE len(t) >= 2
+)
+SELECT p.doc_id, t.n_tokens,
+       round((1.0 - CAST(p.n_distinct_bigrams AS DOUBLE) / p.n_bigrams) * 1000000 + 0.01, 0) / 1000000 + 0 AS dup_bigram_frac,
+       round(CAST(p.top_cnt AS DOUBLE) / p.n_bigrams * 1000000 + 0.01, 0) / 1000000 + 0 AS top_bigram_share,
+       round((1.0 - CAST(t.n_types AS DOUBLE) / t.n_tokens) * 1000000 + 0.01, 0) / 1000000 + 0 AS dup_token_frac,
+       (t.n_tokens BETWEEN 10 AND 1000
+        AND round((1.0 - CAST(p.n_distinct_bigrams AS DOUBLE) / p.n_bigrams) * 1000000 + 0.01, 0) / 1000000 + 0 <= 0.8
+        AND round(CAST(p.top_cnt AS DOUBLE) / p.n_bigrams * 1000000 + 0.01, 0) / 1000000 + 0 <= 0.2) AS admitted
+FROM per_doc p JOIN tok t ON p.doc_id = t.doc_id
+"""
+
+
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram, cnt) for non-distinct word bigrams, docs ≥ 2 tokens."""
+    t = tokens_relation(spark, sf_dir).filter(F.size("t") >= 2)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)
+        ),
+    )
+    return (
+        t.select("doc_id", F.explode(gram).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register("cur_repetition", _REPETITION_ORACLE)
+def cur_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-doc duplicate-bigram
+    fraction, most-common-bigram share, duplicate-token fraction, and
+    the resulting admission decision.
+
+    One map-side-combinable aggregation over the exploded bigram
+    relation — the (doc_id, gram) grouping is the only shuffle, and at
+    100 TB it partitions on doc_id with bounded group sizes (a doc's
+    bigram count ≤ its token count)."""
+    per_doc = _bigram_counts(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    tok = (
+        tokens_relation(spark, sf_dir)
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.size(F.array_distinct("t")).alias("n_types"),
+        )
+    )
+    dup_bigram = round6(
+        F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    )
+    top_share = round6(F.col("top_cnt").cast("double") / F.col("n_bigrams"))
+    dup_token = round6(
+        F.lit(1.0) - F.col("n_types").cast("double") / F.col("n_tokens")
+    )
+    return (
+        per_doc.join(tok, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_bigram.alias("dup_bigram_frac"),
+            top_share.alias("top_bigram_share"),
+            dup_token.alias("dup_token_frac"),
+            (
+                F.col("n_tokens").between(10, 1000)
+                & (dup_bigram <= 0.8)
+                & (top_share <= 0.2)
+            ).alias("admitted"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: deterministic per-source quota
+# --------------------------------------------------------------------------
+_STRATIFIED_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+)
+SELECT doc_id, source, n_chars, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("cur_stratified_sample", _STRATIFIED_ORACLE)
+def cur_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: a fixed per-source quota drawn in
+    md5-of-key order — the engine's seeded-sampling convention (O3),
+    applied per stratum.  The window partitions on `source`, so at
+    100 TB each stratum ranks independently; no global sort."""
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture weighting: per-source token shares vs a uniform target
+# --------------------------------------------------------------------------
+_MIXTURE_ORACLE = f"""
+WITH {_TOKENS_CTE},
+per_source AS (
+    SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(*) AS n_sources
+    FROM per_source
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       round(CAST(s.n_tokens AS DOUBLE) / t.total_tokens * 1000000 + 0.01, 0) / 1000000 + 0 AS token_share,
+       round(1.0 / t.n_sources / (CAST(s.n_tokens AS DOUBLE) / t.total_tokens) * 1000000 + 0.01, 0) / 1000000 + 0 AS mix_weight
+FROM per_source s CROSS JOIN tot t
+"""
+
+
+@register("cur_mixture_weights", _MIXTURE_ORACLE)
+def cur_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: each source's token share vs a uniform
+    target mixture; `mix_weight` is the per-source up/down-sampling
+    factor a sampler applies to hit the target.  Two tiny aggregations
+    (per-source, then a broadcast single-row total) — the corpus is
+    touched once."""
+    per_source = (
+        tokens_relation(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("t")).alias("n_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        round6(share).alias("token_share"),
+        round6(F.lit(1.0) / F.col("n_sources") / share).alias("mix_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Decontamination: flag corpus docs overlapping a benchmark set
+# --------------------------------------------------------------------------
+# Benchmark membership is deterministic (doc_id % 29 == 0) so the
+# oracle can reproduce it; in production the benchmark shingle set
+# comes from the eval suites themselves.  Production pipelines shingle
+# at n=8..13; the engine's shared 3-gram relation keeps the plan shape
+# identical while reusing the memoized relation.
+_DECON_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bench AS (
+    SELECT DISTINCT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % 29 = 0
+),
+corpus AS (
+    SELECT doc_id, shingle FROM shingles WHERE doc_id % 29 <> 0
+),
+sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY 1
+),
+hits AS (
+    SELECT c.doc_id,
+           count(DISTINCT c.shingle) AS n_shared,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY 1
+)
+SELECT h.doc_id, h.n_shared, h.n_bench_docs,
+       round(CAST(h.n_shared AS DOUBLE) / s.n_sh * 1000000 + 0.01, 0) / 1000000 + 0 AS contaminated_frac
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+
+@register("cur_decontaminate", _DECON_ORACLE)
+def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    shingle with the (small) benchmark set, with per-doc overlap counts
+    and the contaminated-shingle fraction.
+
+    The join is corpus-shingles × benchmark-shingles on the shingle
+    key with the benchmark side broadcast — at 100 TB the corpus side
+    streams through map tasks, no shuffle of the big side."""
+    sh = _shingle_df(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % 29 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 29 != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_bench_docs",
+        round6(F.col("n_shared").cast("double") / F.col("n_sh")).alias(
+            "contaminated_frac"
+        ),
+    )
