@@ -276,3 +276,99 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM quality score: per-doc mean token surprisal
+# --------------------------------------------------------------------------
+# The relational form of LM-based quality filtering: train a unigram
+# model on the corpus (one aggregation), score each document by the
+# mean negative log-probability of its tokens (one broadcast join —
+# the vocabulary is bounded, the corpus is not).
+_UNIGRAM_ORACLE = f"""
+WITH {_TOKENS_CTE},
+exploded AS (
+    SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0
+),
+model AS (
+    SELECT token, count(*) AS cnt FROM exploded GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM model
+)
+SELECT e.doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(m.cnt / t.total)) * 1000000 + 0.01, 0) / 1000000 + 0 AS avg_surprisal
+FROM exploded e
+JOIN model m ON e.token = m.token
+CROSS JOIN tot t
+GROUP BY e.doc_id
+"""
+
+
+@register("cur_unigram_surprisal", _UNIGRAM_ORACLE)
+def cur_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: mean per-token surprisal under a
+    model trained on the corpus itself (the cheap, fully-relational
+    stand-in for perplexity filtering).
+
+    Two passes over the exploded token relation: one aggregation to
+    fit the model, one broadcast join + per-doc aggregation to score.
+    The model table is vocabulary-sized, so the score join never
+    shuffles the corpus side at 100 TB."""
+    exploded = (
+        tokens_relation(spark, sf_dir)
+        .filter(F.size("t") > 0)
+        .select("doc_id", F.explode("t").alias("token"))
+    )
+    model = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = model.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        exploded.join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round6(F.avg(-F.log(F.col("cnt") / F.col("total")))).alias(
+                "avg_surprisal"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus length profile: exact per-source token-count percentiles
+# --------------------------------------------------------------------------
+_LENGTH_ORACLE = f"""
+WITH {_TOKENS_CTE},
+lens AS (
+    SELECT source, len(t) AS n FROM toks
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(n) * 1000000 + 0.01, 0) / 1000000 + 0 AS mean_tokens,
+       round(quantile_cont(n, 0.5) * 1000000 + 0.01, 0) / 1000000 + 0 AS p50_tokens,
+       round(quantile_cont(n, 0.9) * 1000000 + 0.01, 0) / 1000000 + 0 AS p90_tokens,
+       min(n) AS min_tokens,
+       max(n) AS max_tokens
+FROM lens GROUP BY 1
+"""
+
+
+@register("cur_length_profile", _LENGTH_ORACLE)
+def cur_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile (exact p50/p90 token counts)
+    — the corpus-composition report a curation pass starts from.  Exact
+    percentiles group by source, so each group sorts independently; at
+    100 TB swap in approx_percentile for a single-pass sketch."""
+    lens = tokens_relation(spark, sf_dir).select(
+        "source", F.size("t").alias("n")
+    )
+    return lens.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(F.avg("n")).alias("mean_tokens"),
+        round6(F.percentile("n", F.lit(0.5))).alias("p50_tokens"),
+        round6(F.percentile("n", F.lit(0.9))).alias("p90_tokens"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+    )
