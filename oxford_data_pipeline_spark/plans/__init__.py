@@ -17,6 +17,7 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
     cross_session,
     curation,
     dedup,
+    eventops,
     similarity,
     textops,
     mlops,
