@@ -372,3 +372,69 @@ def cur_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_tokens"),
         F.max("n").alias("max_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding quality: distance-to-centroid outlier scoring
+# --------------------------------------------------------------------------
+# The embedding-side analog of the text admission gate: vectors far
+# from their label centroid are candidate mislabels/noise.  Both sides
+# compute the centroid relationally (one aggregation on (label, dim))
+# and score with a (label, dim) equi-join — the centroid relation is
+# labels × dims rows, broadcastable at any corpus size.
+_EMB_OUTLIER_ORACLE = """
+WITH long AS (
+    SELECT e.vec_id, e.label, CAST(r.range AS INTEGER) AS dim,
+           CAST(e.embedding[CAST(r.range AS INTEGER) + 1] AS DOUBLE) AS val
+    FROM embeddings e CROSS JOIN range(64) r
+),
+cent AS (
+    SELECT label, dim, avg(val) AS cval FROM long GROUP BY 1, 2
+),
+scored AS (
+    SELECT l.vec_id, l.label,
+           sum(l.val * c.cval) AS dot,
+           sqrt(sum(l.val * l.val)) AS vn,
+           sqrt(sum(c.cval * c.cval)) AS cn
+    FROM long l JOIN cent c ON l.label = c.label AND l.dim = c.dim
+    GROUP BY 1, 2
+)
+SELECT vec_id, label,
+       round(dot / (vn * cn) * 1000000 + 0.01, 0) / 1000000 + 0 AS cos_centroid,
+       CAST(row_number() OVER (
+           PARTITION BY label
+           ORDER BY round(dot / (vn * cn) * 1000000 + 0.01, 0) / 1000000 + 0, vec_id
+       ) AS BIGINT) AS outlier_rank
+FROM scored
+"""
+
+
+@register("emb_outliers", _EMB_OUTLIER_ORACLE)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier scoring: cosine of each vector to its label
+    centroid, plus the within-label outlier rank (1 = farthest).  The
+    rank orders by the ROUNDED cosine with a vec_id tie-break so every
+    engine ranks identically."""
+    from pyspark.sql import Window as W
+
+    from oxford_data_pipeline_spark.plans.projection import embeddings_long
+
+    long = embeddings_long(spark, sf_dir)
+    cent = long.groupBy("label", "dim").agg(F.avg("val").alias("cval"))
+    scored = (
+        long.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"),
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"),
+        )
+    )
+    cos = round6(F.col("dot") / (F.col("vn") * F.col("cn")))
+    w = W.partitionBy("label").orderBy(cos, "vec_id")
+    return scored.select(
+        "vec_id",
+        "label",
+        cos.alias("cos_centroid"),
+        F.row_number().over(w).cast("long").alias("outlier_rank"),
+    )

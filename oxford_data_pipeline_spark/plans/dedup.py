@@ -545,8 +545,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # node is the component minimum — exactly what the Spark loop converges
 # to.  (Any two docs sharing a band signature share the shingle that
 # attains the band's minhash, so `cand` IS the verified pair set.)
-_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_MINHASH_CAND_CTES},
+_WALK_CTES = f"""{_MINHASH_CAND_CTES},
 edges AS (
     SELECT doc1 AS src, doc2 AS dst FROM cand
     UNION
@@ -557,7 +556,10 @@ walk(doc_id, label) AS (
     UNION
     SELECT e.src, w.label
     FROM edges e JOIN walk w ON e.dst = w.doc_id
-)
+)"""
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_WALK_CTES}
 SELECT doc_id,
        min(label) AS cluster_id,
        doc_id = min(label) AS is_survivor
@@ -585,4 +587,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplicated-corpus materialization (the keep-rule applied)
+# --------------------------------------------------------------------------
+_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE {_WALK_CTES},
+removed AS (
+    SELECT doc_id FROM walk GROUP BY doc_id HAVING doc_id <> min(label)
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
+@register("dedup_survivors", _SURVIVORS_ORACLE)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: every document minus cluster members
+    that lost the min-doc_id keep-rule — what a dedup stage actually
+    emits downstream.  A left-anti join of the corpus against the
+    removed set; duplicates can be a large fraction of a crawl, so the
+    anti-join shuffles on doc_id rather than assuming the removed side
+    broadcasts."""
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    removed = dedup_clusters(spark, sf_dir).filter(~F.col("is_survivor")).select(
+        "doc_id"
+    )
+    return docs.join(removed, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
     )
