@@ -135,3 +135,26 @@ def test_partition_pruning_on_session_layout(spark, tmp_path):
     # only the one partition's rows are read
     expected = ev.filter(F.col("session") == "s1").count()
     assert back.count() == expected
+
+
+def test_load_table_normalizes_both_timestamp_formats(spark, tmp_path):
+    """The driver has regenerated testdata with different parquet
+    timestamp physical types across rounds (NANOS then MICROS); the
+    catalog must yield identical epoch-nanosecond longs for both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    epoch_us = 1704067798778549  # 2024-01-01T00:09:58.778549Z
+    for unit, version, sub in (("us", "2.6", "micros"), ("ns", "2.6", "nanos")):
+        d = tmp_path / sub
+        d.mkdir()
+        val = epoch_us if unit == "us" else epoch_us * 1000
+        tbl = pa.table({"ts": pa.array([val], type=pa.timestamp(unit)),
+                        "k": pa.array([1], type=pa.int64())})
+        pq.write_table(tbl, d / "events.parquet", version=version)
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "bigint", unit
+        row = df.collect()[0]
+        assert row.ts == epoch_us * 1000, f"{unit}: {row.ts}"
