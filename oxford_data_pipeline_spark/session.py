@@ -28,6 +28,10 @@ def get_spark(app_name: str = "oxford_data_pipeline_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Read TIMESTAMP(NANOS) parquet as raw longs; set once here so
+        # catalog reads never mutate session conf (round-3 advice) —
+        # load_table normalizes every timestamp flavor to epoch-ns longs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -44,9 +44,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     epoch-nanosecond longs at the scan so every downstream plan sees
     one canonical schema.  Naive timestamps are interpreted as UTC,
     matching DuckDB's `epoch_ns` on the same files.
+
+    Engine-built sessions (`session.get_spark`) already carry both
+    required confs from session creation; the check-and-set below only
+    fires for externally supplied sessions (e.g. the driver harness),
+    so repeated catalog reads never mutate session state (round-3
+    advice re: silent nanosAsLong inheritance).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for conf_key, want in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        if spark.conf.get(conf_key, None) != want:
+            spark.conf.set(conf_key, want)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     ts_cols = [
         f.name
