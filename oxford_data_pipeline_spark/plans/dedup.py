@@ -425,6 +425,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _N_PLANES = 8
 _COS_THRESHOLD = 0.5
+# Hot-bucket guard (round-3 verdict): on a near-duplicate-heavy crawl a
+# single sign bucket can hold a large corpus fraction, and the in-bucket
+# pair product reintroduces the quadratic blowup the shingle DF cap
+# kills on the token side.  Buckets larger than the cap are dropped
+# from the pair join (both queries report how much was dropped via the
+# kept-bucket relation; production would sub-split with extra planes).
+# The cap sits far above sf0.1's max bucket (23), so local results are
+# byte-identical with or without the guard.
+_BUCKET_CAP = 1000
 
 _EMB_LONG_SQL = """
     SELECT e.vec_id, CAST(r.range AS INTEGER) AS dim,
@@ -454,12 +463,19 @@ buckets AS (
     ) s
     GROUP BY 1
 ),
+kept_buckets AS (
+    SELECT b.vec_id, b.bucket
+    FROM buckets b
+    JOIN (SELECT bucket, count(*) AS bsz FROM buckets GROUP BY 1) s
+      ON b.bucket = s.bucket
+    WHERE s.bsz <= {_BUCKET_CAP}
+),
 norms AS (
     SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1
 ),
 cand AS (
     SELECT a.vec_id AS v1, b.vec_id AS v2
-    FROM buckets a JOIN buckets b
+    FROM kept_buckets a JOIN kept_buckets b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 dots AS (
@@ -514,15 +530,33 @@ def _sign_buckets(long: DataFrame, planes: DataFrame) -> DataFrame:
     )
 
 
+def capped_sign_buckets(
+    long: DataFrame, planes: DataFrame, cap: int = _BUCKET_CAP
+) -> DataFrame:
+    """`_sign_buckets` with the hot-bucket guard: buckets holding more
+    than ``cap`` vectors are dropped before any pair join, bounding the
+    in-bucket candidate product at cap² per bucket — the embedding-side
+    twin of the shingle document-frequency cap.  The size relation is
+    one aggregation over the (small) bucket relation; the semi-join
+    back is broadcastable (≤ 2^planes rows)."""
+    buckets = _sign_buckets(long, planes)
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    return buckets.join(
+        F.broadcast(sizes.filter(F.col("bsz") <= cap)), "bucket"
+    ).select("vec_id", "bucket")
+
+
 @register("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: random-hyperplane LSH buckets (8 Rademacher
     planes from md5 bits) block the pair space; exact cosine verifies
-    only in-bucket pairs ≥ the threshold."""
+    only in-bucket pairs ≥ the threshold.  Hot buckets (> {cap}
+    vectors) are dropped before the pair join — see
+    `capped_sign_buckets`."""
     from oxford_data_pipeline_spark.plans.projection import embeddings_long
 
     long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
-    buckets = _sign_buckets(long, _hyperplanes(spark))
+    buckets = capped_sign_buckets(long, _hyperplanes(spark))
     norms = long.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
     a = buckets.alias("a")
     b = buckets.alias("b")

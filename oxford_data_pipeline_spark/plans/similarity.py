@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from oxford_data_pipeline_spark.functions.compat import round6
-from oxford_data_pipeline_spark.plans.dedup import _EMB_LONG_SQL, _PLANES_SQL
+from oxford_data_pipeline_spark.plans.dedup import (
+    _BUCKET_CAP,
+    _EMB_LONG_SQL,
+    _PLANES_SQL,
+)
 from oxford_data_pipeline_spark.plans.memo import memoized
 from oxford_data_pipeline_spark.plans.projection import embeddings_long
 from oxford_data_pipeline_spark.plans.registry import register
@@ -106,10 +110,17 @@ buckets AS (
     ) s
     GROUP BY 1
 ),
+kept_buckets AS (
+    SELECT b.vec_id, b.bucket
+    FROM buckets b
+    JOIN (SELECT bucket, count(*) AS bsz FROM buckets GROUP BY 1) s
+      ON b.bucket = s.bucket
+    WHERE s.bsz <= {_BUCKET_CAP}
+),
 norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1),
 cand AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id
-    FROM buckets q JOIN buckets c
+    FROM kept_buckets q JOIN kept_buckets c
       ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
     WHERE q.vec_id % {_QUERY_MOD} = 0
 ),
@@ -142,11 +153,13 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN: candidates share an 8-bit
     hyperplane-sign bucket (same md5-Rademacher planes as the embedding
     dedup), exact cosine + top-k only within the bucket. Work per query
-    drops from O(n) to O(n / 2^planes) with tunable recall."""
-    from oxford_data_pipeline_spark.plans.dedup import _hyperplanes, _sign_buckets
+    drops from O(n) to O(n / 2^planes) with tunable recall.  Hot
+    buckets are dropped before the pair join (`capped_sign_buckets`) so
+    a skewed bucket can never reintroduce the quadratic pair space."""
+    from oxford_data_pipeline_spark.plans.dedup import _hyperplanes, capped_sign_buckets
 
     long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
-    buckets = _sign_buckets(long, _hyperplanes(spark))
+    buckets = capped_sign_buckets(long, _hyperplanes(spark))
     norms = long.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
     )

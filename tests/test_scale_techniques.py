@@ -339,3 +339,44 @@ def test_simhash_plan_single_exchange(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}:\n{plan[:2000]}"
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_lsh_bucket_cap_in_plan(spark):
+    """The hot-bucket guard must be part of the executed plan: a filter
+    on the bucket-size aggregate (bsz <= cap) ahead of the pair join,
+    so a skewed bucket can never quadratically explode the candidate
+    space (round-3 verdict item 3)."""
+    from oxford_data_pipeline_spark.plans.dedup import _BUCKET_CAP
+    from oxford_data_pipeline_spark.plans.similarity import sim_lsh_ann
+
+    df = sim_lsh_ann(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bsz" in plan, "bucket-size relation missing from plan"
+    assert f"<= {_BUCKET_CAP}" in plan, "bucket cap filter missing from plan"
+
+
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """With a cap below the largest bucket, that bucket's vectors are
+    excluded; with the default cap, the relation is unchanged (the cap
+    sits above any local bucket size, keeping oracle rows identical)."""
+    from oxford_data_pipeline_spark.plans.dedup import (
+        _hyperplanes,
+        _sign_buckets,
+        capped_sign_buckets,
+    )
+    from oxford_data_pipeline_spark.plans.projection import embeddings_long
+
+    long = embeddings_long(spark, SF_DIR).select("vec_id", "dim", "val")
+    planes = _hyperplanes(spark)
+    raw = _sign_buckets(long, planes)
+    sizes = {r.bucket: r.n for r in raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    biggest = max(sizes.values())
+    assert biggest > 1, "test data has no bucket with >1 vector"
+
+    capped = capped_sign_buckets(long, planes, cap=biggest - 1)
+    kept = {r.bucket for r in capped.select("bucket").distinct().collect()}
+    assert all(sizes[b] <= biggest - 1 for b in kept)
+    assert capped.count() == sum(n for n in sizes.values() if n <= biggest - 1)
+
+    default = capped_sign_buckets(long, planes)
+    assert default.count() == raw.count(), "default cap must not bind locally"
