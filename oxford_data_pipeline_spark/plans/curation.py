@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oxford_data_pipeline_spark.functions.compat import round6
-from oxford_data_pipeline_spark.plans.dedup import _SHINGLES_CTE, _shingle_df
+from oxford_data_pipeline_spark.plans.dedup import (
+    _SHINGLES_CTE,
+    _WALK_CTES,
+    _shingle_df,
+)
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE, tokens_relation
 
@@ -28,14 +32,20 @@ from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE, tokens_relatio
 # --------------------------------------------------------------------------
 # Non-distinct word bigrams per doc (repetition is about multiplicity,
 # so unlike the dedup shingles these must NOT be de-duplicated).
-_BIGRAMS_CTE = f"""
-{_TOKENS_CTE},
+# Body split out so the end-to-end pipeline oracle can splice it into a
+# CTE chain that already defines `toks`.
+_BIGRAMS_BODY = """
 bigrams AS (
     SELECT doc_id,
            unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
     FROM toks
     WHERE len(t) >= 2
 )
+"""
+
+_BIGRAMS_CTE = f"""
+{_TOKENS_CTE},
+{_BIGRAMS_BODY}
 """
 
 _REPETITION_ORACLE = f"""
@@ -428,6 +438,159 @@ SELECT vec_id, label,
        ) AS BIGINT) AS outlier_rank
 FROM scored
 """
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline: dedup → decontaminate → gate → weight → sample
+# --------------------------------------------------------------------------
+_CONTAM_MAX = 0.2
+
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE {_WALK_CTES},
+removed AS (
+    SELECT doc_id FROM walk GROUP BY doc_id HAVING doc_id <> min(label)
+),
+survivors AS (
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+),
+bench AS (
+    SELECT DISTINCT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % 29 = 0
+),
+csh AS (
+    SELECT doc_id, shingle FROM shingles WHERE doc_id % 29 <> 0
+),
+csizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1
+),
+chits AS (
+    SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared
+    FROM csh c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY 1
+),
+{_BIGRAMS_BODY},
+gram_counts AS (
+    SELECT doc_id, gram, count(*) AS cnt FROM bigrams GROUP BY 1, 2
+),
+rep_doc AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           count(*) AS n_distinct_bigrams,
+           max(cnt) AS top_cnt
+    FROM gram_counts GROUP BY 1
+),
+rep_tok AS (
+    SELECT doc_id, len(t) AS n_tokens FROM toks WHERE len(t) >= 2
+),
+admitted AS (
+    SELECT p.doc_id
+    FROM rep_doc p JOIN rep_tok t ON p.doc_id = t.doc_id
+    WHERE t.n_tokens BETWEEN 10 AND 1000
+      AND round((1.0 - CAST(p.n_distinct_bigrams AS DOUBLE) / p.n_bigrams) * 1000000 + 0.01, 0) / 1000000 + 0 <= 0.8
+      AND round(CAST(p.top_cnt AS DOUBLE) / p.n_bigrams * 1000000 + 0.01, 0) / 1000000 + 0 <= 0.2
+),
+kept_docs AS (
+    SELECT v.doc_id, v.source, v.n_chars
+    FROM survivors v
+    LEFT JOIN chits h ON v.doc_id = h.doc_id
+    LEFT JOIN csizes s ON v.doc_id = s.doc_id
+    WHERE v.doc_id % 29 <> 0
+      AND coalesce(round(CAST(h.n_shared AS DOUBLE) / s.n_sh * 1000000 + 0.01, 0) / 1000000 + 0, 0) <= {_CONTAM_MAX}
+      AND v.doc_id IN (SELECT doc_id FROM admitted)
+),
+per_source AS (
+    SELECT k.source, CAST(sum(len(t.t)) AS BIGINT) AS n_tokens
+    FROM kept_docs k JOIN toks t ON k.doc_id = t.doc_id
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources
+    FROM per_source
+),
+weights AS (
+    SELECT s.source,
+           round(1.0 / t.n_sources / NULLIF(CAST(s.n_tokens AS DOUBLE) / t.total_tokens, 0) * 1000000 + 0.01, 0) / 1000000 + 0 AS mix_weight
+    FROM per_source s CROSS JOIN tot t
+),
+sampled AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM kept_docs
+)
+SELECT s.doc_id, s.source, s.n_chars, s.rk, w.mix_weight
+FROM sampled s JOIN weights w ON s.source = w.source
+WHERE s.rk <= 5
+"""
+
+
+@register("cur_pipeline", _PIPELINE_ORACLE)
+def cur_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the training-data analog of the
+    neuroscience Entry-A pipeline: MinHash-dedup survivors →
+    decontamination gate (round6 contaminated_frac ≤ {max}) →
+    Gopher-style repetition admission → per-source mixture weights →
+    stratified md5-order sample, one composed plan.
+
+    Every stage composes the registered queries (shared memoized
+    shingle/pair relations, so the corpus-scale inputs are scanned
+    once), every inter-stage join is keyed on doc_id — Spark reuses
+    the hashpartitioning across consecutive doc_id joins instead of
+    re-shuffling the corpus — and the two source-level relations
+    (weights, totals) are broadcast.  Output: the sampled curated
+    corpus with each doc's stratum rank and its source's mixing
+    weight."""
+    from oxford_data_pipeline_spark.plans.dedup import dedup_survivors
+
+    surv = dedup_survivors(spark, sf_dir).filter(F.col("doc_id") % 29 != 0)
+    decon = cur_decontaminate(spark, sf_dir).select("doc_id", "contaminated_frac")
+    clean = (
+        surv.join(decon, "doc_id", "left")
+        .filter(F.coalesce(F.col("contaminated_frac"), F.lit(0.0)) <= _CONTAM_MAX)
+        .select("doc_id", "source", "n_chars")
+    )
+    admitted = cur_repetition(spark, sf_dir).filter("admitted").select("doc_id")
+    # Stage boundary: the curated corpus is materialized once (what a
+    # production pipeline persists between stages) — without it Spark
+    # re-evaluates the dedup+decontaminate+admission subtree for each
+    # of the three downstream consumers (per-source totals, weights,
+    # sample), re-shuffling the corpus per consumer.
+    kept = clean.join(admitted, "doc_id", "left_semi").localCheckpoint(eager=True)
+
+    toks = tokens_relation(spark, sf_dir).select(
+        "doc_id", F.size("t").alias("n_tok")
+    )
+    per_source = (
+        kept.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+        # source-level relation: a handful of rows, checkpointed so the
+        # totals/weights double-reference reads it instead of twice
+        # re-aggregating the corpus
+        .localCheckpoint(eager=True)
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    weights = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        round6(
+            F.when(share > 0, F.lit(1.0) / F.col("n_sources") / share)
+        ).alias("mix_weight"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    sampled = (
+        kept.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+    return sampled.join(F.broadcast(weights), "source").select(
+        "doc_id", "source", "n_chars", "rk", "mix_weight"
+    )
 
 
 @register("emb_outliers", _EMB_OUTLIER_ORACLE)

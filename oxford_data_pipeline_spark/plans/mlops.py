@@ -177,6 +177,180 @@ def m6_glm_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# M6 (hash-checked) — closed-form 2-predictor OLS via normal equations
+# --------------------------------------------------------------------------
+_M6CF_ORACLE = """
+WITH feats AS (
+    SELECT event_type,
+           value AS y,
+           CAST((epoch_ns(ts) // 3600000000000) % 24 AS DOUBLE) AS x1,
+           CAST(user_id % 10 AS DOUBLE) AS x2
+    FROM events
+    WHERE value IS NOT NULL
+),
+sums AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+           sum(x1*x1) AS sx1x1, sum(x2*x2) AS sx2x2, sum(x1*x2) AS sx1x2,
+           sum(x1*y) AS sx1y, sum(x2*y) AS sx2y, sum(y*y) AS syy
+    FROM feats GROUP BY 1
+),
+cm AS (
+    SELECT event_type, n,
+           sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my,
+           sx1x1 - sx1*sx1/n AS s11,
+           sx2x2 - sx2*sx2/n AS s22,
+           sx1x2 - sx1*sx2/n AS s12,
+           sx1y - sx1*sy/n AS s1y,
+           sx2y - sx2*sy/n AS s2y,
+           syy - sy*sy/n AS syy_c
+    FROM sums
+),
+beta AS (
+    SELECT *,
+           s11*s22 - s12*s12 AS det,
+           (s22*s1y - s12*s2y) / (s11*s22 - s12*s12) AS b1,
+           (s11*s2y - s12*s1y) / (s11*s22 - s12*s12) AS b2
+    FROM cm
+),
+model AS (
+    SELECT *,
+           my - b1*mx1 - b2*mx2 AS b0,
+           syy_c - b1*s1y - b2*s2y AS sse
+    FROM beta
+),
+stats AS (
+    SELECT event_type, n, b0, b1, b2,
+           sse / (n - 3) AS sigma2,
+           1 - sse/syy_c AS r2,
+           1 - (sse/(n - 3)) / (syy_c/(n - 1)) AS adj_r2,
+           sqrt(sse/(n - 3) * (1.0/n + (mx1*mx1*s22 - 2*mx1*mx2*s12 + mx2*mx2*s11)/det)) AS se0,
+           sqrt(sse/(n - 3) * s22/det) AS se1,
+           sqrt(sse/(n - 3) * s11/det) AS se2
+    FROM model
+),
+long AS (
+    SELECT event_type, 'intercept' AS term, b0 AS b, se0 AS s, r2, adj_r2, n FROM stats
+    UNION ALL
+    SELECT event_type, 'x_hour', b1, se1, r2, adj_r2, n FROM stats
+    UNION ALL
+    SELECT event_type, 'x_user', b2, se2, r2, adj_r2, n FROM stats
+)
+SELECT event_type, term,
+       round(b * 1000000 + 0.01, 0) / 1000000 + 0 AS beta,
+       round(s * 1000000 + 0.01, 0) / 1000000 + 0 AS se,
+       round(b / s * 1000000 + 0.01, 0) / 1000000 + 0 AS t_stat,
+       round(r2 * 1000000 + 0.01, 0) / 1000000 + 0 AS r2,
+       round(adj_r2 * 1000000 + 0.01, 0) / 1000000 + 0 AS adj_r2,
+       CAST(n AS BIGINT) AS n
+FROM long
+"""
+
+
+@register("m6_glm_closed_form", _M6CF_ORACLE)
+def m6_glm_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 (hash-checked) — the 2-predictor OLS solved in closed form by
+    normal equations over plain aggregates: β = (X'X)⁻¹X'y via Cramer's
+    rule on centered moments, SE from σ²·diag((X'X)⁻¹), plus t, R²,
+    adj-R² (`oxford_GLM_CCA_coefficients_extract.m:402-485`).
+
+    Everything is one map-side-combinable aggregation per group plus
+    scalar arithmetic — no UDF, no matrix library — so the DuckDB
+    oracle hash-checks the GLM math itself (round-3 verdict item 5;
+    the UDF query `m6_glm_inference` keeps the full p/CI/AIC surface
+    that needs the t-CDF).  At 100 TB this is the preferred shape: the
+    sufficient statistics are tiny and associative regardless of group
+    size, where the grouped-UDF variant must hold a group in memory."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.col("value").alias("y"),
+        (F.expr("ts DIV 3600000000000") % 24).cast("double").alias("x1"),
+        (F.col("user_id") % 10).cast("double").alias("x2"),
+    )
+    sums = feats.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cm = sums.select(
+        "event_type",
+        "n",
+        (F.col("sx1") / n).alias("mx1"),
+        (F.col("sx2") / n).alias("mx2"),
+        (F.col("sy") / n).alias("my"),
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n).alias("s11"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n).alias("s22"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n).alias("s12"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / n).alias("s1y"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / n).alias("s2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("syy_c"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    beta = cm.withColumn("det", det).withColumns(
+        {
+            "b1": (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / F.col("det"),
+            "b2": (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / F.col("det"),
+        }
+    )
+    model = beta.withColumns(
+        {
+            "b0": F.col("my") - F.col("b1") * F.col("mx1") - F.col("b2") * F.col("mx2"),
+            "sse": F.col("syy_c") - F.col("b1") * F.col("s1y") - F.col("b2") * F.col("s2y"),
+        }
+    )
+    sigma2 = F.col("sse") / (n - 3)
+    quad0 = (
+        F.col("mx1") * F.col("mx1") * F.col("s22")
+        - 2 * F.col("mx1") * F.col("mx2") * F.col("s12")
+        + F.col("mx2") * F.col("mx2") * F.col("s11")
+    ) / F.col("det")
+    stats = model.select(
+        "event_type",
+        "n",
+        "b0",
+        "b1",
+        "b2",
+        (F.lit(1.0) - F.col("sse") / F.col("syy_c")).alias("r2"),
+        (F.lit(1.0) - (F.col("sse") / (n - 3)) / (F.col("syy_c") / (n - 1))).alias("adj_r2"),
+        F.sqrt(sigma2 * (F.lit(1.0) / n + quad0)).alias("se0"),
+        F.sqrt(sigma2 * F.col("s22") / F.col("det")).alias("se1"),
+        F.sqrt(sigma2 * F.col("s11") / F.col("det")).alias("se2"),
+    )
+    long = stats.select(
+        "event_type",
+        F.expr(
+            "stack(3, 'intercept', b0, se0, 'x_hour', b1, se1, 'x_user', b2, se2)"
+            " AS (term, b, s)"
+        ),
+        "r2",
+        "adj_r2",
+        "n",
+    )
+    return long.select(
+        "event_type",
+        "term",
+        round6(F.col("b")).alias("beta"),
+        round6(F.col("s")).alias("se"),
+        round6(F.col("b") / F.col("s")).alias("t_stat"),
+        round6(F.col("r2")).alias("r2"),
+        round6(F.col("adj_r2")).alias("adj_r2"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # M7 — neuron-removal sensitivity grid
 # --------------------------------------------------------------------------
 _PCTS = [0, 10, 25, 50, 75, 90]

@@ -164,3 +164,49 @@ def test_mixture_weights_sum_to_target(spark):
     assert rows
     total = sum(r.token_share * r.mix_weight for r in rows)
     assert total == pytest.approx(1.0, abs=1e-3)
+
+
+def test_cur_pipeline_no_corpus_reshuffle(spark):
+    """The composed curation pipeline materializes the curated corpus
+    at the stage boundary, so the FINAL plan touches the corpus once:
+    only the two source-keyed exchanges (per-source totals, sample
+    window) remain, the weights join is broadcast, and no sort-merge
+    join or cartesian product re-shuffles the corpus between stages
+    (round-3 verdict item 6)."""
+    df = QUERIES["cur_pipeline"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # weights attached by broadcast
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, f"expected <=2 exchanges, got {n_exchange}"
+
+
+def test_cur_pipeline_stage_consistency(spark):
+    """Pipeline output must agree with its stage queries: every sampled
+    doc is a dedup survivor, admitted by the repetition gate, below the
+    contamination gate, with rk <= 5 per source and its source's
+    mix_weight."""
+    rows = QUERIES["cur_pipeline"](spark, SF_DIR).collect()
+    assert rows
+    surv = {r.doc_id for r in QUERIES["dedup_survivors"](spark, SF_DIR).collect()}
+    admitted = {
+        r.doc_id
+        for r in QUERIES["cur_repetition"](spark, SF_DIR).collect()
+        if r.admitted
+    }
+    contam = {
+        r.doc_id: r.contaminated_frac
+        for r in QUERIES["cur_decontaminate"](spark, SF_DIR).collect()
+    }
+    per_source = {}
+    for r in rows:
+        assert r.doc_id in surv
+        assert r.doc_id in admitted
+        assert r.doc_id % 29 != 0
+        assert contam.get(r.doc_id, 0.0) <= 0.2
+        assert 1 <= r.rk <= 5
+        per_source.setdefault(r.source, set()).add(r.mix_weight)
+    for s, ws in per_source.items():
+        assert len(ws) == 1, f"source {s} has inconsistent mix_weight"

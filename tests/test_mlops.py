@@ -188,3 +188,44 @@ def test_dedup_clusters_are_consistent(spark):
         assert cid == min(m.doc_id for m in members)
         survivors = [m for m in members if m.is_survivor]
         assert len(survivors) == 1 and survivors[0].doc_id == cid
+
+
+def test_m6_closed_form_matches_udf_kernel(spark):
+    """The hash-checked closed-form OLS (normal equations as column
+    algebra) must agree with the numpy lstsq kernel the rows-only UDF
+    query uses, on the identical 2-predictor design — ties the
+    SQL-verifiable math to the full-inference path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oxford_data_pipeline_spark.ml.linalg import ols_inference
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    feats = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("value").alias("y"),
+            (F.expr("ts DIV 3600000000000") % 24).cast("double").alias("x1"),
+            (F.col("user_id") % 10).cast("double").alias("x2"),
+        )
+        .toPandas()
+    )
+    got = {
+        (r.event_type, r.term): r
+        for r in _rows(spark, "m6_glm_closed_form")
+    }
+    assert got
+    for etype, grp in feats.groupby("event_type"):
+        res = ols_inference(
+            grp[["x1", "x2"]].to_numpy(float), grp["y"].to_numpy(float),
+            inference=False,
+        )
+        for i, term in enumerate(["intercept", "x_hour", "x_user"]):
+            row = got[(etype, term)]
+            assert row.beta == pytest.approx(res["beta"][i], abs=2e-6)
+            assert row.se == pytest.approx(res["se"][i], abs=2e-6)
+            assert row.r2 == pytest.approx(res["r2"], abs=2e-6)
+            assert row.adj_r2 == pytest.approx(res["adj_r2"], abs=2e-6)
+            assert row.n == len(grp)
