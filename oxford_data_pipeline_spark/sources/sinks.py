@@ -68,6 +68,21 @@ def write_json_report(df: DataFrame, path: str) -> None:
         json.dump(rows, f, indent=2, sort_keys=True, default=str)
 
 
+def write_csv_report(df: DataFrame, path: str) -> None:
+    """S6 — deterministic tidy-CSV artifact of a small aggregate (the
+    ready-to-plot figure tables).  The caller supplies row ordering;
+    floats use Python's shortest-repr rendering, which round-trips
+    exactly, and NULL renders as an empty field."""
+    import csv
+
+    rows = df.collect()
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(df.columns)
+        for r in rows:
+            w.writerow(["" if v is None else v for v in r])
+
+
 def write_text_summary(df: DataFrame, path: str, title: str) -> None:
     """S6 — human-readable summary report of a small aggregate."""
     rows = df.collect()

@@ -99,3 +99,106 @@ def test_min_sessions_and_truncation(pipe):
     )
     cut = truncate_to_min_length(tc)
     assert cut.agg(F.max("t")).collect()[0][0] <= tc.agg(F.max("t")).collect()[0][0]
+
+
+# ---------------------------------------------------------------------------
+# Figure-report layer (Entry C figure parity as tidy CSV artifacts)
+# ---------------------------------------------------------------------------
+_GOLDEN_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "golden"
+)
+
+
+def _synthetic_figure_inputs(spark):
+    """Deterministic plain-decimal inputs (no ML UDF) for byte-exact
+    golden comparison of the report layer itself: three pairs over
+    three sessions, one pair in only two sessions (min-sessions
+    exercise), sessions of unequal length (O4 truncation exercise)."""
+    r2_rows = []
+    pairs = [("mPFC", "STR"), ("mPFC", "MD"), ("STR", "MD")]
+    for si, session in enumerate(["s1", "s2", "s3"]):
+        for pi, (r1, r2name) in enumerate(pairs):
+            for comp in (1, 2, 3):
+                for fold in (1, 2):
+                    val = round(0.8 - 0.1 * comp - 0.02 * fold + 0.01 * si + 0.005 * pi, 6)
+                    r2_rows.append((session, r1, r2name, comp, fold, val))
+    # ORB-STR appears in only two sessions -> dropped at min_sessions=3
+    for session in ["s1", "s2"]:
+        for comp in (1, 2, 3):
+            for fold in (1, 2):
+                r2_rows.append((session, "ORB", "STR", comp, fold, 0.5))
+    cca_r2 = spark.createDataFrame(
+        r2_rows,
+        "session string, pair_r1 string, pair_r2 string, component int,"
+        " fold int, r2 double",
+    )
+    proj_rows = []
+    t_max = {"s1": 5, "s2": 4, "s3": 5}  # s2 shortest -> cut at t=4
+    for si, session in enumerate(["s1", "s2", "s3"]):
+        for side in ("u", "v"):
+            for comp in (1, 2):
+                for t in range(t_max[session] + 1):
+                    val = round(0.1 * t + 0.05 * comp + 0.01 * si
+                                - (0.2 if side == "v" else 0.0), 6)
+                    proj_rows.append((session, "mPFC", "STR", side, comp, t, val))
+    proj_avg = spark.createDataFrame(
+        proj_rows,
+        "session string, pair_r1 string, pair_r2 string, side string,"
+        " component int, t int, mean_value double",
+    )
+    return cca_r2, proj_avg
+
+
+def test_figure_reports_golden(spark, tmp_path):
+    """The three Entry-C figure tables, written via the S6 CSV sink,
+    must byte-match the checked-in goldens — report-layer parity for
+    `CCA_test_all.py:402-541,596-813,815-970` without matplotlib."""
+    from oxford_data_pipeline_spark.pipeline.figure_reports import (
+        write_figure_reports,
+    )
+
+    cca_r2, proj_avg = _synthetic_figure_inputs(spark)
+    paths = write_figure_reports(cca_r2, proj_avg, str(tmp_path))
+    assert set(paths) == {
+        "connectivity_matrix", "population_summary", "temporal_projection"
+    }
+    import os
+
+    for name, path in paths.items():
+        golden = os.path.join(_GOLDEN_DIR, f"{name}.csv")
+        assert os.path.exists(golden), (
+            f"golden file missing: regenerate via tests/golden/README"
+        )
+        with open(path) as got, open(golden) as want:
+            assert got.read() == want.read(), f"{name}.csv drifted from golden"
+
+
+def test_figure_reports_on_entry_a(pipe, tmp_path):
+    """The figure tables must also run on the REAL Entry-A pipeline
+    outputs (ML-UDF-produced): right shape, resolved anatomical
+    indices, SEM consistency, truncation applied."""
+    from pyspark.sql import functions as F2
+
+    from oxford_data_pipeline_spark.pipeline.figure_reports import (
+        connectivity_figure_table,
+        population_summary_table,
+        timecourse_figure_table,
+    )
+
+    cfg, res = pipe
+    conn = connectivity_figure_table(res["cca_r2"], ranks=(1, 2)).collect()
+    assert conn
+    assert all(r.row_idx > 0 and r.col_idx > 0 for r in conn)
+    assert {r["rank"] for r in conn} == {1, 2}
+    pop = population_summary_table(res["cca_r2"]).collect()
+    assert pop and all(0.0 <= r.mean_r2 <= 1.0 + 1e-9 for r in pop)
+    tc = timecourse_figure_table(res["projection_avg"])
+    rows = tc.collect()
+    assert rows
+    t_cut = res["projection_avg"].groupBy("session").agg(
+        F2.max("t").alias("m")
+    ).agg(F2.min("m")).collect()[0][0]
+    assert max(r.t for r in rows) <= t_cut
+    for r in rows:
+        if r.n_sessions > 1 and r.std_value is not None:
+            assert abs(r.sem_value * (r.n_sessions ** 0.5) - r.std_value) < 1e-4
