@@ -117,3 +117,51 @@ def test_principal_angles_bounds():
     ang = principal_angles(U1, U2)
     assert np.all((ang >= 0) & (ang <= np.pi / 2 + 1e-12))
     assert principal_angles(U1, U1).max() < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# M19 — rastermap-style neuron sorting (spectral seriation fallback)
+# ---------------------------------------------------------------------------
+def test_spectral_order_groups_correlated_neurons():
+    """Two anti-correlated response families interleaved by index must
+    come out contiguous: the seriation property the raster figure needs."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.operators.rastersort import _spectral_order
+
+    rng = np.random.default_rng(7)
+    t = np.linspace(0, 2 * np.pi, 50)
+    fam_a, fam_b = np.sin(t), np.cos(2 * t)
+    rows = []
+    for i in range(12):  # even index -> family A, odd -> family B
+        base = fam_a if i % 2 == 0 else fam_b
+        rows.append(base + rng.normal(0, 0.05, size=t.size))
+    order = _spectral_order(np.vstack(rows))
+    assert sorted(order.tolist()) == list(range(12))
+    families = ["A" if i % 2 == 0 else "B" for i in order]
+    # contiguous blocks: exactly one family switch along the ordering
+    switches = sum(1 for a, b in zip(families, families[1:]) if a != b)
+    assert switches == 1, f"families interleaved after sort: {families}"
+
+
+def test_rastersort_order_on_entry_a(entry_a):
+    """M19 over the real PSTH table: per (session, region) the ranks
+    are a 1..N permutation, the fallback method is reported (rastermap
+    is not installed here), and the ordering is deterministic."""
+    from oxford_data_pipeline_spark.operators.rastersort import rastersort_order
+
+    cfg, res = entry_a
+    out = rastersort_order(res["psth"]).collect()
+    assert out
+    assert all(r.method == "spectral" for r in out)
+    by_group = {}
+    for r in out:
+        by_group.setdefault((r.session, r.region), []).append((r.neuron_id, r.sort_rank))
+    for (s, reg), pairs in by_group.items():
+        ranks = sorted(rank for _, rank in pairs)
+        assert ranks == list(range(1, len(pairs) + 1)), (s, reg)
+    again = {
+        (r.session, r.region, r.neuron_id): r.sort_rank
+        for r in rastersort_order(res["psth"]).collect()
+    }
+    assert {(r.session, r.region, r.neuron_id): r.sort_rank for r in out} == again
