@@ -37,13 +37,6 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # Warmup, untimed: one flagship pass (JVM/codegen) plus a footer
-    # read of every table, so no query's first-touch parquet metadata
-    # cost is misattributed to that query's own timing.
-    QUERIES["j1_event_psth"](spark, sf_dir).count()
-    for t in TABLES:
-        load_table(spark, sf_dir, t).limit(1).count()
-
     def build_indexes(target_sf_dir: str) -> dict[str, dict]:
         out: dict[str, dict] = {}
         for name, fn in (("dedup", build_dedup_index), ("ann", build_ann_index)):
@@ -54,6 +47,16 @@ def main() -> None:
                 "rows": counts,
             }
         return out
+
+    # Index build FIRST, then warmup: the untimed flagship pass and the
+    # per-table footer reads run after the heavy materializations, so
+    # the first timed query starts from the same JVM/GC state the rest
+    # see (with the build between warmup and timing, j1's rep-1 showed
+    # ~3x first-touch noise).
+    index_build = {sf_dir: build_indexes(sf_dir)}
+    QUERIES["j1_event_psth"](spark, sf_dir).count()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).count()
 
     def run_once(name, fn, target_sf_dir: str) -> float:
         t0 = time.perf_counter()
@@ -71,8 +74,6 @@ def main() -> None:
             for r in range(reps):
                 runs[r][name] = run_once(name, fn, target_sf_dir)
         return runs
-
-    index_build = {sf_dir: build_indexes(sf_dir)}
 
     # Two timed repetitions per query: rep 1 ("queries", comparable
     # with earlier rounds) and a per-query min ("queries_min") that

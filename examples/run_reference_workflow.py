@@ -95,6 +95,25 @@ def main() -> None:
         os.path.join(out_dir, "max_r2_summary.txt"),
         "Max-R² population summary",
     )
+
+    print("== Entry C figures as ready-to-plot CSVs ==")
+    from oxford_data_pipeline_spark.pipeline.figure_reports import (
+        write_figure_reports,
+    )
+
+    fig_paths = write_figure_reports(
+        a["cca_r2"], a["projection_avg"], os.path.join(out_dir, "figures")
+    )
+    for name, p in sorted(fig_paths.items()):
+        print("  figure table:", name, "->", p)
+
+    print("== M19: rastermap-style raster ordering ==")
+    from oxford_data_pipeline_spark.operators.rastersort import rastersort_order
+
+    order = rastersort_order(a["psth"])
+    write_partitioned(order, os.path.join(out_dir, "raster_order"), ["session"])
+    print("  ordered neurons:", order.count())
+
     print("  outputs in:", out_dir)
     for f in sorted(os.listdir(out_dir)):
         print("   -", f)

@@ -57,12 +57,27 @@ SELECT query_id, cand_id, cosine, rnk FROM ranked WHERE rnk <= {_TOP_K}
 """
 
 
+_brute_cache: dict[tuple, DataFrame] = {}
+
+
 @register("sim_cosine_topk", _BRUTE_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: exact baseline for ANN recall. The
     query side is a pushed-down filter; the dot product is an equi-join
     on `dim` + map-side-combining sum. At 100 TB you keep exactly this
-    plan but block the candidate side (see sim_lsh_ann)."""
+    plan but block the candidate side (see sim_lsh_ann).
+
+    The result is persisted + memoized: it is the ground-truth table
+    every recall audit compares against — in production an evaluation
+    artifact materialized once, not recomputed per audit (three audits
+    each re-deriving the O(n²) scan tripled the bench cost)."""
+    return memoized(
+        _brute_cache, spark, (sf_dir, _QUERY_MOD, _TOP_K),
+        lambda: _brute_topk_build(spark, sf_dir),
+    )
+
+
+def _brute_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
     norms = long.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
