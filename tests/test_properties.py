@@ -113,3 +113,79 @@ def test_principal_angles_symmetric(U1, U2):
     # comparison tolerance must sit above it
     assert np.allclose(np.sort(a), np.sort(b), atol=1e-6)
     assert np.all((a >= -1e-9) & (a <= np.pi / 2 + 1e-9))
+
+
+# ---------------------------------------------------------------------------
+# S2 .mat container round-trips (pure python, both formats)
+# ---------------------------------------------------------------------------
+@given(
+    arrays(np.float64, st.tuples(st.integers(1, 12), st.integers(1, 12)),
+           elements=finite),
+    st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_mat5_roundtrip_random(M, compress):
+    from oxford_data_pipeline_spark.sources.matfile import read_mat5, write_mat5
+
+    payload = write_mat5({"m": M}, compress=compress)
+    back = read_mat5(payload)
+    assert np.array_equal(back["m"], M)
+
+
+@given(
+    arrays(np.float64, st.tuples(st.integers(1, 10), st.integers(1, 10)),
+           elements=finite),
+    st.sampled_from([(None, None), ((3, 3), None), ((3, 3), 6), ((4, 2), 6)]),
+)
+@settings(max_examples=20, deadline=None)
+def test_mat73_roundtrip_random(M, layout):
+    from oxford_data_pipeline_spark.sources.hdf5mat import read_mat73, write_mat73
+
+    chunks, compress = layout  # deflate requires a chunked layout
+    payload = write_mat73({"m": M}, chunks=chunks, compress=compress)
+    back = read_mat73(payload)
+    assert np.array_equal(back["m"], M)
+
+
+# ---------------------------------------------------------------------------
+# M6 closed form == lstsq kernel on random well-conditioned designs
+# ---------------------------------------------------------------------------
+@given(arrays(np.float64, (40, 2), elements=finite),
+       arrays(np.float64, (40,), elements=finite))
+@settings(max_examples=25, deadline=None)
+def test_ols_matches_normal_equations(X, y):
+    """The closed-form normal equations behind m6_glm_closed_form must
+    agree with the lstsq kernel whenever the design is well-conditioned
+    — the kernel-level version of the query cross-check."""
+    n = X.shape[0]
+    x1, x2 = X[:, 0], X[:, 1]
+    s11 = np.sum(x1 * x1) - np.sum(x1) ** 2 / n
+    s22 = np.sum(x2 * x2) - np.sum(x2) ** 2 / n
+    s12 = np.sum(x1 * x2) - np.sum(x1) * np.sum(x2) / n
+    det = s11 * s22 - s12 * s12
+    scale = max(float(np.max(np.abs(X))) ** 2, 1e-12)
+    if det <= 1e-6 * scale * n:  # collinear or near-constant design
+        return
+    s1y = np.sum(x1 * y) - np.sum(x1) * np.sum(y) / n
+    s2y = np.sum(x2 * y) - np.sum(x2) * np.sum(y) / n
+    b1 = (s22 * s1y - s12 * s2y) / det
+    b2 = (s11 * s2y - s12 * s1y) / det
+    b0 = y.mean() - b1 * x1.mean() - b2 * x2.mean()
+    res = ols_inference(X, y, inference=False)
+    mag = max(1.0, abs(b0), abs(b1), abs(b2))
+    assert np.allclose(res["beta"], [b0, b1, b2], atol=1e-6 * mag, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# M19 spectral seriation: valid, deterministic permutation
+# ---------------------------------------------------------------------------
+@given(arrays(np.float64, st.tuples(st.integers(3, 15), st.integers(5, 30)),
+              elements=finite))
+@settings(max_examples=25, deadline=None)
+def test_spectral_order_valid_permutation(M):
+    from oxford_data_pipeline_spark.operators.rastersort import _spectral_order
+
+    order = _spectral_order(M)
+    n = M.shape[0]
+    assert sorted(order.tolist()) == list(range(n))
+    assert np.array_equal(order, _spectral_order(M))  # deterministic
