@@ -525,6 +525,9 @@ WHERE s.rk <= 5
 """
 
 
+_curated_cache: dict[tuple, DataFrame] = {}
+
+
 @register("cur_pipeline", _PIPELINE_ORACLE)
 def cur_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline — the training-data analog of the
@@ -542,21 +545,34 @@ def cur_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with each doc's stratum rank and its source's mixing
     weight."""
     from oxford_data_pipeline_spark.plans.dedup import dedup_survivors
+    from oxford_data_pipeline_spark.plans.memo import memoized
 
-    surv = dedup_survivors(spark, sf_dir).filter(F.col("doc_id") % 29 != 0)
-    decon = cur_decontaminate(spark, sf_dir).select("doc_id", "contaminated_frac")
-    clean = (
-        surv.join(decon, "doc_id", "left")
-        .filter(F.coalesce(F.col("contaminated_frac"), F.lit(0.0)) <= _CONTAM_MAX)
-        .select("doc_id", "source", "n_chars")
-    )
-    admitted = cur_repetition(spark, sf_dir).filter("admitted").select("doc_id")
+    def build_kept() -> DataFrame:
+        surv = dedup_survivors(spark, sf_dir).filter(F.col("doc_id") % 29 != 0)
+        decon = cur_decontaminate(spark, sf_dir).select(
+            "doc_id", "contaminated_frac"
+        )
+        clean = (
+            surv.join(decon, "doc_id", "left")
+            .filter(F.coalesce(F.col("contaminated_frac"), F.lit(0.0)) <= _CONTAM_MAX)
+            .select("doc_id", "source", "n_chars")
+        )
+        admitted = cur_repetition(spark, sf_dir).filter("admitted").select("doc_id")
+        # eager checkpoint: the build runs as its own jobs, so every
+        # consumer's final plan — including the very first — starts
+        # from the materialized boundary instead of inlining the
+        # dedup+gate subtree (the plan test pins this)
+        return clean.join(admitted, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+
     # Stage boundary: the curated corpus is materialized once (what a
-    # production pipeline persists between stages) — without it Spark
-    # re-evaluates the dedup+decontaminate+admission subtree for each
-    # of the three downstream consumers (per-source totals, weights,
-    # sample), re-shuffling the corpus per consumer.
-    kept = clean.join(admitted, "doc_id", "left_semi").localCheckpoint(eager=True)
+    # production pipeline persists between stages) and memoized per
+    # (session, sf_dir) like the shingle/pair relations — without it
+    # Spark re-evaluates the dedup+decontaminate+admission subtree for
+    # each of the three downstream consumers (per-source totals,
+    # weights, sample), re-shuffling the corpus per consumer.
+    kept = memoized(_curated_cache, spark, (sf_dir, _CONTAM_MAX), build_kept)
 
     toks = tokens_relation(spark, sf_dir).select(
         "doc_id", F.size("t").alias("n_tok")
