@@ -2,11 +2,13 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line to stdout:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-That single driver-format line is the ONLY stdout output (the round-3
-driver capture truncated an enriched one-line record and lost the whole
-round's bench).  Everything else — per-query minima across reps, the
-secondary-SF run, and index-build timings — goes to BENCH_DETAIL.json
-next to this script.
+That single driver-format line is the ONLY stdout output, and it is
+kept under the driver's ~2000-char tail-capture window (which ate the
+round-3 record): `value` sums EVERY query, while the line's `queries`
+dict carries the slowest queries that fit the byte budget.  The
+complete grids — rep-1 for all queries, per-query minima across reps,
+the secondary-SF run, and index-build timings — go to
+BENCH_DETAIL.json next to this script.
 
 An explicit index-build phase precedes the timed queries: the memoized
 artifacts that production would persist as tables (tokenized corpus,
@@ -89,6 +91,7 @@ def main() -> None:
 
     detail = {
         "index_build": index_build,
+        "queries_rep1": timings,
         "queries_min": qmin,
         "value_min": round(sum(v for v in qmin.values() if v == v), 4),
         "reps": reps,
@@ -108,14 +111,40 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
-    # The driver-format record: first, last, and only stdout line.
-    print(json.dumps({
-        "metric": "total_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    # The driver keeps only the LAST ~2000 chars of combined output and
+    # parses the JSON line found there (round-3 lost its record to an
+    # oversized line — and at 78 registered queries even a compact full
+    # dict is >2000 bytes of names alone). Defenses: stop Spark first
+    # so shutdown logging cannot land after the line; emit compact
+    # separators; and budget the per-query dict to the SLOWEST queries
+    # that keep the line under the capture window — `value` still sums
+    # every query, and the complete rep-1/min/secondary grids are in
+    # the committed BENCH_DETAIL.json.
+    spark.stop()
+
+    def render(qdict: dict[str, float]) -> str:
+        return json.dumps({
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": qdict,
+            "sf": sf,
+        }, separators=(",", ":"))
+
+    budget = 1850
+    shown: dict[str, float] = {}
+    for name, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(shown)
+        trial[name] = round(v, 3)
+        if len(render(trial)) > budget:
+            break
+        shown = trial
+    if len(shown) < len(timings):
+        print(f"bench: stdout line budget {budget}B holds {len(shown)}/"
+              f"{len(timings)} queries (slowest first); full grid in"
+              " BENCH_DETAIL.json", file=sys.stderr)
+    print(render(shown))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
