@@ -1,0 +1,80 @@
+"""Training-data curation walkthrough: the extension surface end-to-end.
+
+    python examples/run_curation_workflow.py [sf_dir] [output_dir]
+
+Runs the registered training-data queries the way a curation pipeline
+composes them — corpus profiling, quality/language gates, the dedup
+family, the composed curation pipeline, and the ANN index with its
+recall audit — and writes the curated sample + reports via the S6/S7
+sinks. Defaults to sf0.001 for a fast demo.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from oxford_data_pipeline_spark.plans import QUERIES
+from oxford_data_pipeline_spark.session import get_spark
+from oxford_data_pipeline_spark.sources.sinks import (
+    write_csv_report,
+    write_json_report,
+    write_text_summary,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="curation_")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("curation-workflow")
+
+    def q(name):
+        return QUERIES[name](spark, sf_dir)
+
+    print("== corpus profile ==")
+    write_text_summary(
+        q("cur_length_profile").orderBy("source"),
+        os.path.join(out_dir, "length_profile.txt"),
+        "Per-source token-length profile",
+    )
+    print("  sources:", q("cur_mixture_weights").count(),
+          "| langid rows:", q("text_langid").count())
+
+    print("== quality + admission gates ==")
+    rep = q("cur_repetition")
+    print("  admitted:", rep.filter("admitted").count(), "/", rep.count())
+    print("  decontamination flags:", q("cur_decontaminate").count())
+
+    print("== dedup family ==")
+    print("  exact:", q("dedup_exact").collect()[0].asDict())
+    print("  minhash near-dup pairs:", q("dedup_minhash_lsh").count(),
+          "| clusters:", q("dedup_clusters").filter("NOT is_survivor").count(),
+          "removed")
+
+    print("== composed curation pipeline ==")
+    curated = q("cur_pipeline")
+    write_csv_report(
+        curated.orderBy("source", "rk"),
+        os.path.join(out_dir, "curated_sample.csv"),
+    )
+    print("  curated sample rows:", curated.count())
+
+    print("== embedding index + recall audit ==")
+    write_json_report(
+        q("sim_ivfpq_recall").orderBy("query_id"),
+        os.path.join(out_dir, "ivfpq_recall.json"),
+    )
+    rec = q("sim_ivf_recall").agg({"recall": "avg"}).collect()[0][0]
+    print(f"  IVF mean recall@k: {rec:.3f}")
+
+    print("  outputs in:", out_dir)
+    for f in sorted(os.listdir(out_dir)):
+        print("   -", f)
+
+
+if __name__ == "__main__":
+    main()
