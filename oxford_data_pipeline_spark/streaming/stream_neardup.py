@@ -1,0 +1,129 @@
+"""Streaming MinHash near-dup detection — `dedup_minhash_lsh`'s
+candidate generation as documents ARRIVE.
+
+The batch operator needs a corpus-wide shuffle per band; online, the
+split is different and stream-friendly:
+
+- **Signatures are stateless.** A doc's MinHash depends only on its
+  own shingles, so the per-row form computes mh_s =
+  `array_min(transform(shingles, sh -> md5(s|sh)))` entirely inside
+  codegen — bit-identical to the batch aggregation (`operators/
+  textops.py:minhash_band_signatures`, same md5(seed|shingle) string
+  min, same band md5), which the tests assert.
+- **Matching is keyed state.** One `applyInPandasWithState` group per
+  (band, sig): the first-seen doc becomes the key's representative;
+  every later arrival emits a (doc_id, matched_doc) candidate row.
+  Event-time timeout evicts keys at the watermark, so state is bounded
+  by the horizon — the same contract as `dropDuplicatesWithinWatermark`.
+
+A doc pair sharing several bands emits one row per band; consumers
+dedup batch-side (chaining another stateful op is restricted).  Exact
+Jaccard verification of candidates stays a batch join against the
+document store, as in the batch plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from oxford_data_pipeline_spark.operators.textops import (
+    normalized,
+    tokens,
+    word_shingles,
+)
+
+N_HASHES, ROWS_PER_BAND = 16, 4
+
+OUTPUT_SCHEMA = (
+    "band int, sig string, doc_id long, matched_doc long, event_ts timestamp"
+)
+STATE_SCHEMA = "first_doc long, first_ts long"
+
+
+def band_signature_rows(stream: DataFrame) -> DataFrame:
+    """(doc_id, text, event_ts) → (doc_id, event_ts, band, sig), one
+    row per LSH band, computed per-row (no aggregation, no state):
+    the streaming twin of `minhash_band_signatures`."""
+    sh = word_shingles(tokens(normalized("text")))
+
+    def _mh(seed: int):
+        # single-parameter lambda: a second parameter (even defaulted)
+        # makes F.transform pass the array INDEX into it
+        prefix = str(seed)
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat_ws("|", F.lit(prefix), s)))
+        )
+
+    mhs = [_mh(seed) for seed in range(N_HASHES)]
+    n_bands = N_HASHES // ROWS_PER_BAND
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[mhs[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                    )
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return stream.select(
+        "doc_id", "event_ts", F.explode(bands).alias("bs")
+    ).select("doc_id", "event_ts", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def _match(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    band, sig = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+
+    rows = pd.concat(list(batches)).sort_values(["event_ts", "doc_id"])
+    ts = rows["event_ts"].astype("int64") // 1_000_000_000
+
+    if state.exists:
+        first_doc, first_ts = state.get
+    else:
+        first_doc, first_ts = int(rows["doc_id"].iloc[0]), int(ts.iloc[0])
+
+    out = []
+    for doc, t in zip(rows["doc_id"], ts):
+        doc, t = int(doc), int(t)
+        if doc != first_doc:
+            out.append((band, sig, doc, first_doc, pd.Timestamp(t, unit="s")))
+    state.update((first_doc, first_ts))
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60 * 60 * 1000)
+    if out:
+        yield pd.DataFrame(
+            out, columns=["band", "sig", "doc_id", "matched_doc", "event_ts"]
+        )
+
+
+def neardup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Near-dup candidate stream: each arriving doc that shares a band
+    signature with the key's first-seen representative emits a
+    candidate row (band, sig, doc_id, matched_doc, event_ts)."""
+    return (
+        band_signature_rows(stream)
+        .withWatermark("event_ts", watermark)
+        .groupBy("band", "sig")
+        .applyInPandasWithState(
+            _match,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

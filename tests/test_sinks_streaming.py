@@ -465,3 +465,91 @@ def test_stream_dedup_watermark_eviction_contract(spark, tmp_path):
     ).to_parquet(src / "b2.parquet", coerce_timestamps="us")
     r2 = _restart_run(spark, build, src, tmp_path / "ckpt", tmp_path / "out")
     assert sorted(r.doc_id for r in r2) == [1, 2, 11]
+
+
+def test_band_signatures_streaming_form_matches_batch(spark):
+    """The stateless per-row MinHash band signatures (streaming form)
+    must be bit-identical to the batch aggregation formulation on the
+    same documents — same md5(seed|shingle) string-min, same band md5."""
+    from pyspark.sql import functions as F2
+
+    from oxford_data_pipeline_spark.operators.textops import (
+        minhash_band_signatures,
+        normalized,
+        tokens,
+        word_shingles,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_neardup import (
+        band_signature_rows,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(100)
+        .select("doc_id", "text", F2.lit(None).cast("timestamp").alias("event_ts"))
+    )
+    batch_sh = docs.select(
+        "doc_id",
+        F2.explode(word_shingles(tokens(normalized("text")))).alias("shingle"),
+    ).distinct()
+    batch = {
+        (r.doc_id, r.band, r.sig)
+        for r in minhash_band_signatures(batch_sh).collect()
+    }
+    streaming_form = {
+        (r.doc_id, r.band, r.sig)
+        for r in band_signature_rows(docs).collect()
+    }
+    assert batch == streaming_form
+
+
+def test_neardup_stream_flags_recrawl(spark, tmp_path):
+    """Online near-dup: a re-crawled text (new doc_id, same content)
+    must emit a candidate row matched to the first-seen doc; novel
+    texts must not be flagged."""
+    import pandas as pd
+
+    from oxford_data_pipeline_spark.streaming.stream_neardup import neardup_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    originals = (
+        load_table(spark, SF_DIR, "documents").limit(30).select("doc_id", "text").toPandas()
+    )
+    originals["event_ts"] = base
+    originals.to_parquet(src / "crawl1.parquet", coerce_timestamps="us")
+
+    recrawl = originals.head(3).copy()
+    recrawl["doc_id"] = recrawl["doc_id"] + 100_000
+    novel = pd.DataFrame(
+        {"doc_id": [200_001, 200_002],
+         "text": ["entirely fresh words about turquoise zeppelins floating quietly",
+                  "another unrelated sentence mentioning obsidian lighthouses at dawn"]}
+    )
+    b2 = pd.concat([recrawl, novel], ignore_index=True)
+    b2["event_ts"] = base + pd.Timedelta(minutes=10)
+    b2.to_parquet(src / "crawl2.parquet", coerce_timestamps="us")
+
+    schema = "doc_id long, text string, event_ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        neardup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("neardup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM neardup_t").collect()
+    matched = {r.doc_id: r.matched_doc for r in rows}
+    for _, orig in recrawl.iterrows():
+        re_id = int(orig.doc_id)
+        assert re_id in matched, f"re-crawled doc {re_id} not flagged"
+        assert matched[re_id] == re_id - 100_000
+    assert 200_001 not in matched and 200_002 not in matched
