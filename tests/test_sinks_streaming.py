@@ -553,3 +553,86 @@ def test_neardup_stream_flags_recrawl(spark, tmp_path):
         assert re_id in matched, f"re-crawled doc {re_id} not flagged"
         assert matched[re_id] == re_id - 100_000
     assert 200_001 not in matched and 200_002 not in matched
+
+
+def test_sessionize_stream_matches_reference_semantics(spark, tmp_path):
+    """The stateful sessionizer must implement exactly the documented
+    gap contract (new session iff silence > 30 min, boundary-exact),
+    checked against an independent pandas reference over controlled
+    whole-second events — including gaps of 1799/1800/1801 s that
+    straddle the boundary — across multiple micro-batches."""
+    import pandas as pd
+
+    from oxford_data_pipeline_spark.streaming.sessionize import (
+        GAP_SECONDS,
+        sessionized,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # user 1: gaps 10s, 1799s (same session), 1801s (new session)
+    # user 2: gaps exactly 1800s (same session: contract is strict >)
+    # user 3: single burst, then a far-future user-4 event advances the
+    # watermark enough to time every earlier session out
+    events = [
+        (1, 0, 1.0), (1, 10, 2.0), (1, 10 + 1799, 3.0), (1, 10 + 1799 + 1801, 4.0),
+        (2, 0, 5.0), (2, 1800, 6.0), (2, 3600, 7.0),
+        (3, 100, 8.0), (3, 200, 9.0),
+        (4, 400_000, 0.5),
+    ]
+    df = pd.DataFrame(events, columns=["user_id", "off", "value"])
+    df["event_ts"] = base + pd.to_timedelta(df.pop("off"), unit="s")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # split arrivals mid-session to exercise cross-batch state
+    df.iloc[:4].to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    df.iloc[4:].to_parquet(src / "b2.parquet", coerce_timestamps="us")
+
+    schema = "user_id long, value double, event_ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionized(stream)
+        .writeStream.format("memory")
+        .queryName("sess_ref_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events,
+         round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM sess_ref_t").collect()
+    }
+
+    # independent reference: strict-> gap split per user
+    want = set()
+    max_ts = int(df["event_ts"].astype("int64").max() // 1_000_000_000)
+    watermark_s = max_ts - 3600  # "1 hour" default delay
+    for uid, grp in df.groupby("user_id"):
+        ts = sorted(
+            (int(t // 1_000_000_000), v)
+            for t, v in zip(grp["event_ts"].astype("int64"), grp["value"])
+        )
+        sessions, cur = [], [ts[0]]
+        for prev, nxt in zip(ts, ts[1:]):
+            if nxt[0] - prev[0] > GAP_SECONDS:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for s in sessions:
+            start, end = s[0][0], s[-1][0]
+            # only sessions the watermark definitely closed are emitted
+            if end + GAP_SECONDS < watermark_s:
+                want.add(
+                    (uid, str(pd.Timestamp(start, unit="s")),
+                     str(pd.Timestamp(end, unit="s")), len(s),
+                     round(sum(v for _, v in s), 6))
+                )
+    assert want, "reference produced no closed sessions — test data bug"
+    assert got == want
