@@ -158,3 +158,19 @@ def test_load_table_normalizes_both_timestamp_formats(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "bigint", unit
         row = df.collect()[0]
         assert row.ts == epoch_us * 1000, f"{unit}: {row.ts}"
+
+
+def test_m6_closed_form_stays_jvm_side(spark):
+    """The hash-checked GLM must be pure column algebra: no Python
+    evaluation node anywhere (that is the whole point of the normal-
+    equations form next to the UDF variant), one partial+final agg
+    pair over events, and no join beyond the generator's stack."""
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["m6_glm_closed_form"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas", "SortMergeJoin", "CartesianProduct"):
+        assert node not in plan, f"{node} in closed-form GLM plan"
+    assert "HashAggregate" in plan
