@@ -107,6 +107,14 @@ def main() -> None:
     for name, p in sorted(fig_paths.items()):
         print("  figure table:", name, "->", p)
 
+    from oxford_data_pipeline_spark.pipeline.svg_figures import write_figure_svgs
+
+    svg_paths = write_figure_svgs(
+        a["cca_r2"], a["projection_avg"], os.path.join(out_dir, "figures")
+    )
+    for name, p in sorted(svg_paths.items()):
+        print("  figure SVG:", name, "->", p)
+
     print("== M19: rastermap-style raster ordering ==")
     from oxford_data_pipeline_spark.operators.rastersort import rastersort_order
 

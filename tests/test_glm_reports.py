@@ -202,3 +202,55 @@ def test_figure_reports_on_entry_a(pipe, tmp_path):
     for r in rows:
         if r.n_sessions > 1 and r.std_value is not None:
             assert abs(r.sem_value * (r.n_sessions ** 0.5) - r.std_value) < 1e-4
+
+
+def test_figure_svgs_render_and_deterministic(spark, tmp_path):
+    """The dependency-free SVG renderers must emit well-formed XML with
+    the expected mark counts, nothing outside the canvas, and
+    byte-identical output across runs (no timestamps, fixed floats)."""
+    import xml.etree.ElementTree as ET
+
+    from oxford_data_pipeline_spark.pipeline.svg_figures import write_figure_svgs
+
+    cca_r2, proj_avg = _synthetic_figure_inputs(spark)
+    p1 = write_figure_svgs(cca_r2, proj_avg, str(tmp_path / "a"))
+    p2 = write_figure_svgs(cca_r2, proj_avg, str(tmp_path / "b"))
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    for name, path in p1.items():
+        with open(path) as f1, open(p2[name]) as f2:
+            assert f1.read() == f2.read(), f"{name}.svg not deterministic"
+        root = ET.parse(path).getroot()
+        W, H = float(root.get("width")), float(root.get("height"))
+        for e in root.findall(".//s:rect", ns):
+            x, y = float(e.get("x", 0)), float(e.get("y", 0))
+            assert 0 <= x and 0 <= y
+            assert x + float(e.get("width", 0)) <= W
+            assert y + float(e.get("height", 0)) <= H
+        for e in root.findall(".//s:polyline", ns) + root.findall(".//s:polygon", ns):
+            for pt in e.get("points").split():
+                x, y = map(float, pt.split(","))
+                assert -1 <= x <= W + 1 and -1 <= y <= H + 1
+
+    # timecourse: one line + one SEM band per series (4 series: 2 sides x 2 comps)
+    tc = ET.parse(p1["temporal_projection"]).getroot()
+    assert len(tc.findall(".//s:polyline", ns)) == 4
+    assert len(tc.findall(".//s:polygon", ns)) == 4
+    # connectivity: 3 pairs -> 3 data cells + 20 ramp swatches + surface
+    cm = ET.parse(p1["connectivity_matrix"]).getroot()
+    assert len(cm.findall(".//s:rect", ns)) == 3 + 20 + 1
+
+
+def test_figure_svgs_on_entry_a(pipe, tmp_path):
+    """Renderers must handle the REAL Entry-A outputs (ML-UDF floats,
+    variable series counts) and stay well-formed."""
+    import xml.etree.ElementTree as ET
+
+    from oxford_data_pipeline_spark.pipeline.svg_figures import write_figure_svgs
+
+    cfg, res = pipe
+    paths = write_figure_svgs(res["cca_r2"], res["projection_avg"], str(tmp_path))
+    assert set(paths) == {
+        "connectivity_matrix", "population_summary", "temporal_projection"
+    }
+    for p in paths.values():
+        ET.parse(p)
