@@ -115,6 +115,19 @@ def main() -> None:
     for name, p in sorted(svg_paths.items()):
         print("  figure SVG:", name, "->", p)
 
+    print("== GLM sensitivity curves as SVG ==")
+    from oxford_data_pipeline_spark.pipeline.glm_stage import sensitivity_grid
+    from oxford_data_pipeline_spark.pipeline.svg_figures import (
+        write_sensitivity_svg,
+    )
+
+    grid = sensitivity_grid(
+        a["projections"], a["segmented"], a["sampled_neurons"],
+        pcts=[0, 25, 50, 75], mc_iters=2,
+    )
+    print("  sensitivity figure:",
+          write_sensitivity_svg(grid, os.path.join(out_dir, "figures")))
+
     print("== M19: rastermap-style raster ordering ==")
     from oxford_data_pipeline_spark.operators.rastersort import rastersort_order
 

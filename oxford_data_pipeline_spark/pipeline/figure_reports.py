@@ -101,6 +101,26 @@ def timecourse_figure_table(projection_avg: DataFrame) -> DataFrame:
     )
 
 
+def sensitivity_figure_table(sensitivity: DataFrame) -> DataFrame:
+    """One row per (strategy, pct_removed): mean ± SEM of the refit R²
+    across (session, pair, region, iteration) — the line marks of the
+    reference's sensitivity-curve figure
+    (`Matlab_part/Oxford_glm_sensitivity.m:345-420`): top-|β| removal
+    vs seeded-random removal as the two curves."""
+    n = F.count(F.lit(1))
+    std = F.when(n > 1, F.stddev_samp("r2"))
+    return (
+        sensitivity.groupBy("strategy", "pct_removed")
+        .agg(
+            round6(F.avg("r2")).alias("mean_r2"),
+            round6(std).alias("std_r2"),
+            round6(std / F.sqrt(n)).alias("sem_r2"),
+            n.alias("n_fits"),
+        )
+        .orderBy("strategy", "pct_removed")
+    )
+
+
 def write_figure_reports(
     cca_r2: DataFrame, projection_avg: DataFrame, out_dir: str,
     ranks: tuple[int, ...] = (1, 2, 3), min_sessions: int = 3,

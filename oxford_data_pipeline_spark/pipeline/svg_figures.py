@@ -273,3 +273,27 @@ def write_figure_svgs(
     with open(paths["temporal_projection"], "w") as f:
         f.write(svg)
     return paths
+
+
+def write_sensitivity_svg(sensitivity: DataFrame, out_dir: str) -> str:
+    """Render the neuron-removal sensitivity curves (mean R² ± SEM vs
+    removal %, one line per strategy) — the reference's
+    `Oxford_glm_sensitivity.m:345-420` figure — from the M7 grid."""
+    from oxford_data_pipeline_spark.pipeline.figure_reports import (
+        sensitivity_figure_table,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = [r.asDict() for r in sensitivity_figure_table(sensitivity).collect()]
+    series: dict[str, list[tuple]] = {}
+    for r in rows:
+        series.setdefault(r["strategy"], []).append(
+            (r["pct_removed"], r["mean_r2"], r["sem_r2"])
+        )
+    svg = svg_timecourse(
+        series, "Neuron-removal sensitivity (mean R² ± SEM vs % removed)"
+    )
+    path = os.path.join(out_dir, "sensitivity_curves.svg")
+    with open(path, "w") as f:
+        f.write(svg)
+    return path

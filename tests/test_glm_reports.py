@@ -254,3 +254,39 @@ def test_figure_svgs_on_entry_a(pipe, tmp_path):
     }
     for p in paths.values():
         ET.parse(p)
+
+
+def test_sensitivity_curve_figure(pipe, tmp_path):
+    """The sensitivity-curve figure (Oxford_glm_sensitivity.m:345-420
+    parity): the table carries one (strategy, pct) row with SEM, and
+    the rendered SVG has one line + band per strategy, byte-stable."""
+    import xml.etree.ElementTree as ET
+
+    from oxford_data_pipeline_spark.pipeline.figure_reports import (
+        sensitivity_figure_table,
+    )
+    from oxford_data_pipeline_spark.pipeline.glm_stage import sensitivity_grid
+    from oxford_data_pipeline_spark.pipeline.svg_figures import (
+        write_sensitivity_svg,
+    )
+
+    cfg, res = pipe
+    grid = sensitivity_grid(
+        res["projections"], res["segmented"], res["sampled_neurons"],
+        pcts=[0, 50], mc_iters=2,
+    ).cache()
+    tbl = sensitivity_figure_table(grid).collect()
+    assert {(r.strategy, r.pct_removed) for r in tbl} == {
+        ("top", 0), ("top", 50), ("random", 0), ("random", 50)
+    }
+    for r in tbl:
+        assert 0.0 <= r.mean_r2 <= 1.0 + 1e-9
+
+    p1 = write_sensitivity_svg(grid, str(tmp_path / "a"))
+    p2 = write_sensitivity_svg(grid, str(tmp_path / "b"))
+    with open(p1) as f1, open(p2) as f2:
+        assert f1.read() == f2.read()
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    root = ET.parse(p1).getroot()
+    assert len(root.findall(".//s:polyline", ns)) == 2  # top, random
+    assert len(root.findall(".//s:polygon", ns)) == 2   # SEM bands
