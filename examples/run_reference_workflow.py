@@ -115,6 +115,11 @@ def main() -> None:
     for name, p in sorted(svg_paths.items()):
         print("  figure SVG:", name, "->", p)
 
+    from oxford_data_pipeline_spark.pipeline.svg_figures import write_variance_svg
+
+    print("  variance figure:",
+          write_variance_svg(a["pca_variance"], os.path.join(out_dir, "figures")))
+
     print("== GLM sensitivity curves as SVG ==")
     from oxford_data_pipeline_spark.pipeline.glm_stage import sensitivity_grid
     from oxford_data_pipeline_spark.pipeline.svg_figures import (

@@ -121,6 +121,25 @@ def sensitivity_figure_table(sensitivity: DataFrame) -> DataFrame:
     )
 
 
+def variance_figure_table(pca_variance: DataFrame) -> DataFrame:
+    """One row per (region, component): cross-session mean ± SEM of the
+    cumulative explained variance — the curves of the PCA variant's
+    cumulative-variance figure (`PCA_test_all_seperate.py:228-311`,
+    consuming `perform_region_pca.m:201-204`)."""
+    n = F.count(F.lit(1))
+    std = F.when(n > 1, F.stddev_samp("cumulative"))
+    return (
+        pca_variance.groupBy("region", "component")
+        .agg(
+            round6(F.avg("cumulative")).alias("mean_cumulative"),
+            round6(std).alias("std_cumulative"),
+            round6(std / F.sqrt(n)).alias("sem_cumulative"),
+            n.alias("n_sessions"),
+        )
+        .orderBy("region", "component")
+    )
+
+
 def write_figure_reports(
     cca_r2: DataFrame, projection_avg: DataFrame, out_dir: str,
     ranks: tuple[int, ...] = (1, 2, 3), min_sessions: int = 3,

@@ -275,6 +275,30 @@ def write_figure_svgs(
     return paths
 
 
+def write_variance_svg(pca_variance: DataFrame, out_dir: str) -> str:
+    """Render the PCA cumulative-variance curves (mean cumulative
+    explained variance ± SEM vs component, one line per region) — the
+    PCA variant's figure (`PCA_test_all_seperate.py:228-311`)."""
+    from oxford_data_pipeline_spark.pipeline.figure_reports import (
+        variance_figure_table,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = [r.asDict() for r in variance_figure_table(pca_variance).collect()]
+    series: dict[str, list[tuple]] = {}
+    for r in rows:
+        series.setdefault(r["region"], []).append(
+            (r["component"], r["mean_cumulative"], r["sem_cumulative"])
+        )
+    svg = svg_timecourse(
+        series, "PCA cumulative explained variance (mean ± SEM vs component)"
+    )
+    path = os.path.join(out_dir, "cumulative_variance.svg")
+    with open(path, "w") as f:
+        f.write(svg)
+    return path
+
+
 def write_sensitivity_svg(sensitivity: DataFrame, out_dir: str) -> str:
     """Render the neuron-removal sensitivity curves (mean R² ± SEM vs
     removal %, one line per strategy) — the reference's

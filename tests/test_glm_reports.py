@@ -290,3 +290,33 @@ def test_sensitivity_curve_figure(pipe, tmp_path):
     root = ET.parse(p1).getroot()
     assert len(root.findall(".//s:polyline", ns)) == 2  # top, random
     assert len(root.findall(".//s:polygon", ns)) == 2   # SEM bands
+
+
+def test_variance_curve_figure(pipe, tmp_path):
+    """PCA cumulative-variance figure (PCA_test_all_seperate.py:228-311
+    parity): monotone non-decreasing mean curves per region, one SVG
+    line + SEM band per region, byte-stable."""
+    import xml.etree.ElementTree as ET
+
+    from oxford_data_pipeline_spark.pipeline.figure_reports import (
+        variance_figure_table,
+    )
+    from oxford_data_pipeline_spark.pipeline.svg_figures import write_variance_svg
+
+    cfg, res = pipe
+    tbl = variance_figure_table(res["pca_variance"]).collect()
+    assert tbl
+    by_region = {}
+    for r in tbl:
+        by_region.setdefault(r.region, []).append((r.component, r.mean_cumulative))
+    for region, pts in by_region.items():
+        curve = [v for _, v in sorted(pts)]
+        assert all(b >= a - 1e-9 for a, b in zip(curve, curve[1:])), region
+
+    p1 = write_variance_svg(res["pca_variance"], str(tmp_path / "a"))
+    p2 = write_variance_svg(res["pca_variance"], str(tmp_path / "b"))
+    with open(p1) as f1, open(p2) as f2:
+        assert f1.read() == f2.read()
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    root = ET.parse(p1).getroot()
+    assert len(root.findall(".//s:polyline", ns)) == len(by_region)
