@@ -427,6 +427,101 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash Hamming-ball pair search (pigeonhole chunk blocking)
+# --------------------------------------------------------------------------
+# Classic web-scale simhash dedup: split the 64-bit signature into 4
+# 16-bit chunks; any pair within Hamming distance ≤ 3 must share at
+# least one chunk EXACTLY (pigeonhole: 3 flipped bits touch ≤ 3
+# chunks), so candidates come from an equi-join on (chunk_id, chunk)
+# and only candidates pay the 64-position Hamming verify.  Exact for
+# the threshold, linear in corpus size.
+_HAM_MAX = 3
+_N_CHUNKS, _CHUNK_BITS = 4, 16
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH sigs AS ({{simhash_oracle}}),
+chunks AS (
+    SELECT s.doc_id, CAST(c.range AS INTEGER) AS c,
+           substr(s.simhash, CAST(c.range AS INTEGER) * {_CHUNK_BITS} + 1, {_CHUNK_BITS}) AS chunk
+    FROM sigs s CROSS JOIN range({_N_CHUNKS}) c
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM chunks a JOIN chunks b
+      ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2,
+       CAST(len(list_filter(range(64),
+            i -> substr(s1.simhash, CAST(i AS INTEGER) + 1, 1)
+                 <> substr(s2.simhash, CAST(i AS INTEGER) + 1, 1))) AS BIGINT)
+           AS hamming
+FROM cand c
+JOIN sigs s1 ON c.doc1 = s1.doc_id
+JOIN sigs s2 ON c.doc2 = s2.doc_id
+WHERE len(list_filter(range(64),
+          i -> substr(s1.simhash, CAST(i AS INTEGER) + 1, 1)
+               <> substr(s2.simhash, CAST(i AS INTEGER) + 1, 1))) <= {_HAM_MAX}
+"""
+
+
+@register("dedup_simhash_pairs", None)  # oracle bound after _SIMHASH_ORACLE
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk blocking: signatures
+    split into {n} {b}-bit chunks; candidates share a chunk exactly
+    (an equi-join — exhaustive for Hamming ≤ {h} by pigeonhole), and
+    only candidates pay the 64-position Hamming verify.  The 100 TB
+    twin of the MinHash band join on the signature side."""
+    sigs = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.substring("simhash", c * _CHUNK_BITS + 1, _CHUNK_BITS).alias(
+                    "chunk"
+                ),
+            )
+            for c in range(_N_CHUNKS)
+        ]
+    )
+    chunks = sigs.select("doc_id", F.explode(chunk_arr).alias("ch")).select(
+        "doc_id", F.col("ch.c").alias("c"), F.col("ch.chunk").alias("chunk")
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    s1 = sigs.alias("s1")
+    s2 = sigs.alias("s2")
+    ham = F.expr(
+        "size(filter(sequence(0, 63), i ->"
+        " substring(s1.simhash, i + 1, 1) <> substring(s2.simhash, i + 1, 1)))"
+    ).cast("long")
+    return (
+        cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _HAM_MAX)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+# bind the oracle now that _SIMHASH_ORACLE is already defined above
+from oxford_data_pipeline_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["dedup_simhash_pairs"] = _SIMHASH_PAIRS_ORACLE.format(
+    simhash_oracle=_SIMHASH_ORACLE
+)
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup (LSH-bucketed)
 # --------------------------------------------------------------------------
 _N_PLANES = 8

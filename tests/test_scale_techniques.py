@@ -380,3 +380,31 @@ def test_lsh_bucket_cap_drops_hot_buckets(spark):
 
     default = capped_sign_buckets(long, planes)
     assert default.count() == raw.count(), "default cap must not bind locally"
+
+
+def test_simhash_chunk_blocking_is_exhaustive(spark):
+    """Pigeonhole guarantee: every pair within Hamming <= 3 of the full
+    O(n^2) sweep must appear in the chunk-blocked query's output — the
+    blocking loses nothing at the threshold it is exact for."""
+    from itertools import combinations
+
+    from oxford_data_pipeline_spark.plans.dedup import (
+        _HAM_MAX,
+        dedup_simhash,
+        dedup_simhash_pairs,
+    )
+
+    sigs = {
+        r.doc_id: int(r.simhash, 2)
+        for r in dedup_simhash(spark, SF_DIR).collect()
+    }
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= _HAM_MAX
+    }
+    got = {
+        (r.doc1, r.doc2): r.hamming
+        for r in dedup_simhash_pairs(spark, SF_DIR).collect()
+    }
+    assert got == brute
