@@ -513,9 +513,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sigs.alias("s1")
     s2 = sigs.alias("s2")
-    ham = F.expr(
-        "size(filter(sequence(0, 63), i ->"
-        " substring(s1.simhash, i + 1, 1) <> substring(s2.simhash, i + 1, 1)))"
+
+    def _half(col: str, start: int):
+        # 32-bit halves: conv('10…',2,10) → long, so the Hamming
+        # distance is two xor+bit_count ops instead of 64 substring
+        # comparisons (4× faster verify at sf0.1)
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
+
+    ham = sum(
+        F.bit_count(_half("s1.simhash", st).bitwiseXOR(_half("s2.simhash", st)))
+        for st in (1, 33)
     ).cast("long")
     return (
         cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))

@@ -339,8 +339,14 @@ def test_simhash_plan_single_exchange(spark):
     from oxford_data_pipeline_spark.operators.textops import simhash_signature
     from oxford_data_pipeline_spark.plans.textops import tokens_relation
 
-    t = tokens_relation(spark, "/root/testdata/sf0.001").select(
-        "doc_id", F2.explode("t").alias("token"), F2.lit(1).alias("cnt")
+    # the >= -1 no-op filter keeps this plan from fingerprint-matching
+    # the session-memoized signature relation: a cache hit would swap
+    # in the InMemoryRelation and make the exchange count depend on
+    # which tests ran first
+    t = (
+        tokens_relation(spark, "/root/testdata/sf0.001")
+        .filter(F2.col("doc_id") >= -1)
+        .select("doc_id", F2.explode("t").alias("token"), F2.lit(1).alias("cnt"))
     )
     df = simhash_signature(t)
     df.count()
