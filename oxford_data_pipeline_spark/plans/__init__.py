@@ -22,6 +22,7 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
     textops,
     mlops,
     multimodal,
+    quality,
 )
 
 __all__ = ["QUERIES", "ORACLES", "register"]

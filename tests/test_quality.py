@@ -1,0 +1,128 @@
+"""Semantic + plan-shape tests for the quality-gate family
+(dup-n-gram coverage, PII scrub, C4 heuristics).
+
+The registered queries hash-check against DuckDB via the registry
+parametrization in test_oracle_parity; the synthetic corpus contains
+no real PII or boilerplate, so THESE tests drive the core transforms
+with constructed documents that actually exercise every rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxford_data_pipeline_spark.plans import QUERIES
+from oxford_data_pipeline_spark.plans.quality import (
+    c4_heuristics,
+    dup_ngram_coverage,
+    pii_scrub,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+# --------------------------------------------------------------------------
+# PII scrub semantics
+# --------------------------------------------------------------------------
+def test_pii_scrub_counts_and_redacts(spark):
+    rows = [
+        (1, "s", "contact me at jane.doe+spam@example.co.uk today"),
+        (2, "s", "server 192.168.0.1 and 10.0.0.255 are up"),
+        (3, "s", "call 555-867-5309 or 555 867 5309"),
+        (4, "s", "account 123456789 ok but 12345678 is too short"),
+        (5, "s", "clean text with no identifiers at all"),
+    ]
+    out = {r["doc_id"]: r for r in pii_scrub(_docs(spark, rows)).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["has_pii"]
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["n_phone"] == 2
+    assert out[4]["n_idnum"] == 1  # 8-digit run must NOT match
+    assert out[5]["n_pii"] == 0 and not out[5]["has_pii"]
+    # redaction removes the matched spans: fingerprints of doc 5 equal
+    # the md5 of its unmodified text, doc 1's differs from raw
+    raw5 = _docs(spark, rows).filter("doc_id = 5").select(
+        F.md5(F.col("text").cast("binary")).alias("fp")
+    ).first()["fp"]
+    assert out[5]["redacted_fp"] == raw5
+    raw1 = _docs(spark, rows).filter("doc_id = 1").select(
+        F.md5(F.col("text").cast("binary")).alias("fp")
+    ).first()["fp"]
+    assert out[1]["redacted_fp"] != raw1
+
+
+def test_pii_scrub_plan_is_scan_local(spark):
+    """No shuffle-by-key: the scrub must be a pure map over the scan
+    (fan_out's round-robin widening at tiny SF is the only permitted
+    exchange, and it disappears on a multi-row-group corpus)."""
+    plan = (
+        QUERIES["cur_pii_scrub"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+# --------------------------------------------------------------------------
+# C4 heuristics semantics
+# --------------------------------------------------------------------------
+def test_c4_rules(spark):
+    ok_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "s", ok_text),
+        (2, "s", ok_text + " function() { return 1; }"),
+        (3, "s", ok_text + " Lorem Ipsum dolor sit amet"),
+        (4, "s", ok_text + " enable JavaScript to continue"),
+        (5, "s", "too short"),
+        (6, "s", "a a a a a a a a a a"),  # mean word len 1 -> reject
+    ]
+    out = {r["doc_id"]: r for r in c4_heuristics(_docs(spark, rows)).collect()}
+    assert out[1]["admitted"]
+    assert out[2]["has_curly"] and not out[2]["admitted"]
+    assert out[3]["has_lorem"] and not out[3]["admitted"]
+    assert out[4]["has_javascript"] and not out[4]["admitted"]
+    assert not out[5]["admitted"]  # < 5 words
+    assert not out[6]["admitted"] and out[6]["mean_word_len"] == 1.0
+
+
+def test_c4_plan_is_scan_local(spark):
+    plan = (
+        QUERIES["cur_c4_heuristics"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+# --------------------------------------------------------------------------
+# Dup-n-gram coverage semantics
+# --------------------------------------------------------------------------
+def test_dup_ngram_coverage_math(spark):
+    # doc 1: shingles {a,b,c,d}; doc 2: {a,b}; doc 3: {x}
+    sh = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (1, "d"), (2, "a"), (2, "b"), (3, "x")],
+        "doc_id long, shingle string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_coverage(sh).collect()}
+    assert out[1]["n_shingles"] == 4 and out[1]["n_dup_shingles"] == 2
+    assert abs(out[1]["dup_coverage"] - 0.5) < 1e-9
+    assert not out[1]["mostly_duplicated"]
+    assert out[2]["dup_coverage"] == 1.0 and out[2]["mostly_duplicated"]
+    assert out[3]["dup_coverage"] == 0.0
+
+
+def test_dup_coverage_plan_no_nested_loop(spark):
+    """Shingle-df join must stay an equi-join — never a nested loop."""
+    plan = (
+        QUERIES["text_dup_ngram_coverage"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
