@@ -638,3 +638,170 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos.alias("cos_centroid"),
         F.row_number().over(w).cast("long").alias("outlier_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (multilingual/multi-source sampling)
+# --------------------------------------------------------------------------
+# The standard temperature trick (alpha = 1/tau power on the share
+# vector, renormalized): tau = 1 reproduces natural proportions, large
+# tau flattens toward uniform — the knob multilingual-corpus samplers
+# use to up-weight tail sources.  The per-source relation is bounded by
+# |sources|, so the tau grid cross-join and its window renormalization
+# cost nothing at any corpus scale; the corpus itself is touched once
+# by the shared tokens_relation aggregate.
+_TEMPERATURE_ORACLE = f"""
+WITH {_TOKENS_CTE},
+per_source AS (
+    SELECT source, CAST(sum(len(t)) AS DOUBLE) AS n_tokens
+    FROM toks GROUP BY 1
+),
+shares AS (
+    SELECT source, n_tokens,
+           n_tokens / sum(n_tokens) OVER () AS share
+    FROM per_source
+),
+grid AS (
+    SELECT * FROM shares CROSS JOIN (VALUES (1.0), (2.0), (4.0)) AS g(tau)
+),
+powed AS (
+    SELECT source, tau, share, pow(share, 1.0 / tau) AS w
+    FROM grid
+)
+SELECT source, tau,
+       round(share * 1000000 + 0.01, 0) / 1000000 + 0 AS token_share,
+       round(w / sum(w) OVER (PARTITION BY tau) * 1000000 + 0.01, 0) / 1000000 + 0 AS sampling_prob
+FROM powed
+"""
+
+
+@register("cur_temperature_mix", _TEMPERATURE_ORACLE)
+def cur_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights: share^(1/tau)
+    renormalized per tau in {1, 2, 4}."""
+    per_source = (
+        tokens_relation(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size("t")).cast("double").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    shares = per_source.withColumn(
+        "share", F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    )
+    taus = spark.range(1).select(
+        F.explode(F.array(F.lit(1.0), F.lit(2.0), F.lit(4.0))).alias("tau")
+    )
+    powed = shares.crossJoin(F.broadcast(taus)).withColumn(
+        "w", F.pow("share", F.lit(1.0) / F.col("tau"))
+    )
+    w_tau = Window.partitionBy("tau")
+    return powed.select(
+        "source",
+        "tau",
+        round6(F.col("share")).alias("token_share"),
+        round6(F.col("w") / F.sum("w").over(w_tau)).alias("sampling_prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding label cohesion: centroid purity + margin (cluster eval)
+# --------------------------------------------------------------------------
+# The embedding-space quality report a labeled corpus (or a k-means
+# assignment) is judged by: score every vector against EVERY label
+# centroid, take own-label cosine vs the best other label, and roll up
+# per label (mean cohesion, mean margin, purity = share of vectors
+# whose own centroid wins).  The centroid relation is labels x dims
+# rows — broadcastable at any corpus size — so the all-centroids
+# scoring is a broadcast equi-join on dim with map-side-combining
+# sums, NOT a vector-vector pair space.  Purity compares the
+# round6-stabilized cosines so the engines agree at the boundary.
+_LABEL_COHESION_ORACLE = """
+WITH long AS (
+    SELECT e.vec_id, e.label, CAST(r.range AS INTEGER) AS dim,
+           CAST(e.embedding[CAST(r.range AS INTEGER) + 1] AS DOUBLE) AS val
+    FROM embeddings e CROSS JOIN range(64) r
+),
+cent AS (
+    SELECT label AS clabel, dim, avg(val) AS cval FROM long GROUP BY 1, 2
+),
+cnorm AS (
+    SELECT clabel, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY 1
+),
+scored AS (
+    SELECT l.vec_id, l.label, c.clabel,
+           sum(l.val * c.cval) AS dot,
+           sqrt(sum(l.val * l.val)) AS vn
+    FROM long l JOIN cent c ON l.dim = c.dim
+    GROUP BY 1, 2, 3
+),
+coss AS (
+    SELECT s.vec_id, s.label, s.clabel,
+           round(s.dot / (s.vn * n.cn) * 1000000 + 0.01, 0) / 1000000 + 0 AS cos
+    FROM scored s JOIN cnorm n ON s.clabel = n.clabel
+),
+per_vec AS (
+    SELECT vec_id, label,
+           max(CASE WHEN clabel = label THEN cos END) AS own_cos,
+           max(CASE WHEN clabel <> label THEN cos END) AS best_other_cos
+    FROM coss GROUP BY 1, 2
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(own_cos) * 1000000 + 0.01, 0) / 1000000 + 0 AS mean_own_cos,
+       round(avg(own_cos - best_other_cos) * 1000000 + 0.01, 0) / 1000000 + 0 AS mean_margin,
+       round(avg(CASE WHEN own_cos > best_other_cos THEN 1.0 ELSE 0.0 END) * 1000000 + 0.01, 0) / 1000000 + 0 AS purity
+FROM per_vec
+GROUP BY 1
+"""
+
+
+@register("emb_label_cohesion", _LABEL_COHESION_ORACLE)
+def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion: mean own-centroid cosine, mean
+    margin over the best other centroid, and purity (share of vectors
+    whose own centroid wins)."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_long
+
+    long = embeddings_long(spark, sf_dir)
+    cent = long.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.avg("val").alias("cval")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
+    )
+    scored = (
+        long.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"),
+        )
+    )
+    coss = scored.join(F.broadcast(cnorm), "clabel").select(
+        "vec_id",
+        "label",
+        "clabel",
+        round6(F.col("dot") / (F.col("vn") * F.col("cn"))).alias("cos"),
+    )
+    per_vec = coss.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos"))).alias(
+            "own_cos"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos"))).alias(
+            "best_other_cos"
+        ),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        round6(F.avg("own_cos")).alias("mean_own_cos"),
+        round6(F.avg(F.col("own_cos") - F.col("best_other_cos"))).alias(
+            "mean_margin"
+        ),
+        round6(
+            F.avg(
+                F.when(F.col("own_cos") > F.col("best_other_cos"), 1.0).otherwise(
+                    0.0
+                )
+            )
+        ).alias("purity"),
+    )

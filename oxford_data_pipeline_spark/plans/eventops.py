@@ -168,3 +168,60 @@ def a14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round2(F.sum("value")).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# E-JSON — semi-structured property extraction + rollup
+# --------------------------------------------------------------------------
+# The `props` column is a JSON blob (the universal escape hatch for
+# sparse event attributes).  Extraction is a scan-local expression
+# (get_json_object stays in the JVM — no UDF), so the whole query is
+# one map-side-combinable aggregation on event_type: at 100 TB the
+# JSON parse cost is embarrassingly parallel and the shuffle carries
+# only |event_types| x partial-agg rows.
+_JSON_PROPS_ORACLE = """
+WITH extracted AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           value
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       count(DISTINCT k) AS n_distinct_k,
+       round(avg(k) * 1000000 + 0.01, 0) / 1000000 + 0 AS mean_k,
+       round(CAST(median(k) AS DOUBLE) * 1000000 + 0.01, 0) / 1000000 + 0 AS p50_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       round(avg(CASE WHEN k >= 50 THEN 1.0 ELSE 0.0 END) * 1000000 + 0.01, 0) / 1000000 + 0 AS high_k_share,
+       round(sum(CASE WHEN k >= 50 THEN value END) * 100 + 0.01, 0) / 100 + 0 AS high_k_value
+FROM extracted
+GROUP BY 1
+"""
+
+
+@register("e_json_props", _JSON_PROPS_ORACLE)
+def e_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + per-type rollup: parse `props.k`
+    JVM-side (get_json_object, no UDF) and aggregate in one
+    map-side-combinable pass."""
+    from oxford_data_pipeline_spark.functions.compat import round2, round6
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "value",
+    )
+    high = F.col("k") >= 50
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        round6(F.avg("k")).alias("mean_k"),
+        round6(F.percentile("k", F.lit(0.5))).alias("p50_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        round6(F.avg(F.when(high, 1.0).otherwise(0.0))).alias("high_k_share"),
+        round2(F.sum(F.when(high, F.col("value")))).alias("high_k_value"),
+    )

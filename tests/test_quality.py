@@ -126,3 +126,66 @@ def test_dup_coverage_plan_no_nested_loop(spark):
     )
     for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
+
+
+# --------------------------------------------------------------------------
+# JSON props extraction
+# --------------------------------------------------------------------------
+def test_json_props_stays_jvm_side(spark):
+    """get_json_object must compile to a JVM expression — a Python UDF
+    in this hot path would be the 100 TB mistake."""
+    plan = (
+        QUERIES["e_json_props"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    # one exchange for the rollup plus the (event_type, k) pre-exchange
+    # count-distinct expansion — both partial-aggregated map-side
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_json_props_extraction_semantics(spark):
+    rows = QUERIES["e_json_props"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_with_k"] == r["n_events"]  # every event carries k
+        assert r["min_k"] <= r["p50_k"] <= r["max_k"]
+        assert 0.0 <= r["high_k_share"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# Temperature mixture
+# --------------------------------------------------------------------------
+def test_temperature_mix_flattens(spark):
+    rows = QUERIES["cur_temperature_mix"](spark, SF_DIR).collect()
+    by_tau: dict = {}
+    for r in rows:
+        by_tau.setdefault(r["tau"], []).append(r)
+    # probabilities sum to 1 within each tau
+    for tau, grp in by_tau.items():
+        assert abs(sum(g["sampling_prob"] for g in grp) - 1.0) < 1e-4
+    # tau=1 reproduces natural shares
+    for g in by_tau[1.0]:
+        assert abs(g["sampling_prob"] - g["token_share"]) < 2e-6
+    # higher temperature flattens: max prob shrinks monotonically
+    maxes = {tau: max(g["sampling_prob"] for g in grp) for tau, grp in by_tau.items()}
+    assert maxes[1.0] >= maxes[2.0] >= maxes[4.0]
+
+
+# --------------------------------------------------------------------------
+# Label cohesion
+# --------------------------------------------------------------------------
+def test_label_cohesion_bounds_and_plan(spark):
+    df = QUERIES["emb_label_cohesion"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # centroid relations are bounded (labels x dims) and must broadcast;
+    # the vector pair space must never materialize
+    assert "BroadcastHashJoin" in plan
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+    for r in df.collect():
+        assert 0.0 <= r["purity"] <= 1.0
+        assert -1.0 <= r["mean_own_cos"] <= 1.0
