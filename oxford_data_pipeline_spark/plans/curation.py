@@ -805,3 +805,39 @@ def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("purity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-based corpus profile (the 100 TB swap-in for exact percentiles)
+# --------------------------------------------------------------------------
+# cur_length_profile documents "swap in approx_percentile at scale";
+# this query IS that swap-in, registered so the sketch path is part of
+# the tested contract: per-source HyperLogLog distinct-token
+# cardinality and KLL-sketch token-length percentiles — single-pass,
+# map-side-combinable, bounded sketch memory per partition regardless
+# of corpus size.  Sketches are estimates, so there is no cross-engine
+# oracle; the accuracy bound vs the exact aggregates is pinned by
+# tests/test_quality.py::test_sketch_profile_accuracy.
+@register("cur_profile_sketch")
+def cur_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch profile: approx distinct tokens (HLL) + approx p50/p90
+    token counts per source — the single-pass bounded-memory variant
+    of cur_length_profile."""
+    toks = tokens_relation(spark, sf_dir)
+    per_doc = toks.select("source", F.size("t").alias("n"), F.col("t"))
+    exploded = toks.select("source", F.explode("t").alias("token"))
+    card = exploded.groupBy("source").agg(
+        F.approx_count_distinct("token", 0.02).alias("approx_distinct_tokens")
+    )
+    lens = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_percentile("n", F.lit(0.5), F.lit(10000)).alias("p50_tokens_approx"),
+        F.approx_percentile("n", F.lit(0.9), F.lit(10000)).alias("p90_tokens_approx"),
+    )
+    return lens.join(card, "source").select(
+        "source",
+        "n_docs",
+        "approx_distinct_tokens",
+        "p50_tokens_approx",
+        "p90_tokens_approx",
+    )

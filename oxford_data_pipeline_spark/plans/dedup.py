@@ -262,9 +262,10 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _N_HASHES, _ROWS_PER_BAND = 16, 4
 
-# Candidate-pair CTE chain (shingles → minhash → bands → cand), shared
-# by the MinHash query itself and the connected-components oracle.
-_MINHASH_CAND_CTES = f"""{_SHINGLES_CTE},
+# Band-signature CTE chain (shingles → minhash → bands), shared by the
+# pairwise MinHash query, the connected-components oracle, and the
+# incremental delta-vs-corpus variant.
+_MINHASH_BANDS_CTES = f"""{_SHINGLES_CTE},
 seeds AS (SELECT unnest(range({_N_HASHES})) AS seed),
 mh AS (
     SELECT s.doc_id, d.seed,
@@ -276,7 +277,11 @@ bands AS (
     SELECT doc_id, seed // {_ROWS_PER_BAND} AS band,
            md5(string_agg(mh, '|' ORDER BY seed)) AS sig
     FROM mh GROUP BY 1, 2
-),
+)"""
+
+# Candidate-pair CTE chain (bands → cand), shared by the MinHash query
+# itself and the connected-components oracle.
+_MINHASH_CAND_CTES = f"""{_MINHASH_BANDS_CTES},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
     FROM bands a JOIN bands b
@@ -791,4 +796,114 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.join(removed, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new-batch delta vs the existing corpus index
+# --------------------------------------------------------------------------
+# The production shape for a continuously-ingested corpus: the corpus
+# band index is a maintained artifact; each ingest batch computes band
+# signatures for ITS documents only and probes the index with a
+# (band, sig) equi-join — cost is O(|delta|) plus candidate
+# verification, never a corpus×corpus pass.  Delta membership here is
+# the deterministic doc_id % 7 == 0 stand-in so the oracle can
+# reproduce it; the argmax match is tie-broken (jaccard DESC, doc_id)
+# on round6-stabilized values so both engines agree.
+_INCR_DELTA_PRED = "doc_id % 7 = 0"
+
+_INCR_ORACLE = f"""
+WITH {_MINHASH_BANDS_CTES},
+delta_bands AS (SELECT * FROM bands WHERE {_INCR_DELTA_PRED}),
+corpus_bands AS (SELECT * FROM bands WHERE NOT ({_INCR_DELTA_PRED})),
+cand AS (
+    SELECT DISTINCT d.doc_id AS ddoc, c.doc_id AS cdoc
+    FROM delta_bands d JOIN corpus_bands c
+      ON d.band = c.band AND d.sig = c.sig
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+inter AS (
+    SELECT c.ddoc, c.cdoc, count(*) AS n_inter
+    FROM cand c
+    JOIN shingles s1 ON s1.doc_id = c.ddoc
+    JOIN shingles s2 ON s2.doc_id = c.cdoc AND s1.shingle = s2.shingle
+    GROUP BY 1, 2
+),
+jacs AS (
+    SELECT i.ddoc, i.cdoc,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000 + 0.01, 0) / 1000000 + 0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.ddoc = sa.doc_id
+    JOIN sizes sb ON i.cdoc = sb.doc_id
+),
+ranked AS (
+    SELECT ddoc, cdoc, jaccard,
+           row_number() OVER (PARTITION BY ddoc ORDER BY jaccard DESC, cdoc) AS rn,
+           count(*) OVER (PARTITION BY ddoc) AS n_candidates
+    FROM jacs
+)
+SELECT ddoc AS doc_id, cdoc AS best_match, jaccard AS best_jaccard,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       (jaccard >= {_JACCARD_THRESHOLD}) AS is_neardup
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_incremental", _INCR_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check: probe the corpus MinHash band index
+    with a new-batch delta's signatures, verify candidates with exact
+    Jaccard, and report each delta doc's best corpus match."""
+    sh = _shingle_df(spark, sf_dir)
+    bands = minhash_band_signatures(
+        sh.select("doc_id", "shingle"), _N_HASHES, _ROWS_PER_BAND
+    )
+    is_delta = F.col("doc_id") % 7 == 0
+    delta = bands.filter(is_delta).alias("d")
+    corpus = bands.filter(~is_delta).alias("c")
+    cand = (
+        delta.join(
+            corpus,
+            (F.col("d.band") == F.col("c.band")) & (F.col("d.sig") == F.col("c.sig")),
+        )
+        .select(F.col("d.doc_id").alias("ddoc"), F.col("c.doc_id").alias("cdoc"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("ddoc") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("cdoc") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("ddoc", "cdoc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    jacs = (
+        inter.join(sa, F.col("ddoc") == F.col("sa.doc_id"))
+        .join(sb, F.col("cdoc") == F.col("sb.doc_id"))
+        .select("ddoc", "cdoc", round6(jac).alias("jaccard"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ddoc").orderBy(F.desc("jaccard"), F.asc("cdoc"))
+    wc = Window.partitionBy("ddoc")
+    return (
+        jacs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ddoc").alias("doc_id"),
+            F.col("cdoc").alias("best_match"),
+            F.col("jaccard").alias("best_jaccard"),
+            "n_candidates",
+            (F.col("jaccard") >= _JACCARD_THRESHOLD).alias("is_neardup"),
+        )
     )

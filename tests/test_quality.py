@@ -189,3 +189,49 @@ def test_label_cohesion_bounds_and_plan(spark):
     for r in df.collect():
         assert 0.0 <= r["purity"] <= 1.0
         assert -1.0 <= r["mean_own_cos"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup + sketch profile
+# --------------------------------------------------------------------------
+def test_dedup_incremental_is_delta_sided(spark):
+    """Every output row is a delta doc matched against a corpus doc —
+    the probe never pairs corpus docs with each other — and the plan
+    keeps the (band, sig) equi-join shape."""
+    df = QUERIES["dedup_incremental"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+    for r in df.collect():
+        assert r["doc_id"] % 7 == 0
+        assert r["best_match"] % 7 != 0
+        assert r["n_candidates"] >= 1
+        assert 0.0 <= r["best_jaccard"] <= 1.0
+
+
+def test_sketch_profile_accuracy(spark):
+    """The sketch profile must track the exact profile: HLL cardinality
+    within 10% of the true distinct count, approx percentiles within
+    the neighboring-rank window."""
+    sketch = {r["source"]: r for r in QUERIES["cur_profile_sketch"](spark, SF_DIR).collect()}
+    exact = {r["source"]: r for r in QUERIES["cur_length_profile"](spark, SF_DIR).collect()}
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    true_card = {
+        r["source"]: r["d"]
+        for r in tokens_relation(spark, SF_DIR)
+        .select("source", F.explode("t").alias("token"))
+        .groupBy("source")
+        .agg(F.countDistinct("token").alias("d"))
+        .collect()
+    }
+    assert set(sketch) == set(exact)
+    for src, s in sketch.items():
+        assert s["n_docs"] == exact[src]["n_docs"]
+        rel = abs(s["approx_distinct_tokens"] - true_card[src]) / true_card[src]
+        assert rel < 0.10, (src, s["approx_distinct_tokens"], true_card[src])
+        # approx_percentile returns an observed element while the exact
+        # profile interpolates between ranks — allow the neighboring-rank
+        # window (values are token counts, gaps of a few tokens)
+        assert abs(s["p50_tokens_approx"] - exact[src]["p50_tokens"]) <= 6.0
+        assert abs(s["p90_tokens_approx"] - exact[src]["p90_tokens"]) <= 6.0
