@@ -841,3 +841,91 @@ def cur_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_tokens_approx",
         "p90_tokens_approx",
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (data selection for a target domain)
+# --------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., 2023): score
+# every raw document by how much more likely its tokens are under a
+# TARGET-domain unigram model than under the raw-corpus model; docs
+# are then resampled proportional to exp(log_importance).  Target
+# membership here is the deterministic source = 'src1' stand-in (in
+# production: the curated target corpus).  Both models share one
+# min-count-floored vocabulary with Laplace smoothing, so every token
+# has mass under both and the log ratio is finite.  Same scale shape
+# as cur_unigram_surprisal: one aggregation fits BOTH models (the
+# target flag is a conditional sum, not a second pass), one broadcast
+# score join — the corpus never shuffles.
+_DSIR_TARGET = "src1"
+
+_DSIR_ORACLE = f"""
+WITH {_TOKENS_CTE},
+exploded AS (
+    SELECT doc_id, source, unnest(t) AS token FROM toks WHERE len(t) > 0
+),
+model AS (
+    SELECT token,
+           CAST(sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS DOUBLE) AS cnt_t,
+           CAST(sum(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS DOUBLE) AS cnt_r
+    FROM exploded
+    GROUP BY 1 HAVING count(*) >= {_UNIGRAM_MIN_COUNT}
+),
+consts AS (
+    SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM model
+)
+SELECT e.doc_id, e.source,
+       count(*) AS n_scored_tokens,
+       round(sum(ln((m.cnt_t + 1) / (c.tot_t + c.v))
+                 - ln((m.cnt_r + 1) / (c.tot_r + c.v))) * 1000000 + 0.01, 0) / 1000000 + 0 AS log_importance,
+       round(avg(ln((m.cnt_t + 1) / (c.tot_t + c.v))
+                 - ln((m.cnt_r + 1) / (c.tot_r + c.v))) * 1000000 + 0.01, 0) / 1000000 + 0 AS avg_log_ratio
+FROM exploded e
+JOIN model m ON e.token = m.token
+CROSS JOIN consts c
+WHERE e.source <> '{_DSIR_TARGET}'
+GROUP BY 1, 2
+"""
+
+
+@register("cur_dsir_weights", _DSIR_ORACLE)
+def cur_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-doc sum/mean of the smoothed
+    target-vs-raw unigram log ratio over a shared floored vocabulary."""
+    exploded = (
+        tokens_relation(spark, sf_dir)
+        .filter(F.size("t") > 0)
+        .select("doc_id", "source", F.explode("t").alias("token"))
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    model = (
+        exploded.groupBy("token")
+        .agg(
+            F.sum(F.when(is_t, 1).otherwise(0)).cast("double").alias("cnt_t"),
+            F.sum(F.when(~is_t, 1).otherwise(0)).cast("double").alias("cnt_r"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") >= _UNIGRAM_MIN_COUNT)
+        .drop("cnt")
+    )
+    consts = model.agg(
+        F.sum("cnt_t").alias("tot_t"),
+        F.sum("cnt_r").alias("tot_r"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ratio = F.log((F.col("cnt_t") + 1) / (F.col("tot_t") + F.col("v"))) - F.log(
+        (F.col("cnt_r") + 1) / (F.col("tot_r") + F.col("v"))
+    )
+    return (
+        exploded.filter(~is_t)
+        .join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_tokens"),
+            round6(F.sum(ratio)).alias("log_importance"),
+            round6(F.avg(ratio)).alias("avg_log_ratio"),
+        )
+    )

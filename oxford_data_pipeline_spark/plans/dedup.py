@@ -308,6 +308,23 @@ JOIN sizes sb ON v.doc2 = sb.doc_id
 
 
 _pairs_cache: dict[tuple, DataFrame] = {}
+_bands_cache: dict[tuple, DataFrame] = {}
+
+
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash band-signature relation (doc_id, band, sig),
+    persisted + memoized: it is the corpus index `dedup_minhash_lsh`
+    builds its candidate pairs from AND the index `dedup_incremental`
+    probes with each new batch — in production, the maintained table
+    an ingest pipeline appends to."""
+
+    def build() -> DataFrame:
+        sh = _shingle_df(spark, sf_dir)
+        return minhash_band_signatures(
+            sh.select("doc_id", "shingle"), _N_HASHES, _ROWS_PER_BAND
+        )
+
+    return memoized(_bands_cache, spark, ("bands", sf_dir), build)
 
 
 def build_dedup_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
@@ -322,6 +339,7 @@ def build_dedup_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     return {
         "tokens": tokens_relation(spark, sf_dir).count(),
         "shingles": _shingle_df(spark, sf_dir).count(),
+        "minhash_bands": _bands_df(spark, sf_dir).count(),
         "minhash_pairs": dedup_minhash_lsh(spark, sf_dir).count(),
         "simhash_sigs": dedup_simhash(spark, sf_dir).count(),
     }
@@ -345,7 +363,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir)
-    bands = minhash_band_signatures(sh.select("doc_id", "shingle"), _N_HASHES, _ROWS_PER_BAND)
+    bands = _bands_df(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -856,9 +874,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a new-batch delta's signatures, verify candidates with exact
     Jaccard, and report each delta doc's best corpus match."""
     sh = _shingle_df(spark, sf_dir)
-    bands = minhash_band_signatures(
-        sh.select("doc_id", "shingle"), _N_HASHES, _ROWS_PER_BAND
-    )
+    bands = _bands_df(spark, sf_dir)
     is_delta = F.col("doc_id") % 7 == 0
     delta = bands.filter(is_delta).alias("d")
     corpus = bands.filter(~is_delta).alias("c")

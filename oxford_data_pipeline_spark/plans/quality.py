@@ -129,9 +129,11 @@ FROM scrub
 """
 
 
-def pii_scrub(docs: DataFrame) -> DataFrame:
-    """Core transform: per-doc PII match counts + md5 of the redacted
-    text, over any relation with (doc_id, source, text)."""
+def with_pii_features(docs: DataFrame) -> DataFrame:
+    """APPEND the PII feature columns (n_email/n_ipv4/n_phone/n_idnum/
+    n_pii/has_pii/redacted_fp) to any relation with a `text` column —
+    a pure stateless projection, so it composes with the other gates
+    on batch AND streaming DataFrames alike."""
     redacted = F.col("text")
     for pat, tag in (
         (_PII_EMAIL, "<EMAIL>"),
@@ -144,26 +146,33 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") + F.col("n_idnum")
     )
     return (
-        docs.select(
-            "doc_id",
-            "source",
-            F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_email"),
-            F.regexp_count("text", F.lit(_PII_IPV4)).alias("n_ipv4"),
-            F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phone"),
-            F.regexp_count("text", F.lit(_PII_IDNUM)).alias("n_idnum"),
-            redacted.alias("redacted"),
+        docs.withColumns(
+            {
+                "n_email": F.regexp_count("text", F.lit(_PII_EMAIL)),
+                "n_ipv4": F.regexp_count("text", F.lit(_PII_IPV4)),
+                "n_phone": F.regexp_count("text", F.lit(_PII_PHONE)),
+                "n_idnum": F.regexp_count("text", F.lit(_PII_IDNUM)),
+                "redacted_fp": F.md5(redacted.cast("binary")),
+            }
         )
-        .select(
-            "doc_id",
-            "source",
-            "n_email",
-            "n_ipv4",
-            "n_phone",
-            "n_idnum",
-            n_pii.alias("n_pii"),
-            (n_pii > 0).alias("has_pii"),
-            F.md5(F.col("redacted").cast("binary")).alias("redacted_fp"),
-        )
+        .withColumn("n_pii", n_pii)
+        .withColumn("has_pii", F.col("n_pii") > 0)
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Core transform: per-doc PII match counts + md5 of the redacted
+    text, over any relation with (doc_id, source, text)."""
+    return with_pii_features(docs).select(
+        "doc_id",
+        "source",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "n_idnum",
+        "n_pii",
+        "has_pii",
+        "redacted_fp",
     )
 
 
@@ -209,27 +218,51 @@ WHERE n_words > 0
 """
 
 
+def with_c4_features(docs: DataFrame) -> DataFrame:
+    """APPEND the raw C4 feature columns (n_words/n_word_chars/
+    n_chars_total/n_symbols/has_curly/has_lorem/has_javascript/
+    c4_admitted) to any relation with a `text` column.  Stateless
+    projection — streaming-safe.  Rows with zero words carry
+    c4_admitted = false (callers that report ratios filter them)."""
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    lower = F.lower(F.col("text"))
+    feat = docs.withColumns(
+        {
+            "n_words": F.size(words),
+            "n_word_chars": F.length(F.regexp_replace("text", " ", "")),
+            "n_chars_total": F.length("text"),
+            "n_symbols": F.length("text")
+            - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", "")),
+            "has_curly": F.contains("text", F.lit("{"))
+            | F.contains("text", F.lit("}")),
+            "has_lorem": F.contains(lower, F.lit("lorem ipsum")),
+            "has_javascript": F.contains(lower, F.lit("javascript")),
+        }
+    )
+    # try_divide: a zero-word/zero-char doc (possible on a raw ingest
+    # stream) must gate to false, not raise under ANSI mode
+    mean_wl = F.try_divide(F.col("n_word_chars").cast("double"), F.col("n_words"))
+    sym_ratio = F.try_divide(
+        F.col("n_symbols").cast("double"), F.col("n_chars_total")
+    )
+    return feat.withColumn(
+        "c4_admitted",
+        F.coalesce(
+            F.col("n_words").between(5, 100000)
+            & mean_wl.between(3.0, 10.0)
+            & ~F.col("has_curly")
+            & ~F.col("has_lorem")
+            & ~F.col("has_javascript")
+            & (sym_ratio < 0.1),
+            F.lit(False),
+        ),
+    )
+
+
 def c4_heuristics(docs: DataFrame) -> DataFrame:
     """Core transform: C4 heuristic features + admission bit over any
     relation with (doc_id, source, text)."""
-    words = F.filter(F.split("text", " "), lambda x: x != "")
-    lower = F.lower(F.col("text"))
-    feat = docs.select(
-        "doc_id",
-        "source",
-        F.size(words).alias("n_words"),
-        F.length(F.regexp_replace("text", " ", "")).alias("n_word_chars"),
-        F.length("text").alias("n_chars_total"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
-        ).alias("n_symbols"),
-        (F.contains("text", F.lit("{")) | F.contains("text", F.lit("}"))).alias(
-            "has_curly"
-        ),
-        F.contains(lower, F.lit("lorem ipsum")).alias("has_lorem"),
-        F.contains(lower, F.lit("javascript")).alias("has_javascript"),
-    ).filter(F.col("n_words") > 0)
+    feat = with_c4_features(docs).filter(F.col("n_words") > 0)
     mean_wl = F.col("n_word_chars").cast("double") / F.col("n_words")
     sym_ratio = F.col("n_symbols").cast("double") / F.col("n_chars_total")
     return feat.select(
@@ -241,14 +274,7 @@ def c4_heuristics(docs: DataFrame) -> DataFrame:
         "has_curly",
         "has_lorem",
         "has_javascript",
-        (
-            F.col("n_words").between(5, 100000)
-            & mean_wl.between(3.0, 10.0)
-            & ~F.col("has_curly")
-            & ~F.col("has_lorem")
-            & ~F.col("has_javascript")
-            & (sym_ratio < 0.1)
-        ).alias("admitted"),
+        F.col("c4_admitted").alias("admitted"),
     )
 
 

@@ -235,3 +235,19 @@ def test_sketch_profile_accuracy(spark):
         # window (values are token counts, gaps of a few tokens)
         assert abs(s["p50_tokens_approx"] - exact[src]["p50_tokens"]) <= 6.0
         assert abs(s["p90_tokens_approx"] - exact[src]["p90_tokens"]) <= 6.0
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights
+# --------------------------------------------------------------------------
+def test_dsir_excludes_target_and_is_finite(spark):
+    import math
+
+    rows = QUERIES["cur_dsir_weights"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["source"] != "src1"  # target domain is never scored
+        assert r["n_scored_tokens"] >= 1
+        assert math.isfinite(r["log_importance"])
+        # smoothing keeps per-token ratios bounded
+        assert abs(r["avg_log_ratio"]) < 20.0

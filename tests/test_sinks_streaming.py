@@ -636,3 +636,57 @@ def test_sessionize_stream_matches_reference_semantics(spark, tmp_path):
                 )
     assert want, "reference produced no closed sessions — test data bug"
     assert got == want
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The quality gate is a stateless projection, so running it over a
+    file stream must produce BIT-IDENTICAL rows to the batch path —
+    including on documents engineered to trip each rule."""
+    from oxford_data_pipeline_spark.streaming.stream_quality import quality_gate
+
+    import pandas as pd
+
+    rows = [
+        (1, "s", "the quick brown fox jumps over the lazy dog again today"),
+        (2, "s", "mail me at someone@example.com about the quick brown fox plan"),
+        (3, "s", "broken markup { nested } " + "word " * 10),
+        (4, "s", "Lorem ipsum dolor sit amet " + "filler " * 8),
+        (5, "s", ""),  # zero words: c4_admitted false, never admitted
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    d = tmp_path / "gate_stream"
+    d.mkdir()
+    pdf.iloc[:3].to_parquet(d / "batch1.parquet")
+    pdf.iloc[3:].to_parquet(d / "batch2.parquet")
+
+    schema = "doc_id long, source string, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        quality_gate(stream)
+        .writeStream.format("memory")
+        .queryName("quality_gate_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: r for r in spark.sql("SELECT * FROM quality_gate_t").collect()
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in quality_gate(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert set(got) == set(batch) == {1, 2, 3, 4, 5}
+    for k in got:
+        assert got[k].asDict() == batch[k].asDict()
+    # the rules themselves
+    assert batch[1]["admitted"]
+    assert batch[2]["has_pii"] and not batch[2]["admitted"]
+    assert batch[3]["has_curly"] and not batch[3]["admitted"]
+    assert batch[4]["has_lorem"] and not batch[4]["admitted"]
+    assert not batch[5]["admitted"]
