@@ -48,12 +48,28 @@ def main() -> None:
     rep = q("cur_repetition")
     print("  admitted:", rep.filter("admitted").count(), "/", rep.count())
     print("  decontamination flags:", q("cur_decontaminate").count())
+    c4 = q("cur_c4_heuristics")
+    print("  C4 gate:", c4.filter("admitted").count(), "/", c4.count(),
+          "| PII docs:", q("cur_pii_scrub").filter("has_pii").count())
+    dup = q("text_dup_ngram_coverage")
+    print("  boilerplate (dup-coverage > 0.5):",
+          dup.filter("mostly_duplicated").count())
+
+    print("== mixture + selection ==")
+    print("  temperature grid rows:", q("cur_temperature_mix").count())
+    dsir = q("cur_dsir_weights")
+    top = dsir.orderBy(dsir.log_importance.desc()).limit(3).collect()
+    print("  DSIR top target-like docs:",
+          [(r["doc_id"], r["log_importance"]) for r in top])
 
     print("== dedup family ==")
     print("  exact:", q("dedup_exact").collect()[0].asDict())
     print("  minhash near-dup pairs:", q("dedup_minhash_lsh").count(),
           "| clusters:", q("dedup_clusters").filter("NOT is_survivor").count(),
           "removed")
+    incr = q("dedup_incremental")
+    print("  incremental batch: ", incr.filter("is_neardup").count(),
+          "near-dups among", incr.count(), "delta matches")
 
     print("== composed curation pipeline ==")
     curated = q("cur_pipeline")
