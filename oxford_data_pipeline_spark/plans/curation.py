@@ -929,3 +929,81 @@ def cur_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.avg(ratio)).alias("avg_log_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-sequence packing stats (concat-and-chunk, shard-parallel)
+# --------------------------------------------------------------------------
+# The last batch-prep stage before training: documents concatenate in
+# a deterministic order and split into fixed-length sequences.  A
+# single global order would serialize the running sum, so packing runs
+# WITHIN md5 shards (the way production writers pack per output
+# shard): embarrassingly parallel, deterministic, and the only
+# cross-shard cost is the 16-row rollup.  Per shard: how many
+# sequences of length L the shard yields, the tail fill, and how many
+# documents straddle a sequence boundary (the packing-quality signal
+# that decides whether you pad, split, or re-order).
+_PACK_SEQ_LEN = 256
+
+_PACK_ORACLE = f"""
+WITH {_TOKENS_CTE},
+docs AS (
+    SELECT doc_id, len(t) AS n,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           md5(CAST(doc_id AS VARCHAR)) AS ord
+    FROM toks WHERE len(t) > 0
+),
+placed AS (
+    SELECT shard, doc_id, n,
+           sum(n) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start
+    FROM docs
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST((sum(n) + {_PACK_SEQ_LEN} - 1) // {_PACK_SEQ_LEN} AS BIGINT) AS n_sequences,
+       CAST(sum(n) - ((sum(n) + {_PACK_SEQ_LEN} - 1) // {_PACK_SEQ_LEN} - 1) * {_PACK_SEQ_LEN} AS BIGINT) AS tail_fill,
+       CAST(sum(CASE WHEN start // {_PACK_SEQ_LEN} <> (start + n - 1) // {_PACK_SEQ_LEN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_crossing
+FROM placed
+GROUP BY 1
+"""
+
+
+@register("cur_pack_stats", _PACK_ORACLE)
+def cur_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing stats: concat-and-chunk into L=256-token
+    sequences within md5 shards; per-shard sequence count, tail fill,
+    and boundary-crossing docs."""
+    L = _PACK_SEQ_LEN
+    docs = (
+        tokens_relation(spark, sf_dir)
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").alias("n"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+            F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = docs.withColumn("start", F.sum("n").over(w) - F.col("n"))
+    crossing = F.when(
+        (F.col("start") / L).cast("long")
+        != ((F.col("start") + F.col("n") - 1) / L).cast("long"),
+        1,
+    ).otherwise(0)
+    total = F.sum("n")
+    n_sequences = F.floor((total + L - 1) / L).cast("long")
+    return placed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.cast("long").alias("total_tokens"),
+        n_sequences.alias("n_sequences"),
+        (total - (n_sequences - 1) * L).cast("long").alias("tail_fill"),
+        F.sum(crossing).cast("long").alias("n_boundary_crossing"),
+    )

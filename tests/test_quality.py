@@ -251,3 +251,19 @@ def test_dsir_excludes_target_and_is_finite(spark):
         assert math.isfinite(r["log_importance"])
         # smoothing keeps per-token ratios bounded
         assert abs(r["avg_log_ratio"]) < 20.0
+
+
+# --------------------------------------------------------------------------
+# Sequence packing stats
+# --------------------------------------------------------------------------
+def test_pack_stats_invariants(spark):
+    L = 256
+    rows = QUERIES["cur_pack_stats"](spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 16  # md5 hex first char
+    for r in rows:
+        assert r["n_sequences"] == -(-r["total_tokens"] // L)  # ceil
+        assert 0 < r["tail_fill"] <= L
+        assert r["total_tokens"] == (r["n_sequences"] - 1) * L + r["tail_fill"]
+        assert 0 <= r["n_boundary_crossing"] <= r["n_docs"]
+    # at least one shard must actually cross a boundary at this SF
+    assert any(r["n_boundary_crossing"] > 0 for r in rows)
