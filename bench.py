@@ -57,6 +57,18 @@ def main() -> None:
     # ~3x first-touch noise).
     index_build = {sf_dir: build_indexes(sf_dir)}
     QUERIES["j1_event_psth"](spark, sf_dir).count()
+    # Warm the Arrow/pandas-UDF path once (python worker pool spin-up +
+    # Arrow allocator init): without this the FIRST grouped-UDF query
+    # in registry order absorbs ~5-10 s of one-off runtime setup that
+    # has nothing to do with its plan (observed on m6_glm_inference).
+    import pandas as _pd  # noqa: F401
+    from pyspark.sql import functions as _F
+
+    spark.range(64).withColumn("g", _F.col("id") % 8).groupBy(
+        "g"
+    ).applyInPandas(
+        lambda pdf: pdf.assign(n=len(pdf)), "id long, g long, n long"
+    ).count()
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).count()
 

@@ -84,8 +84,14 @@ def main() -> None:
         q("sim_ivfpq_recall").orderBy("query_id"),
         os.path.join(out_dir, "ivfpq_recall.json"),
     )
-    rec = q("sim_ivf_recall").agg({"recall": "avg"}).collect()[0][0]
-    print(f"  IVF mean recall@k: {rec:.3f}")
+    for nm, lbl in (
+        ("sim_lsh_recall", "multi-table LSH"),
+        ("sim_ivf_recall", "IVF (3-probe)"),
+        ("sim_ivfpq_recall", "IVF-PQ ADC"),
+        ("sim_ivfpq_rerank_recall", "IVF-PQ + exact re-rank"),
+    ):
+        rec = q(nm).agg({"recall": "avg"}).collect()[0][0]
+        print(f"  {lbl} mean recall@k: {rec:.3f}")
 
     print("  outputs in:", out_dir)
     for f in sorted(os.listdir(out_dir)):

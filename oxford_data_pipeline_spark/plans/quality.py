@@ -129,19 +129,30 @@ FROM scrub
 """
 
 
+_PII_RULES = (
+    (_PII_EMAIL, "<EMAIL>"),
+    (_PII_IPV4, "<IP>"),
+    (_PII_PHONE, "<PHONE>"),
+    (_PII_IDNUM, "<ID>"),
+)
+
+
+def redact(col) -> "F.Column":
+    """The PII redaction expression: every pattern replaced by its tag,
+    in fixed rule order.  Idempotent — tags can never re-match
+    (tested)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, tag in _PII_RULES:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
 def with_pii_features(docs: DataFrame) -> DataFrame:
     """APPEND the PII feature columns (n_email/n_ipv4/n_phone/n_idnum/
     n_pii/has_pii/redacted_fp) to any relation with a `text` column —
     a pure stateless projection, so it composes with the other gates
     on batch AND streaming DataFrames alike."""
-    redacted = F.col("text")
-    for pat, tag in (
-        (_PII_EMAIL, "<EMAIL>"),
-        (_PII_IPV4, "<IP>"),
-        (_PII_PHONE, "<PHONE>"),
-        (_PII_IDNUM, "<ID>"),
-    ):
-        redacted = F.regexp_replace(redacted, pat, tag)
+    redacted = redact("text")
     n_pii = (
         F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") + F.col("n_idnum")
     )

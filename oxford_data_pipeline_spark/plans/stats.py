@@ -205,3 +205,107 @@ def m16_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         round6(F.corr("rx", "ry")).alias("spearman_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# M10 (relational form) — Wilcoxon signed-rank statistic as rank algebra
+# --------------------------------------------------------------------------
+# The signed-rank statistic needs no UDF: zeros drop, average ranks
+# for ties come from the grouped-|d| cumulative count
+# (avg_rank = cnt_less + (cnt + 1)/2), W+ is a weighted sum, and the
+# tie-corrected normal z is closed-form — the same math as
+# ml/linalg.py:wilcoxon_signed_rank minus the p-value (the normal CDF
+# has no common SQL primitive; the kernel query m10_wilcoxon reports
+# it).  Differences are pre-rounded to 4 decimals with the stable
+# convention so tie groups agree bit-for-bit across engines (raw
+# avg() outputs differ by ~1e-15 between engines, which would
+# otherwise split a tie).  Scale: the pair relation is bounded by
+# |customers|; everything after is a 1-group rollup.
+_M10_STAT_ORACLE = """
+WITH per_pair AS (
+    SELECT o_custkey,
+           avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS a,
+           avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS b
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+    GROUP BY 1
+    HAVING count(CASE WHEN o_orderstatus = 'O' THEN 1 END) > 0
+       AND count(CASE WHEN o_orderstatus = 'F' THEN 1 END) > 0
+),
+diffs AS (
+    SELECT round((a - b) * 10000 + 0.01, 0) / 10000 AS d FROM per_pair
+),
+nz AS (SELECT d, abs(d) AS absd FROM diffs WHERE d <> 0),
+grouped AS (
+    SELECT absd, count(*) AS cnt,
+           sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos_cnt
+    FROM nz GROUP BY 1
+),
+ranked AS (
+    SELECT absd, cnt, pos_cnt,
+           sum(cnt) OVER (ORDER BY absd
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cnt AS cnt_less
+    FROM grouped
+),
+stats AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           sum(pos_cnt * (cnt_less + (cnt + 1) / 2.0)) AS w_plus,
+           sum(cnt * cnt * cnt - cnt) / 48.0 AS tie_term
+    FROM ranked
+)
+SELECT n,
+       round(w_plus * 1000000 + 0.01, 0) / 1000000 + 0 AS w_stat,
+       round((w_plus - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0 - tie_term)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS z
+FROM stats
+"""
+
+
+@register("m10_wilcoxon_stat", _M10_STAT_ORACLE)
+def m10_wilcoxon_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 as pure rank algebra: W+ and the tie-corrected normal z of
+    the Wilcoxon signed-rank test, hash-checked against DuckDB (the
+    kernel query m10_wilcoxon adds the p-value)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_pair = (
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_custkey")
+        .agg(
+            F.avg(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+            ).alias("a"),
+            F.avg(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+            ).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    d4 = F.round((F.col("a") - F.col("b")) * 10000 + F.lit(0.01), 0) / 10000
+    nz = per_pair.select(d4.alias("d")).filter(F.col("d") != 0).withColumn(
+        "absd", F.abs("d")
+    )
+    grouped = nz.groupBy("absd").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("pos_cnt"),
+    )
+    w = W.orderBy("absd").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = grouped.withColumn("cnt_less", F.sum("cnt").over(w) - F.col("cnt"))
+    stats = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("pos_cnt") * (F.col("cnt_less") + (F.col("cnt") + 1) / 2.0)
+        ).alias("w_plus"),
+        (F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")) / 48.0).alias(
+            "tie_term"
+        ),
+    )
+    n = F.col("n")
+    mu = n * (n + 1) / 4.0
+    sigma = F.sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0 - F.col("tie_term"))
+    return stats.select(
+        "n",
+        round6(F.col("w_plus")).alias("w_stat"),
+        round6((F.col("w_plus") - mu) / sigma).alias("z"),
+    )

@@ -267,3 +267,46 @@ def test_pack_stats_invariants(spark):
         assert 0 <= r["n_boundary_crossing"] <= r["n_docs"]
     # at least one shard must actually cross a boundary at this SF
     assert any(r["n_boundary_crossing"] > 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# Relational Wilcoxon vs the numpy kernel
+# --------------------------------------------------------------------------
+def test_wilcoxon_stat_matches_kernel(spark):
+    """The rank-algebra W+/z must agree with the applyInPandas kernel
+    (m10_wilcoxon).  The relational form pre-rounds diffs to 4
+    decimals for cross-engine tie stability, which can only shift W by
+    a fraction of a rank if a borderline tie flips — allow that."""
+    rel = QUERIES["m10_wilcoxon_stat"](spark, SF_DIR).first()
+    ker = QUERIES["m10_wilcoxon"](spark, SF_DIR).first()
+    assert rel["n"] == ker["n"]
+    assert abs(rel["w_stat"] - ker["w_stat"]) <= 1.0
+    assert abs(rel["z"] - ker["z"]) <= 1e-3
+
+
+def test_pii_scrub_idempotent_on_adversarial_cases(spark):
+    """Scrubbing already-redacted text must find nothing: the
+    replacement tags can never re-match any pattern, including on
+    boundary-adjacent and repeated PII."""
+    cases = [
+        "a@b.io",                                    # minimal email
+        "x@y.zz end",                                # email at start
+        "end x@y.zz",                                # email at end
+        "1.2.3.4 5.6.7.8",                           # adjacent IPs
+        "999-999-9999",                              # bare phone
+        "123456789123456789",                        # one long run, not two
+        "a@b.cc c@d.ee e@f.gg",                      # repeated emails
+        "ip 10.0.0.1 mail a@b.co phone 111-222-3333 id 987654321",
+    ]
+    rows = [(i, "s", t) for i, t in enumerate(cases)]
+    first = pii_scrub(_docs(spark, rows))
+    assert all(r["n_pii"] > 0 for r in first.collect())
+    # feed the REDACTED text back through the scrubber
+    from oxford_data_pipeline_spark.plans.quality import redact
+
+    redacted_docs = _docs(spark, rows).select(
+        "doc_id", "source", redact("text").alias("text")
+    )
+    second = pii_scrub(redacted_docs)
+    for r in second.collect():
+        assert r["n_pii"] == 0, (r["doc_id"], r)

@@ -423,3 +423,23 @@ def test_simhash_chunk_blocking_is_exhaustive(spark):
         for r in dedup_simhash_pairs(spark, SF_DIR).collect()
     }
     assert got == brute
+
+
+def test_ann_recall_floors(spark):
+    """The audited recall of each index is deterministic (md5-seeded
+    planes/quantizers), so pin the floors the round-4 tuning achieved:
+    multi-table LSH >= 0.3 (single-table was 0.04), 3-probe IVF >= 0.5,
+    and the exact re-rank must recover ADC distortion (rerank >= ADC)."""
+    from oxford_data_pipeline_spark.plans import QUERIES
+
+    def mean_recall(name):
+        rows = QUERIES[name](spark, SF_DIR).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    lsh, ivf = mean_recall("sim_lsh_recall"), mean_recall("sim_ivf_recall")
+    adc, rr = mean_recall("sim_ivfpq_recall"), mean_recall("sim_ivfpq_rerank_recall")
+    assert lsh >= 0.30, lsh
+    assert ivf >= 0.50, ivf
+    assert rr >= 0.40, rr
+    assert rr >= adc, (rr, adc)  # refinement must not lose recall
+    assert ivf >= rr - 1e-9, (ivf, rr)  # rerank is bounded by its probes
