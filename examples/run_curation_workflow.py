@@ -71,6 +71,12 @@ def main() -> None:
     print("  incremental batch: ", incr.filter("is_neardup").count(),
           "near-dups among", incr.count(), "delta matches")
 
+    print("== tokenizer ==")
+    merges = q("text_bpe_merges").orderBy("rank").limit(5).collect()
+    print("  top BPE merges:", [(r["left"], r["right"]) for r in merges])
+    comp = q("text_bpe_compression").agg({"symbols_per_token": "avg"}).collect()[0][0]
+    print(f"  mean symbols/token after 20 merges: {comp:.2f}")
+
     print("== composed curation pipeline ==")
     curated = q("cur_pipeline")
     write_csv_report(

@@ -276,3 +276,81 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.size("codes") > 0, rolling).alias("rolling_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (relational merge loop) + compression report
+# --------------------------------------------------------------------------
+# The trainer runs on the VOCAB relation (distinct words + counts —
+# Heaps-bounded, not corpus-sized); the corpus is touched once for
+# word counting and once for the compression join.  Iterative argmax
+# merges are not expressible as one SQL statement, so these queries
+# are rows-only in the driver contract; the merge sequence is instead
+# cross-checked EXACTLY against a pure-Python reference BPE in
+# tests/test_quality.py.
+_BPE_N_MERGES = 20
+
+_bpe_cache: dict[tuple, tuple] = {}
+
+
+def _bpe_model(spark: SparkSession, sf_dir: str):
+    """(merges, final vocab state) memoized per (app, sf_dir) — the
+    tokenizer is a trained model artifact, like the IVF quantizer."""
+    from oxford_data_pipeline_spark.operators.bpe import train_bpe
+
+    key = (spark.sparkContext.applicationId, sf_dir, _BPE_N_MERGES)
+    for stale in [k for k in _bpe_cache if k[0] != key[0]]:
+        del _bpe_cache[stale]
+    if key not in _bpe_cache:
+        words = (
+            tokens_relation(spark, sf_dir)
+            .select(F.explode("t").alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _bpe_cache[key] = train_bpe(words, _BPE_N_MERGES)
+    return _bpe_cache[key]
+
+
+@register("text_bpe_merges")
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table (rank, left, right, pair_count) —
+    deterministic: ties break (count desc, pair asc)."""
+    merges, _state = _bpe_model(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+@register("text_bpe_compression")
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE compression: whitespace tokens vs BPE symbols
+    after the learned merges.  Encoding = join each word occurrence
+    against the trained vocab state (word -> |syms|); the corpus never
+    re-walks the merge list."""
+    _merges, state = _bpe_model(spark, sf_dir)
+    occurrences = tokens_relation(spark, sf_dir).select(
+        "doc_id", "source", F.explode("t").alias("word")
+    )
+    enc = state.select("word", F.size("syms").alias("n_syms"))
+    return (
+        occurrences.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_syms").alias("bpe_symbols"),
+            round6(
+                F.sum("n_syms").cast("double") / F.count(F.lit(1))
+            ).alias("symbols_per_token"),
+        )
+    )
+
+
+def build_text_models(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Materialize the trained text-model artifacts (the BPE tokenizer)
+    for the bench index-build phase — training is model building, not
+    query work."""
+    merges, state = _bpe_model(spark, sf_dir)
+    return {"bpe_merges": len(merges), "bpe_vocab": state.count()}

@@ -310,3 +310,86 @@ def test_pii_scrub_idempotent_on_adversarial_cases(spark):
     second = pii_scrub(redacted_docs)
     for r in second.collect():
         assert r["n_pii"] == 0, (r["doc_id"], r)
+
+
+# --------------------------------------------------------------------------
+# BPE trainer vs pure-Python reference
+# --------------------------------------------------------------------------
+def _ref_bpe(word_counts: dict, n_merges: int):
+    """Reference BPE (GPT-2-style word-level trainer): plain Python,
+    no Spark — the ground truth the relational trainer must match
+    EXACTLY (same tie-breaks: count desc, pair asc)."""
+    state = {w: tuple(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for w, syms in state.items():
+            cnt = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + cnt
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = tuple(out)
+    return merges, state
+
+
+def test_bpe_matches_reference(spark):
+    """The relational trainer must reproduce the reference merge
+    sequence and the final per-word symbolization exactly."""
+    from oxford_data_pipeline_spark.operators.bpe import train_bpe
+
+    rows = [
+        ("lower", 5), ("lowest", 3), ("newer", 6), ("wider", 2),
+        ("low", 7), ("new", 4), ("widest", 1), ("aaaa", 3),
+    ]
+    words = spark.createDataFrame(rows, "word string, cnt long")
+    got_merges, got_state = train_bpe(words, 12)
+    ref_merges, ref_state = _ref_bpe(dict(rows), 12)
+    assert got_merges == ref_merges
+    got = {r["word"]: tuple(r["syms"]) for r in got_state.collect()}
+    assert got == ref_state
+
+
+def test_bpe_greedy_fold_semantics(spark):
+    """The left fold must merge leftmost-first: 'aaa' under (a,a) is
+    [aa, a], never [a, aa]."""
+    from oxford_data_pipeline_spark.operators.bpe import (
+        _apply_merge,
+        chars_state,
+    )
+
+    words = spark.createDataFrame([("aaa", 1), ("aaaa", 1)], "word string, cnt long")
+    out = {
+        r["word"]: r["syms"]
+        for r in _apply_merge(chars_state(words), "a", "a").collect()
+    }
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aaaa"] == ["aa", "aa"]
+
+
+def test_bpe_corpus_queries_consistent(spark):
+    """Registered BPE queries: merge table is rank-complete and the
+    compression ratio is >= 1 symbol per token (merges only shrink)."""
+    m = QUERIES["text_bpe_merges"](spark, SF_DIR).collect()
+    assert [r["rank"] for r in sorted(m, key=lambda r: r["rank"])] == list(
+        range(1, len(m) + 1)
+    )
+    # counts non-increasing is NOT guaranteed (later merges can create
+    # new frequent pairs), but every count is positive
+    assert all(r["pair_count"] > 0 for r in m)
+    for r in QUERIES["text_bpe_compression"](spark, SF_DIR).collect():
+        assert r["symbols_per_token"] >= 1.0
+        assert r["bpe_symbols"] >= r["ws_tokens"]
