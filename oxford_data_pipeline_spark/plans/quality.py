@@ -294,3 +294,100 @@ def cur_c4_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 heuristic admission: word-count bounds, mean word length,
     code/boilerplate markers, symbol density — one scan, no shuffle."""
     return c4_heuristics(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------------------
+# Model-based quality scoring (linear classifier inference)
+# --------------------------------------------------------------------------
+# The fasttext-style quality filter shape (CCNet/LLaMA pipelines):
+# a LINEAR model over cheap text features, scored corpus-wide.  The
+# weights here are fixed literals standing in for an offline-trained
+# classifier (production swaps the literal vector for the trained one
+# — the PLAN is identical: scan-local feature extraction + a dot
+# product + sigmoid, zero shuffles before the final filter).  Keeping
+# inference relational is the point: no model server in the loop, the
+# corpus is scored in one pass.
+_QC_W0 = -2.0    # bias
+_QC_W_LOGTOK = 0.9   # log(1 + n_tokens)
+_QC_W_TTR = 1.5      # type-token ratio
+_QC_W_STOP = -0.8    # stopword ratio
+_QC_W_AVGLEN = 0.12  # mean token length
+
+_QC_ORACLE = f"""
+WITH {{tokens_cte}},
+feat AS (
+    SELECT doc_id, source,
+           len(t) AS n_tokens,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+           CAST(len(list_filter(t, x -> list_contains({{stop_sql}}, x))) AS DOUBLE)
+               / len(t) AS stop_ratio,
+           CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(t) AS avg_len
+    FROM toks WHERE len(t) > 0
+),
+scored AS (
+    SELECT doc_id, source, n_tokens,
+           {_QC_W0} + {_QC_W_LOGTOK} * ln(1 + n_tokens)
+                    + {_QC_W_TTR} * ttr
+                    + {_QC_W_STOP} * stop_ratio
+                    + {_QC_W_AVGLEN} * avg_len AS logit
+    FROM feat
+)
+SELECT doc_id, source, n_tokens,
+       round(logit * 1000000 + 0.01, 0) / 1000000 + 0 AS logit,
+       round(1.0 / (1.0 + exp(-logit)) * 1000000 + 0.01, 0) / 1000000 + 0 AS quality_prob,
+       (1.0 / (1.0 + exp(-logit)) >= 0.5) AS admitted
+FROM scored
+"""
+
+
+def _qc_oracle() -> str:
+    from oxford_data_pipeline_spark.operators.textops import STOPWORDS
+    from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE
+
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return _QC_ORACLE.format(tokens_cte=_TOKENS_CTE, stop_sql=stop_sql)
+
+
+def cur_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference: sigmoid of a fixed weight
+    vector over length/diversity/stopword features — one corpus pass,
+    zero shuffles (features come from the shared tokens relation)."""
+    from oxford_data_pipeline_spark.operators.textops import (
+        STOPWORDS,
+        count_in_list,
+    )
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    t = tokens_relation(spark, sf_dir).filter(F.size("t") > 0)
+    n = F.size("t")
+    feat = t.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct("t")).cast("double") / n).alias("ttr"),
+        (count_in_list(F.col("t"), STOPWORDS).cast("double") / n).alias(
+            "stop_ratio"
+        ),
+        (
+            F.length(F.regexp_replace("norm", " ", "")).cast("double") / n
+        ).alias("avg_len"),
+    )
+    logit = (
+        F.lit(_QC_W0)
+        + _QC_W_LOGTOK * F.log(1 + F.col("n_tokens"))
+        + _QC_W_TTR * F.col("ttr")
+        + _QC_W_STOP * F.col("stop_ratio")
+        + _QC_W_AVGLEN * F.col("avg_len")
+    )
+    prob = 1.0 / (1.0 + F.exp(-logit))
+    return feat.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        round6(logit).alias("logit"),
+        round6(prob).alias("quality_prob"),
+        (prob >= 0.5).alias("admitted"),
+    )
+
+
+register("cur_quality_classifier", _qc_oracle())(cur_quality_classifier)

@@ -1217,3 +1217,162 @@ def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup via IVF-cluster blocking
+# --------------------------------------------------------------------------
+# Abbas et al. 2023: semantically-redundant documents live in the same
+# embedding cluster, so pair generation is blocked by the TRAINED
+# coarse quantizer's cell assignment — reusing the exact IVF index the
+# ANN queries maintain — and exact cosine verifies only within-cell
+# pairs.  At 100 TB the cell count scales ~sqrt(corpus) (the same knob
+# as the IVF index), bounding per-cell pair products the way the LSH
+# bucket cap bounds sign buckets; the threshold is LOWER than the
+# near-dup cosine bar (0.5) because semantic redundancy is a weaker
+# relation than near-duplication.
+_SEMANTIC_THRESHOLD = 0.4
+
+_SEMDEDUP_ORACLE = _materialize_ctes(f"""
+WITH {_IVF_CHAIN},
+spairs AS (
+    SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2
+    FROM assignment a JOIN assignment b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+sdots AS (
+    SELECT p.cell, p.v1, p.v2, sum(la.val * lb.val) AS dot
+    FROM spairs p
+    JOIN long la ON la.vec_id = p.v1
+    JOIN long lb ON lb.vec_id = p.v2 AND la.dim = lb.dim
+    GROUP BY 1, 2, 3
+)
+SELECT d.cell, d.v1, d.v2,
+       round(d.dot / (na.nrm * nb.nrm) * 1000000 + 0.01, 0) / 1000000 + 0 AS cosine
+FROM sdots d
+JOIN norms na ON d.v1 = na.vec_id
+JOIN norms nb ON d.v2 = nb.vec_id
+WHERE d.dot / (na.nrm * nb.nrm) >= {_SEMANTIC_THRESHOLD}
+""")
+
+
+@register("dedup_semantic", _SEMDEDUP_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-IVF-cell semantic-duplicate pairs (cosine >=
+    {_SEMANTIC_THRESHOLD}), reusing the trained coarse quantizer as
+    the blocking index.  Keep-rule downstream: min vec_id per pair."""
+    long, norms, _centroids, assignment, _cand = _ivf_candidates(spark, sf_dir)
+    a, b = assignment.alias("a"), assignment.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cell").alias("cell"),
+        F.col("a.vec_id").alias("v1"),
+        F.col("b.vec_id").alias("v2"),
+    )
+    la, lb = long.alias("la"), long.alias("lb")
+    dots = (
+        pairs.join(la, F.col("v1") == F.col("la.vec_id"))
+        .join(
+            lb,
+            (F.col("v2") == F.col("lb.vec_id")) & (F.col("la.dim") == F.col("lb.dim")),
+        )
+        .groupBy("cell", "v1", "v2")
+        .agg(F.sum(F.col("la.val") * F.col("lb.val")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        dots.join(na, F.col("v1") == F.col("na.vec_id"))
+        .join(nb, F.col("v2") == F.col("nb.vec_id"))
+        .filter(cos >= _SEMANTIC_THRESHOLD)
+        .select("cell", "v1", "v2", round6(cos).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Contrastive hard-negative mining (embedding training-data op)
+# --------------------------------------------------------------------------
+# For each query vector: the highest-cosine candidate with a DIFFERENT
+# label — the "hard negative" a contrastive training pipeline pairs
+# with each anchor.  Candidate generation reuses the IVF probe join
+# (hard negatives are by definition nearby, i.e. in the probed
+# cells), so mining cost = the ANN search cost plus a label filter;
+# the label relation rides along from the embeddings scan.
+_HARDNEG_ORACLE = _materialize_ctes(f"""
+WITH {_IVF_CHAIN},
+labels AS (SELECT vec_id, label FROM embeddings),
+hdots AS (
+    SELECT cd.query_id, cd.cand_id, sum(lq.val * lc.val) AS dot
+    FROM cand cd
+    JOIN long lq ON lq.vec_id = cd.query_id
+    JOIN long lc ON lc.vec_id = cd.cand_id AND lq.dim = lc.dim
+    GROUP BY 1, 2
+),
+hscored AS (
+    SELECT d.query_id, d.cand_id,
+           lq.label AS query_label, lc.label AS neg_label,
+           round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) / 1000000 + 0 AS cosine
+    FROM hdots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.cand_id = nc.vec_id
+    JOIN labels lq ON d.query_id = lq.vec_id
+    JOIN labels lc ON d.cand_id = lc.vec_id
+    WHERE lq.label <> lc.label
+),
+hranked AS (
+    SELECT query_id, cand_id AS neg_id, query_label, neg_label, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rnk
+    FROM hscored
+)
+SELECT query_id, neg_id, query_label, neg_label, cosine
+FROM hranked WHERE rnk = 1
+""")
+
+
+@register("emb_hard_negatives", _HARDNEG_ORACLE)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query hard negative: nearest other-label vector among the
+    IVF probe candidates (the contrastive-training mining op)."""
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    long, norms, _centroids, _assignment, cand = _ivf_candidates(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lq, lc = long.alias("lq"), long.alias("lc")
+    dots = (
+        cand.join(lq, F.col("query_id") == F.col("lq.vec_id"))
+        .join(
+            lc,
+            (F.col("cand_id") == F.col("lc.vec_id"))
+            & (F.col("lq.dim") == F.col("lc.dim")),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("lq.val") * F.col("lc.val")).alias("dot"))
+    )
+    nq, nc = norms.alias("nq"), norms.alias("nc")
+    tq = labels.alias("tq")
+    tc = labels.alias("tc")
+    scored = (
+        dots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
+        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
+        .join(F.broadcast(tq), F.col("query_id") == F.col("tq.vec_id"))
+        .join(F.broadcast(tc), F.col("cand_id") == F.col("tc.vec_id"))
+        .filter(F.col("tq.label") != F.col("tc.label"))
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("tq.label").alias("query_label"),
+            F.col("tc.label").alias("neg_label"),
+            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )

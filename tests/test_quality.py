@@ -393,3 +393,36 @@ def test_bpe_corpus_queries_consistent(spark):
     for r in QUERIES["text_bpe_compression"](spark, SF_DIR).collect():
         assert r["symbols_per_token"] >= 1.0
         assert r["bpe_symbols"] >= r["ws_tokens"]
+
+
+# --------------------------------------------------------------------------
+# SemDeDup + quality classifier
+# --------------------------------------------------------------------------
+def test_semantic_dedup_pairs(spark):
+    import math
+
+    df = QUERIES["dedup_semantic"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["v1"] < r["v2"]
+        assert r["cosine"] >= 0.4 - 1e-9
+        assert math.isfinite(r["cosine"])
+
+
+def test_quality_classifier_consistency(spark):
+    df = QUERIES["cur_quality_classifier"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # single pass over the tokens relation
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0.0 <= r["quality_prob"] <= 1.0
+        assert r["admitted"] == (r["quality_prob"] >= 0.5)
+    # the sigmoid is monotone in the logit
+    by_logit = sorted(rows, key=lambda r: r["logit"])
+    probs = [r["quality_prob"] for r in by_logit]
+    assert probs == sorted(probs)
