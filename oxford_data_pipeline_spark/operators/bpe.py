@@ -30,6 +30,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame.  ``DataFrame.unpersist`` goes through the CacheManager and
+    does NOT touch checkpoint blocks; the blocks belong to the
+    ``LogicalRDD``'s underlying RDD, reachable via the analyzed plan.
+    Best-effort: silently a no-op for non-checkpointed frames or stopped
+    sessions."""
+    try:
+        lp = df._jdf.queryExecution().analyzed()
+        if lp.getClass().getName().endswith("LogicalRDD"):
+            lp.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def chars_state(words: DataFrame) -> DataFrame:
     """Initial BPE state: (word, syms = character array, cnt)."""
     return words.select(
@@ -97,5 +112,10 @@ def train_bpe(
             break
         left, right, total = best[0]["left"], best[0]["right"], int(best[0]["total"])
         merges.append((left, right, total))
+        prev = state
         state = _apply_merge(state, left, right).localCheckpoint(eager=True)
+        # the new checkpoint is materialized (eager) — the prior round's
+        # blocks are dead weight; free them so storage stays O(1) in
+        # n_merges, not O(n_merges)
+        free_local_checkpoint(prev)
     return merges, state

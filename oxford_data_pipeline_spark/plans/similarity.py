@@ -1231,14 +1231,53 @@ def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket cap bounds sign buckets; the threshold is LOWER than the
 # near-dup cosine bar (0.5) because semantic redundancy is a weaker
 # relation than near-duplication.
+#
+# Skew guard: a boilerplate-heavy crawl concentrates embeddings, so one
+# mega-cell would reintroduce the quadratic pair product the blocking
+# exists to avoid.  Cells above _SEMDEDUP_CELL_CAP members are
+# SUB-SPLIT by a deterministic secondary key (vec_id mod ceil(csz/cap))
+# before the pair join, bounding every pair product at ~cap^2 while
+# still checking pairs inside each sub-split (cross-sub-split pairs are
+# the documented recall trade, same contract as the LSH _BUCKET_CAP).
+# The sub-split is mirrored exactly in the DuckDB oracle, so the
+# semantics are oracle-checked at every scale, not just below the cap.
 _SEMANTIC_THRESHOLD = 0.4
+_SEMDEDUP_CELL_CAP = 1000
+
+
+def subsplit_cells(assignment: DataFrame, cap: int) -> DataFrame:
+    """(vec_id, cell) -> (vec_id, cell, subcell): cells with <= cap
+    members get subcell 0; larger cells are split into ceil(csz/cap)
+    groups by vec_id modulus, so every (cell, subcell) block has ~cap
+    members and the downstream pair join is bounded at ~cap^2 per
+    block regardless of skew.  Deterministic (no hash-seed or RNG), so
+    the DuckDB oracle reproduces it exactly."""
+    sizes = assignment.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
+    return assignment.join(F.broadcast(sizes), "cell").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("csz") <= cap, F.lit(0).cast("long"))
+        .otherwise(
+            F.col("vec_id") % F.ceil(F.col("csz") / F.lit(float(cap))).cast("long")
+        )
+        .alias("subcell"),
+    )
+
 
 _SEMDEDUP_ORACLE = _materialize_ctes(f"""
 WITH {_IVF_CHAIN},
+csizes AS (SELECT cell, count(*) AS csz FROM assignment GROUP BY 1),
+sasg AS (
+    SELECT a.vec_id, a.cell,
+           CASE WHEN s.csz <= {_SEMDEDUP_CELL_CAP} THEN 0
+                ELSE a.vec_id % CAST(ceil(s.csz * 1.0 / {_SEMDEDUP_CELL_CAP}) AS BIGINT)
+           END AS subcell
+    FROM assignment a JOIN csizes s ON a.cell = s.cell
+),
 spairs AS (
     SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2
-    FROM assignment a JOIN assignment b
-      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    FROM sasg a JOIN sasg b
+      ON a.cell = b.cell AND a.subcell = b.subcell AND a.vec_id < b.vec_id
 ),
 sdots AS (
     SELECT p.cell, p.v1, p.v2, sum(la.val * lb.val) AS dot
@@ -1260,12 +1299,17 @@ WHERE d.dot / (na.nrm * nb.nrm) >= {_SEMANTIC_THRESHOLD}
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: within-IVF-cell semantic-duplicate pairs (cosine >=
     {_SEMANTIC_THRESHOLD}), reusing the trained coarse quantizer as
-    the blocking index.  Keep-rule downstream: min vec_id per pair."""
+    the blocking index.  Keep-rule downstream: min vec_id per pair.
+    Cells above _SEMDEDUP_CELL_CAP are sub-split by vec_id mod
+    ceil(csz/cap) so no pair product exceeds ~cap^2 under skew."""
     long, norms, _centroids, assignment, _cand = _ivf_candidates(spark, sf_dir)
-    a, b = assignment.alias("a"), assignment.alias("b")
+    sasg = subsplit_cells(assignment, _SEMDEDUP_CELL_CAP)
+    a, b = sasg.alias("a"), sasg.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.subcell") == F.col("b.subcell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.cell").alias("cell"),
         F.col("a.vec_id").alias("v1"),

@@ -283,12 +283,89 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # The trainer runs on the VOCAB relation (distinct words + counts —
 # Heaps-bounded, not corpus-sized); the corpus is touched once for
-# word counting and once for the compression join.  Iterative argmax
-# merges are not expressible as one SQL statement, so these queries
-# are rows-only in the driver contract; the merge sequence is instead
-# cross-checked EXACTLY against a pure-Python reference BPE in
+# word counting and once for the compression join.  The fixed merge
+# count makes the iterative trainer ORACLE-CHECKABLE after all: the
+# loop unrolls into an n_merges-stage CTE chain (pair counts ->
+# argmax -> greedy merge per stage), generated below, so DuckDB
+# reproduces the merge sequence exactly; the merge sequence is also
+# cross-checked against a pure-Python reference BPE in
 # tests/test_quality.py.
 _BPE_N_MERGES = 20
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """Unrolled BPE trainer as a DuckDB CTE chain mirroring
+    operators/bpe.py round-for-round.  State is a delimited symbol
+    string per word: every symbol wrapped as ``|sym|`` (symbols are
+    [a-z0-9]+ so '|' is safe), adjacent symbols sharing a double
+    delimiter — making the greedy leftmost-first merge EXACTLY a
+    left-to-right non-overlapping ``replace`` of ``|l||r|`` with
+    ``|lr|`` (the wrapper consumes both symbols whole, so a pair
+    can never match across a longer symbol's prefix, and consecutive
+    disjoint pairs still both match).  MATERIALIZED stops DuckDB from
+    inlining the chain exponentially."""
+    parts = [
+        r"""
+words AS MATERIALIZED (
+    SELECT w AS word, count(*) AS cnt
+    FROM (SELECT unnest(t) AS w FROM toks)
+    GROUP BY 1
+),
+state0 AS MATERIALIZED (
+    SELECT word, regexp_replace(word, '(.)', '|\1|', 'g') AS s, cnt FROM words
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f""",
+pc{r} AS MATERIALIZED (
+    SELECT syms[i] AS lft, syms[i + 1] AS rgt, sum(cnt) AS total
+    FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS syms, cnt
+          FROM state{p}),
+         unnest(generate_series(1, len(syms) - 1)) AS u(i)
+    GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (
+    SELECT lft, rgt, total FROM pc{r} ORDER BY total DESC, lft, rgt LIMIT 1
+),
+state{r} AS MATERIALIZED (
+    SELECT s.word,
+           replace(s.s, '|' || b.lft || '||' || b.rgt || '|',
+                   '|' || b.lft || b.rgt || '|') AS s,
+           s.cnt
+    FROM state{p} s CROSS JOIN best{r} b
+)""")
+    return "".join(parts)
+
+
+_BPE_MERGES_ORACLE = f"""
+WITH {_TOKENS_CTE}, {_bpe_oracle_ctes(_BPE_N_MERGES)}
+SELECT * FROM (
+{" UNION ALL ".join(
+    f'SELECT CAST({r} AS INTEGER) AS rank, lft AS "left", rgt AS "right",'
+    f' CAST(total AS BIGINT) AS pair_count FROM best{r}'
+    for r in range(1, _BPE_N_MERGES + 1)
+)}
+) ORDER BY rank
+"""
+
+_BPE_COMPRESSION_ORACLE = f"""
+WITH {_TOKENS_CTE}, {_bpe_oracle_ctes(_BPE_N_MERGES)},
+enc AS (
+    SELECT word,
+           len(list_filter(string_split(s, '|'), x -> x <> '')) AS n_syms
+    FROM state{_BPE_N_MERGES}
+),
+occ AS (SELECT doc_id, source, unnest(t) AS word FROM toks)
+SELECT o.source AS source,
+       count(DISTINCT o.doc_id) AS n_docs,
+       count(*) AS ws_tokens,
+       CAST(sum(e.n_syms) AS BIGINT) AS bpe_symbols,
+       round(sum(e.n_syms) * 1.0 / count(*) * 1000000 + 0.01, 0) / 1000000 + 0
+           AS symbols_per_token
+FROM occ o JOIN enc e USING (word)
+GROUP BY 1
+"""
 
 _bpe_cache: dict[tuple, tuple] = {}
 
@@ -296,10 +373,16 @@ _bpe_cache: dict[tuple, tuple] = {}
 def _bpe_model(spark: SparkSession, sf_dir: str):
     """(merges, final vocab state) memoized per (app, sf_dir) — the
     tokenizer is a trained model artifact, like the IVF quantizer."""
-    from oxford_data_pipeline_spark.operators.bpe import train_bpe
+    from oxford_data_pipeline_spark.operators.bpe import (
+        free_local_checkpoint,
+        train_bpe,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir, _BPE_N_MERGES)
     for stale in [k for k in _bpe_cache if k[0] != key[0]]:
+        # mirror plans/memo.py eviction: release the checkpointed final
+        # state's blocks (no-op if the old session is already stopped)
+        free_local_checkpoint(_bpe_cache[stale][1])
         del _bpe_cache[stale]
     if key not in _bpe_cache:
         words = (
@@ -312,7 +395,7 @@ def _bpe_model(spark: SparkSession, sf_dir: str):
     return _bpe_cache[key]
 
 
-@register("text_bpe_merges")
+@register("text_bpe_merges", _BPE_MERGES_ORACLE)
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table (rank, left, right, pair_count) —
     deterministic: ties break (count desc, pair asc)."""
@@ -323,7 +406,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_compression")
+@register("text_bpe_compression", _BPE_COMPRESSION_ORACLE)
 def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source BPE compression: whitespace tokens vs BPE symbols
     after the learned merges.  Encoding = join each word occurrence
