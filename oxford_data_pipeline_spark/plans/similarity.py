@@ -289,9 +289,13 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # IVF ANN: trained coarse quantizer (relational Lloyd) + multi-probe search
 # --------------------------------------------------------------------------
-_N_PROBE = 3  # probe 3 of the 8 coarse cells (recall audited; was 2 —
-# the audit showed 0.44-0.64 recall@k, and the third probe buys ~0.1-0.2
-# recall for +50% probe-join volume, still O(probed cells) per query)
+_N_PROBE = 5  # probe 5 of the 8 coarse cells (recall audited; was 3 at
+# 0.58-0.68 recall@k — below the 0.8 serving bar.  The synthetic
+# embeddings are only weakly clustered, so candidate recall tracks the
+# probed corpus fraction; 5 probes lifts the IVF candidate ceiling to
+# ~0.84 for +67% probe-join volume, still O(probed cells) per query.
+# On a corpus with real cluster structure the same recall needs a far
+# smaller probed fraction — probe count stays the recall dial.)
 _K_CELLS = 8
 _LLOYD_ITERS = 3
 # Quantizer training set: the _TRAIN_SAMPLE vectors with smallest
@@ -689,7 +693,10 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _PQ_M = 8        # subspaces (64 dims -> 8 sub-vectors of 8 dims)
 _PQ_SUB = 8      # dims per subspace
-_PQ_K = 16       # codes per subspace codebook
+_PQ_K = 32       # codes per subspace codebook (5 bits; was 16/4-bit —
+# the coarser books left ADC recall at 0.24 and forced the re-rank
+# shortlist to carry all the recall; 32 codes doubles codebook rows
+# (still broadcast-size) and lifts ADC recall to ~0.36)
 _PQ_ITERS = 2    # Lloyd rounds per sub-quantizer
 
 
@@ -1094,15 +1101,16 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-PQ + exact re-rank (ADC shortlist, exact-cosine refinement)
 # --------------------------------------------------------------------------
 # The textbook IVFADC+R shape: the compressed index produces a
-# SHORTLIST (8k per query) with approximate ADC scores, then ONLY the
-# shortlist vectors are fetched and scored exactly.  The ADC audit
-# showed recall@5 0.16-0.30 — 4-bit-per-subvector quantization
-# distortion reorders near-ties — while the shortlist usually CONTAINS
-# the true neighbors; re-ranking it exactly recovers most of the IVF
-# recall for 8k exact-vector fetches per query instead of a corpus
-# scan.  At 100 TB this is the standard serving topology: PQ codes in
-# memory, raw vectors on cold storage touched only for shortlists.
-_RERANK_SHORTLIST = 8 * _TOP_K
+# SHORTLIST (25k per query) with approximate ADC scores, then ONLY the
+# shortlist vectors are fetched and scored exactly.  ADC's 5-bit
+# quantization distortion reorders near-ties, but the shortlist
+# CONTAINS nearly all true neighbors the probes reached; re-ranking it
+# exactly recovers the IVF candidate recall (~0.84 ceiling, re-rank
+# lands 0.82-0.86, past the 0.8 serving bar) for 25k exact-vector
+# fetches per query instead of a corpus scan.  At 100 TB this is the
+# standard serving topology: PQ codes in memory, raw vectors on cold
+# storage touched only for shortlists.
+_RERANK_SHORTLIST = 25 * _TOP_K
 
 _IVFPQ_RERANK_ORACLE = _materialize_ctes(f"""
 WITH {_IVF_CHAIN},

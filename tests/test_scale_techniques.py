@@ -427,9 +427,11 @@ def test_simhash_chunk_blocking_is_exhaustive(spark):
 
 def test_ann_recall_floors(spark):
     """The audited recall of each index is deterministic (md5-seeded
-    planes/quantizers), so pin the floors the round-4 tuning achieved:
-    multi-table LSH >= 0.3 (single-table was 0.04), 3-probe IVF >= 0.5,
-    and the exact re-rank must recover ADC distortion (rerank >= ADC)."""
+    planes/quantizers), so pin the floors the round-5 tuning achieved:
+    multi-table LSH >= 0.3 (single-table was 0.04), 5-probe IVF >= 0.8,
+    the serving path (IVFADC+R exact re-rank) >= 0.8 — the standard
+    serving bar — and the re-rank must recover ADC distortion
+    (rerank >= ADC)."""
     from oxford_data_pipeline_spark.plans import QUERIES
 
     def mean_recall(name):
@@ -439,8 +441,8 @@ def test_ann_recall_floors(spark):
     lsh, ivf = mean_recall("sim_lsh_recall"), mean_recall("sim_ivf_recall")
     adc, rr = mean_recall("sim_ivfpq_recall"), mean_recall("sim_ivfpq_rerank_recall")
     assert lsh >= 0.30, lsh
-    assert ivf >= 0.50, ivf
-    assert rr >= 0.40, rr
+    assert ivf >= 0.80, ivf
+    assert rr >= 0.80, rr
     assert rr >= adc, (rr, adc)  # refinement must not lose recall
     assert ivf >= rr - 1e-9, (ivf, rr)  # rerank is bounded by its probes
 
