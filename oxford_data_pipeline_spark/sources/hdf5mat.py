@@ -19,8 +19,11 @@ written without chunking/compression:
   (any depth) and the filter pipeline MATLAB actually uses:
   deflate (zlib), byte-shuffle, and fletcher32 (checksum stripped).
 
-Out of scope (raises NotImplementedError): non-f64 datatypes (MATLAB
-cell/struct/char variables), nested groups, v2+ object headers,
+Char variables (uint16 UTF-16 datasets, how MATLAB stores char in
+v7.3) decode to str / object-array-of-row-strings in the contiguous
+layout.  Out of scope (raises NotImplementedError): other non-f64
+datatypes (MATLAB cell/struct variables — stored as object-reference
+groups in v7.3), chunked char, nested groups, v2+ object headers,
 group B-trees deeper than one SNOD level — the documented seam in
 ``mat_ingest.ingest_mat_files`` accepts a custom decoder (e.g.
 h5py-backed) for those.
@@ -58,29 +61,41 @@ def _pad8(n: int) -> int:
 # --------------------------------------------------------------------------
 # writer
 # --------------------------------------------------------------------------
-def _dataspace_datatype_msgs(dims: tuple[int, ...]) -> list[tuple[int, bytes]]:
+def _dataspace_datatype_msgs(
+    dims: tuple[int, ...], *, char: bool = False
+) -> list[tuple[int, bytes]]:
     msgs = []
     # dataspace: version 1, rank, flags 0, 5 reserved, dims (8 bytes each)
     body = struct.pack("<BBB5x", 1, len(dims), 0) + b"".join(
         struct.pack("<Q", d) for d in dims
     )
     msgs.append((_MSG_DATASPACE, body))
-    # datatype: version 1 class 1 (float), IEEE f64 little-endian
-    #   bitfield: byte order LE (bit0=0), mantissa normalization 2 (bits 4-5),
-    #   sign location 63; properties: offset 0, precision 64,
-    #   exponent loc 52 size 11, mantissa loc 0 size 52, bias 1023
-    body = (
-        struct.pack("<B3B", 0x11, 0x20, 0x3F, 0x00)
-        + struct.pack("<I", 8)
-        + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
-    )
+    if char:
+        # datatype: version 1 class 0 (fixed-point), uint16 little-endian —
+        # how MATLAB stores char data in v7.3 (UTF-16 code units);
+        # bitfield: LE, unsigned; properties: bit offset 0, precision 16
+        body = struct.pack("<B3B", 0x10, 0x00, 0x00, 0x00) + struct.pack(
+            "<I", 2
+        ) + struct.pack("<HH", 0, 16)
+    else:
+        # datatype: version 1 class 1 (float), IEEE f64 little-endian
+        #   bitfield: byte order LE (bit0=0), mantissa normalization 2
+        #   (bits 4-5), sign location 63; properties: offset 0, precision 64,
+        #   exponent loc 52 size 11, mantissa loc 0 size 52, bias 1023
+        body = (
+            struct.pack("<B3B", 0x11, 0x20, 0x3F, 0x00)
+            + struct.pack("<I", 8)
+            + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        )
     msgs.append((_MSG_DATATYPE, body))
     return msgs
 
 
-def _dataset_header(dims: tuple[int, int], data_addr: int, data_size: int) -> bytes:
-    """v1 object header for a contiguous float64 dataset."""
-    msgs = _dataspace_datatype_msgs(dims)
+def _dataset_header(
+    dims: tuple[int, int], data_addr: int, data_size: int, *, char: bool = False
+) -> bytes:
+    """v1 object header for a contiguous float64 (or uint16 char) dataset."""
+    msgs = _dataspace_datatype_msgs(dims, char=char)
     # data layout: version 3, class 1 = contiguous, address + size
     msgs.append((_MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr, data_size)))
     return _object_header(msgs)
@@ -187,7 +202,13 @@ def write_mat73(
         raise NotImplementedError("single-SNOD writer: at most 8 variables")
     mats: dict[str, np.ndarray] = {}
     for name in names:
-        a = np.asarray(arrays[name], dtype=np.float64)
+        v = arrays[name]
+        if isinstance(v, str):  # MATLAB char: uint16 UTF-16 code units, 1xN
+            if chunks is not None:
+                raise NotImplementedError("char variables are contiguous-only")
+            mats[name] = np.frombuffer(v.encode("utf-16-le"), "<u2").reshape(1, -1)
+            continue
+        a = np.asarray(v, dtype=np.float64)
         if a.ndim == 1:
             a = a.reshape(-1, 1)
         if a.ndim != 2:
@@ -224,9 +245,12 @@ def write_mat73(
         p: dict = {"stored": stored}
         ds_oh_addr[name] = cursor
         if chunks is None:
-            cursor += len(_dataset_header(stored.shape, 0, 0))  # size probe
+            is_char = stored.dtype == np.uint16
+            cursor += len(
+                _dataset_header(stored.shape, 0, 0, char=is_char)
+            )  # size probe
             p["data_addr"] = cursor
-            cursor += stored.size * 8
+            cursor += stored.size * stored.itemsize
         else:
             cshape = tuple(
                 max(1, min(c, d)) for c, d in zip(chunks, stored.shape)
@@ -295,7 +319,11 @@ def write_mat73(
         stored = p["stored"]
         if chunks is None:
             out.write(
-                _dataset_header(stored.shape, p["data_addr"], stored.size * 8)
+                _dataset_header(
+                    stored.shape, p["data_addr"],
+                    stored.size * stored.itemsize,
+                    char=stored.dtype == np.uint16,
+                )
             )
             out.write(stored.tobytes())
         else:
@@ -496,19 +524,40 @@ def _read_dataset(payload: bytes, base: int, oh_addr: int) -> np.ndarray:
         raise NotImplementedError(f"dataspace version {sp_ver}")
     dims = struct.unpack_from(f"<{rank}Q", sp, 8)
     dt = msgs[_MSG_DATATYPE]
-    cls_ver, size = dt[0], struct.unpack_from("<I", dt, 4)[0]
-    if cls_ver & 0x0F != 1 or size != 8 or dt[1] & 0x01:
-        raise NotImplementedError("only little-endian float64 datasets supported")
+    dt_cls, size = dt[0] & 0x0F, struct.unpack_from("<I", dt, 4)[0]
+    if dt[1] & 0x01:
+        raise NotImplementedError("big-endian datasets not supported")
+    if dt_cls == 1 and size == 8:
+        dtype, is_char = "<f8", False
+    elif dt_cls == 0 and size == 2 and not dt[1] & 0x08:
+        # unsigned 16-bit fixed-point = MATLAB char (UTF-16 code units)
+        dtype, is_char = "<u2", True
+    else:
+        raise NotImplementedError(
+            f"unsupported datatype class {dt_cls} size {size} "
+            "(float64 + uint16-char reader)"
+        )
     lay = msgs[_MSG_LAYOUT]
     lay_ver, lay_cls = lay[0], lay[1]
     n = int(np.prod(dims)) if rank else 1
     if lay_ver == 3 and lay_cls == 1:  # contiguous
         addr, nbytes = struct.unpack_from("<QQ", lay, 2)
-        if nbytes != n * 8:
+        if nbytes != n * size:
             raise ValueError("layout size does not match dataspace")
-        arr = np.frombuffer(payload, "<f8", count=n, offset=base + addr)
-        return arr.reshape(dims).transpose()  # back to MATLAB orientation
+        arr = np.frombuffer(payload, dtype, count=n, offset=base + addr)
+        mat = arr.reshape(dims).transpose()  # back to MATLAB orientation
+        if not is_char:
+            return mat
+        # m x n char matrix: each ROW is a string; 1 x n is a scalar str
+        if mat.ndim <= 1 or mat.shape[0] == 1:
+            return mat.ravel().astype("<u2").tobytes().decode("utf-16-le")
+        rows = np.empty(mat.shape[0], dtype=object)
+        for i in range(mat.shape[0]):
+            rows[i] = mat[i].astype("<u2").tobytes().decode("utf-16-le")
+        return rows
     if lay_ver == 3 and lay_cls == 2:  # chunked (what MATLAB writes)
+        if is_char:
+            raise NotImplementedError("chunked char datasets not supported")
         ndims = lay[2]  # rank + 1: trailing dim is the element size
         (btree_addr,) = struct.unpack_from("<Q", lay, 3)
         chunk_dims = struct.unpack_from(f"<{ndims}I", lay, 11)
@@ -548,7 +597,8 @@ def _heap_name(payload: bytes, base: int, heap_hdr: int, off: int) -> str:
 
 
 def read_mat73(payload: bytes) -> dict[str, np.ndarray]:
-    """Parse a MAT v7.3 / plain-HDF5 blob into {name: float64 ndarray}."""
+    """Parse a MAT v7.3 / plain-HDF5 blob into {name: float64 ndarray
+    | str | object array of row strings (char variables)}."""
     base = _find_base(payload)
     if struct.unpack_from("<B", payload, base + 8)[0] != 0:
         raise NotImplementedError("only superblock version 0 supported")

@@ -86,3 +86,51 @@ def ingest_mat_files(
                 yield decoder(path, content)
 
     return raw.select("path", "content").mapInPandas(decode, schema=schema)
+
+
+NEURON_META_SCHEMA = "session string, neuron_id int, field string, value string"
+
+
+def decode_mat_metadata(path: str, payload: bytes) -> pd.DataFrame:
+    """Decode per-neuron metadata — the reference's `cell_metrics`
+    struct of cellstr/numeric vectors (`brainRegion_final`, firing
+    stats; `Matlab_part/extract_session_data_mdl.m:86-141`) — into the
+    long canonical (session, neuron_id, field, value) relation.
+
+    Works on the pure-python readers' native decode (struct -> dict,
+    cellstr -> object array of str, char -> str) with no injected
+    decoder: the MAT v5 reader decodes char/cell/struct directly.
+    Values are stringified ('%g' for numerics) so heterogeneous fields
+    share one long relation; downstream casts what it needs.
+    """
+    if payload[:8] == _HDF5_MAGIC or payload[512:520] == _HDF5_MAGIC:
+        from oxford_data_pipeline_spark.sources.hdf5mat import read_mat73 as reader
+    else:
+        from oxford_data_pipeline_spark.sources.matfile import read_mat5 as reader
+
+    session = os.path.splitext(os.path.basename(path))[0]
+    variables = reader(payload)
+    meta = variables.get("cell_metrics", variables)
+    if not isinstance(meta, dict):
+        raise ValueError(f"{path}: expected a struct variable, got {type(meta)}")
+    rows: list[tuple[str, int, str, str]] = []
+    for field, value in meta.items():
+        if isinstance(value, str):  # scalar char applies to every neuron
+            rows.append((session, 0, field, value))
+            continue
+        flat = np.asarray(value).ravel(order="F")
+        for i, v in enumerate(flat, start=1):
+            if isinstance(v, np.ndarray):  # nested 1x1 cell wrapping
+                v = v.ravel()[0] if v.size else ""
+            text = v if isinstance(v, str) else "%g" % float(v)
+            rows.append((session, i, field, text))
+    return pd.DataFrame(rows, columns=["session", "neuron_id", "field", "value"])
+
+
+def ingest_mat_metadata(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Distributed metadata-conversion job: the `cell_metrics`-style
+    struct of every matched `.mat` file becomes long rows, one decode
+    task per file — same topology as `ingest_mat_files`."""
+    return ingest_mat_files(
+        spark, glob_path, decoder=decode_mat_metadata, schema=NEURON_META_SCHEMA
+    )

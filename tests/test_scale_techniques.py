@@ -482,3 +482,85 @@ def test_semdedup_cap_in_plan(spark):
     plan = dedup_semantic(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "csz" in plan, "cell-size relation missing from plan"
     assert f"{_SEMDEDUP_CELL_CAP}" in plan, "cell cap missing from plan"
+
+
+def test_mat5_char_cell_struct_roundtrip():
+    """Round-4 verdict item 6: the pure-python MAT v5 reader decodes
+    char / cellstr / struct natively (the reference's metadata shapes,
+    extract_session_data_mdl.m:86-141) — no injected decoder."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.matfile import read_mat5, write_mat5
+
+    payload = write_mat5(
+        {
+            "region_label": "CA1",
+            "brainRegion_final": ["CA1", "PFC", "V1"],
+            "cell_metrics": {
+                "brainRegion_final": ["CA1", "PFC"],
+                "firing_rate_mean": np.array([1.5, 2.25]),
+                "session_name": "sess_01",
+            },
+        },
+        compress=True,
+    )
+    out = read_mat5(payload)
+    assert out["region_label"] == "CA1"
+    assert list(out["brainRegion_final"].ravel()) == ["CA1", "PFC", "V1"]
+    cm = out["cell_metrics"]
+    assert list(cm["brainRegion_final"].ravel()) == ["CA1", "PFC"]
+    assert cm["firing_rate_mean"].ravel().tolist() == [1.5, 2.25]
+    assert cm["session_name"] == "sess_01"
+    # uncompressed container path too
+    out2 = read_mat5(write_mat5({"s": "hello", "c": ["ab", "cde"]}))
+    assert out2["s"] == "hello"
+    assert list(out2["c"].ravel()) == ["ab", "cde"]
+
+
+def test_mat73_char_roundtrip():
+    """v7.3 char variables (uint16 UTF-16 datasets, MATLAB's storage)
+    decode to str alongside numeric datasets in the same file."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.hdf5mat import read_mat73, write_mat73
+
+    out = read_mat73(
+        write_mat73(
+            {"firingrate": np.arange(6.0).reshape(2, 3), "session_name": "sess_042"}
+        )
+    )
+    assert out["session_name"] == "sess_042"
+    assert out["firingrate"].shape == (2, 3)
+
+
+def test_mat_metadata_ingest_end_to_end(spark, tmp_path):
+    """Distributed metadata ingest: struct/cellstr .mat files -> long
+    (session, neuron_id, field, value) rows with the library decoder
+    only — the injectable-decoder seam is no longer needed for the
+    reference's metadata path."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.mat_ingest import ingest_mat_metadata
+    from oxford_data_pipeline_spark.sources.matfile import write_mat5
+
+    for sess, regions in [("sess_a", ["CA1", "PFC"]), ("sess_b", ["V1"])]:
+        blob = write_mat5(
+            {
+                "cell_metrics": {
+                    "brainRegion_final": regions,
+                    "firing_rate_mean": np.arange(1.0, len(regions) + 1),
+                }
+            },
+            compress=(sess == "sess_a"),
+        )
+        (tmp_path / f"{sess}.mat").write_bytes(blob)
+
+    rows = {
+        (r.session, r.neuron_id, r.field): r.value
+        for r in ingest_mat_metadata(spark, str(tmp_path / "*.mat")).collect()
+    }
+    assert rows[("sess_a", 1, "brainRegion_final")] == "CA1"
+    assert rows[("sess_a", 2, "brainRegion_final")] == "PFC"
+    assert rows[("sess_b", 1, "brainRegion_final")] == "V1"
+    assert rows[("sess_a", 2, "firing_rate_mean")] == "2"
+    assert len(rows) == 6
