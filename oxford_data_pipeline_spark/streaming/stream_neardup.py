@@ -104,7 +104,16 @@ def _match(
         if doc != first_doc:
             out.append((band, sig, doc, first_doc, pd.Timestamp(t, unit="s")))
     state.update((first_doc, first_ts))
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60 * 60 * 1000)
+    # Evict when the WATERMARK passes the key's last activity plus the
+    # horizon — anchored to event time, not the current watermark: with
+    # watermark-relative timeouts, a key touched only in a batch whose
+    # watermark still trails (e.g. the first micro-batch, watermark 0)
+    # would time out as soon as the watermark advances, killing state
+    # across a checkpoint restart.
+    last_ts = int(ts.max())
+    state.setTimeoutTimestamp(
+        max((last_ts + 60 * 60) * 1000, state.getCurrentWatermarkMs() + 1)
+    )
     if out:
         yield pd.DataFrame(
             out, columns=["band", "sig", "doc_id", "matched_doc", "event_ts"]

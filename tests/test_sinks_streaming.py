@@ -690,3 +690,78 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     assert batch[3]["has_curly"] and not batch[3]["admitted"]
     assert batch[4]["has_lorem"] and not batch[4]["admitted"]
     assert not batch[5]["admitted"]
+
+
+def test_streaming_curation_pipeline_restart_resume(spark, tmp_path):
+    """Round-4 verdict stretch item: the composed streaming curation
+    pipeline (quality gate -> stateful near-dup) across a restart.
+    Run 1 admits two duplicate docs (candidate emitted) and filters a
+    PII doc before the state store; run 2 restores the checkpoint and
+    matches a re-arriving duplicate against run 1's FIRST-SEEN
+    representative — proving gate placement and state both survive
+    resume.  The quarantine side runs as its own query and carries the
+    rejection reason."""
+    import pandas as pd
+
+    from oxford_data_pipeline_spark.streaming.stream_curation import (
+        curation_stream,
+        quarantine_stream,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    src = tmp_path / "crawl"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["web", "web", "web"],
+            "text": [good, good, "contact me at john@example.com for details "
+                                  "about the quarterly earnings report today"],
+            "event_ts": [base, base + pd.Timedelta(minutes=1),
+                         base + pd.Timedelta(minutes=2)],
+        }
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+
+    build = {
+        "schema": "doc_id long, source string, text string, event_ts timestamp",
+        "plan": curation_stream,
+    }
+    r1 = _restart_run(spark, build, src, tmp_path / "ckpt", tmp_path / "out")
+    matches1 = {(r.doc_id, r.matched_doc) for r in r1}
+    assert matches1 == {(2, 1)}  # duplicate matched; PII doc never entered
+    assert all(r.doc_id != 3 and r.matched_doc != 3 for r in r1)
+
+    # restart: the same text re-arrives as doc 4 within the watermark —
+    # must match run 1's representative (doc 1), not start fresh state
+    pd.DataFrame(
+        {
+            "doc_id": [4],
+            "source": ["web"],
+            "text": [good],
+            "event_ts": [base + pd.Timedelta(minutes=10)],
+        }
+    ).to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    r2 = _restart_run(spark, build, src, tmp_path / "ckpt", tmp_path / "out")
+    assert {(r.doc_id, r.matched_doc) for r in r2} == {(2, 1), (4, 1)}
+
+    # quarantine side: second query over the same source, own checkpoint
+    qstream = (
+        spark.readStream.schema(build["schema"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        quarantine_stream(qstream)
+        .writeStream.format("memory")
+        .queryName("curation_quarantine")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rejected = spark.sql(
+        "SELECT doc_id, reason FROM curation_quarantine"
+    ).collect()
+    assert [(r.doc_id, r.reason) for r in rejected] == [(3, "pii")]
