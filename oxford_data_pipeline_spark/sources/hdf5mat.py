@@ -19,14 +19,16 @@ written without chunking/compression:
   (any depth) and the filter pipeline MATLAB actually uses:
   deflate (zlib), byte-shuffle, and fletcher32 (checksum stripped).
 
-Char variables (uint16 UTF-16 datasets, how MATLAB stores char in
-v7.3) decode to str / object-array-of-row-strings in the contiguous
-layout.  Out of scope (raises NotImplementedError): other non-f64
-datatypes (MATLAB cell/struct variables — stored as object-reference
-groups in v7.3), chunked char, nested groups, v2+ object headers,
-group B-trees deeper than one SNOD level — the documented seam in
-``mat_ingest.ingest_mat_files`` accepts a custom decoder (e.g.
-h5py-backed) for those.
+Non-numeric MATLAB classes decode natively (contiguous layouts):
+char variables (uint16 UTF-16 datasets) to str /
+object-array-of-row-strings; structs (HDF5 GROUPS, one member per
+field, any nesting) to dicts via the recursive group walk; cell
+arrays (datasets of 8-byte object references into the root
+``#refs#`` bookkeeping group) to object arrays.  Out of scope
+(raises NotImplementedError): other datatypes, chunked char/refs,
+v2+ object headers, group B-trees deeper than one SNOD level — the
+documented seam in ``mat_ingest.ingest_mat_files`` accepts a custom
+decoder (e.g. h5py-backed) for anything beyond.
 
 MATLAB orientation: an m×n MATLAB matrix is stored as an HDF5 dataset
 of dims (n, m) in C order (i.e. the transpose), matching what h5py
@@ -193,6 +195,14 @@ def write_mat73(
     if (compress is not None or shuffle) and chunks is None:
         raise ValueError("filters require a chunked layout")
     filters: list[tuple[int, bytes, tuple[int, ...]]] = []
+    if any(
+        isinstance(v, (dict, list, tuple))
+        or (isinstance(v, np.ndarray) and v.dtype == object)
+        for v in arrays.values()
+    ):
+        if chunks is not None:
+            raise NotImplementedError("nested variables are contiguous-only")
+        return _write_mat73_nested(arrays)
     if shuffle:  # write order: shuffle, then deflate
         filters.append((_FILTER_SHUFFLE, b"shuffle", (8,)))
     if compress is not None:
@@ -398,6 +408,159 @@ def write_mat73(
     return out.getvalue()
 
 
+def _write_mat73_nested(arrays: dict[str, object]) -> bytes:
+    """Bottom-up emitter for v7.3 files with nested variables — the
+    layout MATLAB uses for its non-numeric classes:
+
+    - struct  -> HDF5 GROUP, one member (dataset or sub-group) per field
+    - cell    -> dataset of 8-byte object references; referenced
+                 objects live in the root ``#refs#`` bookkeeping group
+    - char    -> uint16 (UTF-16 code unit) dataset
+    - numeric -> contiguous little-endian f64 dataset
+
+    Children are emitted before parents (append-only allocator), so
+    every address is known when its referencing structure is written;
+    the fixed-size superblock slot is reserved first and patched last.
+    Metadata variables are small, so layouts are contiguous-only here;
+    the flat fast-path writer keeps the chunk/filter machinery.
+    """
+    buf = bytearray(24 + 32 + 40)  # reserved: superblock + root STE
+
+    def alloc(data: bytes) -> int:
+        addr = len(buf)
+        buf.extend(data)
+        return addr
+
+    refs_members: dict[str, int] = {}  # name in #refs# -> oh addr
+
+    def emit_dataset(value) -> int:
+        if isinstance(value, str):
+            stored = np.ascontiguousarray(
+                np.frombuffer(value.encode("utf-16-le"), "<u2").reshape(1, -1).T
+            )
+            char = True
+        else:
+            a = np.asarray(value, dtype=np.float64)
+            if a.ndim == 0:
+                a = a.reshape(1, 1)
+            if a.ndim == 1:
+                a = a.reshape(-1, 1)
+            if a.ndim != 2:
+                raise ValueError("only 1-D/2-D arrays supported")
+            stored = np.ascontiguousarray(a.T)  # MATLAB orientation
+            char = False
+        data_addr = alloc(stored.tobytes())
+        return alloc(
+            _dataset_header(
+                stored.shape, data_addr, stored.size * stored.itemsize, char=char
+            )
+        )
+
+    def emit_cell(values: list) -> int:
+        addrs = []
+        for v in values:
+            oh = emit_value(v)
+            refs_members[chr(ord("a") + len(refs_members) % 26)
+                         + str(len(refs_members))] = oh
+            addrs.append(oh)
+        data = np.asarray(addrs, dtype="<u8").tobytes()
+        data_addr = alloc(data)
+        # MATLAB (n, 1) cell column -> stored dims (1, n)
+        msgs = [
+            (
+                _MSG_DATASPACE,
+                struct.pack("<BBB5x", 1, 2, 0)
+                + struct.pack("<QQ", 1, len(values)),
+            ),
+            # datatype: version 1 class 7 (reference), type 0 = object
+            (
+                _MSG_DATATYPE,
+                struct.pack("<B3B", 0x17, 0x00, 0x00, 0x00) + struct.pack("<I", 8),
+            ),
+            (_MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr, len(data))),
+        ]
+        return alloc(_object_header(msgs))
+
+    def emit_group(members: dict[str, int]) -> tuple[int, int, int]:
+        """Returns (group oh addr, btree addr, heap header addr)."""
+        names = sorted(members)
+        if len(names) > 8:
+            raise NotImplementedError("single-SNOD writer: at most 8 members")
+        heap_data = io.BytesIO(b"\x00" * 8)
+        heap_data.seek(8)
+        name_off: dict[str, int] = {}
+        for n in names:
+            name_off[n] = heap_data.tell()
+            nb = n.encode("ascii") + b"\x00"
+            heap_data.write(nb + b"\x00" * _pad8(len(nb)))
+        heap_bytes = heap_data.getvalue()
+        heap_seg_addr = alloc(heap_bytes)
+        heap_hdr_addr = alloc(
+            b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_bytes), 0, heap_seg_addr)
+        )
+        snod = io.BytesIO()
+        snod.write(b"SNOD" + struct.pack("<BxH", 1, len(names)))
+        for n in names:
+            snod.write(struct.pack("<QQI4x16x", name_off[n], members[n], 0))
+        snod_addr = alloc(snod.getvalue())
+        btree_addr = alloc(
+            b"TREE"
+            + struct.pack("<BBHQQ", 0, 0, 1, _UNDEF, _UNDEF)
+            + struct.pack(
+                "<QQQ",
+                name_off[names[0]] if names else 0,
+                snod_addr,
+                name_off[names[-1]] if names else 0,
+            )
+        )
+        oh_addr = alloc(
+            _object_header(
+                [(_MSG_SYMBOL_TABLE, struct.pack("<QQ", btree_addr, heap_hdr_addr))]
+            )
+        )
+        return oh_addr, btree_addr, heap_hdr_addr
+
+    def emit_value(value) -> int:
+        if isinstance(value, dict):
+            return emit_group({f: emit_value(v) for f, v in value.items()})[0]
+        if isinstance(value, (list, tuple)) or (
+            isinstance(value, np.ndarray) and value.dtype == object
+        ):
+            cells = (
+                list(value.ravel(order="F"))
+                if isinstance(value, np.ndarray)
+                else list(value)
+            )
+            return emit_cell(cells)
+        return emit_dataset(value)
+
+    top = {name: emit_value(v) for name, v in arrays.items()}
+    if refs_members:
+        top["#refs#"] = emit_group(refs_members)[0]
+    root_oh, root_btree, root_heap = emit_group(top)
+    eof = len(buf)
+
+    sb = io.BytesIO()
+    sb.write(_HDF5_MAGIC)
+    sb.write(struct.pack("<BBBxB", 0, 0, 0, 0))
+    sb.write(struct.pack("<BBx", 8, 8))
+    sb.write(struct.pack("<HH", 4, 16))
+    sb.write(struct.pack("<I", 0))
+    sb.write(struct.pack("<QQQQ", _USERBLOCK, _UNDEF, eof, _UNDEF))
+    sb.write(struct.pack("<QQI4xQQ", 0, root_oh, 1, root_btree, root_heap))
+    assert sb.tell() == 24 + 32 + 40
+    buf[: sb.tell()] = sb.getvalue()
+
+    out = io.BytesIO()
+    text = b"MATLAB 7.3 MAT-file, written by oxford_data_pipeline_spark"
+    out.write(text.ljust(116, b" "))
+    out.write(b"\x00" * 8)
+    out.write(struct.pack("<H", 0x0200) + b"IM")
+    out.write(b"\x00" * (_USERBLOCK - out.tell()))
+    out.write(bytes(buf))
+    return out.getvalue()
+
+
 # --------------------------------------------------------------------------
 # reader
 # --------------------------------------------------------------------------
@@ -532,10 +695,27 @@ def _read_dataset(payload: bytes, base: int, oh_addr: int) -> np.ndarray:
     elif dt_cls == 0 and size == 2 and not dt[1] & 0x08:
         # unsigned 16-bit fixed-point = MATLAB char (UTF-16 code units)
         dtype, is_char = "<u2", True
+    elif dt_cls == 7 and size == 8:
+        # object references — MATLAB cell arrays: each element is the
+        # address of a subsidiary object (under /#refs# in real files)
+        lay = msgs[_MSG_LAYOUT]
+        if lay[0] != 3 or lay[1] != 1:
+            raise NotImplementedError("reference datasets must be contiguous")
+        addr, nbytes = struct.unpack_from("<QQ", lay, 2)
+        n = int(np.prod(dims)) if rank else 1
+        if nbytes != n * 8:
+            raise ValueError("layout size does not match dataspace")
+        refs = np.frombuffer(payload, "<u8", count=n, offset=base + addr)
+        cells = np.empty(n, dtype=object)
+        for i, r in enumerate(refs):
+            cells[i] = _read_dataset(payload, base, int(r))
+        # stored dims are the MATLAB transpose; C-order reshape then
+        # transpose restores (m, n) cell orientation
+        return cells.reshape(dims).transpose()
     else:
         raise NotImplementedError(
             f"unsupported datatype class {dt_cls} size {size} "
-            "(float64 + uint16-char reader)"
+            "(float64 / uint16-char / object-reference reader)"
         )
     lay = msgs[_MSG_LAYOUT]
     lay_ver, lay_cls = lay[0], lay[1]
@@ -596,9 +776,50 @@ def _heap_name(payload: bytes, base: int, heap_hdr: int, off: int) -> str:
     return payload[start:end].decode("ascii")
 
 
+def _read_object(payload: bytes, base: int, oh_addr: int):
+    """Dataset OR group at an object-header address.  A group (e.g. a
+    MATLAB struct variable, stored as one dataset per field) carries a
+    symbol-table message and recurses into `_read_group`, returning a
+    dict of member values."""
+    msgs = _parse_object_header(payload, base, oh_addr)
+    if _MSG_SYMBOL_TABLE in msgs:
+        btree_addr, heap_addr = struct.unpack_from("<QQ", msgs[_MSG_SYMBOL_TABLE], 0)
+        return _read_group(payload, base, btree_addr, heap_addr)
+    return _read_dataset(payload, base, oh_addr)
+
+
+def _read_group(payload: bytes, base: int, btree_addr: int, heap_addr: int) -> dict:
+    """Walk one group's symbol-table B-tree (level 0) into
+    {member name: value}, recursing into sub-groups."""
+    pos = base + btree_addr
+    if payload[pos : pos + 4] != b"TREE":
+        raise ValueError("bad B-tree signature")
+    ntype, level, nentries = struct.unpack_from("<BBH", payload, pos + 4)
+    if ntype != 0 or level != 0:
+        raise NotImplementedError("only level-0 group B-trees supported")
+    snods = [
+        struct.unpack_from("<Q", payload, pos + 24 + 8 + i * 16)[0]
+        for i in range(nentries)
+    ]
+    out: dict = {}
+    for snod_addr in snods:
+        pos = base + snod_addr
+        if payload[pos : pos + 4] != b"SNOD":
+            raise ValueError("bad symbol-node signature")
+        (nsyms,) = struct.unpack_from("<H", payload, pos + 6)
+        for i in range(nsyms):
+            name_off, oh_addr, _, _, _ = _read_ste(payload, pos + 8 + i * 40)
+            name = _heap_name(payload, base, heap_addr, name_off)
+            out[name] = _read_object(payload, base, oh_addr)
+    return out
+
+
 def read_mat73(payload: bytes) -> dict[str, np.ndarray]:
     """Parse a MAT v7.3 / plain-HDF5 blob into {name: float64 ndarray
-    | str | object array of row strings (char variables)}."""
+    | str (char variable) | object array (cell, via references) |
+    dict (struct, via sub-group)}.  The `#refs#` bookkeeping group —
+    where MATLAB stores cell-referenced objects — is not itself a
+    variable and is dropped from the result."""
     base = _find_base(payload)
     if struct.unpack_from("<B", payload, base + 8)[0] != 0:
         raise NotImplementedError("only superblock version 0 supported")
@@ -613,26 +834,6 @@ def read_mat73(payload: bytes) -> dict[str, np.ndarray]:
         if _MSG_SYMBOL_TABLE not in msgs:
             raise NotImplementedError("root group has no symbol-table message")
         btree_addr, heap_addr = struct.unpack_from("<QQ", msgs[_MSG_SYMBOL_TABLE], 0)
-
-    pos = base + btree_addr
-    if payload[pos : pos + 4] != b"TREE":
-        raise ValueError("bad B-tree signature")
-    ntype, level, nentries = struct.unpack_from("<BBH", payload, pos + 4)
-    if ntype != 0 or level != 0:
-        raise NotImplementedError("only level-0 group B-trees supported")
-    snods = [
-        struct.unpack_from("<Q", payload, pos + 24 + 8 + i * 16)[0]
-        for i in range(nentries)
-    ]
-
-    out: dict[str, np.ndarray] = {}
-    for snod_addr in snods:
-        pos = base + snod_addr
-        if payload[pos : pos + 4] != b"SNOD":
-            raise ValueError("bad symbol-node signature")
-        (nsyms,) = struct.unpack_from("<H", payload, pos + 6)
-        for i in range(nsyms):
-            name_off, oh_addr, _, _, _ = _read_ste(payload, pos + 8 + i * 40)
-            name = _heap_name(payload, base, heap_addr, name_off)
-            out[name] = _read_dataset(payload, base, oh_addr)
+    out = _read_group(payload, base, btree_addr, heap_addr)
+    out.pop("#refs#", None)
     return out

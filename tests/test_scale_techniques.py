@@ -533,6 +533,38 @@ def test_mat73_char_roundtrip():
     assert out["firingrate"].shape == (2, 3)
 
 
+def test_mat73_struct_cellstr_roundtrip():
+    """v7.3 struct (HDF5 group) and cellstr (object-reference dataset
+    into #refs#) decode natively — MATLAB's actual storage for the
+    reference's metadata under `save -v7.3`, its primary format."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.hdf5mat import read_mat73, write_mat73
+
+    out = read_mat73(
+        write_mat73(
+            {
+                "cell_metrics": {
+                    "brainRegion_final": ["CA1", "PFC", "V1"],
+                    "firing_rate_mean": np.array([1.5, 2.5, 3.5]),
+                    "session_name": "sess_01",
+                },
+                "labels": ["go", "nogo"],
+                "rates": np.arange(4.0).reshape(2, 2),
+            }
+        )
+    )
+    assert sorted(out) == ["cell_metrics", "labels", "rates"]  # #refs# dropped
+    cm = out["cell_metrics"]
+    assert list(cm["brainRegion_final"].ravel()) == ["CA1", "PFC", "V1"]
+    assert cm["firing_rate_mean"].ravel().tolist() == [1.5, 2.5, 3.5]
+    assert cm["session_name"] == "sess_01"
+    assert list(out["labels"].ravel()) == ["go", "nogo"]
+    # nested struct-in-struct
+    nested = read_mat73(write_mat73({"s": {"inner": {"x": np.ones(2)}}}))
+    assert nested["s"]["inner"]["x"].ravel().tolist() == [1.0, 1.0]
+
+
 def test_mat_metadata_ingest_end_to_end(spark, tmp_path):
     """Distributed metadata ingest: struct/cellstr .mat files -> long
     (session, neuron_id, field, value) rows with the library decoder
@@ -543,15 +575,23 @@ def test_mat_metadata_ingest_end_to_end(spark, tmp_path):
     from oxford_data_pipeline_spark.sources.mat_ingest import ingest_mat_metadata
     from oxford_data_pipeline_spark.sources.matfile import write_mat5
 
-    for sess, regions in [("sess_a", ["CA1", "PFC"]), ("sess_b", ["V1"])]:
-        blob = write_mat5(
+    from oxford_data_pipeline_spark.sources.hdf5mat import write_mat73
+
+    # one MAT v5 (compressed), one v5 plain, one v7.3 — all three land
+    # in the same distributed job through format sniffing
+    for sess, regions, writer, kw in [
+        ("sess_a", ["CA1", "PFC"], write_mat5, {"compress": True}),
+        ("sess_b", ["V1"], write_mat5, {}),
+        ("sess_c", ["PFC"], write_mat73, {}),
+    ]:
+        blob = writer(
             {
                 "cell_metrics": {
                     "brainRegion_final": regions,
                     "firing_rate_mean": np.arange(1.0, len(regions) + 1),
                 }
             },
-            compress=(sess == "sess_a"),
+            **kw,
         )
         (tmp_path / f"{sess}.mat").write_bytes(blob)
 
@@ -562,5 +602,7 @@ def test_mat_metadata_ingest_end_to_end(spark, tmp_path):
     assert rows[("sess_a", 1, "brainRegion_final")] == "CA1"
     assert rows[("sess_a", 2, "brainRegion_final")] == "PFC"
     assert rows[("sess_b", 1, "brainRegion_final")] == "V1"
+    assert rows[("sess_c", 1, "brainRegion_final")] == "PFC"
     assert rows[("sess_a", 2, "firing_rate_mean")] == "2"
-    assert len(rows) == 6
+    assert rows[("sess_c", 1, "firing_rate_mean")] == "1"
+    assert len(rows) == 8
