@@ -40,7 +40,7 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 _ROUND5_FRONT = [
     "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_clusters", "dedup_survivors", "dedup_incremental",
-    "dedup_semantic", "cur_repetition", "cur_stratified_sample",
+    "dedup_semantic", "dedup_lsh_audit", "cur_repetition", "cur_stratified_sample",
     "cur_mixture_weights", "cur_decontaminate", "cur_unigram_surprisal",
     "cur_length_profile", "cur_pipeline", "cur_temperature_mix",
     "cur_dsir_weights", "cur_pack_stats",
@@ -55,7 +55,7 @@ _ROUND5_FRONT = [
     # slots 41-50: oracle-checked classics, re-confirmed each round
     "j1_event_psth", "dedup_exact", "dedup_minhash_lsh", "text_quality",
     "sc_scalar_functions", "a10_hierarchical_rollup", "a12_mc_average",
-    "m12_sign_alignment", "m10_wilcoxon_stat", "w4_peak_amplitude",
+    "m12_sign_alignment", "m10_wilcoxon_stat",
 ]
 
 

@@ -404,6 +404,79 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LSH candidate-quality audit (recall + precision vs exact Jaccard)
+# --------------------------------------------------------------------------
+# The dedup twin of the ANN recall audits: how much of the exact
+# pairwise-Jaccard ground truth (>= threshold) do the MinHash band
+# candidates reach (recall — pairs LSH can never see cost corpus
+# quality), and what fraction of candidates verify (precision — the
+# knob that prices the verify stage).  Bands/rows-per-band are tuned
+# against exactly these two numbers in production; at scale the audit
+# runs on a corpus sample, like the ANN ground truth.
+_LSH_AUDIT_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact_pairs AS (
+    SELECT i.doc1, i.doc2
+    FROM inter i
+    JOIN sizes sa ON i.doc1 = sa.doc_id
+    JOIN sizes sb ON i.doc2 = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+          >= {_JACCARD_THRESHOLD}
+),
+joined AS (
+    SELECT coalesce(e.doc1, c.doc1) AS doc1,
+           coalesce(e.doc2, c.doc2) AS doc2,
+           CASE WHEN e.doc1 IS NULL THEN 0 ELSE 1 END AS is_true,
+           CASE WHEN c.doc1 IS NULL THEN 0 ELSE 1 END AS is_cand
+    FROM exact_pairs e
+    FULL JOIN cand c ON e.doc1 = c.doc1 AND e.doc2 = c.doc2
+)
+SELECT CAST(sum(is_true) AS BIGINT) AS n_true,
+       CAST(sum(is_cand) AS BIGINT) AS n_cand,
+       CAST(sum(is_true * is_cand) AS BIGINT) AS n_hit,
+       round(CAST(sum(is_true * is_cand) AS DOUBLE) / sum(is_true)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS recall,
+       round(CAST(sum(is_true * is_cand) AS DOUBLE) / sum(is_cand)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS precision
+FROM joined
+"""
+
+
+@register("dedup_lsh_audit", _LSH_AUDIT_ORACLE)
+def dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality audit of the MinHash band index against the
+    exact n-gram Jaccard ground truth: recall (exact pairs >= the
+    threshold that share at least one band) and precision (candidates
+    that verify).  One summary row; reads the memoized pair relation
+    and the exact pairwise query, adding one full-outer join + agg."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc1", "doc2", F.lit(1).alias("is_true")
+    )
+    cand = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc1", "doc2", F.lit(1).alias("is_cand")
+    )
+    joined = exact.join(cand, ["doc1", "doc2"], "full").select(
+        F.coalesce("is_true", F.lit(0)).alias("is_true"),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+    )
+    hit = F.sum(F.col("is_true") * F.col("is_cand"))
+    return joined.agg(
+        F.sum("is_true").alias("n_true"),
+        F.sum("is_cand").alias("n_cand"),
+        hit.alias("n_hit"),
+        round6(hit.cast("double") / F.sum("is_true")).alias("recall"),
+        round6(hit.cast("double") / F.sum("is_cand")).alias("precision"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash signatures
 # --------------------------------------------------------------------------
 _SIMHASH_ORACLE = f"""
@@ -698,12 +771,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes from md5 bits) block the pair space; exact cosine verifies
     only in-bucket pairs ≥ the threshold.  Hot buckets (> {cap}
     vectors) are dropped before the pair join — see
-    `capped_sign_buckets`."""
-    from oxford_data_pipeline_spark.plans.projection import embeddings_long
+    `capped_sign_buckets`.  Verification folds the ARRAY-form vectors
+    (one row per pair) rather than joining the long relation on
+    (pair, dim) — see `projection.embeddings_vec`."""
+    from oxford_data_pipeline_spark.plans.projection import (
+        embeddings_long,
+        embeddings_vec,
+        pair_dot,
+    )
 
     long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
     buckets = capped_sign_buckets(long, _hyperplanes(spark))
-    norms = long.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = a.join(
@@ -711,23 +789,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
-    la = long.alias("la")
-    lb = long.alias("lb")
-    dots = (
-        cand.join(la, F.col("v1") == F.col("la.vec_id"))
-        .join(
-            lb,
-            (F.col("v2") == F.col("lb.vec_id")) & (F.col("la.dim") == F.col("lb.dim")),
-        )
-        .groupBy("v1", "v2")
-        .agg(F.sum(F.col("la.val") * F.col("lb.val")).alias("dot"))
+    vecs = embeddings_vec(spark, sf_dir)
+    va = vecs.select(
+        F.col("vec_id").alias("v1"), F.col("vec").alias("wa"), F.col("nrm").alias("na")
     )
-    na = norms.alias("na")
-    nb = norms.alias("nb")
-    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    vb = vecs.select(
+        F.col("vec_id").alias("v2"), F.col("vec").alias("wb"), F.col("nrm").alias("nb")
+    )
+    cos = pair_dot("wa", "wb") / (F.col("na") * F.col("nb"))
     return (
-        dots.join(na, F.col("v1") == F.col("na.vec_id"))
-        .join(nb, F.col("v2") == F.col("nb.vec_id"))
+        cand.join(va, "v1")
+        .join(vb, "v2")
         .filter(cos >= _COS_THRESHOLD)
         .select("v1", "v2", round6(cos).alias("cosine"))
     )

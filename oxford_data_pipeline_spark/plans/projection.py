@@ -61,6 +61,40 @@ def embeddings_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memoized(_emb_long_cache, spark, ("emb_long", sf_dir), build)
 
 
+_emb_vec_cache: dict[tuple, DataFrame] = {}
+
+
+def embeddings_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, vec: array<double>, nrm) — the ARRAY-form twin
+    of `embeddings_long`, for exact pair verification: a pair dot
+    product folds the two arrays in one JVM expression
+    (zip_with + aggregate), so each candidate pair is ONE row through
+    the join instead of N_DIMS rows plus an aggregation exchange.
+    The long relation stays the right shape for dim-keyed math
+    (hyperplane/centroid joins); this one is the right shape for
+    pair-keyed math.  Persisted + memoized like its twin."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        sumsq = (
+            "aggregate(vec, 0D, (acc, x) -> acc + x * x)"
+        )
+        return emb.select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+        ).withColumn("nrm", F.sqrt(F.expr(sumsq)))
+
+    return memoized(_emb_vec_cache, spark, ("emb_vec", sf_dir), build)
+
+
+def pair_dot(a: str, b: str):
+    """dot(a, b) of two array<double> columns as one fold expression."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
 def zscore_by_dim(long: DataFrame) -> DataFrame:
     """§2.8 z-score by column (`perform_session_cca.m:423-424`):
     per-dim mean/std aggregated once, broadcast back — never a window

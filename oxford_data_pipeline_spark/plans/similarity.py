@@ -78,30 +78,26 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _brute_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
-    norms = long.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    # query rows (filtered, small) BROADCAST against the corpus in
+    # array form: each (query, candidate) pair is one row folding the
+    # two vectors — no dim-keyed blow-up, no aggregation exchange
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    vecs = embeddings_vec(spark, sf_dir)
+    vq = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("wq"),
+        F.col("nrm").alias("nq"),
     )
-    q = long.filter(F.col("vec_id") % _QUERY_MOD == 0).alias("q")
-    c = long.alias("c")
-    dots = (
-        q.join(
-            c,
-            (F.col("q.dim") == F.col("c.dim"))
-            & (F.col("q.vec_id") != F.col("c.vec_id")),
-        )
-        .groupBy(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("cand_id"))
-        .agg(F.sum(F.col("q.val") * F.col("c.val")).alias("dot"))
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vec").alias("wc"),
+        F.col("nrm").alias("nc"),
     )
-    nq = norms.alias("nq")
-    nc = norms.alias("nc")
     scored = (
-        dots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
-        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
+        vc.join(F.broadcast(vq), F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cosine"),
+            round6(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc"))).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -256,26 +252,24 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("qb.vec_id").alias("query_id"), F.col("cb.vec_id").alias("cand_id"))
         .distinct()
     )
-    lq = long.alias("lq")
-    lc = long.alias("lc")
-    dots = (
-        cand.join(lq, F.col("query_id") == F.col("lq.vec_id"))
-        .join(
-            lc,
-            (F.col("cand_id") == F.col("lc.vec_id")) & (F.col("lq.dim") == F.col("lc.dim")),
-        )
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum(F.col("lq.val") * F.col("lc.val")).alias("dot"))
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    vecs = embeddings_vec(spark, sf_dir)
+    vq = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("wq"),
+        F.col("nrm").alias("nq"),
     )
-    nq = norms.alias("nq")
-    nc = norms.alias("nc")
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vec").alias("wc"),
+        F.col("nrm").alias("nc"),
+    )
     scored = (
-        dots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
-        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
+        cand.join(vq, "query_id")
+        .join(vc, "cand_id")
         .select(
             "query_id",
             "cand_id",
-            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cosine"),
+            round6(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc"))).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -573,26 +567,24 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a groupBy — and the probe join is an equi-join on cell.  The
     trained centroids are memoized per (session, sf_dir) like a
     persisted model artifact."""
-    long, norms, _centroids, _assignment, cand = _ivf_candidates(spark, sf_dir)
-    lq = long.alias("lq")
-    lc = long.alias("lc")
-    dots = (
-        cand.join(lq, F.col("query_id") == F.col("lq.vec_id"))
-        .join(
-            lc,
-            (F.col("cand_id") == F.col("lc.vec_id")) & (F.col("lq.dim") == F.col("lc.dim")),
-        )
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum(F.col("lq.val") * F.col("lc.val")).alias("dot"))
+    _long, _norms, _centroids, _assignment, cand = _ivf_candidates(spark, sf_dir)
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    vecs = embeddings_vec(spark, sf_dir)
+    vq = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("wq"),
+        F.col("nrm").alias("nq"),
     )
-    nq = norms.alias("nq")
-    nc = norms.alias("nc")
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vec").alias("wc"),
+        F.col("nrm").alias("nc"),
+    )
     scored = (
-        dots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
-        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
+        cand.join(vq, "query_id")
+        .join(vc, "cand_id")
         .select(
             "query_id", "cand_id",
-            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias("cosine"),
+            round6(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc"))).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -1159,29 +1151,28 @@ def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _RERANK_SHORTLIST)
         .select("query_id", "cand_id")
     )
-    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
-    norms = long.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    # exact re-score folds the ARRAY-form vectors: one row per
+    # shortlist pair instead of N_DIMS rows + an aggregation exchange
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    vecs = embeddings_vec(spark, sf_dir)
+    vq = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("wq"),
+        F.col("nrm").alias("nq"),
     )
-    lq, lc = long.alias("lq"), long.alias("lc")
-    rdots = (
-        shortlist.join(lq, F.col("query_id") == F.col("lq.vec_id"))
-        .join(
-            lc,
-            (F.col("cand_id") == F.col("lc.vec_id"))
-            & (F.col("lq.dim") == F.col("lc.dim")),
-        )
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum(F.col("lq.val") * F.col("lc.val")).alias("dot"))
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("vec").alias("wc"),
+        F.col("nrm").alias("nc"),
     )
-    nq, nc = norms.alias("nq"), norms.alias("nc")
     rscored = (
-        rdots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
-        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
+        shortlist.join(vq, "query_id")
+        .join(vc, "cand_id")
         .select(
             "query_id",
             "cand_id",
-            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias(
+            round6(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc"))).alias(
                 "cosine"
             ),
         )
@@ -1313,8 +1304,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SEMANTIC_THRESHOLD}), reusing the trained coarse quantizer as
     the blocking index.  Keep-rule downstream: min vec_id per pair.
     Cells above _SEMDEDUP_CELL_CAP are sub-split by vec_id mod
-    ceil(csz/cap) so no pair product exceeds ~cap^2 under skew."""
-    long, norms, _centroids, assignment, _cand = _ivf_candidates(spark, sf_dir)
+    ceil(csz/cap) so no pair product exceeds ~cap^2 under skew.
+
+    Verification uses the ARRAY-form relation: the dot product folds
+    the two vectors in one JVM expression, so each candidate pair is
+    one row through the join — not N_DIMS rows plus an aggregation
+    exchange (the long-form variant measured ~3x slower at sf0.1)."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    _long, _norms, _centroids, assignment, _cand = _ivf_candidates(spark, sf_dir)
     sasg = subsplit_cells(assignment, _SEMDEDUP_CELL_CAP)
     a, b = sasg.alias("a"), sasg.alias("b")
     pairs = a.join(
@@ -1327,21 +1325,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("v1"),
         F.col("b.vec_id").alias("v2"),
     )
-    la, lb = long.alias("la"), long.alias("lb")
-    dots = (
-        pairs.join(la, F.col("v1") == F.col("la.vec_id"))
-        .join(
-            lb,
-            (F.col("v2") == F.col("lb.vec_id")) & (F.col("la.dim") == F.col("lb.dim")),
-        )
-        .groupBy("cell", "v1", "v2")
-        .agg(F.sum(F.col("la.val") * F.col("lb.val")).alias("dot"))
+    vecs = embeddings_vec(spark, sf_dir)
+    va = vecs.select(
+        F.col("vec_id").alias("v1"), F.col("vec").alias("wa"), F.col("nrm").alias("na")
     )
-    na, nb = norms.alias("na"), norms.alias("nb")
-    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    vb = vecs.select(
+        F.col("vec_id").alias("v2"), F.col("vec").alias("wb"), F.col("nrm").alias("nb")
+    )
+    cos = pair_dot("wa", "wb") / (F.col("na") * F.col("nb"))
     return (
-        dots.join(na, F.col("v1") == F.col("na.vec_id"))
-        .join(nb, F.col("v2") == F.col("nb.vec_id"))
+        pairs.join(va, "v1")
+        .join(vb, "v2")
         .filter(cos >= _SEMANTIC_THRESHOLD)
         .select("cell", "v1", "v2", round6(cos).alias("cosine"))
     )
@@ -1391,37 +1385,31 @@ FROM hranked WHERE rnk = 1
 @register("emb_hard_negatives", _HARDNEG_ORACLE)
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query hard negative: nearest other-label vector among the
-    IVF probe candidates (the contrastive-training mining op)."""
-    from oxford_data_pipeline_spark.sources.catalog import load_table
+    IVF probe candidates (the contrastive-training mining op).
+    Scoring folds the ARRAY-form vectors — one row per candidate pair;
+    labels ride along on the same relation (no extra label joins)."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
 
-    long, norms, _centroids, _assignment, cand = _ivf_candidates(spark, sf_dir)
-    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    lq, lc = long.alias("lq"), long.alias("lc")
-    dots = (
-        cand.join(lq, F.col("query_id") == F.col("lq.vec_id"))
-        .join(
-            lc,
-            (F.col("cand_id") == F.col("lc.vec_id"))
-            & (F.col("lq.dim") == F.col("lc.dim")),
-        )
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum(F.col("lq.val") * F.col("lc.val")).alias("dot"))
+    _long, _norms, _centroids, _assignment, cand = _ivf_candidates(spark, sf_dir)
+    vecs = embeddings_vec(spark, sf_dir)
+    vq = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("wq"),
+        F.col("nrm").alias("nq"), F.col("label").alias("query_label"),
     )
-    nq, nc = norms.alias("nq"), norms.alias("nc")
-    tq = labels.alias("tq")
-    tc = labels.alias("tc")
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vec").alias("wc"),
+        F.col("nrm").alias("nc"), F.col("label").alias("neg_label"),
+    )
     scored = (
-        dots.join(nq, F.col("query_id") == F.col("nq.vec_id"))
-        .join(nc, F.col("cand_id") == F.col("nc.vec_id"))
-        .join(F.broadcast(tq), F.col("query_id") == F.col("tq.vec_id"))
-        .join(F.broadcast(tc), F.col("cand_id") == F.col("tc.vec_id"))
-        .filter(F.col("tq.label") != F.col("tc.label"))
+        cand.join(vq, "query_id")
+        .join(vc, "cand_id")
+        .filter(F.col("query_label") != F.col("neg_label"))
         .select(
             "query_id",
             F.col("cand_id").alias("neg_id"),
-            F.col("tq.label").alias("query_label"),
-            F.col("tc.label").alias("neg_label"),
-            round6(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias(
+            "query_label",
+            "neg_label",
+            round6(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc"))).alias(
                 "cosine"
             ),
         )

@@ -481,11 +481,15 @@ def _write_mat73_nested(arrays: dict[str, object]) -> bytes:
         ]
         return alloc(_object_header(msgs))
 
+    max_members = 0
+
     def emit_group(members: dict[str, int]) -> tuple[int, int, int]:
         """Returns (group oh addr, btree addr, heap header addr)."""
+        nonlocal max_members
         names = sorted(members)
-        if len(names) > 8:
-            raise NotImplementedError("single-SNOD writer: at most 8 members")
+        if len(names) > 2048:
+            raise NotImplementedError("single-SNOD writer: at most 2048 members")
+        max_members = max(max_members, len(names))
         heap_data = io.BytesIO(b"\x00" * 8)
         heap_data.seek(8)
         name_off: dict[str, int] = {}
@@ -544,7 +548,10 @@ def _write_mat73_nested(arrays: dict[str, object]) -> bytes:
     sb.write(_HDF5_MAGIC)
     sb.write(struct.pack("<BBBxB", 0, 0, 0, 0))
     sb.write(struct.pack("<BBx", 8, 8))
-    sb.write(struct.pack("<HH", 4, 16))
+    # group-leaf k sized so the largest single SNOD stays within the
+    # spec's 2k-entries-per-node rule (#refs# collects every cell
+    # element, so it can far exceed the default k=4)
+    sb.write(struct.pack("<HH", max(4, (max_members + 1) // 2), 16))
     sb.write(struct.pack("<I", 0))
     sb.write(struct.pack("<QQQQ", _USERBLOCK, _UNDEF, eof, _UNDEF))
     sb.write(struct.pack("<QQI4xQQ", 0, root_oh, 1, root_btree, root_heap))

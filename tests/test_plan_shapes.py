@@ -47,7 +47,6 @@ _GRID_QUERIES = {
         "j4_fact_join_chain",
         "a10_hierarchical_rollup",
         "dedup_ngram_jaccard",
-        "sim_cosine_topk",
         "m12_sign_alignment",
     ],
 )
@@ -55,6 +54,17 @@ def test_no_nested_loop_join_on_fact_paths(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_brute_topk_is_broadcast_cross_of_query_sample(spark):
+    """sim_cosine_topk is the INTENTIONAL O(n*q) exact baseline: the
+    bounded query sample must be the broadcast build side of the cross
+    (one corpus pass, array-fold dot per pair), never a shuffled
+    CartesianProduct — the shape that stays viable when the corpus is
+    100 TB and the query sample is thousands of rows."""
+    plan = _plan(spark, "sim_cosine_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
 
 
 def test_filter_pushdown_reaches_scan(spark):

@@ -189,3 +189,62 @@ def test_spectral_order_valid_permutation(M):
     n = M.shape[0]
     assert sorted(order.tolist()) == list(range(n))
     assert np.array_equal(order, _spectral_order(M))  # deterministic
+
+
+# ---------------------------------------------------------------------------
+# .mat round-trips over random nested metadata (char/cellstr/struct)
+# ---------------------------------------------------------------------------
+_names = st.text(
+    alphabet=st.sampled_from("abcdefghij_"), min_size=1, max_size=12
+).filter(lambda s: not s.startswith("_"))
+_ascii_str = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20
+)
+_leaf = st.one_of(
+    _ascii_str,
+    arrays(np.float64, st.tuples(st.integers(1, 4), st.integers(1, 4)),
+           elements=finite),
+    st.lists(_ascii_str, min_size=1, max_size=4),  # cellstr
+)
+_meta_value = st.recursive(
+    _leaf,
+    lambda inner: st.dictionaries(_names, inner, min_size=1, max_size=3),
+    max_leaves=6,
+)
+
+
+def _assert_same(a, b):
+    if isinstance(a, dict):
+        assert isinstance(b, dict) and sorted(a) == sorted(b)
+        for k in a:
+            _assert_same(a[k], b[k])
+    elif isinstance(a, str):
+        assert b == a
+    elif isinstance(a, list):  # cellstr -> object array, column-major
+        assert [x for x in np.asarray(b, dtype=object).ravel(order="F")] == a
+    else:
+        assert np.allclose(np.asarray(b, dtype=float),
+                           np.asarray(a, dtype=float).reshape(np.shape(b)))
+
+
+@given(st.dictionaries(_names, _meta_value, min_size=1, max_size=3),
+       st.booleans())
+@settings(max_examples=30, deadline=None)
+def test_mat5_nested_roundtrip_property(variables, compress):
+    from oxford_data_pipeline_spark.sources.matfile import read_mat5, write_mat5
+
+    out = read_mat5(write_mat5(variables, compress=compress))
+    assert sorted(out) == sorted(variables)
+    for k, v in variables.items():
+        _assert_same(v, out[k])
+
+
+@given(st.dictionaries(_names, _meta_value, min_size=1, max_size=3))
+@settings(max_examples=30, deadline=None)
+def test_mat73_nested_roundtrip_property(variables):
+    from oxford_data_pipeline_spark.sources.hdf5mat import read_mat73, write_mat73
+
+    out = read_mat73(write_mat73(variables))
+    assert sorted(out) == sorted(variables)
+    for k, v in variables.items():
+        _assert_same(v, out[k])
