@@ -67,6 +67,10 @@ def main() -> None:
     print("  minhash near-dup pairs:", q("dedup_minhash_lsh").count(),
           "| clusters:", q("dedup_clusters").filter("NOT is_survivor").count(),
           "removed")
+    audit = q("dedup_lsh_audit").collect()[0]
+    print(f"  LSH candidate audit: recall {audit['recall']:.3f}"
+          f" precision {audit['precision']:.3f}"
+          f" ({audit['n_hit']}/{audit['n_true']} true pairs reached)")
     incr = q("dedup_incremental")
     print("  incremental batch: ", incr.filter("is_neardup").count(),
           "near-dups among", incr.count(), "delta matches")
@@ -92,7 +96,7 @@ def main() -> None:
     )
     for nm, lbl in (
         ("sim_lsh_recall", "multi-table LSH"),
-        ("sim_ivf_recall", "IVF (3-probe)"),
+        ("sim_ivf_recall", "IVF (5-probe)"),
         ("sim_ivfpq_recall", "IVF-PQ ADC"),
         ("sim_ivfpq_rerank_recall", "IVF-PQ + exact re-rank"),
     ):

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from oxford_data_pipeline_spark.functions.compat import round6
 from oxford_data_pipeline_spark.plans.dedup import _SHINGLES_CTE, _shingle_df
+from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.sources.catalog import fan_out, load_table
 
@@ -87,6 +88,106 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles that appear in >= MIN_DF documents corpus-wide.
     The boilerplate signal Jaccard-pair dedup cannot see."""
     return dup_ngram_coverage(_shingle_df(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Duplicated-span extraction (exact-substring dedup, Lee et al. 2022)
+# --------------------------------------------------------------------------
+# The span-level form of the coverage signal: per document, MAXIMAL
+# contiguous token ranges whose every 3-gram occurs in >= MIN_DF
+# documents corpus-wide — the spans an exact-substring dedup stage
+# would cut, with token offsets so a downstream pass can splice.
+# Relationally: positional shingles (kept, not distinct) -> document
+# frequency on the distinct (doc, shingle) pairs -> dup-position
+# gaps-and-islands (pos - row_number() per doc) -> per-island rollup.
+# One window exchange keyed by doc_id; runs shorter than
+# _SPAN_MIN_GRAMS grams are noise and dropped (logged volume is the
+# span count itself).
+_SPAN_MIN_GRAMS = 3  # >= 3 dup 3-grams = >= 5 duplicated tokens
+
+_DUP_SPANS_ORACLE = f"""
+WITH {_TOKENS_CTE},
+ptoks AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+    WHERE len(t) >= 3
+),
+pdf AS (
+    SELECT shingle, count(DISTINCT doc_id) AS doc_freq FROM ptoks GROUP BY 1
+),
+dup AS (
+    SELECT p.doc_id, p.pos
+    FROM ptoks p JOIN pdf USING (shingle)
+    WHERE doc_freq >= {_DUP_COVERAGE_MIN_DF}
+),
+isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup
+),
+spans AS (
+    SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+           CAST(max(pos) + 2 AS INTEGER) AS span_end,
+           count(*) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id, span_start, span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens,
+       CAST(n_grams AS BIGINT) AS n_dup_grams
+FROM spans WHERE n_grams >= {_SPAN_MIN_GRAMS}
+"""
+
+
+@register("text_dup_spans", _DUP_SPANS_ORACLE)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document (1-based inclusive
+    token offsets): contiguous runs of corpus-duplicated 3-grams, the
+    exact-substring dedup cut list."""
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    t = tokens_relation(spark, sf_dir)
+    ptoks = t.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> struct(i AS pos, concat_ws(' ',"
+                "   element_at(t, i), element_at(t, i + 1),"
+                "   element_at(t, i + 2)) AS shingle))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").cast("int").alias("pos"), "g.shingle")
+    pdf = ptoks.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    dup = (
+        ptoks.join(pdf, "shingle")
+        .filter(F.col("doc_freq") >= _DUP_COVERAGE_MIN_DF)
+        .select("doc_id", "pos")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + 2).cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= _SPAN_MIN_GRAMS)
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            F.col("n_grams").cast("long").alias("n_dup_grams"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
