@@ -555,3 +555,217 @@ def m15_cca_pca_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit,
         schema="pair_id int, pc_index int, alpha_norm double, entropy_effdim double",
     )
+
+
+# --------------------------------------------------------------------------
+# M1 companion: closed-form first canonical correlation (hash-checked)
+# --------------------------------------------------------------------------
+# The CCA math itself, oracle-checked (the m6_glm_closed_form treatment
+# applied to M1): on a 2-feature-per-side slice of each label pair, the
+# first canonical correlation has a closed form — rho1^2 is the larger
+# eigenvalue of the 2x2 matrix M = Sxx^-1 Sxy Syy^-1 Syx, i.e.
+# (tr(M) + sqrt(tr(M)^2 - 4 det(M))) / 2 — all polynomial in the 2x2
+# co-moment entries, which are plain aggregates.  Unnormalized
+# co-moments suffice: the (n-1) scale cancels in M.  The SAME staged
+# expression strings drive the Spark plan (selectExpr) and the DuckDB
+# oracle (generated CTE chain), and a pytest cross-checks the result
+# against the numpy `robust_cca` kernel — tying the grouped-UDF CCA
+# path to a hash-checked relational ground truth.  Sample pairing is
+# explicit (rank by vec_id within side, join on rank), identical in
+# both engines.
+_CCA2_STAGES = [
+    ("sxx11", "sx1x1 - sx1 * sx1 / n"),
+    ("sxx22", "sx2x2 - sx2 * sx2 / n"),
+    ("sxx12", "sx1x2 - sx1 * sx2 / n"),
+    ("syy11", "sy1y1 - sy1 * sy1 / n"),
+    ("syy22", "sy2y2 - sy2 * sy2 / n"),
+    ("syy12", "sy1y2 - sy1 * sy2 / n"),
+    ("sxy11", "sx1y1 - sx1 * sy1 / n"),
+    ("sxy12", "sx1y2 - sx1 * sy2 / n"),
+    ("sxy21", "sx2y1 - sx2 * sy1 / n"),
+    ("sxy22", "sx2y2 - sx2 * sy2 / n"),
+    ("dxx", "sxx11 * sxx22 - sxx12 * sxx12"),
+    ("dyy", "syy11 * syy22 - syy12 * syy12"),
+    ("b11", "(syy22 * sxy11 - syy12 * sxy12) / dyy"),
+    ("b12", "(syy22 * sxy21 - syy12 * sxy22) / dyy"),
+    ("b21", "(syy11 * sxy12 - syy12 * sxy11) / dyy"),
+    ("b22", "(syy11 * sxy22 - syy12 * sxy21) / dyy"),
+    ("a11", "sxy11 * b11 + sxy12 * b21"),
+    ("a12", "sxy11 * b12 + sxy12 * b22"),
+    ("a21", "sxy21 * b11 + sxy22 * b21"),
+    ("a22", "sxy21 * b12 + sxy22 * b22"),
+    ("m11", "(sxx22 * a11 - sxx12 * a21) / dxx"),
+    ("m22", "(sxx11 * a22 - sxx12 * a12) / dxx"),
+    ("trm", "m11 + m22"),
+    ("detm", "(a11 * a22 - a12 * a21) / dxx"),
+    ("lam1", "(trm + sqrt(greatest(trm * trm - 4 * detm, 0))) / 2"),
+    ("rho1", "sqrt(least(greatest(lam1, 0), 1.0))"),
+]
+
+_CCA2_SUMS = [
+    ("sx1", "x1"), ("sx2", "x2"), ("sy1", "y1"), ("sy2", "y2"),
+    ("sx1x1", "x1 * x1"), ("sx2x2", "x2 * x2"), ("sx1x2", "x1 * x2"),
+    ("sy1y1", "y1 * y1"), ("sy2y2", "y2 * y2"), ("sy1y2", "y1 * y2"),
+    ("sx1y1", "x1 * y1"), ("sx1y2", "x1 * y2"),
+    ("sx2y1", "x2 * y1"), ("sx2y2", "x2 * y2"),
+]
+
+
+def _cca2_oracle() -> str:
+    sums = ",\n           ".join(f"sum({e}) AS {nm}" for nm, e in _CCA2_SUMS)
+    ctes = "".join(
+        f",\ns_{i} AS (SELECT *, {e} AS {nm} FROM s_{i - 1})"
+        for i, (nm, e) in enumerate(_CCA2_STAGES, start=1)
+    ).replace("FROM s_0", "FROM agg", 1)
+    return f"""
+WITH p AS (
+    SELECT label // 2 AS pair_id, label % 2 AS side,
+           CAST(embedding[1] AS DOUBLE) AS e1,
+           CAST(embedding[2] AS DOUBLE) AS e2,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings
+),
+m AS (
+    SELECT a.pair_id, a.e1 AS x1, a.e2 AS x2, b.e1 AS y1, b.e2 AS y2
+    FROM p a JOIN p b ON a.pair_id = b.pair_id AND a.rn = b.rn
+    WHERE a.side = 0 AND b.side = 1
+),
+agg AS (
+    SELECT pair_id, CAST(count(*) AS DOUBLE) AS n,
+           {sums}
+    FROM m GROUP BY 1
+){ctes}
+SELECT CAST(pair_id AS INTEGER) AS pair_id, CAST(n AS BIGINT) AS n,
+       round(rho1 * 1000000 + 0.01, 0) / 1000000 + 0 AS rho1
+FROM s_{len(_CCA2_STAGES)}
+"""
+
+
+@register("m1_cca_closed_form", _cca2_oracle())
+def m1_cca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 (hash-checked): first canonical correlation of the first two
+    embedding dims per label pair, in closed form over plain
+    aggregates — no UDF, no matrix library (see _CCA2_STAGES)."""
+    from pyspark.sql.window import Window as W
+
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label").orderBy("vec_id")
+    p = emb.select(
+        F.expr("label DIV 2").alias("pair_id"),
+        (F.col("label") % 2).alias("side"),
+        F.element_at("embedding", 1).cast("double").alias("e1"),
+        F.element_at("embedding", 2).cast("double").alias("e2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    a = p.filter(F.col("side") == 0).select(
+        "pair_id", "rn", F.col("e1").alias("x1"), F.col("e2").alias("x2")
+    )
+    b = p.filter(F.col("side") == 1).select(
+        "pair_id", "rn", F.col("e1").alias("y1"), F.col("e2").alias("y2")
+    )
+    samples = a.join(b, ["pair_id", "rn"])
+    agg = samples.groupBy("pair_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.expr(f"sum({e})").alias(nm) for nm, e in _CCA2_SUMS],
+    )
+    staged = agg
+    for nm, e in _CCA2_STAGES:
+        staged = staged.selectExpr("*", f"{e} AS {nm}")
+    return staged.select(
+        F.col("pair_id").cast("int").alias("pair_id"),
+        F.col("n").cast("long").alias("n"),
+        round6(F.col("rho1")).alias("rho1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M4 companion: closed-form 2-D PCA (hash-checked)
+# --------------------------------------------------------------------------
+# Same treatment for the PCA kernel: on the first two embedding dims
+# per label, the 2x2 covariance eigendecomposition is closed-form —
+# lam = ((s11 + s22) +/- sqrt((s11 - s22)^2 + 4 s12^2)) / 2 — giving
+# the first PC's explained-variance ratio and axis angle
+# (atan2(2 s12, s11 - s22) / 2) as plain aggregate arithmetic that
+# DuckDB reproduces exactly; pytest cross-checks against numpy eigh.
+_PCA2_ORACLE = """
+WITH feat AS (
+    SELECT label,
+           CAST(embedding[1] AS DOUBLE) AS e1,
+           CAST(embedding[2] AS DOUBLE) AS e2
+    FROM embeddings
+),
+agg AS (
+    SELECT label, CAST(count(*) AS DOUBLE) AS n,
+           sum(e1) AS s1, sum(e2) AS s2,
+           sum(e1 * e1) AS s11r, sum(e2 * e2) AS s22r, sum(e1 * e2) AS s12r
+    FROM feat GROUP BY 1
+),
+cov AS (
+    SELECT label, n,
+           (s11r - s1 * s1 / n) / (n - 1) AS s11,
+           (s22r - s2 * s2 / n) / (n - 1) AS s22,
+           (s12r - s1 * s2 / n) / (n - 1) AS s12
+    FROM agg
+),
+eig AS (
+    SELECT label, n, s11, s22, s12,
+           sqrt((s11 - s22) * (s11 - s22) + 4 * s12 * s12) AS disc
+    FROM cov
+)
+SELECT CAST(label AS INTEGER) AS label, CAST(n AS BIGINT) AS n,
+       round((s11 + s22 + disc) / 2 * 1000000 + 0.01, 0) / 1000000 + 0 AS lambda1,
+       round((s11 + s22 - disc) / 2 * 1000000 + 0.01, 0) / 1000000 + 0 AS lambda2,
+       round((s11 + s22 + disc) / (2 * (s11 + s22)) * 1000000 + 0.01, 0) / 1000000 + 0
+           AS explained_ratio,
+       round(atan2(2 * s12, s11 - s22) / 2 * 1000000 + 0.01, 0) / 1000000 + 0
+           AS axis_angle
+FROM eig
+"""
+
+
+@register("m4_pca_closed_form", _PCA2_ORACLE)
+def m4_pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (hash-checked): 2-D PCA per label in closed form — first/
+    second eigenvalues of the sample covariance, explained-variance
+    ratio, and principal-axis angle, from plain aggregates."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feat = emb.select(
+        "label",
+        F.element_at("embedding", 1).cast("double").alias("e1"),
+        F.element_at("embedding", 2).cast("double").alias("e2"),
+    )
+    agg = feat.groupBy("label").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("e1").alias("s1"),
+        F.sum("e2").alias("s2"),
+        F.sum(F.col("e1") * F.col("e1")).alias("s11r"),
+        F.sum(F.col("e2") * F.col("e2")).alias("s22r"),
+        F.sum(F.col("e1") * F.col("e2")).alias("s12r"),
+    )
+    n = F.col("n")
+    cov = agg.select(
+        "label",
+        "n",
+        ((F.col("s11r") - F.col("s1") * F.col("s1") / n) / (n - 1)).alias("s11"),
+        ((F.col("s22r") - F.col("s2") * F.col("s2") / n) / (n - 1)).alias("s22"),
+        ((F.col("s12r") - F.col("s1") * F.col("s2") / n) / (n - 1)).alias("s12"),
+    )
+    disc = F.sqrt(
+        (F.col("s11") - F.col("s22")) * (F.col("s11") - F.col("s22"))
+        + 4 * F.col("s12") * F.col("s12")
+    )
+    tr = F.col("s11") + F.col("s22")
+    return cov.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        round6((tr + disc) / 2).alias("lambda1"),
+        round6((tr - disc) / 2).alias("lambda2"),
+        round6((tr + disc) / (2 * tr)).alias("explained_ratio"),
+        round6(
+            F.atan2(2 * F.col("s12"), F.col("s11") - F.col("s22")) / 2
+        ).alias("axis_angle"),
+    )

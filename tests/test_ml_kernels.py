@@ -165,3 +165,71 @@ def test_rastersort_order_on_entry_a(entry_a):
         for r in rastersort_order(res["psth"]).collect()
     }
     assert {(r.session, r.region, r.neuron_id): r.sort_rank for r in out} == again
+
+
+def test_cca_closed_form_matches_numpy_kernel(spark):
+    """m1_cca_closed_form's relational rho1 must equal the numpy
+    canoncorr kernel's first canonical correlation on the same
+    2-feature samples — the hash-checked closed form and the
+    grouped-UDF CCA path agree on the math."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.ml.linalg import canoncorr
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.pair_id: r.rho1
+        for r in QUERIES["m1_cca_closed_form"](spark, SF_DIR).collect()
+    }
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .selectExpr("label", "vec_id", "embedding")
+        .collect()
+    )
+    by_label: dict = {}
+    for r in sorted(emb, key=lambda r: r.vec_id):
+        by_label.setdefault(r.label, []).append(
+            [float(r.embedding[0]), float(r.embedding[1])]
+        )
+    checked = 0
+    for pair_id, rho in rows.items():
+        x = np.array(by_label.get(2 * pair_id, []))
+        y = np.array(by_label.get(2 * pair_id + 1, []))
+        n = min(len(x), len(y))
+        if n < 4:
+            continue
+        _, _, r = canoncorr(x[:n], y[:n], 1)
+        assert abs(rho - float(r[0])) < 1e-5, (pair_id, rho, float(r[0]))
+        checked += 1
+    assert checked >= 3
+
+
+def test_pca_closed_form_matches_numpy_eigh(spark):
+    """m4_pca_closed_form's eigenvalues/axis must equal numpy's eigh of
+    the same 2x2 sample covariance."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    rows = {r.label: r for r in QUERIES["m4_pca_closed_form"](spark, SF_DIR).collect()}
+    emb = load_table(spark, SF_DIR, "embeddings").select("label", "embedding").collect()
+    by_label: dict = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            [float(r.embedding[0]), float(r.embedding[1])]
+        )
+    checked = 0
+    for label, row in rows.items():
+        x = np.array(by_label[label])
+        if len(x) < 3:
+            continue
+        lam = np.sort(np.linalg.eigvalsh(np.cov(x.T)))[::-1]
+        assert abs(row.lambda1 - lam[0]) < 1e-5
+        assert abs(row.lambda2 - lam[1]) < 1e-5
+        assert abs(row.explained_ratio - lam[0] / lam.sum()) < 1e-5
+        checked += 1
+    assert checked >= 3
