@@ -42,6 +42,7 @@ _ROUND5_FRONT = [
     "dedup_clusters", "dedup_survivors", "dedup_incremental",
     "dedup_semantic", "dedup_lsh_audit", "cur_repetition", "cur_stratified_sample",
     "cur_mixture_weights", "cur_decontaminate", "cur_unigram_surprisal",
+    "cur_bigram_surprisal",
     "cur_length_profile", "cur_pipeline", "cur_temperature_mix",
     "cur_dsir_weights", "cur_pack_stats",
     "cur_pii_scrub", "cur_c4_heuristics", "cur_quality_classifier",
@@ -55,7 +56,7 @@ _ROUND5_FRONT = [
     "mm_metadata_profile", "m6_glm_closed_form", "m1_cca_closed_form", "m4_pca_closed_form",
     # slots 41-50: oracle-checked classics, re-confirmed each round
     "j1_event_psth", "dedup_exact", "dedup_minhash_lsh", "text_quality",
-    "sc_scalar_functions", "m12_sign_alignment",
+    "m12_sign_alignment",
 ]
 
 

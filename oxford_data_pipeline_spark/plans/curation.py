@@ -329,6 +329,80 @@ GROUP BY e.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Bigram-LM quality score: per-doc mean conditional surprisal
+# --------------------------------------------------------------------------
+# The next step up from the unigram filter — the relational stand-in
+# for KenLM-style perplexity scoring: P(v|u) with add-one smoothing
+# over the corpus-trained bigram table, scored as the mean
+# -ln P(v|u) over each document's adjacent token pairs.  Unlike the
+# unigram model, the bigram table scales with the corpus (it is NOT
+# broadcast): scoring is an equi-join on (u, v) co-partitioned with
+# the count aggregate that feeds it, plus a context-total join on u;
+# only the scalar vocabulary size is broadcast.  At 100 TB a count
+# floor (as in the unigram model) prunes the Zipf tail of the table.
+_BIGRAM_ORACLE = f"""
+WITH {_TOKENS_CTE},
+big AS (
+    SELECT doc_id, t[i] AS u, t[i + 1] AS v
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+    WHERE len(t) >= 2
+),
+bc AS (
+    SELECT u, v, count(*) AS cuv FROM big GROUP BY 1, 2
+),
+cc AS (
+    SELECT u, sum(cuv) AS cu FROM bc GROUP BY 1
+),
+vs AS (
+    SELECT CAST(count(DISTINCT v) AS DOUBLE) AS vsz FROM big
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-ln((c.cuv + 1) / (x.cu + s.vsz))) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS avg_surprisal
+FROM big b
+JOIN bc c ON b.u = c.u AND b.v = c.v
+JOIN cc x ON b.u = x.u
+CROSS JOIN vs s
+GROUP BY b.doc_id
+"""
+
+
+@register("cur_bigram_surprisal", _BIGRAM_ORACLE)
+def cur_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: per-doc mean -ln P(v|u) under an
+    add-one-smoothed bigram model trained on the corpus itself.  The
+    bigram table is corpus-scaled, so scoring joins it on (u, v)
+    rather than broadcasting; only the vocabulary-size scalar is
+    broadcast."""
+    t = tokens_relation(spark, sf_dir).filter(F.size("t") >= 2)
+    big = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS u,"
+                "             element_at(t, i + 1) AS v))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.u", "b.v")
+    bc = big.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cuv"))
+    cc = bc.groupBy("u").agg(F.sum("cuv").alias("cu"))
+    vs = big.agg(F.countDistinct("v").cast("double").alias("vsz"))
+    p = (F.col("cuv") + 1) / (F.col("cu") + F.col("vsz"))
+    return (
+        big.join(bc, ["u", "v"])
+        .join(cc, "u")
+        .crossJoin(F.broadcast(vs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round6(F.avg(-F.log(p))).alias("avg_surprisal"),
+        )
+    )
+
+
 @register("cur_unigram_surprisal", _UNIGRAM_ORACLE)
 def cur_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring: mean per-token surprisal under a
