@@ -765,3 +765,59 @@ def test_streaming_curation_pipeline_restart_resume(spark, tmp_path):
         "SELECT doc_id, reason FROM curation_quarantine"
     ).collect()
     assert [(r.doc_id, r.reason) for r in rejected] == [(3, "pii")]
+
+
+def test_streaming_neardup_state_evicts_after_horizon(spark, tmp_path):
+    """The eviction side of the event-time timeout: once the watermark
+    passes a key's last activity plus the 1-hour horizon, its state is
+    removed — a later re-arrival of the same text becomes a NEW
+    representative (no match emitted) instead of matching a forgotten
+    first-seen doc.  Bounds the state store by the horizon, the
+    contract the module docstring promises."""
+    import pandas as pd
+
+    from oxford_data_pipeline_spark.streaming.stream_curation import curation_stream
+
+    good = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river flows past the old stone bridge at dawn")
+    other = ("many bright stars appear over the quiet valley when the "
+             "cold night wind settles between the tall dark pines")
+    src = tmp_path / "crawl"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    build = {
+        "schema": "doc_id long, source string, text string, event_ts timestamp",
+        "plan": curation_stream,
+    }
+    # run 1: doc 1 seeds state for `good`
+    pd.DataFrame(
+        {"doc_id": [1], "source": ["web"], "text": [good], "event_ts": [base]}
+    ).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    r1 = _restart_run(spark, build, src, tmp_path / "ckpt", tmp_path / "out")
+    assert r1 == []
+
+    # run 2: unrelated doc 5 hours later pushes the watermark past
+    # doc 1's (last_ts + 1h) timeout -> doc 1's keys are evicted
+    pd.DataFrame(
+        {"doc_id": [2], "source": ["web"], "text": [other],
+         "event_ts": [base + pd.Timedelta(hours=5)]}
+    ).to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    r2 = _restart_run(spark, build, src, tmp_path / "ckpt", tmp_path / "out")
+    assert r2 == []
+
+    # run 3: the same text re-arrives as doc 3 (fresh event time) —
+    # with doc 1 evicted it must seed NEW state, not emit (3, 1)
+    pd.DataFrame(
+        {"doc_id": [3], "source": ["web"], "text": [good],
+         "event_ts": [base + pd.Timedelta(hours=5, minutes=1)]}
+    ).to_parquet(src / "b3.parquet", coerce_timestamps="us")
+    r3 = _restart_run(spark, build, src, tmp_path / "ckpt", tmp_path / "out")
+    assert {(r.doc_id, r.matched_doc) for r in r3} == set()
+
+    # and doc 4 duplicating it within the NEW horizon matches doc 3
+    pd.DataFrame(
+        {"doc_id": [4], "source": ["web"], "text": [good],
+         "event_ts": [base + pd.Timedelta(hours=5, minutes=2)]}
+    ).to_parquet(src / "b4.parquet", coerce_timestamps="us")
+    r4 = _restart_run(spark, build, src, tmp_path / "ckpt", tmp_path / "out")
+    assert {(r.doc_id, r.matched_doc) for r in r4} == {(4, 3)}
