@@ -53,9 +53,10 @@ _ROUND5_FRONT = [
     "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
     "text_dup_ngram_coverage", "text_dup_spans",
     "text_bpe_merges", "text_bpe_compression",
-    "mm_metadata_profile", "m6_glm_closed_form", "m1_cca_closed_form", "m4_pca_closed_form",
+    "mm_metadata_profile", "mm_frame_sample",
+    "m6_glm_closed_form", "m1_cca_closed_form", "m4_pca_closed_form",
     # slots 41-50: oracle-checked classics, re-confirmed each round
-    "j1_event_psth", "dedup_exact", "dedup_minhash_lsh", "text_quality",
+    "j1_event_psth", "dedup_exact", "dedup_minhash_lsh",
     "m12_sign_alignment",
 ]
 

@@ -85,3 +85,59 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.avg(F.element_at("hist", 1))).alias("avg_hist_bin0"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling (oracle-checked) + resize strips (rows-only)
+# --------------------------------------------------------------------------
+# The video-modality frame-sample plumbing promoted to the query
+# contract.  The deterministic stand-in samples 4 equal byte chunks
+# ("frames") per payload; because the corpus is ASCII, byte == code
+# point, so the per-frame byte means are reproducible in DuckDB via
+# ascii(substr(...)) over exploded positions — the mapInPandas kernel
+# (batch shape, prefix-sum indexing) gets a full value-level oracle,
+# not just a schema check.  A real ffmpeg decode drops into the same
+# mapInPandas seam with this exact output schema.
+_FRAME_ORACLE = """
+WITH vids AS (
+    SELECT doc_id, text, length(text) AS len,
+           greatest(length(text) // 4, 1) AS fsz
+    FROM documents WHERE doc_id % 3 = 2
+),
+bytes AS (
+    SELECT v.doc_id, v.fsz, CAST(p AS INTEGER) AS pos,
+           ascii(substr(v.text, CAST(p AS INTEGER), 1)) AS b
+    FROM vids v, unnest(generate_series(1, v.len)) AS u(p)
+),
+framed AS (
+    SELECT doc_id, CAST((pos - 1) // fsz AS INTEGER) AS frame_idx, b
+    FROM bytes WHERE (pos - 1) // fsz < 4
+)
+SELECT doc_id, frame_idx,
+       CAST(count(*) AS INTEGER) AS n_bytes,
+       sum(CAST(b AS DOUBLE)) / count(*) AS mean_byte
+FROM framed GROUP BY 1, 2
+"""
+
+
+@register("mm_frame_sample", _FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 4 equal byte chunks per payload via the
+    Arrow-batched kernel (`operators.multimodal.fake_frame_sample`),
+    one row per non-empty frame with its byte count and mean."""
+    from oxford_data_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))
+
+
+@register("mm_resize_strip")
+def mm_resize_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: every payload mean-pooled to a fixed 8-'pixel'
+    strip (edge-padded), the image-resize batch shape.  Rows-only (the
+    array column does not hash-compare); the kernel is value-tested
+    against a per-row reference in tests/test_mlops.py."""
+    from oxford_data_pipeline_spark.operators.multimodal import resize_strips
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_strips(attach_binary_payload(docs))
