@@ -477,6 +477,100 @@ def dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm)
+# --------------------------------------------------------------------------
+# Local document fingerprinting with a GUARANTEE the hash-min schemes
+# above lack: any shared run of at least w + k - 1 tokens between two
+# documents shares at least one selected fingerprint.  Per document:
+# hash every positional k-gram (md5, compared lexicographically — hex
+# strings order identically on both engines), slide a w-window over
+# the hash sequence, select each window's minimum (rightmost position
+# on ties), emit the distinct selected (pos, fp) set.  Candidate
+# pairing downstream is the same fp equi-join shape as MinHash bands.
+# Relationally: window membership is a bounded w-fold explode (w = 4),
+# per-(doc, window) argmin is one row_number — no self-joins, no UDF.
+_WIN_K = 3  # tokens per k-gram
+_WIN_W = 4  # hashes per window
+
+_WINNOW_ORACLE = f"""
+WITH {_TOKENS_CTE},
+kg AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS h,
+           len(t) - {_WIN_K - 1} AS n_grams
+    FROM toks, unnest(generate_series(1, len(t) - {_WIN_K - 1})) AS u(i)
+    WHERE len(t) >= {_WIN_K}
+),
+memb AS (
+    SELECT doc_id, pos, h,
+           CAST(w AS INTEGER) AS win
+    FROM kg, unnest(generate_series(
+        greatest(pos - {_WIN_W - 1}, 1),
+        least(pos, n_grams - {_WIN_W - 1}))) AS v(w)
+    WHERE n_grams >= {_WIN_W}
+),
+sel AS (
+    SELECT doc_id, win, pos, h,
+           row_number() OVER (PARTITION BY doc_id, win
+                              ORDER BY h, pos DESC) AS rnk
+    FROM memb
+)
+SELECT DISTINCT doc_id, pos, h AS fp
+FROM sel WHERE rnk = 1
+"""
+
+
+def winnow_fingerprints(t: DataFrame) -> DataFrame:
+    """Core winnowing transform over a (doc_id, t: array<string>)
+    relation -> distinct selected (doc_id, pos, fp) rows."""
+    t = t.filter(F.size("t") >= _WIN_K)
+    kg = t.select(
+        "doc_id",
+        (F.size("t") - (_WIN_K - 1)).alias("n_grams"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_WIN_K - 1}),"
+                " i -> struct(i AS pos, md5(concat_ws(' ',"
+                "   element_at(t, i), element_at(t, i + 1),"
+                "   element_at(t, i + 2))) AS h))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id", "n_grams", F.col("g.pos").cast("int").alias("pos"), "g.h"
+    )
+    memb = kg.filter(F.col("n_grams") >= _WIN_W).select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (_WIN_W - 1), F.lit(1)),
+                F.least(F.col("pos"), F.col("n_grams") - (_WIN_W - 1)),
+            )
+        ).alias("win"),
+    ).withColumn("win", F.col("win").cast("int"))
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("doc_id", "win").orderBy(F.col("h"), F.col("pos").desc())
+    return (
+        memb.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "pos", F.col("h").alias("fp"))
+        .distinct()
+    )
+
+
+@register("dedup_winnowing", _WINNOW_ORACLE)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection: per doc, the distinct
+    (position, fingerprint) pairs chosen as window minima — guaranteed
+    to catch any shared run of >= w + k - 1 tokens."""
+    return winnow_fingerprints(
+        tokens_relation(spark, sf_dir).select("doc_id", "t")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash signatures
 # --------------------------------------------------------------------------
 _SIMHASH_ORACLE = f"""

@@ -606,3 +606,34 @@ def test_mat_metadata_ingest_end_to_end(spark, tmp_path):
     assert rows[("sess_a", 2, "firing_rate_mean")] == "2"
     assert rows[("sess_c", 1, "firing_rate_mean")] == "1"
     assert len(rows) == 8
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's defining property (Schleimer et al. 2003): two
+    documents sharing a token run of at least w + k - 1 (= 6) tokens
+    must share at least one selected fingerprint, while selection
+    stays sparse (far fewer fingerprints than k-grams)."""
+    from oxford_data_pipeline_spark.plans.dedup import (
+        _WIN_K,
+        _WIN_W,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta".split()  # w + k - 1 tokens
+    assert len(shared) == _WIN_W + _WIN_K - 1
+    docs = [
+        (1, "one two three".split() + shared + "four five six seven".split()),
+        (2, "red blue green yellow".split() + shared + "purple orange".split()),
+        (3, "totally unrelated words with no overlap at all here now".split()),
+    ]
+    t = spark.createDataFrame(docs, "doc_id long, t array<string>")
+    fps = winnow_fingerprints(t).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # sparsity: selection keeps roughly 2/(w+1) of k-grams, never all
+    for doc_id, toks in docs[:2]:
+        n_grams = len(toks) - (_WIN_K - 1)
+        assert len(by_doc[doc_id]) < n_grams
