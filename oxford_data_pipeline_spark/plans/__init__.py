@@ -40,7 +40,7 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 _ROUND5_FRONT = [
     "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_clusters", "dedup_survivors", "dedup_incremental",
-    "dedup_semantic", "dedup_lsh_audit", "dedup_winnowing",
+    "dedup_semantic", "dedup_lsh_audit", "dedup_winnowing", "dedup_containment",
     "cur_repetition", "cur_stratified_sample",
     "cur_mixture_weights", "cur_decontaminate", "cur_unigram_surprisal",
     "cur_bigram_surprisal",
@@ -57,7 +57,7 @@ _ROUND5_FRONT = [
     "mm_metadata_profile", "mm_frame_sample",
     "m6_glm_closed_form", "m1_cca_closed_form", "m4_pca_closed_form",
     # slots 41-50: oracle-checked classics, re-confirmed each round
-    "j1_event_psth", "dedup_exact", "m12_sign_alignment",
+    "j1_event_psth", "m12_sign_alignment",
 ]
 
 

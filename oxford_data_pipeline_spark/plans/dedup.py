@@ -179,6 +179,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# N-gram containment (Broder): near-subset detection
+# --------------------------------------------------------------------------
+# Jaccard is symmetric, so a short document quoted wholesale inside a
+# long one scores low (|A∩B| / |A∪B| shrinks with the size gap) and
+# survives near-dup removal.  Containment — |A∩B| / min(|A|, |B|)
+# (Broder 1997's c(A,B) on the smaller side) — is the standard fix:
+# 1.0 means the smaller document's shingle set is entirely inside the
+# larger's.  Same blocked shingle equi-join as the Jaccard query; only
+# the denominator changes, so the plan shape and caps carry over.
+_CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAIN_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc1, i.doc2,
+       CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_smaller,
+       round(CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS containment,
+       round(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000 + 0.01, 0) / 1000000 + 0 AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc1 = sa.doc_id
+JOIN sizes sb ON i.doc2 = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment", _CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment near-subset pairs: |A∩B| / min(|A|, |B|) >=
+    {_CONTAINMENT_THRESHOLD} — catches quote-inclusion duplicates the
+    symmetric Jaccard bar misses; jaccard rides along for contrast."""
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    smaller = F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+    cont = F.col("n_inter").cast("double") / smaller
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .filter(cont >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "doc1",
+            "doc2",
+            smaller.cast("long").alias("n_smaller"),
+            round6(cont).alias("containment"),
+            round6(jac).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # N-gram Jaccard with a hot-shingle document-frequency cap
 # --------------------------------------------------------------------------
 # In any web-scale corpus a stopword-only shingle ("of the and") is
