@@ -43,6 +43,21 @@ def tokens(norm: Column) -> Column:
     return F.filter(F.split(norm, " +"), lambda x: x != "")
 
 
+def positional_ngrams(col: str, k: int) -> Column:
+    """Array of struct(pos, shingle): the k-gram STARTING at each
+    1-based token position of array column `col` — positions kept (and
+    duplicates kept), unlike `word_shingles`' distinct set.  Explode
+    the result for the positional relations behind span extraction
+    (`text_dup_spans`) and winnowing fingerprints (`dedup_winnowing`).
+    Oracle SQL twin: `t[i] || ' ' || ... ` over
+    `unnest(generate_series(1, len(t) - k + 1))`."""
+    parts = ", ".join(f"element_at({col}, i + {j})" for j in range(k))
+    return F.expr(
+        f"transform(sequence(1, size({col}) - {k - 1}),"
+        f" i -> struct(i AS pos, concat_ws(' ', {parts}) AS shingle))"
+    )
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; short docs fall back to the whole
     token sequence as one shingle.

@@ -596,20 +596,18 @@ FROM sel WHERE rnk = 1
 def winnow_fingerprints(t: DataFrame) -> DataFrame:
     """Core winnowing transform over a (doc_id, t: array<string>)
     relation -> distinct selected (doc_id, pos, fp) rows."""
+    from oxford_data_pipeline_spark.operators.textops import positional_ngrams
+
     t = t.filter(F.size("t") >= _WIN_K)
     kg = t.select(
         "doc_id",
         (F.size("t") - (_WIN_K - 1)).alias("n_grams"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {_WIN_K - 1}),"
-                " i -> struct(i AS pos, md5(concat_ws(' ',"
-                "   element_at(t, i), element_at(t, i + 1),"
-                "   element_at(t, i + 2))) AS h))"
-            )
-        ).alias("g"),
+        F.explode(positional_ngrams("t", _WIN_K)).alias("g"),
     ).select(
-        "doc_id", "n_grams", F.col("g.pos").cast("int").alias("pos"), "g.h"
+        "doc_id",
+        "n_grams",
+        F.col("g.pos").cast("int").alias("pos"),
+        F.md5("g.shingle").alias("h"),
     )
     memb = kg.filter(F.col("n_grams") >= _WIN_W).select(
         "doc_id",

@@ -146,17 +146,11 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup cut list."""
     from oxford_data_pipeline_spark.plans.textops import tokens_relation
 
+    from oxford_data_pipeline_spark.operators.textops import positional_ngrams
+
     t = tokens_relation(spark, sf_dir)
     ptoks = t.filter(F.size("t") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 2),"
-                " i -> struct(i AS pos, concat_ws(' ',"
-                "   element_at(t, i), element_at(t, i + 1),"
-                "   element_at(t, i + 2)) AS shingle))"
-            )
-        ).alias("g"),
+        "doc_id", F.explode(positional_ngrams("t", 3)).alias("g")
     ).select("doc_id", F.col("g.pos").cast("int").alias("pos"), "g.shingle")
     pdf = ptoks.groupBy("shingle").agg(
         F.countDistinct("doc_id").alias("doc_freq")

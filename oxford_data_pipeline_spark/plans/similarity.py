@@ -234,11 +234,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~15x for a bounded candidate volume (see sim_lsh_recall).  Hot
     (table, bucket) pairs above the cap are dropped before the join —
     the same skew guard as the single-table dedup blocking."""
-    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
     buckets = _multitable_buckets_for(spark, sf_dir)
-    norms = long.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
-    )
     q = buckets.alias("qb")
     c = buckets.alias("cb")
     cand = (

@@ -329,11 +329,16 @@ best{r} AS MATERIALIZED (
     SELECT lft, rgt, total FROM pc{r} ORDER BY total DESC, lft, rgt LIMIT 1
 ),
 state{r} AS MATERIALIZED (
+    -- LEFT JOIN ON TRUE, not CROSS JOIN: when no pair remains before
+    -- round {r} (degenerate corpora), best{r} is EMPTY and a cross
+    -- join would empty the whole state chain — the Spark trainer
+    -- early-breaks and keeps its state, so the oracle must too
     SELECT s.word,
-           replace(s.s, '|' || b.lft || '||' || b.rgt || '|',
-                   '|' || b.lft || b.rgt || '|') AS s,
+           CASE WHEN b.lft IS NULL THEN s.s
+                ELSE replace(s.s, '|' || b.lft || '||' || b.rgt || '|',
+                             '|' || b.lft || b.rgt || '|') END AS s,
            s.cnt
-    FROM state{p} s CROSS JOIN best{r} b
+    FROM state{p} s LEFT JOIN best{r} b ON TRUE
 )""")
     return "".join(parts)
 

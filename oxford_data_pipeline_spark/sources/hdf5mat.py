@@ -715,7 +715,10 @@ def _read_dataset(payload: bytes, base: int, oh_addr: int) -> np.ndarray:
         refs = np.frombuffer(payload, "<u8", count=n, offset=base + addr)
         cells = np.empty(n, dtype=object)
         for i, r in enumerate(refs):
-            cells[i] = _read_dataset(payload, base, int(r))
+            # _read_object, not _read_dataset: a referenced object can
+            # itself be a GROUP (MATLAB cell-of-struct), which must
+            # recurse like any other struct member
+            cells[i] = _read_object(payload, base, int(r))
         # stored dims are the MATLAB transpose; C-order reshape then
         # transpose restores (m, n) cell orientation
         return cells.reshape(dims).transpose()

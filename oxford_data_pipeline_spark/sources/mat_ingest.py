@@ -114,16 +114,42 @@ def decode_mat_metadata(path: str, payload: bytes) -> pd.DataFrame:
     if not isinstance(meta, dict):
         raise ValueError(f"{path}: expected a struct variable, got {type(meta)}")
     rows: list[tuple[str, int, str, str]] = []
-    for field, value in meta.items():
-        if isinstance(value, str):  # scalar char applies to every neuron
-            rows.append((session, 0, field, value))
-            continue
-        flat = np.asarray(value).ravel(order="F")
+
+    def stringify(v) -> str:
+        """Full-value serialization: strings pass through, scalars as
+        %g, nested arrays (per-neuron vectors in cells) as a
+        comma-joined %g list — never truncated to element [0]."""
+        if isinstance(v, str):
+            return v
+        a = np.asarray(v).ravel(order="F")
+        if a.size == 0:
+            return ""
+        if a.dtype == object:
+            return ",".join(stringify(x) for x in a)
+        if a.size == 1:
+            return "%g" % float(a[0])
+        return ",".join("%g" % float(x) for x in a)
+
+    def walk(prefix: str, value) -> None:
+        if isinstance(value, dict):
+            # CellExplorer-style nested structs (.general, .acg, ...):
+            # recurse with dotted field names instead of crashing
+            for f, v in value.items():
+                walk(f"{prefix}.{f}" if prefix else f, v)
+            return
+        if isinstance(value, str):  # scalar char applies to the session
+            rows.append((session, 0, prefix, value))
+            return
+        flat = np.asarray(value, dtype=object).ravel(order="F") if isinstance(
+            value, (list, tuple)
+        ) or (isinstance(value, np.ndarray) and value.dtype == object) else np.asarray(
+            value
+        ).ravel(order="F")
         for i, v in enumerate(flat, start=1):
-            if isinstance(v, np.ndarray):  # nested 1x1 cell wrapping
-                v = v.ravel()[0] if v.size else ""
-            text = v if isinstance(v, str) else "%g" % float(v)
-            rows.append((session, i, field, text))
+            rows.append((session, i, prefix, stringify(v)))
+
+    for field, value in meta.items():
+        walk(field, value)
     return pd.DataFrame(rows, columns=["session", "neuron_id", "field", "value"])
 
 

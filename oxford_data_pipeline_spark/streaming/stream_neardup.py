@@ -43,7 +43,17 @@ N_HASHES, ROWS_PER_BAND = 16, 4
 OUTPUT_SCHEMA = (
     "band int, sig string, doc_id long, matched_doc long, event_ts timestamp"
 )
-STATE_SCHEMA = "first_doc long, first_ts long"
+STATE_SCHEMA = "first_doc long, first_ts long, last_ts long"
+
+
+def _parse_duration_sec(text: str) -> int:
+    """'90 seconds' / '10 minutes' / '1 hour' / '2 days' -> seconds
+    (the subset of Spark's CalendarInterval syntax watermarks use)."""
+    qty, unit = text.strip().split()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        unit.rstrip("s")
+    ]
+    return int(qty) * mult
 
 
 def band_signature_rows(stream: DataFrame) -> DataFrame:
@@ -80,44 +90,52 @@ def band_signature_rows(stream: DataFrame) -> DataFrame:
     ).select("doc_id", "event_ts", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def _match(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    band, sig = key
-    if state.hasTimedOut:
-        state.remove()
-        return
+def _match_fn(horizon_sec: int):
+    """Build the per-key matcher with the eviction horizon closed over
+    (derived from the plan's watermark, so admission and eviction use
+    the same lateness contract)."""
 
-    rows = pd.concat(list(batches)).sort_values(["event_ts", "doc_id"])
-    ts = rows["event_ts"].astype("int64") // 1_000_000_000
+    def _match(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band, sig = key
+        if state.hasTimedOut:
+            state.remove()
+            return
 
-    if state.exists:
-        first_doc, first_ts = state.get
-    else:
-        first_doc, first_ts = int(rows["doc_id"].iloc[0]), int(ts.iloc[0])
+        rows = pd.concat(list(batches)).sort_values(["event_ts", "doc_id"])
+        ts = rows["event_ts"].astype("int64") // 1_000_000_000
 
-    out = []
-    for doc, t in zip(rows["doc_id"], ts):
-        doc, t = int(doc), int(t)
-        if doc != first_doc:
-            out.append((band, sig, doc, first_doc, pd.Timestamp(t, unit="s")))
-    state.update((first_doc, first_ts))
-    # Evict when the WATERMARK passes the key's last activity plus the
-    # horizon — anchored to event time, not the current watermark: with
-    # watermark-relative timeouts, a key touched only in a batch whose
-    # watermark still trails (e.g. the first micro-batch, watermark 0)
-    # would time out as soon as the watermark advances, killing state
-    # across a checkpoint restart.
-    last_ts = int(ts.max())
-    state.setTimeoutTimestamp(
-        max((last_ts + 60 * 60) * 1000, state.getCurrentWatermarkMs() + 1)
-    )
-    if out:
-        yield pd.DataFrame(
-            out, columns=["band", "sig", "doc_id", "matched_doc", "event_ts"]
+        if state.exists:
+            first_doc, first_ts, prev_last = state.get
+        else:
+            first_doc, first_ts = int(rows["doc_id"].iloc[0]), int(ts.iloc[0])
+            prev_last = first_ts
+
+        out = []
+        for doc, t in zip(rows["doc_id"], ts):
+            doc, t = int(doc), int(t)
+            if doc != first_doc:
+                out.append((band, sig, doc, first_doc, pd.Timestamp(t, unit="s")))
+        # Evict when the WATERMARK passes the key's last activity plus
+        # the horizon — anchored to event time, not the current
+        # watermark (a key touched only while the watermark trailed
+        # would otherwise die as soon as it advances), and to the MAX
+        # last-seen across batches: a late-but-admitted row must never
+        # move the deadline backwards.
+        last_ts = max(int(ts.max()), int(prev_last))
+        state.update((first_doc, first_ts, last_ts))
+        state.setTimeoutTimestamp(
+            max((last_ts + horizon_sec) * 1000, state.getCurrentWatermarkMs() + 1)
         )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["band", "sig", "doc_id", "matched_doc", "event_ts"]
+            )
+
+    return _match
 
 
 def neardup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -129,7 +147,7 @@ def neardup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .withWatermark("event_ts", watermark)
         .groupBy("band", "sig")
         .applyInPandasWithState(
-            _match,
+            _match_fn(_parse_duration_sec(watermark)),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

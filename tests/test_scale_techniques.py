@@ -637,3 +637,46 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     for doc_id, toks in docs[:2]:
         n_grams = len(toks) - (_WIN_K - 1)
         assert len(by_doc[doc_id]) < n_grams
+
+
+def test_mat73_cell_of_struct_roundtrip():
+    """Review regression: a referenced cell element can be a GROUP
+    (MATLAB cell-of-struct) — the reader must recurse via the object
+    dispatcher, not assume datasets."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.hdf5mat import read_mat73, write_mat73
+
+    out = read_mat73(
+        write_mat73({"c": [{"a": np.ones(2), "name": "n1"}, "plain"]})
+    )
+    cells = list(out["c"].ravel())
+    assert cells[0]["a"].ravel().tolist() == [1.0, 1.0]
+    assert cells[0]["name"] == "n1"
+    assert cells[1] == "plain"
+
+
+def test_mat_metadata_nested_structs_and_vectors():
+    """Review regression: CellExplorer-style nested structs flatten to
+    dotted field names (no TypeError), and per-neuron vectors inside
+    cells serialize in full (no [0]-truncation)."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.mat_ingest import decode_mat_metadata
+    from oxford_data_pipeline_spark.sources.matfile import write_mat5
+
+    blob = write_mat5(
+        {
+            "cell_metrics": {
+                "brainRegion": ["CA1", "PFC"],
+                "general": {"basename": "sess1", "rate": np.array([1.0, 2.0])},
+                "waveforms": [np.array([0.1, 0.2, 0.3]), np.array([0.4, 0.5])],
+            }
+        }
+    )
+    df = decode_mat_metadata("/x/sess_a.mat", blob)
+    rows = {(r.neuron_id, r.field): r.value for _, r in df.iterrows()}
+    assert rows[(0, "general.basename")] == "sess1"
+    assert rows[(2, "general.rate")] == "2"
+    assert rows[(1, "waveforms")] == "0.1,0.2,0.3"
+    assert rows[(2, "waveforms")] == "0.4,0.5"
