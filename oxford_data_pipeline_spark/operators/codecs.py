@@ -1,0 +1,303 @@
+"""Pure-stdlib media codecs: PNG, BMP, PPM, WAV — no external
+libraries (the runtime ships no PIL/ffmpeg/soundfile).
+
+These back `operators.multimodal.decode_media`, turning the former
+decode stub into a real path: payloads are sniffed by magic bytes and
+decoded to numpy arrays plus typed metadata.  Coverage is the subset a
+training-data pipeline actually hits for *validation* decode — PNG
+8-bit gray/RGB/RGBA (all five scanline filters, non-interlaced), BMP
+24-bit uncompressed, binary PPM (P6), RIFF/WAVE PCM 8/16-bit — with a
+matching PNG/WAV *encoder* so the decode path is round-trip testable
+without binary fixtures.
+
+Reference parity: the reference pipeline has no media codecs at all
+(MATLAB `.mat` only); this module serves the engine's multimodal-
+column mandate.  Decode is per-payload Python by nature (zlib inflate
+is per-blob); at 100 TB it runs inside Arrow-batched `mapInPandas`,
+partition-parallel — the only sane place for a codec in Spark.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(ftype: int, line: bytearray, prev: bytes, bpp: int) -> None:
+    """Reverse one scanline filter in place (PNG spec §9)."""
+    n = len(line)
+    if ftype == 0:
+        return
+    if ftype == 1:  # Sub
+        for i in range(bpp, n):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(n):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            a = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            a = line[i - bpp] if i >= bpp else 0
+            c = prev[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+    else:
+        raise ValueError(f"PNG: unknown filter type {ftype}")
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a non-interlaced 8-bit PNG (gray / gray+alpha / RGB /
+    RGBA) to a (H, W[, C]) uint8 array + metadata dict."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"PNG: bit depth {depth} unsupported (8 only)")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"PNG: color type {color} unsupported")
+            if interlace:
+                raise ValueError("PNG: interlaced images unsupported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG: decompressed size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for r in range(height):
+        off = r * (stride + 1)
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        _unfilter(raw[off], line, prev, channels)
+        out[r] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = bytes(line)
+    img = out if channels == 1 else out.reshape(height, width, channels)
+    return img, {"format": "png", "width": width, "height": height,
+                 "channels": channels}
+
+
+def png_encode(img: np.ndarray, filters: tuple[int, ...] | None = None) -> bytes:
+    """Encode a uint8 array ((H,W) gray, (H,W,3) RGB, (H,W,4) RGBA) as
+    PNG.  ``filters`` cycles per scanline (default Sub/Up/Average/
+    Paeth/None round-robin so round-trip tests exercise every
+    unfilter path, not just filter 0)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, channels = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color, channels = 6, 4
+    else:
+        raise ValueError(f"PNG encode: unsupported shape {img.shape}")
+    h, w = img.shape[0], img.shape[1]
+    rows = img.reshape(h, w * channels).astype(np.int16)
+    if filters is None:
+        filters = (1, 2, 3, 4, 0)
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int16)
+    for r in range(h):
+        ft = filters[r % len(filters)]
+        line = rows[r]
+        left = np.concatenate((np.zeros(channels, np.int16), line[:-channels])) \
+            if w * channels > channels else np.zeros_like(line)
+        if ft == 0:
+            f = line
+        elif ft == 1:
+            f = line - left
+        elif ft == 2:
+            f = line - prev
+        elif ft == 3:
+            f = line - ((left + prev) >> 1)
+        elif ft == 4:
+            ul = np.concatenate((np.zeros(channels, np.int16), prev[:-channels])) \
+                if w * channels > channels else np.zeros_like(prev)
+            pa = np.abs(prev - ul)          # |p - a| where p = a + b - c
+            pb = np.abs(left - ul)
+            pc = np.abs(left + prev - 2 * ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            f = line - pred
+        else:
+            raise ValueError(f"PNG encode: unknown filter {ft}")
+        raw.append(ft)
+        raw += (f & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+# --------------------------------------------------------------------------
+# BMP (24-bit uncompressed) and binary PPM (P6)
+# --------------------------------------------------------------------------
+def bmp_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a 24-bit uncompressed (BI_RGB) BMP to (H, W, 3) uint8 RGB.
+    Handles bottom-up (positive height) and top-down (negative) rows."""
+    if data[:2] != b"BM":
+        raise ValueError("BMP: bad signature")
+    (off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError("BMP: pre-BITMAPINFOHEADER formats unsupported")
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"BMP: only 24-bit BI_RGB supported (bpp={bpp})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    px = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=off)
+    rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    img = rows[:, :, ::-1].copy()  # BGR -> RGB
+    return img, {"format": "bmp", "width": w, "height": h, "channels": 3}
+
+
+def ppm_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a binary PPM (P6, maxval <= 255) to (H, W, 3) uint8."""
+    if data[:2] != b"P6":
+        raise ValueError("PPM: only P6 supported")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("PPM: 16-bit maxval unsupported")
+    pos += 1  # single whitespace after maxval
+    img = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return img.reshape(h, w, 3).copy(), {
+        "format": "ppm", "width": w, "height": h, "channels": 3,
+    }
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF, PCM 8/16-bit)
+# --------------------------------------------------------------------------
+def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode RIFF/WAVE PCM to (n_samples, n_channels) int32 samples
+    (8-bit unsigned recentered to signed; 16-bit little-endian)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("WAV: bad RIFF/WAVE header")
+    pos, fmt, frames = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"WAV: non-PCM format {audio_fmt} unsupported")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            frames = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    if bits == 16:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise ValueError(f"WAV: {bits}-bit PCM unsupported")
+    samples = samples[: (len(samples) // n_ch) * n_ch].reshape(-1, n_ch)
+    return samples, {"format": "wav", "rate": rate, "channels": n_ch,
+                     "bits": bits, "n_samples": samples.shape[0]}
+
+
+def wav_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 samples ((N,) mono or (N, C)) as PCM16 RIFF/WAVE."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    frames = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------------
+# Dispatch
+# --------------------------------------------------------------------------
+_DECODERS = {
+    "png": png_decode, "bmp": bmp_decode, "ppm": ppm_decode, "wav": wav_decode,
+}
+
+
+def sniff(data: bytes) -> str | None:
+    """Identify a payload's container format from magic bytes."""
+    if data[:8] == _PNG_MAGIC:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Sniff + decode a media payload; raises ValueError on unknown or
+    unsupported formats (the caller maps that to a null/quarantine row,
+    never a job failure)."""
+    kind = sniff(bytes(data))
+    if kind is None:
+        raise ValueError("unknown media format (no magic-byte match)")
+    return _DECODERS[kind](bytes(data))

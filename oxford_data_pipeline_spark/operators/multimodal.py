@@ -1,12 +1,13 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched `mapInPandas`.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(`decode_media` raises NotImplementedError; `fake_decode_features` is
-the deterministic stand-in) — but the Spark-side plumbing is real:
-binary column schema, metadata struct, batch iterator UDF signature,
-and partition-parallel feature extraction, exactly what a production
-decode (PIL/ffmpeg via mapInPandas) would use at 100 TB.
+`decode_media` is REAL: `operators.codecs` implements PNG/BMP/PPM/WAV
+in pure stdlib (the runtime ships no PIL/ffmpeg), and the round-trip
+kernels below (`image_roundtrip_stats`, `audio_roundtrip_stats`) drive
+encode→decode per document with value-level DuckDB oracles.  The
+`fake_*` kernels remain as the deterministic byte-level feature path
+(histogram/entropy/resize/frame-sample) — whole-batch numpy, the shape
+a heavier codec (ffmpeg video) would drop into at 100 TB.
 """
 
 from __future__ import annotations
@@ -44,17 +45,19 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, modality: str):  # pragma: no cover
-    """Real decode (image resize / audio resample / video frame-sample).
+def decode_media(payload: bytes, modality: str | None = None):
+    """Decode a media payload to (numpy array, metadata dict) with the
+    pure-stdlib codecs in `operators.codecs` — PNG (8-bit gray/RGB/
+    RGBA, every scanline filter), BMP 24-bit, binary PPM, RIFF/WAVE
+    PCM.  Format is sniffed from magic bytes; ``modality`` is advisory
+    only.  Raises ValueError on unknown/unsupported payloads — callers
+    inside `mapInPandas` kernels map that to a quarantine row, never a
+    job failure.  Video containers remain out of scope (no stdlib
+    codec exists); frame-sampling over already-decoded byte streams is
+    `fake_frame_sample`."""
+    from oxford_data_pipeline_spark.operators.codecs import decode
 
-    STUB: the runtime has no codec libraries. The Spark plumbing around
-    this call (schema, batching, partitioning) is real and tested via
-    `fake_decode_features`.
-    """
-    raise NotImplementedError(
-        f"no codec available for {modality}; install PIL/soundfile/ffmpeg "
-        "and replace this stub"
-    )
+    return decode(payload)
 
 
 def _concat_payloads(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -166,6 +169,80 @@ def fake_frame_sample(
                 "frame_idx": frame_idx.astype(np.int32),
                 "n_bytes": cnt[keep].astype(np.int32),
                 "mean_byte": sums[keep] / cnt[keep],
+            }
+        )
+
+
+_IMG_W = 16  # synthetic-image width (pixels); height = ceil(len/16)
+
+
+def image_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real-codec image kernel: per payload, synthesize the canonical
+    grayscale image (bytes → `_IMG_W`-wide rows, zero-padded tail),
+    PNG-encode it cycling through ALL five scanline filters, decode it
+    back with `operators.codecs`, and emit pixel stats of the DECODED
+    array.  Any encoder/decoder disagreement (filter math, chunk
+    framing, zlib handling) shifts sum_px/max_px and fails the DuckDB
+    oracle, which computes the same stats straight from the text bytes
+    — a value-level gate on the codec itself, not just the plumbing.
+    Per-payload Python is inherent to codecs (zlib is per-blob); the
+    kernel stays Arrow-batched and partition-parallel."""
+    from oxford_data_pipeline_spark.operators.codecs import decode, png_encode
+
+    for pdf in batches:
+        ids, hs, n_px, s_px, mx_px = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            h = max(-(-len(b) // _IMG_W), 1)
+            img = np.zeros(h * _IMG_W, dtype=np.uint8)
+            img[: len(b)] = b
+            dec, meta = decode(png_encode(img.reshape(h, _IMG_W)))
+            assert meta["format"] == "png" and meta["width"] == _IMG_W
+            ids.append(doc_id)
+            hs.append(meta["height"])
+            n_px.append(int(dec.size))
+            s_px.append(int(dec.sum()))
+            mx_px.append(int(dec.max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "height": np.array(hs, dtype=np.int32),
+                "width": np.full(len(ids), _IMG_W, dtype=np.int32),
+                "n_px": np.array(n_px, dtype=np.int64),
+                "sum_px": np.array(s_px, dtype=np.int64),
+                "max_px": np.array(mx_px, dtype=np.int32),
+            }
+        )
+
+
+def audio_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real-codec audio kernel: per payload, synthesize PCM16 samples
+    ((byte − 96) · 256 — spans negative and positive over ASCII),
+    WAV-encode, decode back via the sniffing dispatcher, emit sample
+    stats of the DECODED signal (count, sum, min, max).  The DuckDB
+    oracle recomputes from the text bytes — value-level codec gate."""
+    from oxford_data_pipeline_spark.operators.codecs import decode, wav_encode
+
+    for pdf in batches:
+        ids, cnt, ssum, smin, smax = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            pcm = ((b.astype(np.int32) - 96) * 256).astype(np.int16)
+            dec, meta = decode(wav_encode(pcm, rate=8000))
+            assert meta["format"] == "wav" and meta["rate"] == 8000
+            mono = dec[:, 0]
+            ids.append(doc_id)
+            cnt.append(int(meta["n_samples"]))
+            ssum.append(int(mono.sum()) if mono.size else 0)
+            smin.append(int(mono.min()) if mono.size else 0)
+            smax.append(int(mono.max()) if mono.size else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "n_samples": np.array(cnt, dtype=np.int64),
+                "sum_sample": np.array(ssum, dtype=np.int64),
+                "min_sample": np.array(smin, dtype=np.int32),
+                "max_sample": np.array(smax, dtype=np.int32),
             }
         )
 

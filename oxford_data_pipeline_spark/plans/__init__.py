@@ -27,37 +27,47 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 
 # Driver-snapshot rotation (round-4 verdict item 7): the external
 # driver records correctness rows for roughly the FIRST 50 registry
-# entries only, so registration order is driver exposure.  Rounds 1-4
-# exposed the same relational/window families every round while the
-# ~48 youngest queries never earned a driver row; round 5 front-loads
-# exactly those (every query absent from CORRECTNESS_r04.json) plus
-# the BPE pair, whose new unrolled-CTE oracles upgrade their previous
-# rows-only record.  Only ORACLE-CHECKED queries go in the window —
-# a rows-only query would burn a slot on an err:"no_oracle" record —
-# so the 10 remaining slots re-confirm flagship classics.  All queries
-# stay registered — rotation reorders, never drops; the suite's own
-# oracle tests still cover the full set.
-_ROUND5_FRONT = [
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
-    "dedup_clusters", "dedup_survivors", "dedup_incremental",
-    "dedup_semantic", "dedup_lsh_audit", "dedup_winnowing", "dedup_containment",
-    "cur_repetition", "cur_stratified_sample",
-    "cur_mixture_weights", "cur_decontaminate", "cur_unigram_surprisal",
-    "cur_bigram_surprisal",
-    "cur_length_profile", "cur_pipeline", "cur_temperature_mix",
-    "cur_dsir_weights", "cur_pack_stats",
-    "cur_pii_scrub", "cur_c4_heuristics", "cur_quality_classifier",
-    "emb_outliers", "emb_label_cohesion", "emb_hard_negatives",
-    "j9_asof_join", "a14_sessionize", "e_json_props",
-    "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_lsh_recall",
-    "sim_ivf_recall", "sim_ivfpq_ann", "sim_ivfpq_recall",
-    "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
-    "text_dup_ngram_coverage", "text_dup_spans",
-    "text_bpe_merges", "text_bpe_compression",
-    "mm_metadata_profile", "mm_frame_sample",
-    "m6_glm_closed_form", "m1_cca_closed_form", "m4_pca_closed_form",
-    # slots 41-50: oracle-checked classics, re-confirmed each round
-    "j1_event_psth", "m12_sign_alignment",
+# entries only, so registration order is driver exposure, and the
+# front list rotates every round to keep each query's driver row <= 2
+# rounds old.  Round 5 exposed the 50 youngest (dedup/curation/
+# similarity/text families); round 6 front-loads (a) this round's NEW
+# queries (codec round-trips, incremental IVF), (b) the two queries
+# whose SEMANTICS changed this round (containment gained the DF cap,
+# the LSH audit gained the sample bound) so their green rows refresh,
+# then (c) the oracle-checked relational/window/stats classics last
+# driver-checked in round 4.  Two classics spill past slot 50
+# (dedup_ngram_jaccard_capped, dedup_minhash_lsh) — chosen because
+# in-window twins pin their chains this round (containment shares the
+# capped `kept` relation and Jaccard formula; the audit re-derives the
+# band-collision candidates).  Only ORACLE-CHECKED queries go in the
+# window — a rows-only query would burn a slot on an err:"no_oracle"
+# record.  Rotation reorders, never drops; the suite's own oracle
+# tests still cover the full set.
+_ROUND6_FRONT = [
+    # (a) new this round
+    "mm_image_decode", "mm_audio_decode",
+    "sim_ivf_incremental", "sim_ivf_incremental_recall",
+    # (b) semantics changed this round
+    "dedup_containment", "dedup_lsh_audit",
+    # (c) classics last driver-checked in round 4
+    "f_predicate_stack", "f5_having_admission", "f7_min_distinct",
+    "j2_dim_enrichment", "j3_pair_selfjoin", "j4_fact_join_chain",
+    "j8_fold_train_split", "e_set_ops", "o1_anatomical_order",
+    "o3_seeded_sample", "sc_scalar_functions", "a4_connectivity_pivot",
+    "a5_max_then_mean", "a6_label_distribution", "a7_threshold_grid",
+    "a8_count_stats", "a9_rollup_summary", "a10_hierarchical_rollup",
+    "a11_cumulative_share", "w2_removal_schedule", "w3_restricted_peak",
+    "w5_percentile_threshold", "w6_contiguous_folds",
+    "w7_first_match_baseline", "a12_mc_average", "m5_relational_matmul",
+    "m3_weight_minmax_norm", "m9_pearson_corr", "m11_cohens_d",
+    "m13_effective_dim", "m16_spearman", "m10_wilcoxon_stat",
+    "w4_peak_amplitude", "o4_truncate_min_length",
+    "f9_significance_filter", "j7_condition_weight_reuse",
+    "a3_cross_session_agg", "f11_flip_detection",
+    "text_quality", "text_langid", "text_fingerprint",
+    "text_token_count", "dedup_exact", "dedup_ngram_jaccard",
+    # slots 51-52: chains pinned by in-window twins this round
+    "dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
 ]
 
 
@@ -71,6 +81,6 @@ def _rotate(front: list[str]) -> None:
         d.update(items)
 
 
-_rotate(_ROUND5_FRONT)
+_rotate(_ROUND6_FRONT)
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -667,11 +667,16 @@ def dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_K = 3  # tokens per k-gram
 _WIN_W = 4  # hashes per window
 
+# k-gram concat derived from _WIN_K so the oracle can never silently
+# desync from the Spark plan's k (both sides share the constant).
+_WIN_KGRAM_SQL = " || ' ' || ".join(f"t[i + {j}]" if j else "t[i]"
+                                    for j in range(_WIN_K))
+
 _WINNOW_ORACLE = f"""
 WITH {_TOKENS_CTE},
 kg AS (
     SELECT doc_id, CAST(i AS INTEGER) AS pos,
-           md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS h,
+           md5({_WIN_KGRAM_SQL}) AS h,
            len(t) - {_WIN_K - 1} AS n_grams
     FROM toks, unnest(generate_series(1, len(t) - {_WIN_K - 1})) AS u(i)
     WHERE len(t) >= {_WIN_K}

@@ -131,6 +131,95 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+# --------------------------------------------------------------------------
+# Real-codec round-trip queries (oracle-checked)
+# --------------------------------------------------------------------------
+# The decode stub is gone: `operators.codecs` implements PNG/BMP/PPM/
+# WAV in pure stdlib.  These queries drive the REAL encode→decode path
+# per document inside Arrow-batched mapInPandas and hash-check the
+# decoded pixel/sample stats against DuckDB computing the same numbers
+# straight from the text bytes (corpus is ASCII: codepoint == byte) —
+# a value-level gate on the codec, since any filter/chunk/zlib bug in
+# either direction shifts the sums.
+_IMG_DECODE_ORACLE = """
+WITH m AS (
+    SELECT doc_id, length(text) AS len,
+           greatest(CAST(ceil(length(text) / 16.0) AS INTEGER), 1) AS h
+    FROM documents
+),
+b AS (
+    SELECT d.doc_id, ascii(substr(d.text, CAST(p AS INTEGER), 1)) AS byte
+    FROM documents d, unnest(generate_series(1, length(d.text))) AS u(p)
+)
+SELECT m.doc_id,
+       m.h AS height,
+       16 AS width,
+       CAST(m.h * 16 AS BIGINT) AS n_px,
+       CAST(coalesce(sum(b.byte), 0) AS BIGINT) AS sum_px,
+       CAST(coalesce(max(b.byte), 0) AS INTEGER) AS max_px
+FROM m LEFT JOIN b ON m.doc_id = b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("mm_image_decode", _IMG_DECODE_ORACLE)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG round-trip decode stats: each document's payload bytes
+    become a 16-wide grayscale image (zero-padded tail), PNG-encoded
+    cycling all five scanline filters, decoded back with the stdlib
+    codec, and reduced to decoded-pixel stats.  Padding bytes are 0,
+    so sum/max over the decoded array equal sum/max over the raw text
+    bytes — exactly what the oracle computes without any codec."""
+    from oxford_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_roundtrip_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs).select("doc_id", "payload")
+    return mm.mapInPandas(
+        image_roundtrip_stats,
+        schema="doc_id long, height int, width int, n_px long,"
+               " sum_px long, max_px int",
+    )
+
+
+_AUDIO_DECODE_ORACLE = """
+WITH b AS (
+    SELECT d.doc_id,
+           (ascii(substr(d.text, CAST(p AS INTEGER), 1)) - 96) * 256 AS s
+    FROM documents d, unnest(generate_series(1, length(d.text))) AS u(p)
+)
+SELECT d.doc_id,
+       CAST(coalesce(count(b.s), 0) AS BIGINT) AS n_samples,
+       CAST(coalesce(sum(b.s), 0) AS BIGINT) AS sum_sample,
+       CAST(coalesce(min(b.s), 0) AS INTEGER) AS min_sample,
+       CAST(coalesce(max(b.s), 0) AS INTEGER) AS max_sample
+FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+GROUP BY 1
+"""
+
+
+@register("mm_audio_decode", _AUDIO_DECODE_ORACLE)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV round-trip decode stats: each document's bytes become PCM16
+    samples ((byte − 96)·256), RIFF/WAVE-encoded, sniffed + decoded
+    back with the stdlib codec, and reduced to decoded-sample stats
+    the oracle recomputes from the text directly."""
+    from oxford_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_roundtrip_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs).select("doc_id", "payload")
+    return mm.mapInPandas(
+        audio_roundtrip_stats,
+        schema="doc_id long, n_samples long, sum_sample long,"
+               " min_sample int, max_sample int",
+    )
+
+
 @register("mm_resize_strip")
 def mm_resize_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: every payload mean-pooled to a fixed 8-'pixel'

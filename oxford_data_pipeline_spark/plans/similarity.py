@@ -233,7 +233,17 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives each neighbor four independent chances and lifts recall
     ~15x for a bounded candidate volume (see sim_lsh_recall).  Hot
     (table, bucket) pairs above the cap are dropped before the join —
-    the same skew guard as the single-table dedup blocking."""
+    the same skew guard as the single-table dedup blocking.
+
+    TIER CONTRACT: this is the cheap CANDIDATE-GENERATION tier
+    (recall ~0.4 at ~25% probed-corpus cost on these weakly clustered
+    synthetic embeddings — hyperplane LSH recall tracks probed
+    fraction, so pushing it to a serving bar would mean probing most
+    of the corpus and defeat the index).  The SERVING tier is the
+    IVFADC+R path (`sim_ivfpq_rerank`, recall >= 0.8, floor pinned).
+    Use LSH where a downstream exact verify follows (dedup candidate
+    mining, hard-negative pools); use IVFADC+R where the top-k itself
+    is the answer."""
     buckets = _multitable_buckets_for(spark, sf_dir)
     q = buckets.alias("qb")
     c = buckets.alias("cb")
@@ -976,6 +986,9 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         # once per corpus snapshot in production, on a query sample) —
         # materialize it here so the recall audits time auditing
         "brute_topk": sim_cosine_topk(spark, sf_dir).count(),
+        # incremental-index artifacts: base-trained centroids + the
+        # merged (base ∪ delta) cell-affinity relation
+        "inc_inverted_list": _inc_index_parts(spark, sf_dir)[3].count(),
     }
 
 
@@ -1415,4 +1428,265 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .drop("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF index maintenance: append a delta batch without retrain
+# --------------------------------------------------------------------------
+# The similarity twin of `dedup_incremental`: in continuous ingest you
+# do NOT refit the coarse quantizer per batch — new vectors are
+# assigned to their nearest EXISTING centroid and appended to the
+# inverted list (FAISS `add` semantics); the quantizer is retrained
+# only on drift, out of band.  Here the corpus is split by a
+# deterministic md5 hash-threshold into base (~3/4, trains the
+# quantizer and seeds the index) and delta (~1/4, appended by
+# assignment only).  `sim_ivf_incremental` is the append step's audit
+# relation (per-cell base/delta occupancy of the merged inverted
+# list); `sim_ivf_incremental_recall` is the recall-after-append gate:
+# delta vectors as queries over the merged index, probing
+# base-trained centroids — the number that tells you when drift has
+# eaten your index and a retrain is due.
+_INC_BASE_HEX = "c"  # first md5 nibble < 'c' => base (~75%)
+_INC_QUERY_MOD = 10  # audit queries: delta vectors with vec_id % 10 == 0
+
+_INC_SPLIT_SQL = f"substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '{_INC_BASE_HEX}'"
+
+# Shared chain: base-trained quantizer (the `long`/`norms` names feed
+# `_lloyd_ctes`, so restricting them to base restricts TRAINING to
+# base), then assignment of EVERY vector — base and delta — to its
+# nearest base-trained centroid (the append step).
+_IVF_INC_CHAIN = f"""long_all AS ({_EMB_LONG_SQL}),
+norms_all AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long_all GROUP BY 1),
+long AS (SELECT * FROM long_all WHERE {_INC_SPLIT_SQL}),
+norms AS (SELECT * FROM norms_all WHERE {_INC_SPLIT_SQL}),
+{_lloyd_ctes(_K_CELLS, _LLOYD_ITERS)},
+cnorms AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM centroids GROUP BY 1),
+inc_aff AS (
+    SELECT l.vec_id, c.cell,
+           round(sum(l.val * c.w) / (n.nrm * cn.cn) * 1000000 + 0.01, 0) / 1000000
+               AS aff
+    FROM long_all l
+    JOIN centroids c ON l.dim = c.dim
+    JOIN norms_all n ON l.vec_id = n.vec_id
+    JOIN cnorms cn ON c.cell = cn.cell
+    GROUP BY l.vec_id, c.cell, n.nrm, cn.cn
+),
+inc_ranked AS (
+    SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY aff DESC, cell) AS crnk
+    FROM inc_aff
+),
+merged AS (SELECT vec_id, cell FROM inc_ranked WHERE crnk = 1)"""
+
+_IVF_INC_ORACLE = f"""
+WITH {_IVF_INC_CHAIN}
+SELECT cell,
+       CAST(sum(CASE WHEN {_INC_SPLIT_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(sum(CASE WHEN {_INC_SPLIT_SQL} THEN 0 ELSE 1 END) AS BIGINT) AS n_delta,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM merged GROUP BY 1
+"""
+
+
+def _inc_base_pred(col: str = "vec_id") -> F.Column:
+    """Deterministic base/delta split: first md5 nibble < '{_INC_BASE_HEX}'."""
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 1) < _INC_BASE_HEX
+
+
+_inc_centroid_cache: dict[tuple, DataFrame] = {}
+_inc_ranked_cache: dict[tuple, DataFrame] = {}
+
+
+def _inc_index_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(long_all, norms_all, inc_ranked, merged_assignment) for the
+    incremental index: quantizer trained on the BASE split only
+    (memoized — the persisted model artifact that survives appends),
+    then one assignment pass over base + delta.  The append step's
+    per-vector cost is O(k) centroid affinities — no Lloyd, no
+    second pass over the existing corpus."""
+    long_all = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
+    norms_all = long_all.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    centroids = memoized(
+        _inc_centroid_cache, spark,
+        (sf_dir, _K_CELLS, _LLOYD_ITERS, _TRAIN_SAMPLE, _INC_BASE_HEX),
+        lambda: _trained_centroids(
+            long_all.filter(_inc_base_pred()), norms_all.filter(_inc_base_pred())
+        ),
+    )
+
+    def build_ranked() -> DataFrame:
+        cnorms = centroids.groupBy("cell").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn")
+        )
+        aff = (
+            long_all.join(F.broadcast(centroids), "dim")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+            .join(norms_all, "vec_id")
+            .join(F.broadcast(cnorms), "cell")
+            .select(
+                "vec_id", "cell",
+                (F.round(F.col("dot") / (F.col("nrm") * F.col("cn")) * 1e6 + 0.01, 0) / 1e6)
+                .alias("aff"),
+            )
+        )
+        wc = W.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
+        return aff.withColumn("crnk", F.row_number().over(wc))
+
+    inc_ranked = memoized(
+        _inc_ranked_cache, spark,
+        (sf_dir, _K_CELLS, _LLOYD_ITERS, _TRAIN_SAMPLE, _INC_BASE_HEX),
+        build_ranked,
+    )
+    merged = inc_ranked.filter(F.col("crnk") == 1).select("vec_id", "cell")
+    return long_all, norms_all, inc_ranked, merged
+
+
+@register("sim_ivf_incremental", _IVF_INC_ORACLE)
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF append audit: per-cell occupancy of the merged
+    inverted list after assigning the delta split to base-trained
+    centroids (no quantizer retrain).  n_base/n_delta expose skew of
+    the appended batch across cells — the drift signal that triggers
+    an out-of-band retrain in production."""
+    _long_all, _norms_all, _ranked, merged = _inc_index_parts(spark, sf_dir)
+    is_base = _inc_base_pred().cast("long")
+    return merged.groupBy("cell").agg(
+        F.sum(is_base).alias("n_base"),
+        F.sum(F.lit(1) - is_base).alias("n_delta"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+_IVF_INC_RECALL_ORACLE = f"""
+WITH {_IVF_INC_CHAIN},
+queries AS (
+    SELECT vec_id FROM norms_all
+    WHERE NOT ({_INC_SPLIT_SQL}) AND vec_id % {_INC_QUERY_MOD} = 0
+),
+probes AS (
+    SELECT r.vec_id, r.cell FROM inc_ranked r JOIN queries q ON r.vec_id = q.vec_id
+    WHERE r.crnk <= {_N_PROBE}
+),
+cand AS (
+    SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+    FROM probes p JOIN merged a ON p.cell = a.cell
+    WHERE p.vec_id <> a.vec_id
+),
+adots AS (
+    SELECT cd.query_id, cd.cand_id, sum(lq.val * lc.val) AS dot
+    FROM cand cd
+    JOIN long_all lq ON lq.vec_id = cd.query_id
+    JOIN long_all lc ON lc.vec_id = cd.cand_id AND lq.dim = lc.dim
+    GROUP BY 1, 2
+),
+ann AS (
+    SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id, row_number() OVER (
+            PARTITION BY d.query_id
+            ORDER BY round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) DESC,
+                     d.cand_id) AS rnk
+        FROM adots d
+        JOIN norms_all nq ON d.query_id = nq.vec_id
+        JOIN norms_all nc ON d.cand_id = nc.vec_id
+    ) WHERE rnk <= {_TOP_K}
+),
+bdots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.val * c.val) AS dot
+    FROM long_all q
+    JOIN queries qq ON q.vec_id = qq.vec_id
+    JOIN long_all c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+    GROUP BY 1, 2
+),
+brute AS (
+    SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id, row_number() OVER (
+            PARTITION BY d.query_id
+            ORDER BY round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) DESC,
+                     d.cand_id) AS rnk
+        FROM bdots d
+        JOIN norms_all nq ON d.query_id = nq.vec_id
+        JOIN norms_all nc ON d.cand_id = nc.vec_id
+    ) WHERE rnk <= {_TOP_K}
+),
+hits AS (
+    SELECT b.query_id,
+           CASE WHEN a.cand_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM brute b
+    LEFT JOIN ann a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       round(CAST(sum(hit) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS recall
+FROM hits GROUP BY 1
+"""
+
+
+@register("sim_ivf_incremental_recall", _IVF_INC_RECALL_ORACLE)
+def sim_ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-after-append audit: delta vectors (vec_id % {_INC_QUERY_MOD}
+    == 0) query the MERGED index through base-trained centroids;
+    compare the probed exact top-k against brute-force exact top-k
+    over the full merged corpus.  A drop here (vs `sim_ivf_recall`)
+    means the appended batch has drifted off the trained quantizer —
+    the retrain trigger.  Floor pinned in tests."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    _long_all, _norms_all, inc_ranked, merged = _inc_index_parts(spark, sf_dir)
+    queries = (
+        inc_ranked.filter(
+            ~_inc_base_pred() & (F.col("vec_id") % _INC_QUERY_MOD == 0)
+        )
+        .filter(F.col("crnk") <= _N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        queries.join(merged.withColumnRenamed("vec_id", "cand_id"), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    vecs = embeddings_vec(spark, sf_dir)
+    vq = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("wq"),
+        F.col("nrm").alias("nq"),
+    )
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vec").alias("wc"),
+        F.col("nrm").alias("nc"),
+    )
+    cos = F.round(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc")) * 1e6 + 0.01, 0)
+    w = W.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("cand_id"))
+    ann = (
+        cand.join(vq, "query_id").join(vc, "cand_id")
+        .select("query_id", "cand_id", cos.alias("c6"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id", F.lit(1).alias("hit"))
+    )
+    vq_delta = vq.join(
+        queries.select("query_id").distinct(), "query_id"
+    )
+    brute = (
+        vc.join(F.broadcast(vq_delta), F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("c6"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id")
+    )
+    return (
+        brute.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            round6(F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
     )

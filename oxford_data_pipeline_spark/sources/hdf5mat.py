@@ -19,16 +19,17 @@ written without chunking/compression:
   (any depth) and the filter pipeline MATLAB actually uses:
   deflate (zlib), byte-shuffle, and fletcher32 (checksum stripped).
 
-Non-numeric MATLAB classes decode natively (contiguous layouts):
-char variables (uint16 UTF-16 datasets) to str /
+Non-numeric MATLAB classes decode natively: char variables (uint16
+UTF-16 datasets, contiguous OR chunked/deflated) to str /
 object-array-of-row-strings; structs (HDF5 GROUPS, one member per
 field, any nesting) to dicts via the recursive group walk; cell
 arrays (datasets of 8-byte object references into the root
-``#refs#`` bookkeeping group) to object arrays.  Out of scope
-(raises NotImplementedError): other datatypes, chunked char/refs,
-v2+ object headers, group B-trees deeper than one SNOD level — the
-documented seam in ``mat_ingest.ingest_mat_files`` accepts a custom
-decoder (e.g. h5py-backed) for anything beyond.
+``#refs#`` bookkeeping group) to object arrays.  Both object-header
+generations parse: v1 (what MATLAB writes, with continuation blocks)
+and v2 ("OHDR" signature, "OCHK" continuations, gap/checksum layout —
+generic HDF5 writers emit these).  Out of scope (raises
+NotImplementedError): non-f64/char/reference datatypes, chunked
+reference datasets, group B-trees deeper than one SNOD level.
 
 MATLAB orientation: an m×n MATLAB matrix is stored as an HDF5 dataset
 of dims (n, m) in C order (i.e. the transpose), matching what h5py
@@ -121,16 +122,19 @@ def _chunked_dataset_header(
     chunk_shape: tuple[int, ...],
     btree_addr: int,
     filters: list[tuple[int, bytes, tuple[int, ...]]],
+    *,
+    char: bool = False,
 ) -> bytes:
-    """v1 object header for a chunked (optionally filtered) f64 dataset."""
-    msgs = _dataspace_datatype_msgs(dims)
+    """v1 object header for a chunked (optionally filtered) f64 or
+    uint16-char dataset."""
+    msgs = _dataspace_datatype_msgs(dims, char=char)
     if filters:
         msgs.append((_MSG_FILTER, _filter_msg(filters)))
     ndims = len(dims) + 1  # trailing dim = element size
     body = (
         struct.pack("<BBB", 3, 2, ndims)
         + struct.pack("<Q", btree_addr)
-        + struct.pack(f"<{ndims}I", *chunk_shape, 8)
+        + struct.pack(f"<{ndims}I", *chunk_shape, 2 if char else 8)
     )
     msgs.append((_MSG_LAYOUT, body))
     return _object_header(msgs)
@@ -150,7 +154,7 @@ def _chunk_blobs(
     for r in ranges:
         offsets_list = [o + (i,) for o in offsets_list for i in r]
     for offs in offsets_list:
-        block = np.zeros(chunk_shape, dtype=np.float64)
+        block = np.zeros(chunk_shape, dtype=stored.dtype)
         sel = tuple(
             slice(o, min(o + c, d))
             for o, c, d in zip(offs, chunk_shape, stored.shape)
@@ -158,7 +162,7 @@ def _chunk_blobs(
         block[tuple(slice(0, s.stop - s.start) for s in sel)] = stored[sel]
         raw = block.tobytes()
         if shuffle:
-            raw = np.frombuffer(raw, np.uint8).reshape(-1, 8).T.tobytes()
+            raw = np.frombuffer(raw, np.uint8).reshape(-1, stored.itemsize).T.tobytes()
         if compress is not None:
             raw = zlib.compress(raw, compress)
         out.append((offs + (0,), raw))
@@ -214,8 +218,11 @@ def write_mat73(
     for name in names:
         v = arrays[name]
         if isinstance(v, str):  # MATLAB char: uint16 UTF-16 code units, 1xN
-            if chunks is not None:
-                raise NotImplementedError("char variables are contiguous-only")
+            if chunks is not None and shuffle:
+                raise NotImplementedError(
+                    "shuffle filter is f64-only (client value 8); chunked "
+                    "char supports deflate"
+                )
             mats[name] = np.frombuffer(v.encode("utf-16-le"), "<u2").reshape(1, -1)
             continue
         a = np.asarray(v, dtype=np.float64)
@@ -267,7 +274,10 @@ def write_mat73(
             )
             blobs = _chunk_blobs(stored, cshape, compress, shuffle)
             cursor += len(
-                _chunked_dataset_header(stored.shape, cshape, 0, filters)
+                _chunked_dataset_header(
+                    stored.shape, cshape, 0, filters,
+                    char=stored.dtype == np.uint16,
+                )
             )
             ndims = stored.ndim + 1
             p.update(cshape=cshape, blobs=blobs, btree_addr=cursor, ndims=ndims)
@@ -339,7 +349,8 @@ def write_mat73(
         else:
             out.write(
                 _chunked_dataset_header(
-                    stored.shape, p["cshape"], p["btree_addr"], filters
+                    stored.shape, p["cshape"], p["btree_addr"], filters,
+                    char=stored.dtype == np.uint16,
                 )
             )
             blobs, addrs, ndims = p["blobs"], p["chunk_addrs"], p["ndims"]
@@ -596,6 +607,8 @@ def _parse_object_header(payload: bytes, base: int, addr: int) -> dict[int, byte
     header block into one or more continuation blocks.
     """
     pos = base + addr
+    if payload[pos : pos + 4] == b"OHDR":  # version-2 header (signature-led)
+        return _parse_object_header_v2(payload, base, pos)
     version, nmsgs, _refs, hsize = struct.unpack_from("<BxHII", payload, pos)
     if version != 1:
         raise NotImplementedError(f"object header version {version}")
@@ -615,6 +628,66 @@ def _parse_object_header(payload: bytes, base: int, addr: int) -> dict[int, byte
             elif mtype != _MSG_NIL and mtype not in msgs:
                 msgs[mtype] = body
     return msgs
+
+
+def _parse_object_header_v2(payload: bytes, base: int, pos: int) -> dict[int, bytes]:
+    """v2 ("OHDR") object header -> {message type: first body}.
+
+    Differences from v1 handled here: signature-led prefix with a flag
+    byte, optional time/phase-change fields, variable-width chunk-0
+    size, 4-byte (not 8-byte) unaligned message prefixes with optional
+    2-byte creation-order, "OCHK"-signed continuation blocks whose
+    length includes signature + trailing checksum.  Checksums are not
+    verified (this is a salvage reader, not a validator)."""
+    version, flags = struct.unpack_from("<BB", payload, pos + 4)
+    if version != 2:
+        raise NotImplementedError(f"OHDR version {version}")
+    p = pos + 6
+    if flags & 0x20:  # access/mod/change/birth times
+        p += 16
+    if flags & 0x10:  # max-compact / min-dense phase-change values
+        p += 4
+    csize = 1 << (flags & 0x3)
+    hsize = int.from_bytes(payload[p : p + csize], "little")
+    p += csize
+    corder = 2 if flags & 0x04 else 0  # per-message creation-order field
+    msgs: dict[int, bytes] = {}
+    blocks = [(p, p + hsize)]
+    while blocks:
+        mp, end = blocks.pop(0)
+        while mp + 4 + corder <= end:  # trailing gap < one message prefix
+            mtype, msize, _mflags = struct.unpack_from("<BHB", payload, mp)
+            mp += 4 + corder
+            body = payload[mp : mp + msize]
+            mp += msize
+            if mtype == _MSG_CONTINUATION:
+                c_off, c_len = struct.unpack_from("<QQ", body, 0)
+                s0 = base + c_off
+                if payload[s0 : s0 + 4] != b"OCHK":
+                    raise ValueError("bad v2 continuation-block signature")
+                blocks.append((s0 + 4, s0 + c_len - 4))  # minus checksum
+            elif mtype != _MSG_NIL and mtype not in msgs:
+                msgs[mtype] = body
+    return msgs
+
+
+def _object_header_v2(
+    msgs: list[tuple[int, bytes]], *, chunk0_extra: int = 0
+) -> bytes:
+    """Minimal v2 object header (4-byte chunk-0 size, no times, no
+    creation order).  Checksum written as zero — the reader ignores it.
+    Used by round-trip tests; the production writer stays v1 (what
+    MATLAB emits)."""
+    enc = b""
+    for mtype, body in msgs:
+        enc += struct.pack("<BHB", mtype, len(body), 0) + body
+    return (
+        b"OHDR"
+        + struct.pack("<BB", 2, 0x02)  # version 2, chunk0-size = 4 bytes
+        + struct.pack("<I", len(enc) + chunk0_extra)
+        + enc
+        + struct.pack("<I", 0)  # unverified checksum
+    )
 
 
 def _parse_filters(body: bytes) -> list[tuple[int, tuple[int, ...]]]:
@@ -683,6 +756,17 @@ def _walk_chunk_btree(
     return out
 
 
+def _char_mat(mat: np.ndarray):
+    """uint16 code-unit matrix -> str (single row) or object array of
+    per-row strings (MATLAB char-matrix convention)."""
+    if mat.ndim <= 1 or mat.shape[0] == 1:
+        return mat.ravel().astype("<u2").tobytes().decode("utf-16-le")
+    rows = np.empty(mat.shape[0], dtype=object)
+    for i in range(mat.shape[0]):
+        rows[i] = mat[i].astype("<u2").tobytes().decode("utf-16-le")
+    return rows
+
+
 def _read_dataset(payload: bytes, base: int, oh_addr: int) -> np.ndarray:
     msgs = _parse_object_header(payload, base, oh_addr)
     for needed in (_MSG_DATASPACE, _MSG_DATATYPE, _MSG_LAYOUT):
@@ -736,41 +820,32 @@ def _read_dataset(payload: bytes, base: int, oh_addr: int) -> np.ndarray:
             raise ValueError("layout size does not match dataspace")
         arr = np.frombuffer(payload, dtype, count=n, offset=base + addr)
         mat = arr.reshape(dims).transpose()  # back to MATLAB orientation
-        if not is_char:
-            return mat
-        # m x n char matrix: each ROW is a string; 1 x n is a scalar str
-        if mat.ndim <= 1 or mat.shape[0] == 1:
-            return mat.ravel().astype("<u2").tobytes().decode("utf-16-le")
-        rows = np.empty(mat.shape[0], dtype=object)
-        for i in range(mat.shape[0]):
-            rows[i] = mat[i].astype("<u2").tobytes().decode("utf-16-le")
-        return rows
+        return _char_mat(mat) if is_char else mat
     if lay_ver == 3 and lay_cls == 2:  # chunked (what MATLAB writes)
-        if is_char:
-            raise NotImplementedError("chunked char datasets not supported")
         ndims = lay[2]  # rank + 1: trailing dim is the element size
         (btree_addr,) = struct.unpack_from("<Q", lay, 3)
         chunk_dims = struct.unpack_from(f"<{ndims}I", lay, 11)
-        if ndims != rank + 1 or chunk_dims[-1] != 8:
+        if ndims != rank + 1 or chunk_dims[-1] != size:
             raise NotImplementedError("chunk rank/element size mismatch")
         filters = (
             _parse_filters(msgs[_MSG_FILTER]) if _MSG_FILTER in msgs else []
         )
-        full = np.zeros(dims, dtype=np.float64)
+        full = np.zeros(dims, dtype=np.dtype(dtype))
         if btree_addr != _UNDEF:  # undefined = no chunk written yet
             for offsets, nbytes, mask, addr in _walk_chunk_btree(
                 payload, base, btree_addr, ndims
             ):
                 raw = _defilter(
-                    payload[base + addr : base + addr + nbytes], filters, mask, 8
+                    payload[base + addr : base + addr + nbytes], filters, mask, size
                 )
-                chunk = np.frombuffer(raw, "<f8").reshape(chunk_dims[:-1])
+                chunk = np.frombuffer(raw, dtype).reshape(chunk_dims[:-1])
                 sel = tuple(
                     slice(o, min(o + c, d))
                     for o, c, d in zip(offsets[:-1], chunk_dims[:-1], dims)
                 )  # edge chunks are stored full-size, zero-padded past bounds
                 full[sel] = chunk[tuple(slice(0, s.stop - s.start) for s in sel)]
-        return full.transpose()
+        mat = full.transpose()
+        return _char_mat(mat) if is_char else mat
     raise NotImplementedError(
         f"data layout v{lay_ver} class {lay_cls} unsupported — "
         "needs the h5py decoder seam"

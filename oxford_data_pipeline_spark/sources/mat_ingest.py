@@ -11,17 +11,22 @@ session. Downstream never touches nested structures.
 Two container formats share the `.mat` extension; `decode_mat_bytes`
 sniffs the magic bytes and routes:
 - **MAT v5** (`MATLAB 5.0` header) — decoded for real by the
-  pure-python `sources.matfile` reader (numeric matrices, compressed
-  or not; scipy's default `savemat` output).
+  pure-python `sources.matfile` reader: numeric matrices (real AND
+  complex), char/cellstr/struct (arbitrary nesting), compressed
+  (miCOMPRESSED) elements, both byte orders ('IM'/'MI').
 - **v7.3** (HDF5 container, signature at offset 0 or behind the
   512-byte MATLAB userblock) — decoded by the pure-python
-  `sources.hdf5mat` reader (superblock v0; contiguous AND chunked
-  float64 datasets, deflate/shuffle/fletcher32 filter pipeline,
-  object-header continuations — i.e. what MATLAB actually writes for
-  numeric variables).  Non-numeric variables (cell/struct/char) raise
-  NotImplementedError; `ingest_mat_files` accepts any decoder with the
-  same signature, so an h5py-backed decode drops into the same seam
-  without touching the job.
+  `sources.hdf5mat` reader: superblock v0; contiguous AND chunked
+  layouts for float64 and char (UTF-16) datasets;
+  deflate/shuffle/fletcher32 filter pipeline; v1 object headers with
+  continuations AND v2 ("OHDR"/"OCHK") headers; structs as groups,
+  cellstr/cell-of-struct via object references.
+
+The `decoder` parameter of `ingest_mat_files` selects WHICH canonical
+relation a file becomes (firing rates vs neuron metadata — different
+schemas, same job topology); it is a composition point, not a
+fallback for unsupported formats — the native readers cover every
+shape the reference writes.
 """
 
 from __future__ import annotations
@@ -126,6 +131,10 @@ def decode_mat_metadata(path: str, payload: bytes) -> pd.DataFrame:
             return ""
         if a.dtype == object:
             return ",".join(stringify(x) for x in a)
+        if np.iscomplexobj(a):  # MATLAB style: 1+2i / 1-2i
+            def c(z):
+                return "%g%+gi" % (z.real, z.imag)
+            return c(a[0]) if a.size == 1 else ",".join(c(z) for z in a)
         if a.size == 1:
             return "%g" % float(a[0])
         return ",".join("%g" % float(x) for x in a)
@@ -140,11 +149,20 @@ def decode_mat_metadata(path: str, payload: bytes) -> pd.DataFrame:
         if isinstance(value, str):  # scalar char applies to the session
             rows.append((session, 0, prefix, value))
             return
-        flat = np.asarray(value, dtype=object).ravel(order="F") if isinstance(
-            value, (list, tuple)
-        ) or (isinstance(value, np.ndarray) and value.dtype == object) else np.asarray(
-            value
-        ).ravel(order="F")
+        if isinstance(value, (list, tuple)) or (
+            isinstance(value, np.ndarray) and value.dtype == object
+        ):
+            flat = np.asarray(value, dtype=object).ravel(order="F")
+        else:
+            arr = np.asarray(value)
+            if arr.ndim == 2 and arr.shape[0] > 1 and arr.shape[1] > 1:
+                # matrix-valued per-neuron field (CellExplorer acg/
+                # waveform: bins x n_neurons) — each COLUMN is one
+                # neuron's vector; raveling would misattribute ids
+                for i in range(arr.shape[1]):
+                    rows.append((session, i + 1, prefix, stringify(arr[:, i])))
+                return
+            flat = arr.ravel(order="F")
         for i, v in enumerate(flat, start=1):
             rows.append((session, i, prefix, stringify(v)))
 

@@ -20,10 +20,19 @@ A doc pair sharing several bands emits one row per band; consumers
 dedup batch-side (chaining another stateful op is restricted).  Exact
 Jaccard verification of candidates stays a batch join against the
 document store, as in the batch plan.
+
+CHECKPOINT COMPATIBILITY: `STATE_SCHEMA` grew from 2 to 3 fields when
+`last_ts` was added (idle-eviction support).  `applyInPandasWithState`
+does not migrate state schemas — a stream restarted from a checkpoint
+written before that change will fail or misread state.  Restarting
+across the change requires a NEW checkpoint location (reprocessing
+from the source per its retention), the standard Structured Streaming
+contract for stateful schema changes.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -47,13 +56,34 @@ STATE_SCHEMA = "first_doc long, first_ts long, last_ts long"
 
 
 def _parse_duration_sec(text: str) -> int:
-    """'90 seconds' / '10 minutes' / '1 hour' / '2 days' -> seconds
-    (the subset of Spark's CalendarInterval syntax watermarks use)."""
-    qty, unit = text.strip().split()
-    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
-        unit.rstrip("s")
-    ]
-    return int(qty) * mult
+    """Spark interval string -> seconds.  Accepts every form a
+    watermark does: multiple qty/unit pairs ('1 hour 30 minutes'),
+    attached units ('90s', '10min'), singular/plural long units.
+    Raises ValueError naming the accepted syntax on anything else."""
+    units = {
+        "s": 1, "sec": 1, "second": 1,
+        "min": 60, "minute": 60,
+        "h": 3600, "hour": 3600,
+        "d": 86400, "day": 86400,
+    }
+    pairs = re.findall(r"(\d+)\s*([a-zA-Z]+)", text.strip())
+    if not pairs or "".join(q + u for q, u in pairs) != re.sub(
+        r"\s+", "", text.strip()
+    ):
+        raise ValueError(
+            f"unparseable interval {text!r}: expected qty/unit pairs like "
+            "'90 seconds', '1 hour 30 minutes', '90s'"
+        )
+    total = 0
+    for qty, unit in pairs:
+        key = unit.lower().rstrip("s") or "s"  # 's' alone survives rstrip
+        if key not in units:
+            raise ValueError(
+                f"unknown interval unit {unit!r} in {text!r}: "
+                f"expected one of {sorted(set(units))}"
+            )
+        total += int(qty) * units[key]
+    return total
 
 
 def band_signature_rows(stream: DataFrame) -> DataFrame:

@@ -101,11 +101,20 @@ def test_mm_byte_features(spark):
         assert 0.0 <= r.avg_hist_bin0 <= 1.0
 
 
-def test_decode_stub_raises():
+def test_decode_media_rejects_unknown_payloads():
+    """decode_media is REAL (operators.codecs, round 6) — unknown
+    payloads fail with ValueError (quarantine-row contract), never
+    NotImplementedError, and real PNG bytes decode."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.operators.codecs import png_encode
     from oxford_data_pipeline_spark.operators.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unknown media format"):
         decode_media(b"xx", "image")
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    arr, meta = decode_media(png_encode(img), "image")
+    assert (arr == img).all() and meta["format"] == "png"
 
 
 @pytest.mark.parametrize("name", ["m4_cv_pca", "m7_sensitivity", "m8_stability"])

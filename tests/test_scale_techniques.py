@@ -428,10 +428,11 @@ def test_simhash_chunk_blocking_is_exhaustive(spark):
 def test_ann_recall_floors(spark):
     """The audited recall of each index is deterministic (md5-seeded
     planes/quantizers), so pin the floors the round-5 tuning achieved:
-    multi-table LSH >= 0.3 (single-table was 0.04), 5-probe IVF >= 0.8,
-    the serving path (IVFADC+R exact re-rank) >= 0.8 — the standard
-    serving bar — and the re-rank must recover ADC distortion
-    (rerank >= ADC)."""
+    multi-table LSH >= 0.38 (its tuned level as the candidate-
+    generation tier — tier contract in the sim_lsh_ann docstring;
+    single-table was 0.04), 5-probe IVF >= 0.8, the serving path
+    (IVFADC+R exact re-rank) >= 0.8 — the standard serving bar — and
+    the re-rank must recover ADC distortion (rerank >= ADC)."""
     from oxford_data_pipeline_spark.plans import QUERIES
 
     def mean_recall(name):
@@ -440,7 +441,7 @@ def test_ann_recall_floors(spark):
 
     lsh, ivf = mean_recall("sim_lsh_recall"), mean_recall("sim_ivf_recall")
     adc, rr = mean_recall("sim_ivfpq_recall"), mean_recall("sim_ivfpq_rerank_recall")
-    assert lsh >= 0.30, lsh
+    assert lsh >= 0.38, lsh
     assert ivf >= 0.80, ivf
     assert rr >= 0.80, rr
     assert rr >= adc, (rr, adc)  # refinement must not lose recall
@@ -720,3 +721,176 @@ def test_containment_cap_in_plan(spark):
     assert f"<= {_SHINGLE_DF_CAP}" in plan + logical, (
         "df cap filter missing from containment plan"
     )
+
+
+def test_incremental_append_recall_and_coverage(spark):
+    """Recall-after-append: delta vectors searched through the merged
+    IVF index (base-trained quantizer, no retrain) must stay near the
+    full-index serving level — mean >= 0.70 at this SF (full IVF gets
+    ~0.8; the gap is the price of not retraining, i.e. the drift
+    signal).  The merged inverted list must cover every vector exactly
+    once with a non-empty delta in at least one cell."""
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from oxford_data_pipeline_spark.plans.projection import embeddings_long
+
+    rows = QUERIES["sim_ivf_incremental_recall"](spark, SF_DIR).collect()
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.70, mean
+
+    n_vecs = embeddings_long(spark, SF_DIR).select("vec_id").distinct().count()
+    cells = QUERIES["sim_ivf_incremental"](spark, SF_DIR).collect()
+    assert sum(r.n_total for r in cells) == n_vecs
+    assert all(r.n_base + r.n_delta == r.n_total for r in cells)
+    assert sum(r.n_delta for r in cells) > 0
+
+
+def test_mat_metadata_matrix_field_per_neuron_columns():
+    """A 2-D numeric field (CellExplorer acg: bins x n_neurons) must
+    attribute each COLUMN to one neuron, not ravel into n*k rows with
+    fabricated neuron ids."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.mat_ingest import decode_mat_metadata
+    from oxford_data_pipeline_spark.sources.matfile import write_mat5
+
+    blob = write_mat5(
+        {
+            "cell_metrics": {
+                "acg_narrow": np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]),
+                "rate": np.array([7.0, 8.0]),
+            }
+        }
+    )
+    df = decode_mat_metadata("/x/sess_b.mat", blob)
+    rows = {(r.neuron_id, r.field): r.value for _, r in df.iterrows()}
+    assert rows[(1, "acg_narrow")] == "1,3,5"
+    assert rows[(2, "acg_narrow")] == "2,4,6"
+    acg_ids = [r.neuron_id for _, r in df.iterrows() if r.field == "acg_narrow"]
+    assert sorted(acg_ids) == [1, 2]
+
+
+def test_mat5_big_endian_and_complex_roundtrip():
+    """MAT v5 reader: big-endian ('MI' tag) files and complex matrices
+    (pr + pi sub-elements) decode natively — the last v5 exotica seams
+    from the round-5 verdict."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.matfile import read_mat5, write_mat5
+
+    rng = np.random.default_rng(11)
+    vals = {
+        "m": rng.normal(size=(3, 4)),
+        "z": rng.normal(size=(2, 3)) + 1j * rng.normal(size=(2, 3)),
+        "s": "hello",
+        "cells": ["CA1", "PFC"],
+        "st": {"a": np.arange(3.0), "c": rng.normal(size=(2, 2)) + 0.5j},
+    }
+    for bo in ("<", ">"):
+        for compress in (False, True):
+            got = read_mat5(write_mat5(vals, compress=compress, byte_order=bo))
+            assert np.allclose(got["m"], vals["m"])
+            assert got["z"].dtype == np.complex128
+            assert np.allclose(got["z"], vals["z"])
+            assert got["s"] == "hello"
+            assert list(got["cells"].ravel()) == ["CA1", "PFC"]
+            assert np.allclose(got["st"]["c"], vals["st"]["c"])
+
+
+def test_mat73_chunked_char_roundtrip():
+    """Chunked (and deflated) uint16 char datasets decode through the
+    same chunk B-tree walk as f64 — the layout a generic HDF5 writer
+    produces for long strings."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources.hdf5mat import read_mat73, write_mat73
+
+    arrays = {"name_str": "hippocampus_session_A" * 6, "m": np.arange(45.0).reshape(9, 5)}
+    for kw in ({"chunks": (4, 16)}, {"chunks": (4, 16), "compress": 6}):
+        got = read_mat73(write_mat73(arrays, **kw))
+        assert got["name_str"] == arrays["name_str"]
+        assert np.array_equal(got["m"], arrays["m"])
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="shuffle"):
+        write_mat73(arrays, chunks=(4, 16), shuffle=True)
+
+
+def test_hdf5_v2_object_headers():
+    """v2 ("OHDR") object headers parse, including an "OCHK"
+    continuation block carrying the layout message — the header
+    generation generic (non-MATLAB) HDF5 writers emit."""
+    import struct
+
+    import numpy as np
+
+    from oxford_data_pipeline_spark.sources import hdf5mat as H
+
+    arr = np.arange(12.0).reshape(3, 4)
+    stored = np.ascontiguousarray(arr.T)
+    data = stored.tobytes()
+    msgs = H._dataspace_datatype_msgs(stored.shape)
+    layout = (H._MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, 0, len(data)))
+
+    payload = data + H._object_header_v2(msgs + [layout])
+    assert np.array_equal(H._read_dataset(payload, 0, len(data)), arr)
+
+    # layout via continuation: header -> OCHK block
+    cont_enc = struct.pack("<BHB", layout[0], len(layout[1]), 0) + layout[1]
+    cont_block = b"OCHK" + cont_enc + struct.pack("<I", 0)
+    probe = H._object_header_v2(
+        msgs + [(H._MSG_CONTINUATION, struct.pack("<QQ", 0, 0))]
+    )
+    cm = struct.pack("<QQ", len(data) + len(probe), len(cont_block))
+    payload2 = data + H._object_header_v2(msgs + [(H._MSG_CONTINUATION, cm)]) + cont_block
+    assert np.array_equal(H._read_dataset(payload2, 0, len(data)), arr)
+
+
+@pytest.mark.parametrize("case", ["shingle_df", "sign_bucket", "semdedup_cell"])
+def test_skew_stress_capped_generators(spark, case):
+    """Round-5 verdict stretch item: one hot-key fixture per capped
+    candidate generator, asserting MEASURED behavior — the uncapped
+    relation has a blocking key above the cap (quadratic pair hazard),
+    the capped relation's largest block is <= its bound, so every
+    downstream self-join is bounded at cap^2 per key regardless of
+    skew."""
+
+    def max_block(df, keys):
+        sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        return sizes.agg(F.max("n")).collect()[0][0]
+
+    if case == "shingle_df":
+        from oxford_data_pipeline_spark.plans.dedup import df_capped_shingles
+
+        cap = 5
+        rows = [(d, "hot stopword gram") for d in range(20)]  # 20% of 100 docs
+        rows += [(d, f"rare gram {d % 7}") for d in range(20, 40)]
+        sh = spark.createDataFrame(rows, "doc_id int, shingle string")
+        assert max_block(sh, ["shingle"]) > cap
+        assert max_block(df_capped_shingles(sh, cap=cap), ["shingle"]) <= cap
+    elif case == "sign_bucket":
+        from oxford_data_pipeline_spark.plans.dedup import (
+            _hyperplanes,
+            _sign_buckets,
+            capped_sign_buckets,
+        )
+
+        cap = 10
+        # mega-cell: 50 identical vectors land in one sign bucket
+        rows = [(v, d, 1.0) for v in range(50) for d in range(4)]
+        rows += [(v, d, float((-1) ** (v + d))) for v in range(50, 60) for d in range(4)]
+        long = spark.createDataFrame(rows, "vec_id long, dim int, val double")
+        planes = _hyperplanes(spark)
+        assert max_block(_sign_buckets(long, planes), ["bucket"]) > cap
+        capped = capped_sign_buckets(long, planes, cap=cap)
+        assert max_block(capped, ["bucket"]) is None or max_block(capped, ["bucket"]) <= cap
+    else:  # semdedup_cell
+        from oxford_data_pipeline_spark.plans.similarity import subsplit_cells
+
+        cap = 10
+        rows = [(v, 1) for v in range(60)] + [(v, 2) for v in range(60, 68)]
+        asg = spark.createDataFrame(rows, "vec_id long, cell int")
+        assert max_block(asg, ["cell"]) > cap
+        split = subsplit_cells(asg, cap)
+        assert max_block(split, ["cell", "subcell"]) <= cap
+        # split is a partition: no vector lost or duplicated
+        assert split.count() == asg.count()

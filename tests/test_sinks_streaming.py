@@ -821,3 +821,24 @@ def test_streaming_neardup_state_evicts_after_horizon(spark, tmp_path):
     ).to_parquet(src / "b4.parquet", coerce_timestamps="us")
     r4 = _restart_run(spark, build, src, tmp_path / "ckpt", tmp_path / "out")
     assert {(r.doc_id, r.matched_doc) for r in r4} == {(4, 3)}
+
+
+def test_parse_duration_accepts_watermark_syntax():
+    """All interval forms a Spark watermark accepts must parse: multi
+    qty/unit pairs, attached units, singular/plural; garbage raises
+    ValueError naming the expected syntax."""
+    import pytest
+
+    from oxford_data_pipeline_spark.streaming.stream_neardup import (
+        _parse_duration_sec as p,
+    )
+
+    assert p("90 seconds") == 90
+    assert p("10 minutes") == 600
+    assert p("1 hour 30 minutes") == 5400
+    assert p("90s") == 90
+    assert p("10min") == 600
+    assert p("2 days") == 172800
+    for bad in ["", "abc", "5 fortnights", "1.5 hours"]:
+        with pytest.raises(ValueError):
+            p(bad)
