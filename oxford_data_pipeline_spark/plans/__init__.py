@@ -47,6 +47,8 @@ _ROUND6_FRONT = [
     # (a) new this round
     "mm_image_decode", "mm_audio_decode",
     "sim_ivf_incremental", "sim_ivf_incremental_recall",
+    "text_langid_confusion", "text_chunking", "text_chunk_dedup",
+    "dedup_survivors_keep_longest",
     # (b) semantics changed this round
     "dedup_containment", "dedup_lsh_audit",
     # (c) classics last driver-checked in round 4
@@ -64,9 +66,14 @@ _ROUND6_FRONT = [
     "w4_peak_amplitude", "o4_truncate_min_length",
     "f9_significance_filter", "j7_condition_weight_reuse",
     "a3_cross_session_agg", "f11_flip_detection",
-    "text_quality", "text_langid", "text_fingerprint",
-    "text_token_count", "dedup_exact", "dedup_ngram_jaccard",
-    # slots 51-52: chains pinned by in-window twins this round
+    "text_quality", "text_langid",
+    # spill zone (~slots 51+, past the driver's snapshot cut): the
+    # classics whose chains are most pinned by in-window twins this
+    # round — fingerprints by text_fingerprint/exact family overlap,
+    # the capped shingle relation by dedup_containment, the band chain
+    # by dedup_lsh_audit
+    "text_fingerprint", "text_token_count",
+    "dedup_exact", "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped", "dedup_minhash_lsh",
 ]
 

@@ -1284,3 +1284,56 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("jaccard") >= _JACCARD_THRESHOLD).alias("is_neardup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Policy-based survivor selection: keep-longest representative
+# --------------------------------------------------------------------------
+# `dedup_survivors` applies the min-doc_id keep-rule (cheap, stable);
+# production dedup usually keeps the BEST cluster member instead —
+# here the longest document (n_chars DESC, doc_id tiebreak), the
+# common "canonical = most complete copy" policy.  Same maintained
+# cluster-label relation, one window over cluster members (clusters
+# are cap-bounded by the candidate generators, so the window's
+# partitions are small), same anti-join materialization.
+_SURVIVORS_LONGEST_ORACLE = f"""
+WITH RECURSIVE {_WALK_CTES},
+labels AS (SELECT doc_id, min(label) AS cluster FROM walk GROUP BY 1),
+ranked AS (
+    SELECT l.doc_id, l.cluster,
+           row_number() OVER (PARTITION BY l.cluster
+                              ORDER BY d.n_chars DESC, l.doc_id) AS rk
+    FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+),
+removed AS (SELECT doc_id FROM ranked WHERE rk > 1)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
+@register("dedup_survivors_keep_longest", _SURVIVORS_LONGEST_ORACLE)
+def dedup_survivors_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus under the keep-LONGEST policy: per near-dup
+    cluster the representative is the member with the most characters
+    (doc_id tiebreak) — the 'most complete copy' rule — instead of
+    `dedup_survivors`'s min-doc_id.  Reads the same maintained
+    cluster-label relation; the only addition is one row_number window
+    partitioned by cluster (partitions bounded by the blocked candidate
+    generation) before the anti-join."""
+    from pyspark.sql.window import Window as W
+
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cc_labels(spark, sf_dir)
+    ranked = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("label").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    removed = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select("doc_id")
+    )
+    return docs.join(removed, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )

