@@ -294,10 +294,17 @@ def sniff(data: bytes) -> str | None:
 
 
 def decode(data: bytes) -> tuple[np.ndarray, dict]:
-    """Sniff + decode a media payload; raises ValueError on unknown or
-    unsupported formats (the caller maps that to a null/quarantine row,
-    never a job failure)."""
+    """Sniff + decode a media payload.  Contract: EVERY failure —
+    unknown format, unsupported feature, or a malformed/truncated
+    payload of a known format — surfaces as ValueError (or
+    NotImplementedError for spec features out of scope), so a
+    mapInPandas kernel can map it to a quarantine row and never crash
+    the job.  Parser-level struct/zlib/unicode errors are normalized
+    here."""
     kind = sniff(bytes(data))
     if kind is None:
         raise ValueError("unknown media format (no magic-byte match)")
-    return _DECODERS[kind](bytes(data))
+    try:
+        return _DECODERS[kind](bytes(data))
+    except (struct.error, zlib.error, UnicodeDecodeError, IndexError) as e:
+        raise ValueError(f"malformed {kind} payload: {e}") from e

@@ -141,15 +141,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # straight from the text bytes (corpus is ASCII: codepoint == byte) —
 # a value-level gate on the codec, since any filter/chunk/zlib bug in
 # either direction shifts the sums.
+def _ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose text is pure ASCII (byte count == char count).
+    The codec round-trip queries are DEFINED over this subset: their
+    kernels operate on utf-8 bytes while the oracle's ascii() yields
+    codepoints, and the audio sample map (byte-96)*256 only fits int16
+    for bytes <= 127 — the same predicate pins the contract on both
+    engines, so the queries stay correct on any corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+    )
+
+
 _IMG_DECODE_ORACLE = """
-WITH m AS (
+WITH ascii_docs AS (
+    -- byte == codepoint only for pure-ASCII text; the kernel operates
+    -- on utf-8 BYTES while ascii() yields CODEPOINTS, so the decode
+    -- contract is defined over the ASCII subset on both engines
+    SELECT * FROM documents WHERE octet_length(encode(text)) = length(text)
+),
+m AS (
     SELECT doc_id, length(text) AS len,
            greatest(CAST(ceil(length(text) / 16.0) AS INTEGER), 1) AS h
-    FROM documents
+    FROM ascii_docs
 ),
 b AS (
     SELECT d.doc_id, ascii(substr(d.text, CAST(p AS INTEGER), 1)) AS byte
-    FROM documents d, unnest(generate_series(1, length(d.text))) AS u(p)
+    FROM ascii_docs d, unnest(generate_series(1, length(d.text))) AS u(p)
 )
 SELECT m.doc_id,
        m.h AS height,
@@ -175,7 +194,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_roundtrip_stats,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_docs(spark, sf_dir)
     mm = attach_binary_payload(docs).select("doc_id", "payload")
     return mm.mapInPandas(
         image_roundtrip_stats,
@@ -185,17 +204,20 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AUDIO_DECODE_ORACLE = """
-WITH b AS (
+WITH ascii_docs AS (
+    SELECT * FROM documents WHERE octet_length(encode(text)) = length(text)
+),
+b AS (
     SELECT d.doc_id,
            (ascii(substr(d.text, CAST(p AS INTEGER), 1)) - 96) * 256 AS s
-    FROM documents d, unnest(generate_series(1, length(d.text))) AS u(p)
+    FROM ascii_docs d, unnest(generate_series(1, length(d.text))) AS u(p)
 )
 SELECT d.doc_id,
        CAST(coalesce(count(b.s), 0) AS BIGINT) AS n_samples,
        CAST(coalesce(sum(b.s), 0) AS BIGINT) AS sum_sample,
        CAST(coalesce(min(b.s), 0) AS INTEGER) AS min_sample,
        CAST(coalesce(max(b.s), 0) AS INTEGER) AS max_sample
-FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+FROM ascii_docs d LEFT JOIN b ON d.doc_id = b.doc_id
 GROUP BY 1
 """
 
@@ -211,7 +233,7 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_roundtrip_stats,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _ascii_docs(spark, sf_dir)
     mm = attach_binary_payload(docs).select("doc_id", "payload")
     return mm.mapInPandas(
         audio_roundtrip_stats,

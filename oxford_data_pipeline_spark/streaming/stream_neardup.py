@@ -55,16 +55,21 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "first_doc long, first_ts long, last_ts long"
 
 
-def _parse_duration_sec(text: str) -> int:
-    """Spark interval string -> seconds.  Accepts every form a
-    watermark does: multiple qty/unit pairs ('1 hour 30 minutes'),
-    attached units ('90s', '10min'), singular/plural long units.
-    Raises ValueError naming the accepted syntax on anything else."""
+def _parse_duration_sec(text: str) -> float:
+    """Spark interval string -> seconds.  Accepts the fixed-length
+    units a watermark can carry — microsecond through week, multiple
+    qty/unit pairs ('1 hour 30 minutes'), attached units ('90s',
+    '10min', '500ms'), singular/plural long forms.  Calendar units
+    (month/year, variable length) and anything unrecognized raise
+    ValueError naming the accepted syntax."""
     units = {
+        "us": 1e-6, "microsecond": 1e-6,
+        "ms": 1e-3, "millisecond": 1e-3,
         "s": 1, "sec": 1, "second": 1,
         "min": 60, "minute": 60,
         "h": 3600, "hour": 3600,
         "d": 86400, "day": 86400,
+        "w": 604800, "week": 604800,
     }
     pairs = re.findall(r"(\d+)\s*([a-zA-Z]+)", text.strip())
     if not pairs or "".join(q + u for q, u in pairs) != re.sub(
@@ -74,13 +79,18 @@ def _parse_duration_sec(text: str) -> int:
             f"unparseable interval {text!r}: expected qty/unit pairs like "
             "'90 seconds', '1 hour 30 minutes', '90s'"
         )
-    total = 0
+    total = 0.0
     for qty, unit in pairs:
-        key = unit.lower().rstrip("s") or "s"  # 's' alone survives rstrip
+        lu = unit.lower()
+        # exact match first ('ms'/'us' would be mangled by rstrip),
+        # then strip a plural 's' ('minutes' -> 'minute'; bare 's'
+        # survives via the fallback)
+        key = lu if lu in units else (lu.rstrip("s") or "s")
         if key not in units:
             raise ValueError(
                 f"unknown interval unit {unit!r} in {text!r}: "
-                f"expected one of {sorted(set(units))}"
+                f"expected one of {sorted(set(units))} "
+                "(calendar units month/year are not fixed-length)"
             )
         total += int(qty) * units[key]
     return total

@@ -124,3 +124,24 @@ def test_decode_media_is_real():
     samples = rng.integers(-1000, 1000, size=32, dtype=np.int16)
     arr2, meta2 = decode_media(wav_encode(samples), "audio")
     assert (arr2[:, 0] == samples).all()
+
+
+def test_decode_normalizes_parser_errors_to_valueerror():
+    """Quarantine contract: malformed payloads of a KNOWN format must
+    surface as ValueError (never raw struct.error/zlib.error), so a
+    kernel's `except ValueError` quarantine path catches them."""
+    img = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    good = png_encode(img)
+    # truncated mid-IHDR: struct would underflow
+    with pytest.raises(ValueError):
+        decode(good[:20])
+    # bit-flipped IDAT payload: zlib would fail
+    bad = bytearray(good)
+    idat = good.index(b"IDAT")
+    bad[idat + 8] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode(bytes(bad))
+    # WAV with truncated fmt chunk
+    wav = bytearray(wav_encode(np.zeros(4, dtype=np.int16)))
+    with pytest.raises(ValueError):
+        decode(bytes(wav[:20]))

@@ -455,10 +455,16 @@ def test_chunking_covers_every_token_with_overlap(spark):
         assert starts == list(range(1, max(n, 1) + 1, _CHUNK_STRIDE))
         covered = max(c.start_pos + c.n_tokens - 1 for c in chunks)
         assert covered == n or (n == 0 and covered == 0)
-        for c in chunks[:-1]:
-            if c.n_tokens == _CHUNK_SIZE and n - c.start_pos + 1 >= _CHUNK_SIZE:
-                pass  # full interior chunk: next start overlaps by SIZE-STRIDE
         assert all(c.n_tokens <= _CHUNK_SIZE for c in chunks)
+        # overlap contract: a full chunk extends SIZE tokens from its
+        # start while the next chunk starts STRIDE later, so the two
+        # share exactly SIZE - STRIDE tokens
+        for c, nxt in zip(chunks, chunks[1:]):
+            assert nxt.start_pos - c.start_pos == _CHUNK_STRIDE
+            if c.n_tokens == _CHUNK_SIZE:
+                overlap = c.start_pos + _CHUNK_SIZE - nxt.start_pos
+                assert overlap == _CHUNK_SIZE - _CHUNK_STRIDE
+                assert overlap > 0  # consecutive full chunks DO overlap
 
 
 def test_keep_longest_picks_longest_cluster_member(spark):

@@ -839,6 +839,10 @@ def test_parse_duration_accepts_watermark_syntax():
     assert p("90s") == 90
     assert p("10min") == 600
     assert p("2 days") == 172800
-    for bad in ["", "abc", "5 fortnights", "1.5 hours"]:
+    assert p("500 milliseconds") == 0.5
+    assert p("500ms") == 0.5
+    assert p("2 weeks") == 1209600
+    # calendar units are variable-length: rejected, not guessed
+    for bad in ["", "abc", "5 fortnights", "1.5 hours", "3 months", "1 year"]:
         with pytest.raises(ValueError):
             p(bad)
