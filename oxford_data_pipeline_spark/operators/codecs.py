@@ -39,16 +39,23 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _unfilter(ftype: int, line: bytearray, prev: bytes, bpp: int) -> None:
-    """Reverse one scanline filter in place (PNG spec §9)."""
+    """Reverse one scanline filter in place (PNG spec §9).
+
+    Sub and Up are vectorized (uint8 numpy arithmetic wraps mod 256 —
+    Sub is a per-lane prefix sum, Up a single add); Average and Paeth
+    carry a true left-neighbor recurrence and stay per-byte loops."""
     n = len(line)
     if ftype == 0:
         return
-    if ftype == 1:  # Sub
-        for i in range(bpp, n):
-            line[i] = (line[i] + line[i - bpp]) & 0xFF
-    elif ftype == 2:  # Up
-        for i in range(n):
-            line[i] = (line[i] + prev[i]) & 0xFF
+    if ftype == 1:  # Sub: per-bpp-lane prefix sum (uint8 wraps mod 256)
+        lanes = n // bpp
+        a = np.frombuffer(bytes(line), dtype=np.uint8)[: lanes * bpp]
+        a = np.add.accumulate(a.reshape(lanes, bpp), axis=0, dtype=np.uint8)
+        line[: lanes * bpp] = a.tobytes()
+    elif ftype == 2:  # Up: one vectorized add
+        a = np.frombuffer(bytes(line), dtype=np.uint8)
+        p = np.frombuffer(prev, dtype=np.uint8)
+        line[:] = (a + p).tobytes()  # uint8 add wraps mod 256
     elif ftype == 3:  # Average
         for i in range(n):
             a = line[i - bpp] if i >= bpp else 0

@@ -248,3 +248,42 @@ def test_mat73_nested_roundtrip_property(variables):
     assert sorted(out) == sorted(variables)
     for k, v in variables.items():
         _assert_same(v, out[k])
+
+
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 40))),
+    st.sampled_from([(0,), (1,), (2,), (3,), (4,), (1, 2, 3, 4, 0), (4, 3)]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_random(img, filters):
+    """PNG encode→decode is the identity for any uint8 grayscale array
+    under every scanline-filter schedule."""
+    from oxford_data_pipeline_spark.operators.codecs import png_decode, png_encode
+
+    dec, meta = png_decode(png_encode(img, filters))
+    assert dec.shape == img.shape
+    assert (dec == img).all()
+    assert meta["width"] == img.shape[1] and meta["height"] == img.shape[0]
+
+
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 6), st.integers(1, 10), st.just(3))),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_rgb_roundtrip_random(img):
+    from oxford_data_pipeline_spark.operators.codecs import png_decode, png_encode
+
+    dec, _ = png_decode(png_encode(img))
+    assert (dec == img).all()
+
+
+@given(arrays(np.int16, st.integers(0, 300)), st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_random(samples, rate):
+    """WAV PCM16 encode→decode is the identity for any int16 signal."""
+    from oxford_data_pipeline_spark.operators.codecs import wav_decode, wav_encode
+
+    dec, meta = wav_decode(wav_encode(samples, rate=rate))
+    assert meta["rate"] == rate and meta["n_samples"] == len(samples)
+    if len(samples):
+        assert (dec[:, 0] == samples).all()

@@ -846,3 +846,35 @@ def test_parse_duration_accepts_watermark_syntax():
     for bad in ["", "abc", "5 fortnights", "1.5 hours", "3 months", "1 year"]:
         with pytest.raises(ValueError):
             p(bad)
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """Chunking is stateless, so streaming the real documents table
+    through chunk_stream must produce BIT-IDENTICAL rows to the batch
+    text_chunking query (same tokenizer expressions, same windows)."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.textops import text_chunking
+    from oxford_data_pipeline_spark.streaming.stream_chunking import chunk_stream
+    from tests.conftest import SF_DIR
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    batch_docs = spark.read.parquet(src)
+    d = str(tmp_path / "docs_stream")
+    batch_docs.write.parquet(d)  # file stream source needs a DIRECTORY
+    stream = spark.readStream.schema(batch_docs.schema).parquet(d)
+    q = (
+        chunk_stream(stream.select("doc_id", "text"))
+        .writeStream.format("memory")
+        .queryName("chunk_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM chunk_stream_t").collect())
+    )
+    batch = sorted(map(tuple, text_chunking(spark, SF_DIR).collect()))
+    assert got == batch
+    assert len(got) > 0
