@@ -23,6 +23,7 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
     mlops,
     multimodal,
     quality,
+    retrieval,
 )
 
 # Driver-snapshot rotation (round-4 verdict item 7): the external

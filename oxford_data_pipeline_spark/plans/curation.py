@@ -1081,3 +1081,82 @@ def cur_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (total - (n_sequences - 1) * L).cast("long").alias("tail_fill"),
         F.sum(crossing).cast("long").alias("n_boundary_crossing"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus snapshot diff (CDC): what changed between two corpus versions
+# --------------------------------------------------------------------------
+# Continuous-ingest corpora are re-crawled and re-filtered; every
+# downstream consumer (dedup index, ANN index, tokenized shards) wants
+# the CHANGE LOG between snapshot N and N+1, not a full rebuild.  The
+# diff is one full-outer join on the primary key with md5-fingerprint
+# comparison — both sides partitioned on doc_id, so at 100 TB this is
+# a co-partitioned sort-merge join with no broadcast assumption on
+# either side (either snapshot may be the big one).
+#
+# Snapshot derivation is deterministic so the oracle reproduces it:
+#   old = docs where doc_id % 7 != 3, text truncated when doc_id % 5 == 2
+#   new = docs where doc_id % 11 != 5
+# giving all four classes: inserts (new-only), deletes (old-only),
+# updates (both, fingerprint moved), unchanged (dropped from the log).
+_DIFF_ORACLE = """
+WITH old AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 2
+                THEN substr(text, 1, CAST(greatest(n_chars - 7, 1) AS INTEGER))
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 7 <> 3
+),
+new_snap AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 5
+),
+joined AS (
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           md5(o.text) AS old_fp, md5(n.text) AS new_fp
+    FROM old o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN old_fp IS NULL THEN 'insert'
+            WHEN new_fp IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       old_fp, new_fp
+FROM joined
+WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+"""
+
+
+@register("cur_corpus_diff", _DIFF_ORACLE)
+def cur_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus change log (CDC): full-outer join of
+    two corpus versions on doc_id, rows classified insert / delete /
+    update by md5 fingerprint; unchanged rows never leave the join.
+    The incremental-maintenance feed for every derived artifact
+    (dedup/ANN indexes, tokenized shards)."""
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 2,
+                F.substring(
+                    "text", 1, F.greatest(F.col("n_chars") - 7, F.lit(1)).cast("int")
+                ),
+            ).otherwise(F.col("text"))
+        ).alias("old_fp"),
+    )
+    new_snap = docs.filter(F.col("doc_id") % 11 != 5).select(
+        "doc_id", F.md5("text").alias("new_fp")
+    )
+    joined = old.join(new_snap, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), "insert")
+        .when(F.col("new_fp").isNull(), "delete")
+        .otherwise("update")
+    )
+    return joined.filter(
+        F.col("old_fp").isNull()
+        | F.col("new_fp").isNull()
+        | (F.col("old_fp") != F.col("new_fp"))
+    ).select("doc_id", change.alias("change_type"), "old_fp", "new_fp")

@@ -1337,3 +1337,131 @@ def dedup_survivors_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(removed, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank centrality over the near-dup graph: canonical-by-centrality
+# --------------------------------------------------------------------------
+# A third keep-policy: the canonical cluster member is the most CENTRAL
+# one — the document most near-duplicated by the others (PageRank on
+# the symmetrized verified-pair graph), the policy that picks the
+# "original" a swarm of partial copies orbits rather than the longest
+# or lowest-id copy.  Fixed-iteration damped PageRank is an iterative
+# relational program: per round, one edges⋈rank join partitioned on
+# src and one map-side-combinable sum on dst — the 100 TB shape (rank
+# state is |nodes|, each round touches |edges| once, lineage cut per
+# round via localCheckpoint).  The oracle unrolls the same 8 rounds as
+# a CTE chain (the BPE discipline); float parity holds because both
+# engines run the identical pure-DOUBLE op tree (`e0` literals, casts
+# at the same nodes) and round6 absorbs summation-order noise.
+_PAGERANK_ITERS = 8
+_PR_DAMP = "0.85e0"
+_PR_JUMP = "0.15e0"
+
+
+def _pr_iter_ctes() -> str:
+    steps = []
+    for i in range(1, _PAGERANK_ITERS + 1):
+        steps.append(f"""
+pr{i} AS (
+    SELECT n.doc_id,
+           {_PR_JUMP} / CAST(nn.n AS DOUBLE)
+           + {_PR_DAMP} * sum(p.pr / CAST(d.outdeg AS DOUBLE)) AS pr
+    FROM nodes n
+    CROSS JOIN nn
+    JOIN edges e ON e.dst = n.doc_id
+    JOIN pr{i - 1} p ON p.doc_id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY n.doc_id, nn.n
+)""")
+    return ",".join(steps)
+
+
+_PAGERANK_ORACLE = f"""
+WITH RECURSIVE {_WALK_CTES},
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+pr0 AS (SELECT doc_id, 1.0e0 / CAST(n AS DOUBLE) AS pr FROM nodes, nn),
+{_pr_iter_ctes()},
+labels AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY 1),
+final AS (
+    SELECT l.doc_id, l.cluster_id,
+           round(p.pr * 1000000 + 0.01, 0) / 1000000 + 0 AS pagerank
+    FROM pr{_PAGERANK_ITERS} p JOIN labels l ON p.doc_id = l.doc_id
+),
+ranked AS (
+    SELECT doc_id, cluster_id, pagerank,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY pagerank DESC, doc_id) AS rn
+    FROM final
+)
+SELECT doc_id, cluster_id, pagerank, rn = 1 AS is_canonical FROM ranked
+"""
+
+
+@register("dedup_pagerank_canonical", _PAGERANK_ORACLE)
+def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized near-dup pair graph (8 damped
+    iterations, d=0.85) + canonical-by-centrality keep-rule: per
+    cluster the member with the highest rounded rank (doc_id tiebreak)
+    is canonical.
+
+    Every node of the symmetric graph has degree >= 1, so the
+    dangling-mass term vanishes and all joins are inner.  Each round
+    is edges⋈rank (partitioned on src) then a partial-aggregable sum
+    on dst; `localCheckpoint` caps lineage depth at O(1) per round and
+    the previous generation's blocks are freed eagerly (the BPE loop
+    discipline)."""
+    from oxford_data_pipeline_spark.operators.bpe import free_local_checkpoint
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    ).union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "doc_id", (F.lit(1.0) / F.col("n").cast("double")).alias("pr")
+    ).localCheckpoint(eager=True)
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["doc_id"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("pr") / F.col("outdeg").cast("double")).alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        nxt = (
+            nodes.join(contrib, "doc_id")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "doc_id",
+                (
+                    F.lit(0.15) / F.col("n").cast("double")
+                    + F.lit(0.85) * F.col("s")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(pr)
+        pr = nxt
+    labels = _cc_labels(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
+    final = pr.join(labels, "doc_id").select(
+        "doc_id", "cluster_id", round6(F.col("pr")).alias("pagerank")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("pagerank").desc(), F.col("doc_id")
+    )
+    return final.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "cluster_id", "pagerank", (F.col("rn") == 1).alias("is_canonical")
+    )

@@ -486,3 +486,99 @@ def cur_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("cur_quality_classifier", _qc_oracle())(cur_quality_classifier)
+
+
+# --------------------------------------------------------------------------
+# Exact-substring cut application: splice the duplicated spans OUT
+# --------------------------------------------------------------------------
+# `text_dup_spans` produces the cut list; this query APPLIES it — the
+# stage that actually emits deduplicated text downstream (Lee et al.
+# 2022 apply step).  The span relation is joined back on doc_id (both
+# sides partitioned on doc_id; spans are a small fraction of docs),
+# then the splice itself is pure scan-local higher-order expressions:
+# tokens tagged with positions, positions inside any span dropped, the
+# remainder re-joined — no explode, no per-row Python, no second
+# shuffle.  Output carries the md5 of the cleaned text (downstream
+# hash-compares), not the text itself.
+_SPAN_CUT_ORACLE = f"""
+WITH {_TOKENS_CTE},
+ptoks AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+    WHERE len(t) >= 3
+),
+pdf AS (
+    SELECT shingle, count(DISTINCT doc_id) AS doc_freq FROM ptoks GROUP BY 1
+),
+dup AS (
+    SELECT p.doc_id, p.pos
+    FROM ptoks p JOIN pdf USING (shingle)
+    WHERE doc_freq >= {_DUP_COVERAGE_MIN_DF}
+),
+isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup
+),
+cut AS (
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end
+    FROM isl GROUP BY doc_id, grp
+    HAVING count(*) >= {_SPAN_MIN_GRAMS}
+),
+positions AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] AS tok
+    FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+    SELECT p.doc_id, p.pos, p.tok
+    FROM positions p
+    WHERE NOT EXISTS (SELECT 1 FROM cut c
+                      WHERE c.doc_id = p.doc_id
+                        AND p.pos >= c.span_start AND p.pos <= c.span_end)
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS cleaned
+    FROM kept GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(a.cleaned, '')) AS cleaned_fp
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+WHERE len(t.t) > 0
+"""
+
+
+@register("text_dup_span_cut", _SPAN_CUT_ORACLE)
+def text_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the exact-substring cut list: remove every token covered
+    by a `text_dup_spans` span and emit per-doc removal counts plus
+    the md5 fingerprint of the spliced text."""
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    spans = (
+        text_dup_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    t = tokens_relation(spark, sf_dir)
+    base = t.filter(F.size("t") > 0).join(spans, "doc_id", "left")
+    kept = F.expr(
+        "filter(transform(t, (x, i) -> struct(x AS tok, i + 1 AS pos)),"
+        " s -> spans IS NULL OR NOT exists(spans,"
+        " sp -> s.pos >= sp.span_start AND s.pos <= sp.span_end))"
+    )
+    tagged = base.select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens"), kept.alias("kept")
+    )
+    cleaned = F.array_join(F.expr("transform(kept, s -> s.tok)"), " ")
+    return tagged.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.md5(cleaned).alias("cleaned_fp"),
+    )
