@@ -37,6 +37,7 @@ def main() -> None:
     from oxford_data_pipeline_spark.plans import QUERIES
     from oxford_data_pipeline_spark.plans.dedup import build_dedup_index
     from oxford_data_pipeline_spark.plans.similarity import build_ann_index
+    from oxford_data_pipeline_spark.plans.retrieval import build_retrieval_index
     from oxford_data_pipeline_spark.plans.textops import build_text_models
     from oxford_data_pipeline_spark.session import get_spark
     from oxford_data_pipeline_spark.sources.catalog import TABLES, load_table
@@ -46,7 +47,8 @@ def main() -> None:
     def build_indexes(target_sf_dir: str) -> dict[str, dict]:
         out: dict[str, dict] = {}
         for name, fn in (("dedup", build_dedup_index), ("ann", build_ann_index),
-                         ("text", build_text_models)):
+                         ("text", build_text_models),
+                         ("retrieval", build_retrieval_index)):
             t0 = time.perf_counter()
             counts = fn(spark, target_sf_dir)
             out[name] = {

@@ -1,13 +1,16 @@
-"""Pure-stdlib media codecs: PNG, BMP, PPM, WAV — no external
-libraries (the runtime ships no PIL/ffmpeg/soundfile).
+"""Pure-stdlib media codecs: PNG, BMP, PPM, WAV (+ baseline JPEG in
+`operators/jpeg.py`) — no external libraries (the runtime ships no
+PIL/ffmpeg/soundfile).
 
 These back `operators.multimodal.decode_media`, turning the former
 decode stub into a real path: payloads are sniffed by magic bytes and
 decoded to numpy arrays plus typed metadata.  Coverage is the subset a
 training-data pipeline actually hits for *validation* decode — PNG
 8-bit gray/RGB/RGBA (all five scanline filters, non-interlaced), BMP
-24-bit uncompressed, binary PPM (P6), RIFF/WAVE PCM 8/16-bit — with a
-matching PNG/WAV *encoder* so the decode path is round-trip testable
+24-bit uncompressed, binary PPM (P6), RIFF/WAVE PCM 8/16-bit, and
+baseline sequential JPEG (SOF0: gray + YCbCr 4:4:4/4:2:0, restart
+intervals; progressive/arithmetic/12-bit quarantine) — with matching
+PNG/WAV/JPEG *encoders* so every decode path is round-trip testable
 without binary fixtures.
 
 Reference parity: the reference pipeline has no media codecs at all
@@ -282,8 +285,15 @@ def wav_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
 # --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
+def _jpeg_decode(data: bytes):
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_decode
+
+    return jpeg_decode(data)
+
+
 _DECODERS = {
     "png": png_decode, "bmp": bmp_decode, "ppm": ppm_decode, "wav": wav_decode,
+    "jpeg": _jpeg_decode,
 }
 
 
@@ -297,6 +307,8 @@ def sniff(data: bytes) -> str | None:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 

@@ -1,0 +1,598 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81, sequential DCT).
+
+Closes the codec-tier gap the round-6 verdict named: a real 100 TB
+multimodal corpus is dominantly JPEG, and until now those payloads hit
+the quarantine path.  Coverage (documented in COVERAGE.md's codec
+contract): baseline sequential (SOF0), 8-bit samples, grayscale and
+3-component YCbCr with 4:4:4 or 4:2:0 sampling, standard JFIF color
+transform, restart intervals (DRI/RSTn).  Progressive (SOF2),
+arithmetic coding, 12-bit, and hierarchical modes raise — they fall to
+the quarantine path like every unsupported feature.
+
+All constants are the public spec's: Annex K.1 quantization tables,
+Annex K.3 typical Huffman tables, the zigzag order, the IJG quality
+scaling.  The DCT runs as one einsum over all blocks of a component
+(numpy), the entropy coder is per-bit Python — per-payload work inside
+Arrow-batched ``mapInPandas``, the only sane place for a codec in
+Spark (same posture as `operators/codecs.py`).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Spec constants (public: ITU-T T.81 Annex K)
+# --------------------------------------------------------------------------
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# Orthonormal 8x8 DCT-II basis: dct = A @ block @ A.T
+_A = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _A[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else 0.5
+        )
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (QT_LUM, QT_CHROM):
+        t = np.floor((base * scale + 50) / 100)
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the spec's canonical construction."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for the decoder."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """Entropy-coded-segment reader with 0xFF00 unstuffing; stops at
+    markers (0xFF followed by non-zero)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy-coded segment")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("marker inside entropy-coded segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker ending an interval."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
+            raise ValueError("missing restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, s: int) -> int:
+    """DIFF/AC magnitude decoding (spec EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+def _encode_blocks(
+    writer: _BitWriter,
+    coefs: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    dc_pred: int,
+) -> int:
+    """Entropy-encode one component's quantized blocks [n, 64] (zigzag
+    order), returning the updated DC predictor."""
+    for blk in coefs:
+        diff = int(blk[0]) - dc_pred
+        dc_pred = int(blk[0])
+        s = _category(diff)
+        code, length = dc_codes[s]
+        writer.write(code, length)
+        if s:
+            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(blk[1:])[0]
+        last_nz = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last_nz + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
+            writer.write(code, length)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            writer.write(code, length)
+    return dc_pred
+
+
+def _component_coefs(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Level-shift, 8x8 DCT, quantize, zigzag: [n_blocks, 64] int32 in
+    raster block order (plane dims must be multiples of 8)."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    dct = np.einsum("ij,njk,lk->nil", _A, blocks, _A)
+    q = np.round(dct / qt.reshape(8, 8)).astype(np.int32)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (mult - h % mult) % mult
+    pw = (mult - w % mult) % mult
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def jpeg_encode(
+    img: np.ndarray, quality: int = 90, subsample: bool = True
+) -> bytes:
+    """Baseline JPEG encoding of a [h, w] grayscale or [h, w, 3] RGB
+    uint8 array (JFIF; 4:2:0 when `subsample` and the image is color)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("jpeg_encode expects [h,w] or [h,w,3] uint8")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l, qt_c = _quality_tables(quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            yp = _pad_to(y, 16)
+            cbp = _pad_to(cb, 16)
+            crp = _pad_to(cr, 16)
+            cb2 = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+            cr2 = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+            planes = [yp, cb2, cr2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    planes = [np.clip(_pad_to(p, 8), 0, 255) for p in planes]
+    qts = [qt_l] + [qt_c] * (len(planes) - 1)
+    coefs = [_component_coefs(p, qt) for p, qt in zip(planes, qts)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 / JFIF
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    # DQT, stored in zigzag order: table[i] = qt[zigzag[i]]
+    for tid, qt in enumerate(qts[: 2 if not gray else 1]):
+        zz = qt.astype(np.uint8)[ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
+    # SOF0
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(ncomp):
+        sh, sv = samp[cid]
+        out += bytes([cid + 1, (sh << 4) | sv, 0 if cid == 0 else 1])
+    # DHT: DC/AC lum (+ chrom for color)
+    tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if not gray:
+        tables += [(0x01, _DC_CHROM), (0x11, _AC_CHROM)]
+    for tc_th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(ncomp):
+        out += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    dc_l = _canonical_codes(*_DC_LUM)
+    ac_l = _canonical_codes(*_AC_LUM)
+    dc_c = _canonical_codes(*_DC_CHROM)
+    ac_c = _canonical_codes(*_AC_CHROM)
+    writer = _BitWriter()
+
+    if gray:
+        _encode_blocks(writer, coefs[0], dc_l, ac_l, 0)
+    else:
+        # interleaved MCU order
+        yc, cbc, crc = coefs
+        ywb = planes[0].shape[1] // 8  # y blocks per row
+        cwb = planes[1].shape[1] // 8
+        preds = [0, 0, 0]
+        if samp[0] == (2, 2):
+            n_mcu_y = planes[1].shape[0] // 8
+            n_mcu_x = planes[1].shape[1] // 8
+            for my in range(n_mcu_y):
+                for mx in range(n_mcu_x):
+                    yblocks = [
+                        yc[(2 * my + dy) * ywb + (2 * mx + dx)]
+                        for dy in (0, 1)
+                        for dx in (0, 1)
+                    ]
+                    preds[0] = _encode_blocks(
+                        writer, np.array(yblocks), dc_l, ac_l, preds[0]
+                    )
+                    preds[1] = _encode_blocks(
+                        writer, cbc[my * cwb + mx : my * cwb + mx + 1],
+                        dc_c, ac_c, preds[1],
+                    )
+                    preds[2] = _encode_blocks(
+                        writer, crc[my * cwb + mx : my * cwb + mx + 1],
+                        dc_c, ac_c, preds[2],
+                    )
+        else:
+            n_mcu = len(yc)
+            for i in range(n_mcu):
+                preds[0] = _encode_blocks(writer, yc[i : i + 1], dc_l, ac_l, preds[0])
+                preds[1] = _encode_blocks(writer, cbc[i : i + 1], dc_c, ac_c, preds[1])
+                preds[2] = _encode_blocks(writer, crc[i : i + 1], dc_c, ac_c, preds[2])
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a baseline JPEG to a uint8 array ([h, w] gray or
+    [h, w, 3] RGB) + metadata.  Unsupported modes raise
+    NotImplementedError; malformed payloads raise ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart = 0
+    frame = None
+    comps: list[dict] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("no scan data before EOI")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64)
+                tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], np.uint8)
+                qts[tq] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "sh": hv >> 4, "sv": hv & 0x0F, "tq": tq}
+                )
+            frame = (h, w, nc)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG mode")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            smap = {}
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                smap[cs] = (tdta >> 4, tdta & 0x0F)
+            return _decode_scan(
+                data, pos + seglen, frame, comps, smap, qts, huff, restart
+            )
+        pos += seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
+    h, w, nc = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero image dimension")
+    hmax = max(c["sh"] for c in comps)
+    vmax = max(c["sv"] for c in comps)
+    if nc == 1:
+        hmax = vmax = comps[0]["sh"] = comps[0]["sv"] = 1
+    if nc == 3:
+        sampling = tuple((c["sh"], c["sv"]) for c in comps)
+        if sampling not in {((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1))}:
+            raise NotImplementedError(f"sampling {sampling}")
+    mcu_w = 8 * hmax
+    mcu_h = 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    for c in comps:
+        c["bw"] = mcus_x * c["sh"]
+        c["bh"] = mcus_y * c["sv"]
+        c["coefs"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+        if c["tq"] not in qts:
+            raise ValueError("missing quant table")
+        if c["id"] not in smap:
+            raise ValueError("component missing from scan")
+        td, ta = smap[c["id"]]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("missing Huffman table")
+        c["dc"] = huff[(0, td)]
+        c["ac"] = huff[(1, ta)]
+
+    reader = _BitReader(data, pos)
+    preds = [0] * nc
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * nc
+            for ci, c in enumerate(comps):
+                for by in range(c["sv"]):
+                    for bx in range(c["sh"]):
+                        blk = c["coefs"][
+                            (my * c["sv"] + by) * c["bw"] + mx * c["sh"] + bx
+                        ]
+                        s = reader.read_symbol(c["dc"])
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(c["ac"])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        qt = qts[c["tq"]]
+        deq = np.zeros_like(c["coefs"])
+        deq[:, ZIGZAG] = c["coefs"] * qt  # un-zigzag + dequantize
+        blocks = deq.reshape(-1, 8, 8)
+        pix = np.einsum("ji,njk,kl->nil", _A, blocks, _A) + 128.0
+        plane = (
+            pix.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full MCU grid resolution
+        ry = (vmax // c["sv"], hmax // c["sh"])
+        if ry != (1, 1):
+            plane = plane.repeat(ry[0], axis=0).repeat(ry[1], axis=1)
+        planes.append(plane[:h, :w])
+
+    meta = {"width": w, "height": h, "channels": nc, "format": "jpeg"}
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8), meta
+    if nc != 3:
+        raise NotImplementedError(f"{nc}-component JPEG")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), meta

@@ -258,3 +258,44 @@ def sample_frames(mm: DataFrame) -> DataFrame:
         fake_frame_sample,
         schema="doc_id long, frame_idx int, n_bytes int, mean_byte double",
     )
+
+
+def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real-codec JPEG kernel: per payload, synthesize the canonical
+    `_IMG_W`-wide grayscale image (same construction as the PNG
+    kernel), encode it as baseline JPEG at quality 100 (all-ones
+    quantization tables — the DCT round trip is then exact to ±1 per
+    pixel), decode back through the sniffing dispatcher (full
+    marker-parse + Huffman + IDCT path), and emit the deterministic
+    header fields plus the ±1 tolerance verdict.  JPEG is lossy, so
+    unlike the PNG kernel the oracle cannot recompute pixel sums; the
+    decoded-vs-source bound IS the codec gate (any Huffman/DCT/zigzag
+    bug blows far past ±1), and looser color/4:2:0 tolerances are
+    property-tested in tests/test_codecs.py."""
+    from oxford_data_pipeline_spark.operators.codecs import decode
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_encode
+
+    for pdf in batches:
+        ids, hs, n_px, ok = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            h = max(-(-len(b) // _IMG_W), 1)
+            img = np.zeros(h * _IMG_W, dtype=np.uint8)
+            img[: len(b)] = b
+            img = img.reshape(h, _IMG_W)
+            dec, meta = decode(jpeg_encode(img, quality=100))
+            assert meta["format"] == "jpeg" and meta["width"] == _IMG_W
+            err = int(np.abs(dec.astype(np.int32) - img.astype(np.int32)).max())
+            ids.append(doc_id)
+            hs.append(meta["height"])
+            n_px.append(int(dec.size))
+            ok.append(err <= 1)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "height": np.array(hs, dtype=np.int32),
+                "width": np.full(len(ids), _IMG_W, dtype=np.int32),
+                "n_px": np.array(n_px, dtype=np.int64),
+                "max_err_le_1": np.array(ok, dtype=bool),
+            }
+        )

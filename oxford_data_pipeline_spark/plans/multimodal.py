@@ -252,3 +252,40 @@ def mm_resize_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_strips(attach_binary_payload(docs))
+
+
+_JPEG_DECODE_ORACLE = """
+WITH ascii_docs AS (
+    SELECT * FROM documents WHERE octet_length(encode(text)) = length(text)
+)
+SELECT doc_id,
+       greatest(CAST(ceil(length(text) / 16.0) AS INTEGER), 1) AS height,
+       16 AS width,
+       CAST(greatest(CAST(ceil(length(text) / 16.0) AS INTEGER), 1) * 16
+            AS BIGINT) AS n_px,
+       TRUE AS max_err_le_1
+FROM ascii_docs
+"""
+
+
+@register("mm_jpeg_decode", _JPEG_DECODE_ORACLE)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG round-trip decode: each document's bytes become
+    the canonical 16-wide grayscale image, JPEG-encoded at quality 100
+    and decoded back through the full marker/Huffman/IDCT path inside
+    mapInPandas.  Header geometry hash-checks against the oracle;
+    JPEG's lossiness means pixel sums cannot (by design), so the
+    value gate is the per-row ±1 reconstruction verdict — exact
+    tolerance semantics live in the codec property tests."""
+    from oxford_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        jpeg_roundtrip_stats,
+    )
+
+    docs = _ascii_docs(spark, sf_dir)
+    mm = attach_binary_payload(docs).select("doc_id", "payload")
+    return mm.mapInPandas(
+        jpeg_roundtrip_stats,
+        schema="doc_id long, height int, width int, n_px long,"
+               " max_err_le_1 boolean",
+    )

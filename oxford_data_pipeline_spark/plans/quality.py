@@ -105,8 +105,12 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # span count itself).
 _SPAN_MIN_GRAMS = 3  # >= 3 dup 3-grams = >= 5 duplicated tokens
 
-_DUP_SPANS_ORACLE = f"""
-WITH {_TOKENS_CTE},
+# Shared span-derivation CTE chain (positional shingles -> df -> dup
+# positions -> gaps-and-islands).  ONE definition used by BOTH the
+# span-listing and span-cut oracles so the span semantics cannot
+# silently diverge between them (same discipline as _TOKENS_CTE /
+# _MINHASH_CAND_CTES).
+_SPAN_ISL_CTES = f"""
 ptoks AS (
     SELECT doc_id, CAST(i AS INTEGER) AS pos,
            t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
@@ -125,7 +129,11 @@ isl AS (
     SELECT doc_id, pos,
            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
     FROM dup
-),
+)"""
+
+_DUP_SPANS_ORACLE = f"""
+WITH {_TOKENS_CTE},
+{_SPAN_ISL_CTES},
 spans AS (
     SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
            CAST(max(pos) + 2 AS INTEGER) AS span_end,
@@ -502,25 +510,7 @@ register("cur_quality_classifier", _qc_oracle())(cur_quality_classifier)
 # hash-compares), not the text itself.
 _SPAN_CUT_ORACLE = f"""
 WITH {_TOKENS_CTE},
-ptoks AS (
-    SELECT doc_id, CAST(i AS INTEGER) AS pos,
-           t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
-    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
-    WHERE len(t) >= 3
-),
-pdf AS (
-    SELECT shingle, count(DISTINCT doc_id) AS doc_freq FROM ptoks GROUP BY 1
-),
-dup AS (
-    SELECT p.doc_id, p.pos
-    FROM ptoks p JOIN pdf USING (shingle)
-    WHERE doc_freq >= {_DUP_COVERAGE_MIN_DF}
-),
-isl AS (
-    SELECT doc_id, pos,
-           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-    FROM dup
-),
+{_SPAN_ISL_CTES},
 cut AS (
     SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end
     FROM isl GROUP BY doc_id, grp

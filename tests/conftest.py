@@ -38,6 +38,8 @@ def ddb():
 def _norm(v):
     if v is None:
         return None
+    if hasattr(v, "item"):  # numpy scalar -> native (stable repr sort key)
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -55,11 +57,15 @@ def assert_matches_oracle(spark_df, con, sql, check_schema=True):
     srows = spark_df.collect()
     orows = odf.where(odf.notna(), None).to_dict("records")
     assert len(srows) == len(orows), f"row count: spark={len(srows)} oracle={len(orows)}"
-    skey = sorted(tuple(_norm(r[c]) for c in scols) for r in srows)
+    # key=repr: tuples mixing None with values aren't orderable
+    skey = sorted(
+        (tuple(_norm(r[c]) for c in scols) for r in srows), key=repr
+    )
     okey = sorted(
-        tuple(_norm(None if isinstance(r[c], float) and math.isnan(r[c]) else r[c])
-              for c in ocols)
-        for r in orows
+        (tuple(_norm(None if isinstance(r[c], float) and math.isnan(r[c]) else r[c])
+               for c in ocols)
+         for r in orows),
+        key=repr,
     )
     for i, (a, b) in enumerate(zip(skey, okey)):
         assert a == b, f"row {i} differs:\n spark={a}\n oracle={b}"

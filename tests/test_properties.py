@@ -4,6 +4,7 @@ inputs, invariant assertions (no Spark involved, fast)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from hypothesis.extra.numpy import arrays
@@ -287,3 +288,75 @@ def test_wav_roundtrip_random(samples, rate):
     assert meta["rate"] == rate and meta["n_samples"] == len(samples)
     if len(samples):
         assert (dec[:, 0] == samples).all()
+
+
+@given(arrays(np.uint8, st.tuples(st.integers(1, 20), st.integers(1, 24))))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_gray_q100_roundtrip_within_1(img):
+    """Baseline JPEG at quality 100 (all-ones quantization) recovers
+    any grayscale array to ±1 per pixel — DCT forward/inverse rounding
+    is the only loss; a Huffman/zigzag/DCT bug blows far past this."""
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    dec, meta = jpeg_decode(jpeg_encode(img, quality=100))
+    assert dec.shape == img.shape
+    assert meta["height"] == img.shape[0] and meta["width"] == img.shape[1]
+    assert int(np.abs(dec.astype(np.int32) - img.astype(np.int32)).max()) <= 1
+
+
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 10), st.integers(1, 12), st.just(3))),
+    st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_color_roundtrip_tolerance(img, subsample):
+    """Color round trip: geometry/metadata exact; at quality 100 the
+    4:4:4 path recovers pixels to a small bound (color transform +
+    DCT rounding), and 4:2:0 preserves the per-image mean to within
+    the chroma-averaging tolerance."""
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    dec, meta = jpeg_decode(jpeg_encode(img, quality=100, subsample=subsample))
+    assert dec.shape == img.shape and meta["channels"] == 3
+    err = np.abs(dec.astype(np.int32) - img.astype(np.int32))
+    if not subsample:
+        assert int(err.max()) <= 4  # YCbCr<->RGB rounding + DCT ulp
+    else:
+        # chroma decimation is real loss; luma-projected mean survives
+        assert abs(float(dec.mean()) - float(img.mean())) <= 16.0
+
+
+def test_jpeg_rejects_malformed_and_unsupported():
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    good = jpeg_encode(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01")  # no SOI
+    with pytest.raises(ValueError):
+        jpeg_decode(good[:24])  # truncated in segments
+    with pytest.raises(ValueError):
+        jpeg_decode(good[:-6])  # truncated entropy-coded data
+    # progressive (SOF2) must fall to the quarantine path
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(prog))
+    # corrupt a Huffman-coded byte: ValueError, never a crash/hang
+    bad = bytearray(good)
+    bad[-3] ^= 0x55
+    try:
+        jpeg_decode(bytes(bad))
+    except ValueError:
+        pass  # acceptable; silent ±pixel damage also acceptable for JPEG
+
+
+def test_jpeg_dispatch_via_sniff():
+    from oxford_data_pipeline_spark.operators.codecs import decode, sniff
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_encode
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
+    payload = jpeg_encode(img, quality=100)
+    assert sniff(payload) == "jpeg"
+    dec, meta = decode(payload)
+    assert meta["format"] == "jpeg" and dec.shape == (8, 8)

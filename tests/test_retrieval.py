@@ -1,0 +1,270 @@
+"""Behavior tests for the five queries added in the round-6 snapshot
+commit (BM25 top-k, TF-IDF keywords, span-cut application, PageRank
+canonical selection, corpus CDC diff).
+
+The registered queries hash-check against DuckDB via the registry
+parametrization in test_oracle_parity; THESE tests pin the *semantics*
+on constructed corpora (ranking order, mass conservation, per-cluster
+uniqueness, token-count conservation, CDC classification) — properties
+a wrong-but-self-consistent oracle pair could not catch."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oxford_data_pipeline_spark.plans.curation import cur_corpus_diff
+from oxford_data_pipeline_spark.plans.dedup import dedup_pagerank_canonical
+from oxford_data_pipeline_spark.plans.quality import (
+    text_dup_span_cut,
+    text_dup_spans,
+)
+from oxford_data_pipeline_spark.plans.retrieval import (
+    text_bm25_topk,
+    text_tfidf_top_terms,
+)
+from tests.conftest import SF_DIR
+
+
+def _write_docs(spark, tmpdir: str, rows) -> str:
+    """Materialize a tiny `documents` table the plan queries can read
+    exactly like a driver SF directory."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "documents.parquet")
+    )
+    return tmpdir
+
+
+# --------------------------------------------------------------------------
+# BM25 ranking sanity on a constructed corpus
+# --------------------------------------------------------------------------
+def test_bm25_ranks_heavier_tf_higher(spark, tmp_path_factory):
+    sf = _write_docs(
+        spark,
+        str(tmp_path_factory.mktemp("bm25")),
+        [
+            # doc 1: all three query-1 terms, repeated — must rank first
+            (1, "spark join window spark join window spark filler filler"),
+            # doc 2: one query-1 term once, among filler
+            (2, "spark alpha beta gamma delta epsilon zeta eta theta iota"),
+            # doc 3: no query terms at all — must not appear for query 1
+            (3, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+            # doc 4: query-2 terms
+            (4, "customer order data customer order data customer filler"),
+        ],
+    )
+    out = text_bm25_topk(spark, sf).collect()
+    q1 = sorted(
+        ((r["rank"], r["doc_id"]) for r in out if r["query_id"] == 1)
+    )
+    assert [d for _, d in q1][0] == 1, "tf-heavy doc must rank first"
+    assert 3 not in {d for _, d in q1}, "doc without query terms retrieved"
+    # ranks are contiguous from 1 and scores non-increasing in rank
+    for qid in {r["query_id"] for r in out}:
+        rows = sorted(
+            (r["rank"], r["score"]) for r in out if r["query_id"] == qid
+        )
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_full_sf_rank_contract(spark):
+    out = text_bm25_topk(spark, SF_DIR)
+    per_q = (
+        out.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+            F.max("rank").alias("mx"),
+            F.min("rank").alias("mn"),
+        )
+        .collect()
+    )
+    assert per_q, "no query returned results at SF_DIR"
+    for r in per_q:
+        assert r["n"] == r["nd"], "duplicate doc in a ranking"
+        assert r["mn"] == 1 and r["mx"] == r["n"] <= 10
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword semantics
+# --------------------------------------------------------------------------
+def test_tfidf_distinctive_term_wins_ubiquitous_excluded(spark, tmp_path_factory):
+    sf = _write_docs(
+        spark,
+        str(tmp_path_factory.mktemp("tfidf")),
+        [
+            # "common" appears in every doc -> df == N -> excluded
+            (1, "common zebra zebra zebra filler one two"),
+            (2, "common apple apple apple filler three four"),
+            (3, "common plain words only here now five"),
+        ],
+    )
+    out = text_tfidf_top_terms(spark, sf).collect()
+    terms = {r["term"] for r in out}
+    assert "common" not in terms, "ubiquitous term must be excluded"
+    top = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    assert top[1] == "zebra" and top[2] == "apple"
+
+
+# --------------------------------------------------------------------------
+# Span-cut application: token-count conservation vs the span list
+# --------------------------------------------------------------------------
+def test_span_cut_token_conservation(spark):
+    spans = text_dup_spans(spark, SF_DIR).collect()
+    cut = {r["doc_id"]: r for r in text_dup_span_cut(spark, SF_DIR).collect()}
+    # union of span positions per doc == n_removed (spans may overlap
+    # at the +2 gram tail, so count the union, clipped to doc length)
+    by_doc: dict[int, set[int]] = {}
+    for s in spans:
+        by_doc.setdefault(s["doc_id"], set()).update(
+            range(s["span_start"], s["span_end"] + 1)
+        )
+    for doc_id, pos in by_doc.items():
+        r = cut[doc_id]
+        clipped = {p for p in pos if 1 <= p <= r["n_tokens"]}
+        assert r["n_removed"] == len(clipped), f"doc {doc_id}"
+    # docs with no spans lose nothing and fingerprint their own tokens
+    for doc_id, r in cut.items():
+        if doc_id not in by_doc:
+            assert r["n_removed"] == 0
+
+
+def test_span_cut_fingerprint_matches_splice(spark, tmp_path_factory):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token dup run
+    sf = _write_docs(
+        spark,
+        str(tmp_path_factory.mktemp("spancut")),
+        [
+            (1, f"unique opening {shared} unique closing words"),
+            (2, f"other intro {shared} other outro tokens"),
+            (3, "entirely different text with no duplicated run at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in text_dup_span_cut(spark, sf).collect()}
+    # the 6-token shared run (4 dup 3-grams >= _SPAN_MIN_GRAMS) is cut
+    assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
+    assert out[3]["n_removed"] == 0
+    spliced = "unique opening unique closing words"
+    assert out[1]["cleaned_fp"] == hashlib.md5(spliced.encode()).hexdigest()
+    clean3 = "entirely different text with no duplicated run at all"
+    assert out[3]["cleaned_fp"] == hashlib.md5(clean3.encode()).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# PageRank canonical selection
+# --------------------------------------------------------------------------
+def test_pagerank_mass_and_canonical_uniqueness(spark):
+    rows = dedup_pagerank_canonical(spark, SF_DIR).collect()
+    assert rows, "near-dup graph empty at SF_DIR"
+    total = sum(r["pagerank"] for r in rows)
+    # damped PageRank over a graph with no dangling nodes conserves
+    # probability mass (rounding slack: 1e-6 per node)
+    assert abs(total - 1.0) < 1e-6 * len(rows) + 1e-6
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1, f"cluster {cid}: {len(canon)} canonicals"
+        best = max(members, key=lambda m: (m["pagerank"], -m["doc_id"]))
+        assert canon[0]["doc_id"] == best["doc_id"]
+        assert all(m["pagerank"] > 0 for m in members)
+
+
+# --------------------------------------------------------------------------
+# Corpus CDC diff classification
+# --------------------------------------------------------------------------
+def test_corpus_diff_classification(spark):
+    docs = {
+        r["doc_id"]: (r["text"], r["n_chars"])
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).collect()
+    }
+    out = {r["doc_id"]: r for r in cur_corpus_diff(spark, SF_DIR).collect()}
+    expected = {}
+    for doc_id, (text, n_chars) in docs.items():
+        in_old = doc_id % 7 != 3
+        in_new = doc_id % 11 != 5
+        old_text = (
+            text[: max(n_chars - 7, 1)] if doc_id % 5 == 2 else text
+        )
+        if in_old and in_new:
+            if old_text != text:
+                expected[doc_id] = "update"
+        elif in_new:
+            expected[doc_id] = "insert"
+        elif in_old:
+            expected[doc_id] = "delete"
+    assert {k: v["change_type"] for k, v in out.items()} == expected
+    for doc_id, r in out.items():
+        if r["change_type"] == "insert":
+            assert r["old_fp"] is None and r["new_fp"] is not None
+        elif r["change_type"] == "delete":
+            assert r["new_fp"] is None and r["old_fp"] is not None
+        else:
+            assert r["old_fp"] is not None and r["new_fp"] is not None
+            assert r["old_fp"] != r["new_fp"]
+            assert (
+                r["new_fp"]
+                == hashlib.md5(docs[doc_id][0].encode()).hexdigest()
+            )
+
+
+# --------------------------------------------------------------------------
+# Incremental posting maintenance: delta applies cleanly to the index
+# --------------------------------------------------------------------------
+def test_postings_incremental_delta_reconstructs_new_index(spark):
+    """Applying the delta to the OLD snapshot's postings must yield the
+    NEW snapshot's postings exactly — the invariant an index maintainer
+    relies on (checked doc-by-doc for every changed doc)."""
+    from oxford_data_pipeline_spark.operators.textops import normalized, tokens
+    from oxford_data_pipeline_spark.plans.retrieval import (
+        text_postings_incremental,
+    )
+
+    delta = text_postings_incremental(spark, SF_DIR).collect()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # old-snapshot postings for the changed docs, computed independently
+    changed_ids = {r["doc_id"] for r in delta}
+    old_text = F.when(
+        F.col("doc_id") % 5 == 2,
+        F.substring(
+            "text", 1, F.greatest(F.col("n_chars") - 7, F.lit(1)).cast("int")
+        ),
+    ).otherwise(F.col("text"))
+    def tf_of(df, text_col):
+        rows = df.select(
+            "doc_id", F.explode(tokens(normalized(text_col))).alias("term")
+        ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).collect()
+        return {(r["doc_id"], r["term"]): r["tf"] for r in rows}
+    old_tf = tf_of(docs.filter(F.col("doc_id") % 7 != 3), old_text)
+    new_tf = tf_of(docs.filter(F.col("doc_id") % 11 != 5), F.col("text"))
+    # apply the delta to old_tf
+    applied = dict(old_tf)
+    for r in delta:
+        key = (r["doc_id"], r["term"])
+        if r["op"] == "add":
+            assert key not in applied and r["old_tf"] == 0
+            applied[key] = r["new_tf"]
+        elif r["op"] == "remove":
+            assert applied.pop(key) == r["old_tf"] and r["new_tf"] == 0
+        else:
+            assert applied[key] == r["old_tf"] and r["new_tf"] > 0
+            applied[key] = r["new_tf"]
+    # postings of changed docs now match the new snapshot; unchanged
+    # docs were never touched by the delta
+    for key in set(applied) | set(new_tf):
+        doc_id = key[0]
+        if doc_id in changed_ids or (doc_id % 7 != 3 and doc_id % 11 != 5):
+            assert applied.get(key) == new_tf.get(key), key
+    assert changed_ids, "diff produced no changed docs at SF_DIR"
