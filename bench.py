@@ -37,6 +37,7 @@ def main() -> None:
     from oxford_data_pipeline_spark.plans import QUERIES
     from oxford_data_pipeline_spark.plans.dedup import build_dedup_index
     from oxford_data_pipeline_spark.plans.similarity import build_ann_index
+    from oxford_data_pipeline_spark.plans.curation import build_curation_index
     from oxford_data_pipeline_spark.plans.retrieval import build_retrieval_index
     from oxford_data_pipeline_spark.plans.textops import build_text_models
     from oxford_data_pipeline_spark.session import get_spark
@@ -48,7 +49,8 @@ def main() -> None:
         out: dict[str, dict] = {}
         for name, fn in (("dedup", build_dedup_index), ("ann", build_ann_index),
                          ("text", build_text_models),
-                         ("retrieval", build_retrieval_index)):
+                         ("retrieval", build_retrieval_index),
+                         ("curation", build_curation_index)):
             t0 = time.perf_counter()
             counts = fn(spark, target_sf_dir)
             out[name] = {
@@ -111,12 +113,24 @@ def main() -> None:
     }
     total = round(sum(v for v in timings.values() if v == v), 4)
 
+    # rep-1 attribution report (round-6 verdict item 3): queries whose
+    # first run cost >2x their min are carrying first-touch work that
+    # belongs to a named build phase — surfaced here so a regression is
+    # a diff in this list, not an anonymous rep-1 spike.
+    ratio_flags = {
+        n: round(timings[n] / qmin[n], 2)
+        for n in timings
+        if qmin[n] == qmin[n] and qmin[n] > 0 and timings[n] / qmin[n] > 2.0
+    }
     detail = {
         "index_build": index_build,
         "queries_rep1": timings,
         "queries_min": qmin,
         "value_min": round(sum(v for v in qmin.values() if v == v), 4),
         "reps": reps,
+        "rep1_over_min_gt2": dict(
+            sorted(ratio_flags.items(), key=lambda kv: -kv[1])
+        ),
     }
 
     # Second scale factor for round-over-round attribution (default

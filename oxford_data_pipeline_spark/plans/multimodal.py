@@ -148,9 +148,17 @@ def _ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codepoints, and the audio sample map (byte-96)*256 only fits int16
     for bytes <= 127 — the same predicate pins the contract on both
     engines, so the queries stay correct on any corpus."""
+    from oxford_data_pipeline_spark.sources.catalog import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(
-        F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+    # widen the scan BEFORE the per-payload codec kernels: a small
+    # single-row-group corpus scans as ONE task, and the Huffman/DCT
+    # work is the dominant cost — fan_out is a no-op on a production
+    # corpus with many row groups
+    return fan_out(
+        docs.filter(
+            F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+        )
     )
 
 

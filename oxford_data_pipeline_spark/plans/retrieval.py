@@ -393,3 +393,164 @@ def text_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("old_tf"), F.lit(0)).cast("long").alias("old_tf"),
         F.coalesce(F.col("new_tf"), F.lit(0)).cast("long").alias("new_tf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 more-like-this + dense cosine, RRF-fused
+# --------------------------------------------------------------------------
+# The production hybrid-search shape (Cormack et al. 2009 reciprocal-
+# rank fusion, the Elasticsearch/Vespa default): a lexical leg and a
+# dense leg each produce a top-k ranking for the same query set, and
+# the fused score is sum(1/(60+rank)) over the legs.  Query set = the
+# cosine queries (vec_id % 50 == 0; embeddings.vec_id and
+# documents.doc_id share the id space in the star schema).  The
+# lexical leg is BM25 "more-like-this": the query DOC's terms are the
+# query vocabulary, scored against the maintained posting relation —
+# query-side postings are tiny and broadcast; candidate work is
+# bounded by |matching postings|.  The dense leg reuses the memoized
+# `sim_cosine_topk` ground-truth relation (in production: the ANN
+# serving tier's output).  Both legs and the fusion are pure relational
+# programs — the whole query hash-checks end-to-end.
+_RRF_K = 60
+_HYBRID_TOPK = 5
+_QUERY_MOD = 50  # mirrors similarity._QUERY_MOD
+
+_MLT_RANKED_CTES = f"""
+qpost AS (
+    SELECT doc_id AS query_id, term, tf AS qtf FROM tf
+    WHERE doc_id % {_QUERY_MOD} = 0
+),
+dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+contrib AS (
+    SELECT q.query_id, p.doc_id, {_BM25_TERM_FRAG} AS term_score
+    FROM qpost q
+    JOIN tf p ON p.term = q.term AND p.doc_id <> q.query_id
+    JOIN dfreq ON dfreq.term = q.term
+    JOIN docs d ON d.doc_id = p.doc_id
+    CROSS JOIN stats
+),
+lex AS (
+    SELECT query_id, doc_id AS cand_id,
+           round(sum(term_score) * 1000000 + 0.01, 0) / 1000000 + 0 AS score
+    FROM contrib GROUP BY 1, 2
+),
+lex_ranked AS (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cand_id) AS rnk
+    FROM lex
+)
+"""
+
+
+def _hybrid_oracle() -> str:
+    from oxford_data_pipeline_spark.plans.similarity import _BRUTE_ORACLE
+
+    return f"""
+WITH {_POSTINGS_CTE},
+{_MLT_RANKED_CTES},
+lex_top AS (SELECT * FROM lex_ranked WHERE rnk <= {_HYBRID_TOPK}),
+dense_top AS (
+    SELECT query_id, cand_id, rnk FROM ({_BRUTE_ORACLE})
+    WHERE rnk <= {_HYBRID_TOPK}
+),
+fused AS (
+    SELECT coalesce(l.query_id, d.query_id) AS query_id,
+           coalesce(l.cand_id, d.cand_id) AS cand_id,
+           coalesce(1.0e0 / ({_RRF_K}.0e0 + CAST(l.rnk AS DOUBLE)), 0.0e0)
+         + coalesce(1.0e0 / ({_RRF_K}.0e0 + CAST(d.rnk AS DOUBLE)), 0.0e0)
+             AS rrf
+    FROM lex_top l
+    FULL OUTER JOIN dense_top d
+      ON l.query_id = d.query_id AND l.cand_id = d.cand_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(cand_id AS BIGINT) AS cand_id,
+       round(rrf * 1000000 + 0.01, 0) / 1000000 + 0 AS rrf_score,
+       CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(rrf * 1000000 + 0.01, 0) / 1000000 + 0 DESC,
+                    cand_id) AS INTEGER) AS fused_rank
+FROM fused
+"""
+
+
+@register("ret_hybrid_rrf", _hybrid_oracle())
+def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (see the section
+    comment): lexical more-like-this over the maintained postings
+    index + the dense cosine top-k, fused by sum(1/(60+rank)).
+
+    Plan shape: the query-doc posting slice is broadcast into the
+    postings probe; the dense leg is the memoized ground-truth
+    relation; fusion is a full-outer join of two ≤(queries×k) rows
+    relations — nothing corpus-sized moves after the probe."""
+    from oxford_data_pipeline_spark.plans.similarity import sim_cosine_topk
+
+    tf = postings_relation(spark, sf_dir)
+    docs = doclen_relation(spark, sf_dir)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qpost = tf.filter(F.col("doc_id") % _QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("qtf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(
+            F.broadcast(qpost.select("query_id", "term")),
+            ["term"],
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dfreq, "term")
+        .join(docs, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", F.expr(_BM25_TERM_FRAG).alias("term_score")
+        )
+    )
+    lex = contrib.groupBy("query_id", "doc_id").agg(
+        round6(F.sum("term_score")).alias("score")
+    )
+    wlex = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    lex_top = (
+        lex.withColumn("rnk", F.row_number().over(wlex))
+        .filter(F.col("rnk") <= _HYBRID_TOPK)
+        .select("query_id", F.col("doc_id").alias("cand_id"), "rnk")
+    )
+    dense_top = sim_cosine_topk(spark, sf_dir).filter(
+        F.col("rnk") <= _HYBRID_TOPK
+    ).select("query_id", "cand_id", "rnk")
+    l, d = lex_top.alias("l"), dense_top.alias("d")
+    fused = l.join(
+        d,
+        (F.col("l.query_id") == F.col("d.query_id"))
+        & (F.col("l.cand_id") == F.col("d.cand_id")),
+        "full_outer",
+    ).select(
+        F.coalesce("l.query_id", "d.query_id").alias("query_id"),
+        F.coalesce("l.cand_id", "d.cand_id").alias("cand_id"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("l.rnk").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("d.rnk").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        round6(F.col("rrf")).desc(), F.col("cand_id")
+    )
+    return fused.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+        round6(F.col("rrf")).alias("rrf_score"),
+        F.row_number().over(wf).cast("int").alias("fused_rank"),
+    )

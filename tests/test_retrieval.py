@@ -268,3 +268,44 @@ def test_postings_incremental_delta_reconstructs_new_index(spark):
         if doc_id in changed_ids or (doc_id % 7 != 3 and doc_id % 11 != 5):
             assert applied.get(key) == new_tf.get(key), key
     assert changed_ids, "diff produced no changed docs at SF_DIR"
+
+
+# --------------------------------------------------------------------------
+# Hybrid RRF fusion semantics
+# --------------------------------------------------------------------------
+def test_hybrid_rrf_fusion_invariants(spark):
+    """RRF structure: every fused row's score is a sum of 1/(60+r)
+    terms with r in [1, 5]; a candidate on BOTH legs outranks the same
+    single-leg contribution; ranks are contiguous per query."""
+    from oxford_data_pipeline_spark.plans.retrieval import ret_hybrid_rrf
+
+    rows = ret_hybrid_rrf(spark, SF_DIR).collect()
+    assert rows
+    single = {round(1.0 / (60 + r), 6) for r in range(1, 6)}
+    both = {
+        round(1.0 / (60 + a) + 1.0 / (60 + b), 6)
+        for a in range(1, 6)
+        for b in range(1, 6)
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["rrf_score"] > 0
+        assert any(
+            abs(r["rrf_score"] - v) < 2e-6 for v in single | both
+        ), r["rrf_score"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    two_leg_seen = False
+    for q, lst in by_q.items():
+        ranks = sorted(x["fused_rank"] for x in lst)
+        assert ranks == list(range(1, len(lst) + 1)), q
+        # per-query fused list is at most 2 legs x top-5
+        assert len(lst) <= 10
+        scores = [x["rrf_score"] for x in sorted(lst, key=lambda x: x["fused_rank"])]
+        assert scores == sorted(scores, reverse=True)
+        if any(
+            min(abs(x["rrf_score"] - v) for v in both) < 2e-6 for x in lst
+        ):
+            two_leg_seen = True
+    # the corpus has near-duplicate docs, so at least one candidate
+    # should surface on both legs somewhere
+    assert two_leg_seen
