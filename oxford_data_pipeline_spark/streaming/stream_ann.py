@@ -1,0 +1,82 @@
+"""Streaming IVF ingest — the online half of the incremental ANN
+index (`similarity.sim_ivf_incremental`).
+
+A trained coarse quantizer is a FROZEN model artifact (FAISS-`add`
+semantics: appends never retrain), so assigning an arriving vector to
+its inverted-list cell needs no state store and no shuffle: the k
+centroids are embedded in the plan as a literal array (k x dims
+doubles — bytes, not a relation) and each row picks its cell with one
+scan-local array fold per centroid.  The SAME affinity arithmetic as
+the batch append pass (`_inc_index_parts.build_ranked`: cosine
+rounded at 1e-6, ties to the smallest cell) makes the emitted
+(vec_id, cell) rows bit-identical to the batch `merged` assignment —
+asserted in tests/test_sinks_streaming.py.  Downstream the rows merge
+into the inverted-list table exactly like a batch delta; cell-count
+drift (the retrain trigger audited by `sim_ivf_incremental`) falls
+out of a windowed count over this stream.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def centroid_literal(centroids: DataFrame) -> Column:
+    """Freeze a long-form (cell, dim, w) quantizer relation into a
+    literal array<struct<cell, cn, w: array<double>>> column — the
+    model artifact shipped into the streaming plan.  k x dims values:
+    for IVF coarse quantizers this is a few KiB, the same payload a
+    broadcast would carry, minus the join."""
+    rows = centroids.select("cell", "dim", "w").collect()
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = float(r["w"])
+    cents = []
+    for cell in sorted(by_cell):
+        ws = [by_cell[cell][d] for d in sorted(by_cell[cell])]
+        cn = math.sqrt(sum(w * w for w in ws))
+        cents.append(
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.lit(cn).alias("cn"),
+                F.array(*[F.lit(w) for w in ws]).alias("w"),
+            )
+        )
+    return F.array(*cents)
+
+
+def ivf_assign_stream(embs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, ...) → (vec_id, cell, ...): nearest
+    base-trained centroid per arriving vector, computed entirely
+    scan-locally (one zip_with/aggregate fold per centroid against the
+    frozen literal) — no state, no exchange, identical values to the
+    batch incremental assignment."""
+    passthrough = [c for c in embs.columns if c != "embedding"]
+    extra = [p for p in passthrough if p != "vec_id"]
+    cents = centroid_literal(centroids)
+    vec = F.expr("transform(embedding, x -> cast(x as double))")
+    with_v = embs.select(
+        *passthrough,
+        vec.alias("_v"),
+        cents.alias("_cents"),
+    ).withColumn(
+        "_nrm",
+        F.sqrt(F.expr("aggregate(_v, 0D, (acc, x) -> acc + x * x)")),
+    )
+    # aff mirrors build_ranked: round(cos * 1e6 + 0.01) / 1e6; the
+    # winner is max (aff, -cell) so ties go to the smallest cell, as
+    # the batch row_number orderBy (aff desc, cell) does.
+    best = F.expr(
+        "array_max(transform(_cents, c -> struct("
+        "round(aggregate(zip_with(_v, c.w, (x, y) -> x * y), 0D,"
+        "      (acc, x) -> acc + x) / (_nrm * c.cn) * 1e6 + 0.01, 0) / 1e6"
+        " AS aff, -c.cell AS negcell)))"
+    )
+    return with_v.withColumn("_best", best).select(
+        "vec_id",
+        (-F.col("_best.negcell")).cast("int").alias("cell"),
+        *extra,
+    )

@@ -878,3 +878,102 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
     batch = sorted(map(tuple, text_chunking(spark, SF_DIR).collect()))
     assert got == batch
     assert len(got) > 0
+
+
+def test_streaming_postings_bit_identical_to_batch(spark, tmp_path):
+    """Documents replayed through postings_stream must produce
+    BIT-IDENTICAL posting rows to the batch postings_relation (same
+    tokenizer, per-doc term counts via scan-local HOFs — no state)."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.retrieval import (
+        doclen_relation,
+        postings_relation,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_retrieval import (
+        doclen_stream,
+        postings_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    batch_docs = spark.read.parquet(src)
+    d = str(tmp_path / "docs_stream_ret")
+    batch_docs.write.parquet(d)
+    stream = spark.readStream.schema(batch_docs.schema).parquet(d)
+    q = (
+        postings_stream(stream.select("doc_id", "text"))
+        .writeStream.format("memory")
+        .queryName("postings_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM postings_stream_t").collect())
+    )
+    batch = sorted(map(tuple, postings_relation(spark, SF_DIR).collect()))
+    assert got == batch and len(got) > 0
+    # doc-length stream matches the maintained doclen relation
+    q2 = (
+        doclen_stream(stream.select("doc_id", "text"))
+        .writeStream.format("memory")
+        .queryName("doclen_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got2 = sorted(
+        map(tuple, spark.sql("SELECT * FROM doclen_stream_t").collect())
+    )
+    batch2 = sorted(map(tuple, doclen_relation(spark, SF_DIR).collect()))
+    assert got2 == batch2 and len(got2) > 0
+
+
+def test_streaming_ivf_assignment_bit_identical_to_batch(spark, tmp_path):
+    """Embeddings replayed through ivf_assign_stream must land in the
+    SAME inverted-list cells as the batch incremental append pass
+    (frozen base-trained quantizer, scan-local literal-centroid
+    affinity — no state, no shuffle)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oxford_data_pipeline_spark.plans.similarity import (
+        _inc_base_pred,
+        _inc_index_parts,
+        _trained_centroids,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_ann import (
+        ivf_assign_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    long_all, norms_all, _ranked, merged = _inc_index_parts(spark, SF_DIR)
+    centroids = _trained_centroids(
+        long_all.filter(_inc_base_pred()), norms_all.filter(_inc_base_pred())
+    )
+    src = os.path.join(SF_DIR, "embeddings.parquet")
+    batch_embs = spark.read.parquet(src)
+    d = str(tmp_path / "embs_stream_ann")
+    batch_embs.write.parquet(d)
+    stream = spark.readStream.schema(batch_embs.schema).parquet(d)
+    q = (
+        ivf_assign_stream(stream.select("vec_id", "embedding"), centroids)
+        .writeStream.format("memory")
+        .queryName("ivf_assign_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.sql("SELECT * FROM ivf_assign_stream_t").collect()
+    )
+    batch = sorted(
+        (r["vec_id"], r["cell"]) for r in merged.collect()
+    )
+    assert got == batch and len(got) > 0
