@@ -25,7 +25,11 @@ from oxford_data_pipeline_spark.plans.dedup import (
     _shingle_df,
 )
 from oxford_data_pipeline_spark.plans.registry import register
-from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE, tokens_relation
+from oxford_data_pipeline_spark.plans.textops import (
+    _STOP_SQL as _CUR_STOP_SQL,
+    _TOKENS_CTE,
+    tokens_relation,
+)
 
 # --------------------------------------------------------------------------
 # Repetition features + admission gate (Gopher-style filter rules)
@@ -1176,3 +1180,98 @@ def cur_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("new_fp").isNull()
         | (F.col("old_fp") != F.col("new_fp"))
     ).select("doc_id", change.alias("change_type"), "old_fp", "new_fp")
+
+
+# --------------------------------------------------------------------------
+# Per-source adaptive quality gate (quantile-threshold admission)
+# --------------------------------------------------------------------------
+# A fixed global quality cut over-filters clean sources and
+# under-filters noisy ones; the production shape (the FineWeb /
+# RefinedWeb per-dump discipline) sets the cut PER SOURCE at a fixed
+# quantile of that source's own score distribution.  Relationally:
+# one per-source percentile aggregation (a #sources-row relation,
+# broadcast back over the scored corpus) and one admission projection
+# — nothing corpus-sized shuffles twice, and at 100 TB the exact
+# percentile swaps to approx_percentile exactly as cur_length_profile
+# documents.
+_ADAPTIVE_GATE_ORACLE = f"""
+WITH {{tokens_cte}},
+feat AS (
+    SELECT doc_id, source,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_types,
+           len(list_filter(t, x -> list_contains({{stop_sql}}, x))) AS n_stop
+    FROM toks
+),
+scored AS (
+    SELECT doc_id, source,
+           round((least(n_tokens / 50.0, 1.0) * 0.5
+                 + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
+                 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2)
+                 * 1000000 + 0.01, 0) / 1000000 + 0 AS q
+    FROM feat WHERE n_tokens > 0
+),
+cuts AS (
+    SELECT source,
+           round(quantile_cont(q, 0.25) * 1000000 + 0.01, 0) / 1000000 + 0 AS cut
+    FROM scored GROUP BY 1
+),
+gated AS (
+    SELECT s.source, s.q, c.cut,
+           CASE WHEN s.q >= c.cut THEN 1 ELSE 0 END AS admit
+    FROM scored s JOIN cuts c ON s.source = c.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       any_value(cut) + 0 AS cut,
+       CAST(sum(admit) AS BIGINT) AS n_admitted,
+       round(CAST(sum(admit) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS admit_rate,
+       min(CASE WHEN admit = 1 THEN q END) + 0 AS min_admitted,
+       max(CASE WHEN admit = 0 THEN q END) + 0 AS max_rejected
+FROM gated GROUP BY 1
+""".format(tokens_cte=_TOKENS_CTE, stop_sql=_CUR_STOP_SQL)
+
+
+@register("cur_adaptive_quality_gate", _ADAPTIVE_GATE_ORACLE)
+def cur_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive admission: each source's cut is the p25 of
+    its OWN quality-score distribution (same deterministic score as
+    `text_quality`), so clean and noisy sources are gated on their own
+    terms.  min_admitted / max_rejected straddle the cut in the output
+    as direct evidence the gate was applied where claimed."""
+    from oxford_data_pipeline_spark.operators.textops import STOPWORDS, count_in_list
+
+    t = tokens_relation(spark, sf_dir)
+    feat = t.select(
+        "doc_id",
+        "source",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_types"),
+        count_in_list(F.col("t"), STOPWORDS).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    scored = feat.select(
+        "doc_id",
+        "source",
+        round6(
+            F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.5
+            + ttr * 0.3
+            + (1.0 - stop_ratio) * 0.2
+        ).alias("q"),
+    )
+    cuts = scored.groupBy("source").agg(
+        round6(F.percentile("q", F.lit(0.25))).alias("cut")
+    )
+    gated = scored.join(F.broadcast(cuts), "source").withColumn(
+        "admit", (F.col("q") >= F.col("cut")).cast("int")
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.any_value("cut") + F.lit(0.0)).alias("cut"),
+        F.sum("admit").cast("long").alias("n_admitted"),
+        round6(F.sum("admit").cast("double") / F.count(F.lit(1))).alias("admit_rate"),
+        (F.min(F.when(F.col("admit") == 1, F.col("q"))) + F.lit(0.0)).alias("min_admitted"),
+        (F.max(F.when(F.col("admit") == 0, F.col("q"))) + F.lit(0.0)).alias("max_rejected"),
+    )

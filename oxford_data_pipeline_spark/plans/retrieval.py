@@ -554,3 +554,64 @@ def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.col("rrf")).alias("rrf_score"),
         F.row_number().over(wf).cast("int").alias("fused_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Phrase search (quoted-bigram hits over the corpus)
+# --------------------------------------------------------------------------
+# The quote-query capability of a retrieval stack: find every document
+# containing an exact phrase, with occurrence counts.  The phrase set
+# here is self-contained (the corpus's 5 most frequent bigrams, ties
+# broken lexically) so the query hash-checks without external input.
+# Plan: bigram rows are SCAN-LOCAL (zip of the token array with its
+# own tail — no positional self-join, no shuffle to form phrases),
+# counts are one map-side-combinable aggregation, and the 5-phrase
+# probe is broadcast back over the bigram rows.  At 100 TB the bigram
+# relation is the maintained positional-index projection and the
+# probe side stays 5 rows regardless of corpus size.
+_PHRASE_TOPN = 5
+
+_PHRASE_ORACLE = f"""
+WITH {_TOKENS_CTE},
+big AS (
+    SELECT doc_id, t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+top5 AS (
+    SELECT w1, w2 FROM big GROUP BY 1, 2
+    ORDER BY count(*) DESC, w1, w2 LIMIT {_PHRASE_TOPN}
+)
+SELECT b.w1, b.w2, b.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+FROM big b JOIN top5 ON b.w1 = top5.w1 AND b.w2 = top5.w2
+GROUP BY 1, 2, 3
+"""
+
+
+@register("ret_phrase_search", _PHRASE_ORACLE)
+def ret_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase (bigram) search: per-document occurrence counts of
+    the corpus's top-5 bigram phrases (see the section comment for the
+    scan-local plan shape)."""
+    t = tokens_relation(spark, sf_dir)
+    big = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    top = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(_PHRASE_TOPN)
+        .select("w1", "w2")
+    )
+    return (
+        big.join(F.broadcast(top), ["w1", "w2"])
+        .groupBy("w1", "w2", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )

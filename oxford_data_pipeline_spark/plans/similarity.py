@@ -1690,3 +1690,130 @@ def sim_ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncated-dimension retrieval (adaptive two-stage ANN)
+# --------------------------------------------------------------------------
+# MRL-style embeddings (Kusupati et al. 2022) order information by
+# prefix, so the FIRST d/2 dimensions are themselves a usable vector:
+# production retrieval shortlists in the truncated space (half the
+# FLOPs and half the bytes through the first stage) and re-ranks the
+# shortlist with full-dimension cosine.  This audit runs that exact
+# two-stage plan and scores it against the memoized brute-force
+# ground truth — the number that tells you how far you can cut
+# dimensions before recall pays.  Stage 1 touches the corpus once
+# (broadcast query rows, array-fold dot products on the sliced
+# prefix); everything after is shortlist-sized.
+_MRL_DIMS = 32
+_MRL_SHORTLIST = 15
+
+_MRL_RECALL_ORACLE = f"""
+WITH long AS ({_EMB_LONG_SQL}),
+norms AS (
+    SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1
+),
+tnorms AS (
+    SELECT vec_id, sqrt(sum(val * val)) AS tnrm
+    FROM long WHERE dim < {_MRL_DIMS} GROUP BY 1
+),
+tdots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.val * c.val) AS dot
+    FROM long q JOIN long c ON q.dim = c.dim
+    WHERE q.vec_id % {_QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+      AND q.dim < {_MRL_DIMS}
+    GROUP BY 1, 2
+),
+shortlist AS (
+    SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id, row_number() OVER (
+            PARTITION BY d.query_id
+            ORDER BY round(d.dot / (nq.tnrm * nc.tnrm) * 1000000 + 0.01, 0)
+                DESC, d.cand_id) AS rnk
+        FROM tdots d
+        JOIN tnorms nq ON d.query_id = nq.vec_id
+        JOIN tnorms nc ON d.cand_id = nc.vec_id
+    ) WHERE rnk <= {_MRL_SHORTLIST}
+),
+fdots AS (
+    SELECT s.query_id, s.cand_id, sum(q.val * c.val) AS dot
+    FROM shortlist s
+    JOIN long q ON q.vec_id = s.query_id
+    JOIN long c ON c.vec_id = s.cand_id AND q.dim = c.dim
+    GROUP BY 1, 2
+),
+ann AS (
+    SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id, row_number() OVER (
+            PARTITION BY d.query_id
+            ORDER BY round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0)
+                DESC, d.cand_id) AS rnk
+        FROM fdots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.cand_id = nc.vec_id
+    ) WHERE rnk <= {_TOP_K}
+),
+brute AS ({_BRUTE_ORACLE})
+SELECT b.query_id,
+       count(*) AS n_true,
+       count(a.cand_id) AS n_hit,
+       round(CAST(count(a.cand_id) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS recall
+FROM brute b
+LEFT JOIN ann a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+GROUP BY 1
+"""
+
+
+@register("sim_matryoshka_recall", _MRL_RECALL_ORACLE)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of truncated-prefix shortlist (first {_MRL_DIMS}
+    of 64 dims, shortlist {_MRL_SHORTLIST}) + full-dim re-rank, vs the
+    memoized exact top-k.  Stage 1 is one broadcast pass over the
+    corpus on HALF the vector bytes; stage 2 and the audit join are
+    shortlist-sized.  Floor pinned in tests/test_ann_recall_floors."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    vecs = embeddings_vec(spark, sf_dir)
+    tn = F.sqrt(F.expr(
+        f"aggregate(slice(vec, 1, {_MRL_DIMS}), 0D, (acc, x) -> acc + x * x)"
+    ))
+    vq = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("vec", 1, _MRL_DIMS).alias("tq"),
+        F.col("vec").alias("wq"),
+        tn.alias("tnq"),
+        F.col("nrm").alias("nq"),
+    )
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"),
+        F.slice("vec", 1, _MRL_DIMS).alias("tc"),
+        F.col("vec").alias("wc"),
+        tn.alias("tnc"),
+        F.col("nrm").alias("nc"),
+    )
+    tcos = F.round(pair_dot("tq", "tc") / (F.col("tnq") * F.col("tnc")) * 1e6 + 0.01, 0)
+    w = W.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("cand_id"))
+    shortlist = (
+        vc.join(F.broadcast(vq), F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "wq", "nq", "wc", "nc", tcos.alias("c6"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MRL_SHORTLIST)
+    )
+    fcos = F.round(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc")) * 1e6 + 0.01, 0)
+    ann = (
+        shortlist.select("query_id", "cand_id", fcos.alias("c6"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id", F.lit(1).alias("hit"))
+    )
+    brute = sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    return (
+        brute.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            round6(F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+    )

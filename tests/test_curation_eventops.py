@@ -210,3 +210,27 @@ def test_cur_pipeline_stage_consistency(spark):
         per_source.setdefault(r.source, set()).add(r.mix_weight)
     for s, ws in per_source.items():
         assert len(ws) == 1, f"source {s} has inconsistent mix_weight"
+
+
+def test_adaptive_quality_gate_invariants(spark):
+    """Per-source quantile gate: every source's admitted/rejected
+    scores must straddle its OWN cut (that's the whole point vs a
+    global threshold), the p25 cut must admit ~75% of each source,
+    and no row is lost."""
+    from oxford_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["cur_adaptive_quality_gate"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    cuts = set()
+    for r in rows:
+        assert 0 < r["n_admitted"] <= r["n_docs"]
+        assert abs(r["admit_rate"] - r["n_admitted"] / r["n_docs"]) < 1e-5
+        assert r["min_admitted"] >= r["cut"]
+        if r["max_rejected"] is not None:
+            assert r["max_rejected"] < r["cut"]
+        # p25 cut admits at least ~70% (interpolation can exclude a
+        # quarter at most, plus ties admitted at the boundary)
+        assert r["n_admitted"] / r["n_docs"] >= 0.70
+        cuts.add(r["cut"])
+    # the gate is genuinely adaptive: sources get DIFFERENT cuts
+    assert len(cuts) > 1

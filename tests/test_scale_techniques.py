@@ -894,3 +894,21 @@ def test_skew_stress_capped_generators(spark, case):
         assert max_block(split, ["cell", "subcell"]) <= cap
         # split is a partition: no vector lost or duplicated
         assert split.count() == asg.count()
+
+
+def test_matryoshka_recall_floor_and_monotonicity(spark):
+    """Truncated-prefix (32/64 dims) shortlist + full-dim re-rank: the
+    audited recall is deterministic, so pin the floor it achieves on
+    the synthetic corpus (random embeddings carry NO Matryoshka
+    prefix-ordering, so this is the truncation-hostile worst case —
+    MRL-trained vectors only do better).  Re-ranking a shortlist can
+    never beat the shortlist's own hit set, so recall is bounded by
+    shortlist membership; with shortlist = 3x k it must still clear
+    the floor."""
+    from oxford_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["sim_matryoshka_recall"](spark, SF_DIR).collect()
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.40, mean
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    assert all(r["n_hit"] <= r["n_true"] for r in rows)
