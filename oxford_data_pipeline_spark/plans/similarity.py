@@ -1707,11 +1707,27 @@ def sim_ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix); everything after is shortlist-sized.
 _MRL_DIMS = 32
 _MRL_SHORTLIST = 15
+# Fixed-COUNT query budget (not a fixed fraction): a %-mod sample
+# grows with the corpus, which would make this brute-stage audit
+# quadratic at scale (measured 21.8x wall at 10x data before the
+# bound).  The md5-smallest N of the mod-sample is deterministic on
+# both engines and keeps audit cost at N x one corpus scan forever —
+# the same discipline as dedup_lsh_audit's sample bound.  At the
+# driver SFs the mod-sample is already <= N, so results are identical
+# with or without the bound.
+_MRL_QUERY_BUDGET = 40
 
 _MRL_RECALL_ORACLE = f"""
 WITH long AS ({_EMB_LONG_SQL}),
 norms AS (
     SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1
+),
+qsel AS (
+    SELECT vec_id FROM (
+        SELECT vec_id FROM norms WHERE vec_id % {_QUERY_MOD} = 0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_MRL_QUERY_BUDGET}
+    )
 ),
 tnorms AS (
     SELECT vec_id, sqrt(sum(val * val)) AS tnrm
@@ -1720,7 +1736,8 @@ tnorms AS (
 tdots AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.val * c.val) AS dot
     FROM long q JOIN long c ON q.dim = c.dim
-    WHERE q.vec_id % {_QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+    JOIN qsel ON q.vec_id = qsel.vec_id
+    WHERE q.vec_id <> c.vec_id
       AND q.dim < {_MRL_DIMS}
     GROUP BY 1, 2
 ),
@@ -1760,6 +1777,7 @@ SELECT b.query_id,
        round(CAST(count(a.cand_id) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
            / 1000000 + 0 AS recall
 FROM brute b
+JOIN qsel ON b.query_id = qsel.vec_id
 LEFT JOIN ann a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
 GROUP BY 1
 """
@@ -1775,10 +1793,19 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
 
     vecs = embeddings_vec(spark, sf_dir)
+    # fixed-count query budget (see _MRL_QUERY_BUDGET): global
+    # TakeOrdered on the md5 key — scale-safe, no full sort
+    qsel = (
+        vecs.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("mk"))
+        .orderBy("mk", "vec_id")
+        .limit(_MRL_QUERY_BUDGET)
+        .select("vec_id")
+    )
     tn = F.sqrt(F.expr(
         f"aggregate(slice(vec, 1, {_MRL_DIMS}), 0D, (acc, x) -> acc + x * x)"
     ))
-    vq = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    vq = vecs.join(F.broadcast(qsel), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.slice("vec", 1, _MRL_DIMS).alias("tq"),
         F.col("vec").alias("wq"),
@@ -1807,7 +1834,14 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "cand_id", F.lit(1).alias("hit"))
     )
-    brute = sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    brute = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .join(
+            F.broadcast(qsel.withColumnRenamed("vec_id", "query_id")),
+            "query_id",
+        )
+    )
     return (
         brute.join(ann, ["query_id", "cand_id"], "left")
         .groupBy("query_id")
