@@ -189,13 +189,25 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the postings table is bucketed on `term`, so the probe
     prunes to the query terms' buckets.
     """
-    docs = doclen_relation(spark, sf_dir)
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return bm25_rank(
+        qt, postings_relation(spark, sf_dir), doclen_relation(spark, sf_dir)
+    )
+
+
+def bm25_rank(
+    qt: DataFrame, tf: DataFrame, docs: DataFrame, topk: int = _TOPK
+) -> DataFrame:
+    """Score a (query_id, term) relation against the maintained
+    postings (`tf`) + doc-length (`docs`) tables and return the BM25
+    top-`topk` per query — the scorer shared by the registered batch
+    query and the streaming serving path (`streaming/stream_search`),
+    so online and offline rankings are the same plan by construction."""
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     qvocab = qt.select("term").distinct()
-    qtf = postings_relation(spark, sf_dir).join(F.broadcast(qvocab), "term")
+    qtf = tf.join(F.broadcast(qvocab), "term")
     dfreq = qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     contrib = (
         qt.join(qtf, "term")
@@ -214,7 +226,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _TOPK)
+        .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "doc_id", "score")
     )
 
@@ -393,6 +405,23 @@ def text_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("old_tf"), F.lit(0)).cast("long").alias("old_tf"),
         F.coalesce(F.col("new_tf"), F.lit(0)).cast("long").alias("new_tf"),
     )
+
+
+def apply_postings_delta(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a `text_postings_incremental` delta into a postings
+    snapshot: every delta key replaces its old row (one anti-join),
+    rows with new_tf > 0 are appended (one union), new_tf == 0
+    (remove) emits nothing.  This is the maintenance job an index
+    maintainer schedules off the CDC feed — old snapshot + delta is
+    PROVEN equal to the fresh-build postings of the new snapshot in
+    tests/test_retrieval.py, which is what makes incremental
+    maintenance trustworthy at 100 TB (no full rebuild to re-sync)."""
+    keys = delta.select("doc_id", "term")
+    kept = old.join(keys, ["doc_id", "term"], "left_anti")
+    added = delta.filter(F.col("new_tf") > 0).select(
+        "doc_id", "term", F.col("new_tf").alias("tf")
+    )
+    return kept.unionByName(added)
 
 
 # --------------------------------------------------------------------------

@@ -309,3 +309,38 @@ def test_hybrid_rrf_fusion_invariants(spark):
     # the corpus has near-duplicate docs, so at least one candidate
     # should surface on both legs somewhere
     assert two_leg_seen
+
+
+def test_apply_postings_delta_reaches_new_snapshot(spark):
+    """The CDC maintenance loop closes: postings(old snapshot) +
+    text_postings_incremental delta == postings(new snapshot), row for
+    row.  Anti-join replace + filtered append only — no rebuild."""
+    from pyspark.sql import functions as F
+
+    from oxford_data_pipeline_spark.operators.textops import normalized, tokens
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from oxford_data_pipeline_spark.plans.retrieval import (
+        apply_postings_delta,
+        postings_relation,
+    )
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old_text = F.when(
+        F.col("doc_id") % 5 == 2,
+        F.substring(
+            "text", 1, F.greatest(F.col("n_chars") - 7, F.lit(1)).cast("int")
+        ),
+    ).otherwise(F.col("text"))
+    old = (
+        docs.filter(F.col("doc_id") % 7 != 3)
+        .select("doc_id", F.explode(tokens(normalized(old_text))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    delta = QUERIES["text_postings_incremental"](spark, SF_DIR)
+    merged = apply_postings_delta(old, delta)
+    new = postings_relation(spark, SF_DIR).filter(F.col("doc_id") % 11 != 5)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, new.collect()))
+    assert got == want and len(got) > 0

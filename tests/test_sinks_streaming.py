@@ -977,3 +977,45 @@ def test_streaming_ivf_assignment_bit_identical_to_batch(spark, tmp_path):
         (r["vec_id"], r["cell"]) for r in merged.collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_streaming_bm25_serving_matches_batch(spark, tmp_path):
+    """Queries replayed through the foreachBatch serving path must
+    rank EXACTLY as the registered batch query: same scorer, same
+    static index relations, so online == offline by construction."""
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from oxford_data_pipeline_spark.plans.retrieval import (
+        doclen_relation,
+        postings_relation,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_search import (
+        bm25_serving_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    qdocs = spark.createDataFrame(
+        [
+            (1, "spark join window"),
+            (2, "customer order data"),
+            (3, "hash merge stream table"),
+        ],
+        "query_id int, text string",
+    )
+    src = str(tmp_path / "queries_in")
+    qdocs.write.parquet(src)
+    stream = spark.readStream.schema(qdocs.schema).parquet(src)
+    out = str(tmp_path / "results_out")
+
+    def sink(ranked, _batch_id):
+        ranked.write.mode("append").parquet(out)
+
+    q = bm25_serving_stream(
+        stream,
+        postings_relation(spark, SF_DIR),
+        doclen_relation(spark, SF_DIR),
+        sink,
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, QUERIES["text_bm25_topk"](spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
