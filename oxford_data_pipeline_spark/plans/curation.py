@@ -1275,3 +1275,219 @@ def cur_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(F.when(F.col("admit") == 1, F.col("q"))) + F.lit(0.0)).alias("min_admitted"),
         (F.max(F.when(F.col("admit") == 0, F.col("q"))) + F.lit(0.0)).alias("max_rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination pre-filter (the bounded-broadcast shape)
+# --------------------------------------------------------------------------
+# cur_decontaminate broadcasts the benchmark SHINGLE relation, whose
+# size tracks the benchmark; its docstring carries a production caveat
+# for exactly that reason.  The sketch tier removes the caveat: the
+# benchmark is folded into a Bloom filter represented RELATIONALLY —
+# K = 3 independent arrays, each addressed by a 3-hex-char block of
+# md5(k || '|' || shingle), so the whole filter is a DISTINCT (k, pos)
+# relation of AT MOST 3 x 4096 rows no matter how large the benchmark
+# grows.  Probing is scan-local hashing + one broadcast join against
+# that constant-size relation; only the Bloom-POSITIVE shingles reach
+# the exact verify join (two-stage: sketch bounds the expensive join),
+# and the output reports the false-positive mass the sketch admitted —
+# the number that sizes M/K for a deployment.  Everything is md5
+# string arithmetic: bit-identical on both engines, no numeric
+# conversion anywhere.
+_BLOOM_K = 3
+_BLOOM_HEX = 3  # 3 hex chars -> 4096 slots per array
+
+_BLOOM_ORACLE = f"""
+WITH {{shingles_cte}},
+bench AS (
+    SELECT DISTINCT shingle FROM shingles WHERE doc_id % 29 = 0
+),
+corpus AS (
+    SELECT DISTINCT doc_id, shingle FROM shingles WHERE doc_id % 29 <> 0
+),
+ks AS (SELECT unnest(range({_BLOOM_K})) AS k),
+bits AS (
+    SELECT DISTINCT k.k,
+           substr(md5(CAST(k.k AS VARCHAR) || '|' || b.shingle), 1, {_BLOOM_HEX}) AS pos
+    FROM bench b CROSS JOIN ks k
+),
+probe AS (
+    SELECT c.doc_id, c.shingle, k.k,
+           substr(md5(CAST(k.k AS VARCHAR) || '|' || c.shingle), 1, {_BLOOM_HEX}) AS pos
+    FROM corpus c CROSS JOIN ks k
+),
+bloom_pos AS (
+    SELECT p.doc_id, p.shingle
+    FROM probe p JOIN bits t ON p.k = t.k AND p.pos = t.pos
+    GROUP BY 1, 2
+    HAVING count(*) = {_BLOOM_K}
+),
+confirmed AS (
+    SELECT bp.doc_id, bp.shingle
+    FROM bloom_pos bp JOIN bench b ON bp.shingle = b.shingle
+)
+SELECT bp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bloom_pos,
+       CAST(coalesce(cf.n_conf, 0) AS BIGINT) AS n_confirmed,
+       CAST(count(*) - coalesce(cf.n_conf, 0) AS BIGINT) AS n_false_pos
+FROM bloom_pos bp
+LEFT JOIN (
+    SELECT doc_id, count(*) AS n_conf FROM confirmed GROUP BY 1
+) cf ON bp.doc_id = cf.doc_id
+GROUP BY 1, cf.n_conf
+""".format(shingles_cte=_SHINGLES_CTE)
+
+
+@register("cur_bloom_prefilter", _BLOOM_ORACLE)
+def cur_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage benchmark decontamination: constant-size relational
+    Bloom filter pre-filter + exact verify of only the Bloom-positive
+    shingles (see section comment).  Output per contaminated-candidate
+    doc: Bloom-positive shingles, exactly-confirmed shingles, and the
+    sketch's false-positive count."""
+    sh = _shingle_df(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % 29 == 0).select("shingle").distinct()
+    )
+    corpus = (
+        sh.filter(F.col("doc_id") % 29 != 0)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    ks = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    pos = F.substring(
+        F.md5(F.concat_ws("|", F.col("k").cast("string"), F.col("shingle"))),
+        1,
+        _BLOOM_HEX,
+    )
+    bits = (
+        bench.select(F.explode(ks).alias("k"), "shingle")
+        .select("k", pos.alias("pos"))
+        .distinct()
+    )
+    probe = corpus.select(
+        "doc_id", "shingle", F.explode(ks).alias("k")
+    ).select("doc_id", "shingle", "k", pos.alias("pos"))
+    bloom_pos = (
+        probe.join(F.broadcast(bits), ["k", "pos"])
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+        .filter(F.col("n_k") == _BLOOM_K)
+        .select("doc_id", "shingle")
+    )
+    confirmed = (
+        bloom_pos.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_conf"))
+    )
+    return (
+        bloom_pos.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_pos"))
+        .join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_bloom_pos").cast("long").alias("n_bloom_pos"),
+            F.coalesce(F.col("n_conf"), F.lit(0)).cast("long").alias("n_confirmed"),
+            (F.col("n_bloom_pos") - F.coalesce(F.col("n_conf"), F.lit(0)))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch term frequencies (the bounded-memory counter tier)
+# --------------------------------------------------------------------------
+# The frequency-sketch sibling of cur_profile_sketch's HLL and the
+# Bloom pre-filter above: corpus term counts folded into K = 3
+# hex-addressed counter arrays (4096 slots each), kept RELATIONALLY as
+# a (k, pos, cnt) relation of at most 3 x 4096 rows — a constant-size
+# summary of an unbounded term distribution, maintained by the same
+# map-side-combinable aggregation that builds it.  A term's estimate
+# is the MIN over its K counters; CMS guarantees estimate >= exact
+# (collisions only ever ADD), which the output exposes per probe term
+# as `overestimate` — and the property test pins.  Probe set = the
+# corpus's exact top-10 terms (deterministic tie-break), so the query
+# is self-contained and also audits the sketch exactly where the
+# heavy hitters are.
+_CMS_K = 3
+_CMS_HEX = 1  # 1 hex char -> 16 counters per array: the synthetic
+# corpus has only ~31 distinct terms, so a production-sized width
+# would never collide and the min-over-K behavior + overestimate
+# column would be inert at test scale; 16 slots force collisions so
+# the sketch's defining property is EXERCISED (and property-tested).
+# Production sizes width to the tolerated epsilon the usual way —
+# the relation stays K x width rows regardless
+_CMS_PROBE_N = 10
+
+_CMS_ORACLE = f"""
+WITH {{tokens_cte}},
+tf AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS exact_tf
+    FROM (SELECT unnest(t) AS term FROM toks)
+    GROUP BY 1
+),
+ks AS (SELECT unnest(range({_CMS_K})) AS k),
+counters AS (
+    SELECT k.k,
+           substr(md5(CAST(k.k AS VARCHAR) || '|' || tf.term), 1, {_CMS_HEX}) AS pos,
+           sum(tf.exact_tf) AS cnt
+    FROM tf CROSS JOIN ks k
+    GROUP BY 1, 2
+),
+probe AS (
+    SELECT term, exact_tf FROM tf
+    ORDER BY exact_tf DESC, term LIMIT {_CMS_PROBE_N}
+),
+est AS (
+    SELECT p.term, p.exact_tf, min(c.cnt) AS cms_est
+    FROM probe p
+    CROSS JOIN ks k
+    JOIN counters c
+      ON c.k = k.k
+     AND c.pos = substr(md5(CAST(k.k AS VARCHAR) || '|' || p.term), 1, {_CMS_HEX})
+    GROUP BY 1, 2
+)
+SELECT term, exact_tf, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_tf AS BIGINT) AS overestimate
+FROM est
+""".format(tokens_cte=_TOKENS_CTE)
+
+
+@register("cur_term_cms", _CMS_ORACLE)
+def cur_term_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top-10
+    terms, with the exact count and the sketch's overestimate side by
+    side (see section comment for the relational sketch shape)."""
+    t = tokens_relation(spark, sf_dir)
+    tf = (
+        t.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_tf"))
+    )
+    ks = F.array(*[F.lit(i) for i in range(_CMS_K)])
+    pos = F.substring(
+        F.md5(F.concat_ws("|", F.col("k").cast("string"), F.col("term"))),
+        1,
+        _CMS_HEX,
+    )
+    counters = (
+        tf.select("term", "exact_tf", F.explode(ks).alias("k"))
+        .select("k", pos.alias("pos"), "exact_tf")
+        .groupBy("k", "pos")
+        .agg(F.sum("exact_tf").alias("cnt"))
+    )
+    probe = tf.orderBy(F.col("exact_tf").desc(), "term").limit(_CMS_PROBE_N)
+    est = (
+        probe.select("term", "exact_tf", F.explode(ks).alias("k"))
+        .select("term", "exact_tf", "k", pos.alias("pos"))
+        .join(F.broadcast(counters), ["k", "pos"])
+        .groupBy("term", "exact_tf")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "term",
+        "exact_tf",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_tf")).cast("long").alias("overestimate"),
+    )

@@ -234,3 +234,36 @@ def test_adaptive_quality_gate_invariants(spark):
         cuts.add(r["cut"])
     # the gate is genuinely adaptive: sources get DIFFERENT cuts
     assert len(cuts) > 1
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """A Bloom filter can only over-admit, never miss: every exactly
+    contaminated shingle must be Bloom-positive, so per doc
+    n_confirmed == cur_decontaminate's n_shared exactly, and the
+    false-positive count is never negative."""
+    bloom = {
+        r["doc_id"]: r
+        for r in QUERIES["cur_bloom_prefilter"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in QUERIES["cur_decontaminate"](spark, SF_DIR).collect()
+    }
+    assert set(exact) <= set(bloom)  # every truly contaminated doc surfaces
+    for doc_id, n_shared in exact.items():
+        assert bloom[doc_id]["n_confirmed"] == n_shared
+    for r in bloom.values():
+        assert r["n_false_pos"] >= 0
+        assert r["n_bloom_pos"] == r["n_confirmed"] + r["n_false_pos"]
+
+
+def test_cms_overestimates_only(spark):
+    """Count-min's defining property: collisions only ADD, so the
+    estimate is >= exact for every probed term — and at the test width
+    (16 counters vs ~31 terms) collisions actually occur, so the
+    overestimate column is exercised, not trivially zero."""
+    rows = QUERIES["cur_term_cms"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["cms_est"] >= r["exact_tf"] for r in rows)
+    assert all(r["overestimate"] == r["cms_est"] - r["exact_tf"] for r in rows)
+    assert any(r["overestimate"] > 0 for r in rows)
