@@ -267,3 +267,47 @@ def test_cms_overestimates_only(spark):
     assert all(r["cms_est"] >= r["exact_tf"] for r in rows)
     assert all(r["overestimate"] == r["cms_est"] - r["exact_tf"] for r in rows)
     assert any(r["overestimate"] > 0 for r in rows)
+
+
+def test_cms_counters_mergeable(spark):
+    """The CMS counter relation is a map-side-combinable SUM, so
+    counters(half A) + counters(half B) == counters(whole corpus) —
+    the property that makes the sketch maintainable incrementally
+    (per-shard sketches merge by addition, never a rebuild)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from oxford_data_pipeline_spark.plans.curation import _CMS_HEX, _CMS_K
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    t = tokens_relation(spark, SF_DIR)
+    tf = (
+        t.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ks = F.array(*[F.lit(i) for i in range(_CMS_K)])
+    pos = F.substring(
+        F.md5(F.concat_ws("|", F.col("k").cast("string"), F.col("term"))),
+        1,
+        _CMS_HEX,
+    )
+    def counters(df):
+        rows = (
+            df.select("tf", F.explode(ks).alias("k"), "term")
+            .select("k", pos.alias("pos"), "tf")
+            .groupBy("k", "pos")
+            .agg(F.sum("tf").alias("cnt"))
+            .collect()
+        )
+        return {(r["k"], r["pos"]): r["cnt"] for r in rows}
+
+    whole = counters(tf)
+    a = counters(tf.filter(F.col("doc_id") % 2 == 0))
+    b = counters(tf.filter(F.col("doc_id") % 2 == 1))
+    merged = defaultdict(int)
+    for part in (a, b):
+        for key, cnt in part.items():
+            merged[key] += cnt
+    assert dict(merged) == whole and len(whole) > 0
