@@ -1851,3 +1851,163 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar (int8) quantization retrieval — the SQ8 tier
+# --------------------------------------------------------------------------
+# The third compression tier alongside PQ (sim_ivfpq_*) and prefix
+# truncation (sim_matryoshka_*): every dimension linearly quantized to
+# 0..255 against per-dim corpus min/max (the trained scalar "codebook"
+# — a 64-row relation, broadcast), candidates scored ASYMMETRICALLY
+# (raw query values x dequantized candidate values — the FAISS SQ
+# search shape), audited against the memoized exact top-k.  4x memory
+# compression with near-exact recall is the expected production
+# outcome, and the floor test pins it.  Same fixed-count query budget
+# as the matryoshka audit, so the audit stays N x one corpus scan at
+# any corpus size.
+_SQ8_LEVELS = 255
+
+_SQ8_RECALL_ORACLE = f"""
+WITH long AS ({_EMB_LONG_SQL}),
+norms AS (
+    SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1
+),
+qsel AS (
+    SELECT vec_id FROM (
+        SELECT vec_id FROM norms WHERE vec_id % {_QUERY_MOD} = 0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_MRL_QUERY_BUDGET}
+    )
+),
+dstats AS (
+    SELECT dim, min(val) AS dmin, max(val) AS dmax FROM long GROUP BY 1
+),
+deq AS (
+    SELECT l.vec_id, l.dim,
+           s.dmin + round((l.val - s.dmin) / (s.dmax - s.dmin)
+                          * {_SQ8_LEVELS} + 0.01, 0)
+                    * (s.dmax - s.dmin) / {_SQ8_LEVELS} AS dval
+    FROM long l JOIN dstats s ON l.dim = s.dim
+),
+dnorms AS (
+    SELECT vec_id, sqrt(sum(dval * dval)) AS dnrm FROM deq GROUP BY 1
+),
+adots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.val * c.dval) AS dot
+    FROM long q
+    JOIN qsel ON q.vec_id = qsel.vec_id
+    JOIN deq c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+    GROUP BY 1, 2
+),
+ann AS (
+    SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id, row_number() OVER (
+            PARTITION BY d.query_id
+            ORDER BY round(d.dot / (nq.nrm * nc.dnrm) * 1000000 + 0.01, 0)
+                DESC, d.cand_id) AS rnk
+        FROM adots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN dnorms nc ON d.cand_id = nc.vec_id
+    ) WHERE rnk <= {_TOP_K}
+),
+brute AS ({_BRUTE_ORACLE})
+SELECT b.query_id,
+       count(*) AS n_true,
+       count(a.cand_id) AS n_hit,
+       round(CAST(count(a.cand_id) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS recall
+FROM brute b
+JOIN qsel ON b.query_id = qsel.vec_id
+LEFT JOIN ann a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+GROUP BY 1
+"""
+
+
+@register("sim_sq8_recall", _SQ8_RECALL_ORACLE)
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8 scalar-quantized flat search (asymmetric
+    distance) vs the memoized exact top-k — see the section comment.
+    Floor pinned in tests (SQ8 should be near-exact: the 4x-compression
+    free lunch, unlike the aggressive PQ/truncation tiers)."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_long
+
+    long = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
+    norms = long.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    qsel = (
+        norms.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("mk"))
+        .orderBy("mk", "vec_id")
+        .limit(_MRL_QUERY_BUDGET)
+        .select("vec_id")
+    )
+    dstats = long.groupBy("dim").agg(
+        F.min("val").alias("dmin"), F.max("val").alias("dmax")
+    )
+    step = (F.col("dmax") - F.col("dmin")) / _SQ8_LEVELS
+    deq = long.join(F.broadcast(dstats), "dim").select(
+        "vec_id",
+        "dim",
+        (
+            F.col("dmin")
+            + F.round(
+                (F.col("val") - F.col("dmin"))
+                / (F.col("dmax") - F.col("dmin"))
+                * _SQ8_LEVELS
+                + 0.01,
+                0,
+            )
+            * step
+        ).alias("dval"),
+    )
+    dnorms = deq.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("dval") * F.col("dval"))).alias("dnrm")
+    )
+    q = long.join(F.broadcast(qsel), "vec_id").select(
+        F.col("vec_id").alias("query_id"), "dim", "val"
+    )
+    adots = (
+        deq.withColumnRenamed("vec_id", "cand_id")
+        .join(q, "dim")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("val") * F.col("dval")).alias("dot"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("cand_id"))
+    ann = (
+        adots.join(
+            norms.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "nrm", "nq"
+            ),
+            "query_id",
+        )
+        .join(dnorms.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("dot") / (F.col("nq") * F.col("dnrm")) * 1e6 + 0.01, 0).alias(
+                "c6"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id", F.lit(1).alias("hit"))
+    )
+    brute = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .join(
+            F.broadcast(qsel.withColumnRenamed("vec_id", "query_id")), "query_id"
+        )
+    )
+    return (
+        brute.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            round6(F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+    )

@@ -912,3 +912,15 @@ def test_matryoshka_recall_floor_and_monotonicity(spark):
     assert mean >= 0.40, mean
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     assert all(r["n_hit"] <= r["n_true"] for r in rows)
+
+
+def test_sq8_recall_near_exact(spark):
+    """Int8 scalar quantization is the 4x-compression free lunch:
+    unlike the aggressive PQ/truncation tiers its flat-search recall
+    must be near-exact — pin the high floor that separates the tiers
+    (deterministic md5-seeded audit)."""
+    from oxford_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["sim_sq8_recall"](spark, SF_DIR).collect()
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.95, mean
