@@ -1491,3 +1491,110 @@ def cur_term_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("long").alias("cms_est"),
         (F.col("cms_est") - F.col("exact_tf")).cast("long").alias("overestimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pipeline provenance — why every document was kept or dropped
+# --------------------------------------------------------------------------
+# cur_pipeline reports the survivors; production operators need the
+# inverse view: for EVERY input document, the first stage that
+# rejected it ('where did my doc go').  One labeled row per document,
+# verdict precedence matching the pipeline's stage order exactly:
+# dedup_removed -> benchmark_member -> contaminated ->
+# rejected_quality -> admitted.  Pure composition of the stage
+# relations cur_pipeline already shares (memoized shingles/pairs/
+# survivors), left-joined flag relations + one CASE — no stage is
+# recomputed differently from the pipeline itself, so the verdicts
+# cannot drift from what the pipeline actually did.
+_PROVENANCE_ORACLE = """
+WITH RECURSIVE {walk_ctes},
+removed AS (
+    SELECT doc_id FROM walk GROUP BY doc_id HAVING doc_id <> min(label)
+),
+bench AS (
+    SELECT DISTINCT shingle FROM shingles WHERE doc_id % 29 = 0
+),
+csh AS (
+    SELECT doc_id, shingle FROM shingles WHERE doc_id % 29 <> 0
+),
+csizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1
+),
+chits AS (
+    SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared
+    FROM csh c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY 1
+),
+{bigrams_body},
+gram_counts AS (
+    SELECT doc_id, gram, count(*) AS cnt FROM bigrams GROUP BY 1, 2
+),
+rep_doc AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           count(*) AS n_distinct_bigrams,
+           max(cnt) AS top_cnt
+    FROM gram_counts GROUP BY 1
+),
+rep_tok AS (
+    SELECT doc_id, len(t) AS n_tokens FROM toks WHERE len(t) >= 2
+),
+admitted AS (
+    SELECT p.doc_id
+    FROM rep_doc p JOIN rep_tok t ON p.doc_id = t.doc_id
+    WHERE t.n_tokens BETWEEN 10 AND 1000
+      AND round((1.0 - CAST(p.n_distinct_bigrams AS DOUBLE) / p.n_bigrams) * 1000000 + 0.01, 0) / 1000000 + 0 <= 0.8
+      AND round(CAST(p.top_cnt AS DOUBLE) / p.n_bigrams * 1000000 + 0.01, 0) / 1000000 + 0 <= 0.2
+)
+SELECT d.doc_id, d.source,
+       CASE
+         WHEN d.doc_id IN (SELECT doc_id FROM removed) THEN 'dedup_removed'
+         WHEN d.doc_id % 29 = 0 THEN 'benchmark_member'
+         WHEN coalesce(round(CAST(h.n_shared AS DOUBLE) / s.n_sh * 1000000 + 0.01, 0) / 1000000 + 0, 0) > {contam_max}
+             THEN 'contaminated'
+         WHEN d.doc_id NOT IN (SELECT doc_id FROM admitted) THEN 'rejected_quality'
+         ELSE 'admitted'
+       END AS verdict
+FROM documents d
+LEFT JOIN chits h ON d.doc_id = h.doc_id
+LEFT JOIN csizes s ON d.doc_id = s.doc_id
+""".format(walk_ctes=_WALK_CTES, bigrams_body=_BIGRAMS_BODY, contam_max=_CONTAM_MAX)
+
+
+@register("cur_provenance", _PROVENANCE_ORACLE)
+def cur_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation provenance: the first pipeline stage that
+    rejected each doc, or 'admitted' (see section comment).  Flags come
+    from the SAME registered stage queries cur_pipeline composes, so
+    this report cannot disagree with the pipeline."""
+    from oxford_data_pipeline_spark.plans.dedup import dedup_survivors
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    surv = dedup_survivors(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_surv")
+    )
+    decon = cur_decontaminate(spark, sf_dir).select(
+        "doc_id", "contaminated_frac"
+    )
+    adm = (
+        cur_repetition(spark, sf_dir)
+        .filter("admitted")
+        .select("doc_id", F.lit(1).alias("is_adm"))
+    )
+    verdict = (
+        F.when(F.col("is_surv").isNull(), "dedup_removed")
+        .when(F.col("doc_id") % 29 == 0, "benchmark_member")
+        .when(
+            F.coalesce(F.col("contaminated_frac"), F.lit(0.0)) > _CONTAM_MAX,
+            "contaminated",
+        )
+        .when(F.col("is_adm").isNull(), "rejected_quality")
+        .otherwise("admitted")
+    )
+    return (
+        docs.join(surv, "doc_id", "left")
+        .join(decon, "doc_id", "left")
+        .join(adm, "doc_id", "left")
+        .select("doc_id", "source", verdict.alias("verdict"))
+    )

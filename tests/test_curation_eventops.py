@@ -311,3 +311,22 @@ def test_cms_counters_mergeable(spark):
         for key, cnt in part.items():
             merged[key] += cnt
     assert dict(merged) == whole and len(whole) > 0
+
+
+def test_provenance_consistent_with_pipeline(spark):
+    """The provenance report's 'admitted' set must equal the curated
+    corpus cur_pipeline actually builds — the report cannot disagree
+    with the pipeline."""
+    from oxford_data_pipeline_spark.plans.curation import curated_corpus
+
+    prov = {
+        r["doc_id"]: r["verdict"]
+        for r in QUERIES["cur_provenance"](spark, SF_DIR).collect()
+    }
+    kept = {r["doc_id"] for r in curated_corpus(spark, SF_DIR).collect()}
+    admitted = {d for d, v in prov.items() if v == "admitted"}
+    assert admitted == kept
+    assert set(prov.values()) <= {
+        "admitted", "dedup_removed", "benchmark_member",
+        "contaminated", "rejected_quality",
+    }
