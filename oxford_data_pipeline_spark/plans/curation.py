@@ -25,6 +25,9 @@ from oxford_data_pipeline_spark.plans.dedup import (
     _shingle_df,
 )
 from oxford_data_pipeline_spark.plans.registry import register
+from oxford_data_pipeline_spark.plans.retrieval import (
+    _TOKENIZE_TEXT_SQL,
+)
 from oxford_data_pipeline_spark.plans.textops import (
     _STOP_SQL as _CUR_STOP_SQL,
     _TOKENS_CTE,
@@ -1597,4 +1600,116 @@ def cur_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(decon, "doc_id", "left")
         .join(adm, "doc_id", "left")
         .select("doc_id", "source", verdict.alias("verdict"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus drift report — the monitoring signal between snapshots
+# --------------------------------------------------------------------------
+# The third leg of the CDC chain (diff -> index delta -> DRIFT): how
+# the term distribution moved between the old and new corpus
+# snapshots (same snapshot definitions as cur_corpus_diff), reported
+# as the top terms by absolute relative-frequency change.  This is
+# the retrain/alert trigger a corpus-monitoring dashboard reads (a
+# sudden distribution shift means scraped content changed, a source
+# went bad, or a filter broke).  Two map-side-combinable term
+# aggregations + one small join; top-N on the vocab-sized result —
+# no ln/KL anywhere, so the report is exact integer/ratio arithmetic
+# on both engines.
+_DRIFT_TOPN = 20
+
+_DRIFT_ORACLE = f"""
+WITH old_docs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 2
+                THEN substr(text, 1, CAST(greatest(n_chars - 7, 1) AS INTEGER))
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 7 <> 3
+),
+new_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 5
+),
+otf AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest({_TOKENIZE_TEXT_SQL}) AS term
+        FROM old_docs
+    ) GROUP BY 1
+),
+ntf AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest({_TOKENIZE_TEXT_SQL}) AS term
+        FROM new_docs
+    ) GROUP BY 1
+),
+osum AS (SELECT sum(n) AS tot FROM otf),
+nsum AS (SELECT sum(n) AS tot FROM ntf),
+joined AS (
+    SELECT coalesce(o.term, nw.term) AS term,
+           coalesce(o.n, 0) AS old_n, coalesce(nw.n, 0) AS new_n
+    FROM otf o FULL OUTER JOIN ntf nw ON o.term = nw.term
+),
+freqs AS (
+    SELECT term, old_n, new_n,
+           round(CAST(old_n AS DOUBLE) / osum.tot * 1000000 + 0.01, 0) / 1000000 + 0 AS old_freq,
+           round(CAST(new_n AS DOUBLE) / nsum.tot * 1000000 + 0.01, 0) / 1000000 + 0 AS new_freq
+    FROM joined CROSS JOIN osum CROSS JOIN nsum
+)
+SELECT term, old_n, new_n, old_freq, new_freq,
+       round(abs(new_freq - old_freq) * 1000000 + 0.01, 0) / 1000000 + 0 AS abs_shift
+FROM freqs
+ORDER BY abs_shift DESC, term LIMIT {_DRIFT_TOPN}
+"""
+
+
+@register("cur_corpus_drift", _DRIFT_ORACLE)
+def cur_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} term-distribution shifts between the old and new corpus
+    snapshots (see section comment) — the CDC chain's monitoring leg."""
+    from oxford_data_pipeline_spark.operators.textops import normalized, tokens
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_text = F.when(
+        F.col("doc_id") % 5 == 2,
+        F.substring(
+            "text", 1, F.greatest(F.col("n_chars") - 7, F.lit(1)).cast("int")
+        ),
+    ).otherwise(F.col("text"))
+    otf = (
+        docs.filter(F.col("doc_id") % 7 != 3)
+        .select(F.explode(tokens(normalized(old_text))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("old_n"))
+    )
+    ntf = (
+        docs.filter(F.col("doc_id") % 11 != 5)
+        .select(F.explode(tokens(normalized("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_n"))
+    )
+    osum = otf.agg(F.sum("old_n").alias("otot"))
+    nsum = ntf.agg(F.sum("new_n").alias("ntot"))
+    joined = (
+        otf.join(ntf, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("old_n", F.lit(0)).alias("old_n"),
+            F.coalesce("new_n", F.lit(0)).alias("new_n"),
+        )
+        .crossJoin(F.broadcast(osum))
+        .crossJoin(F.broadcast(nsum))
+    )
+    freqs = joined.select(
+        "term",
+        "old_n",
+        "new_n",
+        round6(F.col("old_n").cast("double") / F.col("otot")).alias("old_freq"),
+        round6(F.col("new_n").cast("double") / F.col("ntot")).alias("new_freq"),
+    )
+    return (
+        freqs.withColumn(
+            "abs_shift", round6(F.abs(F.col("new_freq") - F.col("old_freq")))
+        )
+        .orderBy(F.col("abs_shift").desc(), "term")
+        .limit(_DRIFT_TOPN)
     )
