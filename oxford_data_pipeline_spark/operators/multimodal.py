@@ -299,3 +299,39 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "max_err_le_1": np.array(ok, dtype=bool),
             }
         )
+
+
+def audio_feature_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real-codec audio FEATURE kernel (decode -> feature-extract):
+    per payload, synthesize PCM16 ((byte - 96) * 256), WAV-encode,
+    decode back through the sniffing dispatcher, then extract the
+    classic frame features from the DECODED signal — zero-crossing
+    count (strict sign products < 0), total energy (exact integer sum
+    of squares), and peak amplitude.  All integer arithmetic, so the
+    DuckDB oracle recomputes every value from the text bytes exactly —
+    the end-to-end proof that features derived THROUGH the codec match
+    features derived from the source."""
+    from oxford_data_pipeline_spark.operators.codecs import decode, wav_encode
+
+    for pdf in batches:
+        ids, cnt, zcr, energy, peak = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            pcm = ((b.astype(np.int32) - 96) * 256).astype(np.int16)
+            dec, meta = decode(wav_encode(pcm, rate=8000))
+            assert meta["format"] == "wav"
+            mono = dec[:, 0].astype(np.int64)
+            ids.append(doc_id)
+            cnt.append(int(mono.size))
+            zcr.append(int(np.sum(mono[:-1] * mono[1:] < 0)) if mono.size > 1 else 0)
+            energy.append(int(np.sum(mono * mono)) if mono.size else 0)
+            peak.append(int(np.max(np.abs(mono))) if mono.size else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "n_samples": np.array(cnt, dtype=np.int64),
+                "zero_crossings": np.array(zcr, dtype=np.int64),
+                "energy": np.array(energy, dtype=np.int64),
+                "peak": np.array(peak, dtype=np.int32),
+            }
+        )

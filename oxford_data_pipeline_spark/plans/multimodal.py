@@ -297,3 +297,67 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, height int, width int, n_px long,"
                " max_err_le_1 boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Audio feature extraction through the real codec
+# --------------------------------------------------------------------------
+# mm_audio_decode gates decode VALUES; this gates decode -> FEATURE:
+# zero-crossing count, exact integer energy, and peak amplitude of the
+# decoded signal, recomputed by the oracle from the source bytes (the
+# (byte-96)*256 synthesis is sign-spanning, so zero crossings are
+# non-trivial).  The consecutive-pair join in the oracle is per-doc
+# positional (p, p+1) — the Spark side never materializes pairs at
+# all (the kernel scans each decoded array once inside the Arrow
+# batch).
+_AUDIO_FEAT_ORACLE = """
+WITH ascii_docs AS (
+    SELECT * FROM documents WHERE octet_length(encode(text)) = length(text)
+),
+s AS (
+    SELECT d.doc_id, CAST(p AS INTEGER) AS p,
+           (ascii(substr(d.text, CAST(p AS INTEGER), 1)) - 96) * 256 AS v
+    FROM ascii_docs d, unnest(generate_series(1, length(d.text))) AS u(p)
+),
+pairs AS (
+    SELECT a.doc_id,
+           CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END AS zc
+    FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+),
+feat AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+           CAST(max(abs(v)) AS INTEGER) AS peak
+    FROM s GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(f.n_samples, 0) AS BIGINT) AS n_samples,
+       CAST(coalesce(z.zc, 0) AS BIGINT) AS zero_crossings,
+       CAST(coalesce(f.energy, 0) AS BIGINT) AS energy,
+       CAST(coalesce(f.peak, 0) AS INTEGER) AS peak
+FROM ascii_docs d
+LEFT JOIN feat f ON d.doc_id = f.doc_id
+LEFT JOIN (SELECT doc_id, CAST(sum(zc) AS BIGINT) AS zc FROM pairs GROUP BY 1) z
+  ON d.doc_id = z.doc_id
+"""
+
+
+@register("mm_audio_features", _AUDIO_FEAT_ORACLE)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> feature-extract gate: WAV round-trip through the real
+    codec, then zero-crossing / energy / peak features of the decoded
+    signal, every value recomputed exactly by the oracle from the
+    source bytes."""
+    from oxford_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_feature_stats,
+    )
+
+    docs = _ascii_docs(spark, sf_dir)
+    mm = attach_binary_payload(docs).select("doc_id", "payload")
+    return mm.mapInPandas(
+        audio_feature_stats,
+        schema="doc_id long, n_samples long, zero_crossings long,"
+               " energy long, peak int",
+    )
