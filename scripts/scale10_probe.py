@@ -57,7 +57,13 @@ PROBE_QUERIES = [
     "sim_cosine_topk",
     "sim_ivfpq_rerank",
     "sim_matryoshka_recall",
+    "sim_sq8_recall",
+    "cur_bloom_prefilter",
+    "cur_term_cms",
+    "cur_provenance",
+    "cur_corpus_drift",
     "mm_image_decode",
+    "mm_audio_features",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"
