@@ -1457,6 +1457,26 @@ FROM est
 """.format(tokens_cte=_TOKENS_CTE)
 
 
+def cms_counters(tf: DataFrame, count_col: str) -> DataFrame:
+    """(… term, <count_col> …) -> the (k, pos, cnt) CMS counter
+    relation (K={k} hex-addressed arrays).  A pure map-side-combinable
+    SUM, so per-shard / per-micro-batch counter relations merge by
+    addition (asserted in tests; the streaming maintainer in
+    `streaming/stream_profile.py` relies on exactly this)."""
+    ks = F.array(*[F.lit(i) for i in range(_CMS_K)])
+    pos = F.substring(
+        F.md5(F.concat_ws("|", F.col("k").cast("string"), F.col("term"))),
+        1,
+        _CMS_HEX,
+    )
+    return (
+        tf.select("term", count_col, F.explode(ks).alias("k"))
+        .select("k", pos.alias("pos"), count_col)
+        .groupBy("k", "pos")
+        .agg(F.sum(count_col).alias("cnt"))
+    )
+
+
 @register("cur_term_cms", _CMS_ORACLE)
 def cur_term_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for the corpus's top-10
@@ -1474,12 +1494,7 @@ def cur_term_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         _CMS_HEX,
     )
-    counters = (
-        tf.select("term", "exact_tf", F.explode(ks).alias("k"))
-        .select("k", pos.alias("pos"), "exact_tf")
-        .groupBy("k", "pos")
-        .agg(F.sum("exact_tf").alias("cnt"))
-    )
+    counters = cms_counters(tf, "exact_tf")
     probe = tf.orderBy(F.col("exact_tf").desc(), "term").limit(_CMS_PROBE_N)
     est = (
         probe.select("term", "exact_tf", F.explode(ks).alias("k"))

@@ -1019,3 +1019,50 @@ def test_streaming_bm25_serving_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, QUERIES["text_bm25_topk"](spark, SF_DIR).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_cms_maintenance_matches_batch(spark, tmp_path):
+    """Documents replayed through the CMS maintenance stream, merged
+    batch by batch, must yield EXACTLY the counters the batch sketch
+    builds over the whole corpus — merge-by-addition is the sketch's
+    defining property, and the stream maintainer is only that."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oxford_data_pipeline_spark.streaming.stream_profile import (
+        batch_counters,
+        cms_maintenance_stream,
+        merge_counters,
+    )
+    from tests.conftest import SF_DIR
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    batch_docs = spark.read.parquet(src).select("doc_id", "text")
+    # two files -> at least the chance of multiple micro-batches; the
+    # merge is order-insensitive either way
+    d = str(tmp_path / "docs_cms_stream")
+    batch_docs.repartition(2).write.parquet(d)
+    stream = spark.readStream.schema(batch_docs.schema).parquet(d)
+
+    state = {"counters": None}
+
+    def sink(delta, _bid):
+        cur = state["counters"]
+        state["counters"] = (
+            delta.collect()
+            if cur is None
+            else merge_counters(
+                spark.createDataFrame(cur, "k int, pos string, cnt long"),
+                delta,
+            ).collect()
+        )
+
+    q = cms_maintenance_stream(stream, sink)
+    q.awaitTermination()
+    got = sorted((r["k"], r["pos"], r["cnt"]) for r in state["counters"])
+    want = sorted(
+        (r["k"], r["pos"], r["cnt"])
+        for r in batch_counters(batch_docs).collect()
+    )
+    assert got == want and len(got) > 0
