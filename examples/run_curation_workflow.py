@@ -81,6 +81,24 @@ def main() -> None:
     comp = q("text_bpe_compression").agg({"symbols_per_token": "avg"}).collect()[0][0]
     print(f"  mean symbols/token after 20 merges: {comp:.2f}")
 
+    print("== sketch tier (constant-size summaries) ==")
+    bloom = q("cur_bloom_prefilter")
+    fp = bloom.agg({"n_false_pos": "sum"}).collect()[0][0]
+    conf = bloom.agg({"n_confirmed": "sum"}).collect()[0][0]
+    print(f"  Bloom pre-filter: {conf} confirmed, {fp} sketch FPs")
+    cms = q("cur_term_cms").orderBy("term").collect()
+    print("  CMS top-term estimates:",
+          [(r["term"], r["exact_tf"], r["cms_est"]) for r in cms[:3]])
+
+    print("== adaptive gates + monitoring ==")
+    gate = q("cur_adaptive_quality_gate").orderBy("source").limit(3).collect()
+    print("  per-source cuts:", [(r["source"], r["cut"]) for r in gate])
+    drift = q("cur_corpus_drift").limit(3).collect()
+    print("  top drifted terms:",
+          [(r["term"], r["abs_shift"]) for r in drift])
+    prov = q("cur_provenance").groupBy("verdict").count().collect()
+    print("  provenance:", {r["verdict"]: r["count"] for r in prov})
+
     print("== composed curation pipeline ==")
     curated = q("cur_pipeline")
     write_csv_report(
