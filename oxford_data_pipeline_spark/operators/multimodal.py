@@ -335,3 +335,39 @@ def audio_feature_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "peak": np.array(peak, dtype=np.int32),
             }
         )
+
+
+def image_feature_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real-codec image FEATURE kernel (decode -> feature-extract):
+    PNG round-trip like `image_roundtrip_stats`, then a 4-band
+    brightness histogram of the DECODED pixels (bands of 64) plus the
+    dominant band (ties to the darker band).  All integer counts, so
+    the DuckDB oracle recomputes every value from the text bytes
+    exactly.  Padding pixels are zero and are counted in band 0 on
+    both sides — part of the contract, not an accident."""
+    from oxford_data_pipeline_spark.operators.codecs import decode, png_encode
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "b0", "b1", "b2", "b3", "dominant_band")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            h = max(-(-len(b) // _IMG_W), 1)
+            img = np.zeros(h * _IMG_W, dtype=np.uint8)
+            img[: len(b)] = b
+            dec, meta = decode(png_encode(img.reshape(h, _IMG_W)))
+            assert meta["format"] == "png"
+            bands = np.bincount(dec.ravel() // 64, minlength=4)
+            out["doc_id"].append(doc_id)
+            for i in range(4):
+                out[f"b{i}"].append(int(bands[i]))
+            out["dominant_band"].append(int(np.argmax(bands)))
+        yield pd.DataFrame(
+            {
+                "doc_id": np.array(out["doc_id"], dtype=np.int64),
+                "b0": np.array(out["b0"], dtype=np.int64),
+                "b1": np.array(out["b1"], dtype=np.int64),
+                "b2": np.array(out["b2"], dtype=np.int64),
+                "b3": np.array(out["b3"], dtype=np.int64),
+                "dominant_band": np.array(out["dominant_band"], dtype=np.int32),
+            }
+        )

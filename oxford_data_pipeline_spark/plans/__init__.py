@@ -48,7 +48,7 @@ _ROUND7_FRONT = [
     "ret_hybrid_rrf", "cur_adaptive_quality_gate", "sim_matryoshka_recall",
     "ret_phrase_search", "cur_bloom_prefilter", "cur_term_cms", "sim_sq8_recall",
     "sim_compression_ladder", "cur_provenance", "cur_corpus_drift",
-    "mm_audio_features",
+    "mm_audio_features", "mm_image_features",
     # (c) families last driver-checked in round 5
     "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_clusters", "dedup_survivors", "dedup_incremental",

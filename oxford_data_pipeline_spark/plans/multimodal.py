@@ -361,3 +361,61 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples long, zero_crossings long,"
                " energy long, peak int",
     )
+
+
+# --------------------------------------------------------------------------
+# Image feature extraction through the real codec
+# --------------------------------------------------------------------------
+# The image twin of mm_audio_features: decode -> 4-band brightness
+# histogram + dominant band of the DECODED pixels, recomputed exactly
+# by the oracle from the source bytes (the zero tail-padding counts
+# in band 0 on both sides — part of the contract).
+_IMG_FEAT_ORACLE = """
+WITH ascii_docs AS (
+    SELECT * FROM documents WHERE octet_length(encode(text)) = length(text)
+),
+m AS (
+    SELECT doc_id, length(text) AS len,
+           greatest(CAST(ceil(length(text) / 16.0) AS INTEGER), 1) AS h
+    FROM ascii_docs
+),
+px AS (
+    SELECT d.doc_id,
+           ascii(substr(d.text, CAST(p AS INTEGER), 1)) // 64 AS band
+    FROM ascii_docs d, unnest(generate_series(1, length(d.text))) AS u(p)
+),
+counts AS (
+    SELECT m.doc_id,
+           CAST(coalesce(sum(CASE WHEN px.band = 0 THEN 1 END), 0)
+                + m.h * 16 - m.len AS BIGINT) AS b0,
+           CAST(coalesce(sum(CASE WHEN px.band = 1 THEN 1 END), 0) AS BIGINT) AS b1,
+           CAST(coalesce(sum(CASE WHEN px.band = 2 THEN 1 END), 0) AS BIGINT) AS b2,
+           CAST(coalesce(sum(CASE WHEN px.band = 3 THEN 1 END), 0) AS BIGINT) AS b3
+    FROM m LEFT JOIN px ON m.doc_id = px.doc_id
+    GROUP BY m.doc_id, m.h, m.len
+)
+SELECT doc_id, b0, b1, b2, b3,
+       CAST(CASE greatest(b0, b1, b2, b3)
+            WHEN b0 THEN 0 WHEN b1 THEN 1 WHEN b2 THEN 2 ELSE 3
+            END AS INTEGER) AS dominant_band
+FROM counts
+"""
+
+
+@register("mm_image_features", _IMG_FEAT_ORACLE)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> feature gate for images: 4-band brightness histogram
+    + dominant band of the decoded pixels, every count recomputed
+    exactly by the oracle from the source bytes."""
+    from oxford_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_feature_stats,
+    )
+
+    docs = _ascii_docs(spark, sf_dir)
+    mm = attach_binary_payload(docs).select("doc_id", "payload")
+    return mm.mapInPandas(
+        image_feature_stats,
+        schema="doc_id long, b0 long, b1 long, b2 long, b3 long,"
+               " dominant_band int",
+    )
