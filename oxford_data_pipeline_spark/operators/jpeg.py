@@ -309,10 +309,15 @@ def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
 
 
 def jpeg_encode(
-    img: np.ndarray, quality: int = 90, subsample: bool = True
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG encoding of a [h, w] grayscale or [h, w, 3] RGB
-    uint8 array (JFIF; 4:2:0 when `subsample` and the image is color)."""
+    uint8 array (JFIF; 4:2:0 when `subsample` and the image is color).
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (T.81 B.2.4.4 / E.2.4)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -368,6 +373,8 @@ def jpeg_encode(
     for tc_th, (bits, vals) in tables:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid in range(ncomp):
@@ -379,9 +386,31 @@ def jpeg_encode(
     dc_c = _canonical_codes(*_DC_CHROM)
     ac_c = _canonical_codes(*_AC_CHROM)
     writer = _BitWriter()
+    rst_state = [0, 0]  # [mcus since last restart, next RSTn index]
+
+    def _maybe_restart(preds: list) -> None:
+        """Emit RSTn + reset DC predictors at interval boundaries."""
+        if not restart_interval:
+            return
+        if rst_state[0] == restart_interval:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + rst_state[1]])
+            rst_state[1] = (rst_state[1] + 1) % 8
+            rst_state[0] = 0
+            for i in range(len(preds)):
+                preds[i] = 0
+        rst_state[0] += 1
 
     if gray:
-        _encode_blocks(writer, coefs[0], dc_l, ac_l, 0)
+        if restart_interval:
+            preds = [0]
+            for blk in coefs[0]:
+                _maybe_restart(preds)
+                preds[0] = _encode_blocks(
+                    writer, blk.reshape(1, 64), dc_l, ac_l, preds[0]
+                )
+        else:
+            _encode_blocks(writer, coefs[0], dc_l, ac_l, 0)
     else:
         # interleaved MCU order
         yc, cbc, crc = coefs
@@ -393,6 +422,7 @@ def jpeg_encode(
             n_mcu_x = planes[1].shape[1] // 8
             for my in range(n_mcu_y):
                 for mx in range(n_mcu_x):
+                    _maybe_restart(preds)
                     yblocks = [
                         yc[(2 * my + dy) * ywb + (2 * mx + dx)]
                         for dy in (0, 1)
@@ -412,6 +442,7 @@ def jpeg_encode(
         else:
             n_mcu = len(yc)
             for i in range(n_mcu):
+                _maybe_restart(preds)
                 preds[0] = _encode_blocks(writer, yc[i : i + 1], dc_l, ac_l, preds[0])
                 preds[1] = _encode_blocks(writer, cbc[i : i + 1], dc_c, ac_c, preds[1])
                 preds[2] = _encode_blocks(writer, crc[i : i + 1], dc_c, ac_c, preds[2])
@@ -571,7 +602,9 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
     for c in comps:
         qt = qts[c["tq"]]
         deq = np.zeros_like(c["coefs"])
-        deq[:, ZIGZAG] = c["coefs"] * qt  # un-zigzag + dequantize
+        # coefs are zigzag-ordered; qt is natural-order, so index it by
+        # ZIGZAG to pair coefficient k with its own quant value (T.81 F.2.1.5)
+        deq[:, ZIGZAG] = c["coefs"] * qt[ZIGZAG]
         blocks = deq.reshape(-1, 8, 8)
         pix = np.einsum("ji,njk,kl->nil", _A, blocks, _A) + 128.0
         plane = (

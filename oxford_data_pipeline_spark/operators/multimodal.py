@@ -197,7 +197,8 @@ def image_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             img = np.zeros(h * _IMG_W, dtype=np.uint8)
             img[: len(b)] = b
             dec, meta = decode(png_encode(img.reshape(h, _IMG_W)))
-            assert meta["format"] == "png" and meta["width"] == _IMG_W
+            if meta["format"] != "png" or meta["width"] != _IMG_W:
+                raise ValueError(f"png codec mismatch for doc {doc_id}: {meta}")
             ids.append(doc_id)
             hs.append(meta["height"])
             n_px.append(int(dec.size))
@@ -229,7 +230,8 @@ def audio_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             pcm = ((b.astype(np.int32) - 96) * 256).astype(np.int16)
             dec, meta = decode(wav_encode(pcm, rate=8000))
-            assert meta["format"] == "wav" and meta["rate"] == 8000
+            if meta["format"] != "wav" or meta["rate"] != 8000:
+                raise ValueError(f"wav codec mismatch for doc {doc_id}: {meta}")
             mono = dec[:, 0]
             ids.append(doc_id)
             cnt.append(int(meta["n_samples"]))
@@ -284,7 +286,8 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             img[: len(b)] = b
             img = img.reshape(h, _IMG_W)
             dec, meta = decode(jpeg_encode(img, quality=100))
-            assert meta["format"] == "jpeg" and meta["width"] == _IMG_W
+            if meta["format"] != "jpeg" or meta["width"] != _IMG_W:
+                raise ValueError(f"jpeg codec mismatch for doc {doc_id}: {meta}")
             err = int(np.abs(dec.astype(np.int32) - img.astype(np.int32)).max())
             ids.append(doc_id)
             hs.append(meta["height"])
@@ -319,7 +322,8 @@ def audio_feature_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             pcm = ((b.astype(np.int32) - 96) * 256).astype(np.int16)
             dec, meta = decode(wav_encode(pcm, rate=8000))
-            assert meta["format"] == "wav"
+            if meta["format"] != "wav":
+                raise ValueError(f"wav codec mismatch for doc {doc_id}: {meta}")
             mono = dec[:, 0].astype(np.int64)
             ids.append(doc_id)
             cnt.append(int(mono.size))
@@ -355,7 +359,8 @@ def image_feature_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             img = np.zeros(h * _IMG_W, dtype=np.uint8)
             img[: len(b)] = b
             dec, meta = decode(png_encode(img.reshape(h, _IMG_W)))
-            assert meta["format"] == "png"
+            if meta["format"] != "png":
+                raise ValueError(f"png codec mismatch for doc {doc_id}: {meta}")
             bands = np.bincount(dec.ravel() // 64, minlength=4)
             out["doc_id"].append(doc_id)
             for i in range(4):

@@ -132,12 +132,34 @@ def doclen_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memoized(_doclen_cache, spark, (sf_dir,), build)
 
 
+_dfreq_cache: dict[tuple, DataFrame] = {}
+
+
+def dfreq_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term document frequency (term, df), the postings' term-side
+    marginal — maintained beside postings/doclens in the retrieval
+    index (round-7 verdict item 2: BM25 and the hybrid lexical leg
+    were re-aggregating a corpus-vocab-sized relation per query).
+    df = count of (doc, term) posting rows per term; the CDC feed
+    updates it via `apply_dfreq_delta`."""
+
+    def build() -> DataFrame:
+        return (
+            postings_relation(spark, sf_dir)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
+
+    return memoized(_dfreq_cache, spark, (sf_dir,), build)
+
+
 def build_retrieval_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """Materialize the inverted index for the bench index-build phase —
     postings construction is index maintenance, not query work."""
     return {
         "postings": postings_relation(spark, sf_dir).count(),
         "doclens": doclen_relation(spark, sf_dir).count(),
+        "dfreq": dfreq_relation(spark, sf_dir).count(),
     }
 
 
@@ -191,24 +213,39 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     return bm25_rank(
-        qt, postings_relation(spark, sf_dir), doclen_relation(spark, sf_dir)
+        qt,
+        postings_relation(spark, sf_dir),
+        doclen_relation(spark, sf_dir),
+        dfreq=dfreq_relation(spark, sf_dir),
     )
 
 
 def bm25_rank(
-    qt: DataFrame, tf: DataFrame, docs: DataFrame, topk: int = _TOPK
+    qt: DataFrame,
+    tf: DataFrame,
+    docs: DataFrame,
+    topk: int = _TOPK,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Score a (query_id, term) relation against the maintained
     postings (`tf`) + doc-length (`docs`) tables and return the BM25
     top-`topk` per query — the scorer shared by the registered batch
     query and the streaming serving path (`streaming/stream_search`),
-    so online and offline rankings are the same plan by construction."""
+    so online and offline rankings are the same plan by construction.
+    Pass the maintained (term, df) relation as `dfreq` to skip the
+    per-query df aggregation; when None (streaming callers with ad-hoc
+    snapshots) it is derived from the query-vocabulary posting probe —
+    identical values either way, since postings hold unique (doc,term)
+    rows."""
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     qvocab = qt.select("term").distinct()
     qtf = tf.join(F.broadcast(qvocab), "term")
-    dfreq = qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    if dfreq is None:
+        dfreq = qtf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    else:
+        dfreq = dfreq.join(F.broadcast(qvocab), "term")
     contrib = (
         qt.join(qtf, "term")
         .join(F.broadcast(dfreq), "term")
@@ -424,6 +461,38 @@ def apply_postings_delta(old: DataFrame, delta: DataFrame) -> DataFrame:
     return kept.unionByName(added)
 
 
+def apply_dfreq_delta(old_dfreq: DataFrame, delta: DataFrame) -> DataFrame:
+    """Maintain the (term, df) marginal off the same CDC feed: a delta
+    row changes a term's df by +1 (posting appears: old_tf 0 → >0),
+    -1 (posting vanishes), or 0 (tf update).  One aggregation over the
+    delta (tiny) + one outer merge keyed on term — never a rescan of
+    the postings.  Proven equal to the fresh-build dfreq of the new
+    snapshot in tests/test_retrieval.py."""
+    ddf = (
+        delta.groupBy("term")
+        .agg(
+            F.sum(
+                F.when((F.col("old_tf") == 0) & (F.col("new_tf") > 0), 1)
+                .when((F.col("old_tf") > 0) & (F.col("new_tf") == 0), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .filter(F.col("d") != 0)
+    )
+    return (
+        old_dfreq.join(ddf, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0)))
+            .cast("long")
+            .alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+
+
 # --------------------------------------------------------------------------
 # Hybrid retrieval: BM25 more-like-this + dense cosine, RRF-fused
 # --------------------------------------------------------------------------
@@ -436,10 +505,14 @@ def apply_postings_delta(old: DataFrame, delta: DataFrame) -> DataFrame:
 # lexical leg is BM25 "more-like-this": the query DOC's terms are the
 # query vocabulary, scored against the maintained posting relation —
 # query-side postings are tiny and broadcast; candidate work is
-# bounded by |matching postings|.  The dense leg reuses the memoized
-# `sim_cosine_topk` ground-truth relation (in production: the ANN
-# serving tier's output).  Both legs and the fusion are pure relational
-# programs — the whole query hash-checks end-to-end.
+# bounded by |matching postings|.  The dense leg is the REAL ANN
+# serving tier: `sim_ivfpq_rerank`'s IVFADC+R output (PQ-compressed
+# shortlist, exact re-rank) — no queries×corpus work anywhere in the
+# serving path.  `ret_hybrid_rrf_audit` re-runs the fusion with the
+# brute-force exact top-k as the dense leg and reports per-query
+# agreement of the two fused@k lists, so fusion quality vs ground
+# truth stays measured.  Both legs and the fusion are pure relational
+# programs — both queries hash-check end-to-end.
 _RRF_K = 60
 _HYBRID_TOPK = 5
 _QUERY_MOD = 50  # mirrors similarity._QUERY_MOD
@@ -474,15 +547,16 @@ lex_ranked AS (
 """
 
 
-def _hybrid_oracle() -> str:
-    from oxford_data_pipeline_spark.plans.similarity import _BRUTE_ORACLE
-
+def _fused_sql(dense_sql: str) -> str:
+    """The full fused-ranking SELECT with `dense_sql` as the dense leg
+    (a query emitting (query_id, cand_id, rnk)) — shared by the serving
+    oracle (IVFADC+R leg) and the audit oracle (brute-force leg)."""
     return f"""
 WITH {_POSTINGS_CTE},
 {_MLT_RANKED_CTES},
 lex_top AS (SELECT * FROM lex_ranked WHERE rnk <= {_HYBRID_TOPK}),
 dense_top AS (
-    SELECT query_id, cand_id, rnk FROM ({_BRUTE_ORACLE})
+    SELECT query_id, cand_id, rnk FROM ({dense_sql})
     WHERE rnk <= {_HYBRID_TOPK}
 ),
 fused AS (
@@ -506,18 +580,46 @@ FROM fused
 """
 
 
-@register("ret_hybrid_rrf", _hybrid_oracle())
-def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval via reciprocal-rank fusion (see the section
-    comment): lexical more-like-this over the maintained postings
-    index + the dense cosine top-k, fused by sum(1/(60+rank)).
+def _hybrid_oracle() -> str:
+    from oxford_data_pipeline_spark.plans.similarity import (
+        _IVFPQ_RERANK_ORACLE,
+    )
 
-    Plan shape: the query-doc posting slice is broadcast into the
-    postings probe; the dense leg is the memoized ground-truth
-    relation; fusion is a full-outer join of two ≤(queries×k) rows
-    relations — nothing corpus-sized moves after the probe."""
-    from oxford_data_pipeline_spark.plans.similarity import sim_cosine_topk
+    return _fused_sql(_IVFPQ_RERANK_ORACLE)
 
+
+def _hybrid_audit_oracle() -> str:
+    from oxford_data_pipeline_spark.plans.similarity import (
+        _BRUTE_ORACLE,
+        _IVFPQ_RERANK_ORACLE,
+    )
+
+    return f"""
+WITH serving AS MATERIALIZED (
+    SELECT query_id, cand_id FROM ({_fused_sql(_IVFPQ_RERANK_ORACLE)})
+    WHERE fused_rank <= {_HYBRID_TOPK}
+),
+truth AS MATERIALIZED (
+    SELECT query_id, cand_id FROM ({_fused_sql(_BRUTE_ORACLE)})
+    WHERE fused_rank <= {_HYBRID_TOPK}
+)
+SELECT t.query_id,
+       count(*) AS n_true,
+       count(s.cand_id) AS n_hit,
+       round(CAST(count(s.cand_id) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS agreement
+FROM truth t
+LEFT JOIN serving s ON s.query_id = t.query_id AND s.cand_id = t.cand_id
+GROUP BY 1
+"""
+
+
+def _hybrid_fused(
+    spark: SparkSession, sf_dir: str, dense_top: DataFrame
+) -> DataFrame:
+    """Fused RRF ranking with `dense_top` (query_id, cand_id, rnk) as
+    the dense leg — the shared back half of the serving query and the
+    ground-truth audit."""
     tf = postings_relation(spark, sf_dir)
     docs = doclen_relation(spark, sf_dir)
     stats = docs.agg(
@@ -526,7 +628,7 @@ def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpost = tf.filter(F.col("doc_id") % _QUERY_MOD == 0).select(
         F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("qtf")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = dfreq_relation(spark, sf_dir)
     contrib = (
         tf.join(
             F.broadcast(qpost.select("query_id", "term")),
@@ -551,9 +653,6 @@ def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _HYBRID_TOPK)
         .select("query_id", F.col("doc_id").alias("cand_id"), "rnk")
     )
-    dense_top = sim_cosine_topk(spark, sf_dir).filter(
-        F.col("rnk") <= _HYBRID_TOPK
-    ).select("query_id", "cand_id", "rnk")
     l, d = lex_top.alias("l"), dense_top.alias("d")
     fused = l.join(
         d,
@@ -582,6 +681,74 @@ def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cand_id").cast("long").alias("cand_id"),
         round6(F.col("rrf")).alias("rrf_score"),
         F.row_number().over(wf).cast("int").alias("fused_rank"),
+    )
+
+
+@register("ret_hybrid_rrf", _hybrid_oracle())
+def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (see the section
+    comment): lexical more-like-this over the maintained postings
+    index + the IVFADC+R ANN serving tier (`sim_ivfpq_rerank`), fused
+    by sum(1/(60+rank)).
+
+    Plan shape: the query-doc posting slice is broadcast into the
+    postings probe; the dense leg probes the memoized PQ-code and
+    inverted-list relations (shortlist + exact re-rank — never a
+    queries×corpus product); fusion is a full-outer join of two
+    ≤(queries×k)-row relations — nothing corpus-sized moves after the
+    index probes."""
+    from oxford_data_pipeline_spark.plans.similarity import sim_ivfpq_rerank
+
+    dense_top = sim_ivfpq_rerank(spark, sf_dir).filter(
+        F.col("rnk") <= _HYBRID_TOPK
+    ).select("query_id", "cand_id", "rnk")
+    return _hybrid_fused(spark, sf_dir, dense_top)
+
+
+@register("ret_hybrid_rrf_audit", _hybrid_audit_oracle())
+def ret_hybrid_rrf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fusion-quality audit: per-query agreement between the SERVING
+    fused top-{_HYBRID_TOPK} (ANN dense leg) and the ground-truth fused
+    top-{_HYBRID_TOPK} (exact brute-force dense leg).  The brute leg is
+    an evaluation artifact (charged to the ann index-build phase like
+    every other recall audit), never a serving path."""
+    from oxford_data_pipeline_spark.plans.similarity import (
+        sim_cosine_topk,
+        sim_ivfpq_rerank,
+    )
+
+    serving = _hybrid_fused(
+        spark,
+        sf_dir,
+        sim_ivfpq_rerank(spark, sf_dir)
+        .filter(F.col("rnk") <= _HYBRID_TOPK)
+        .select("query_id", "cand_id", "rnk"),
+    )
+    truth = _hybrid_fused(
+        spark,
+        sf_dir,
+        sim_cosine_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= _HYBRID_TOPK)
+        .select("query_id", "cand_id", "rnk"),
+    )
+    s = (
+        serving.filter(F.col("fused_rank") <= _HYBRID_TOPK)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    t = truth.filter(F.col("fused_rank") <= _HYBRID_TOPK).select(
+        "query_id", "cand_id"
+    )
+    return (
+        t.join(s, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            round6(
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("agreement"),
+        )
     )
 
 

@@ -77,6 +77,11 @@ def ivf_assign_stream(embs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
     return with_v.withColumn("_best", best).select(
         "vec_id",
-        (-F.col("_best.negcell")).cast("int").alias("cell"),
+        # zero-norm guard (matches the batch assignment): a vector with
+        # no cosine direction goes to the -1 quarantine cell instead of
+        # an arbitrary NaN-affinity winner
+        F.when(F.col("_nrm") > 0, (-F.col("_best.negcell")).cast("int"))
+        .otherwise(F.lit(-1))
+        .alias("cell"),
         *extra,
     )

@@ -93,3 +93,52 @@ def test_projection_matches_weights(spark):
         w = np.array([got[pair]["wx1"], got[pair]["wx2"]])
         mean_proj = float((X @ w).mean())
         assert abs(got[pair]["mean_proj"] - mean_proj) < 1e-4, pair
+
+
+# --------------------------------------------------------------------------
+# Full-fidelity twin (verdict r7 item 4): real grouped kernels
+# --------------------------------------------------------------------------
+def test_oxford_full_kernel_invariants(spark):
+    """The 64-dim real-kernel composite mirrors the reference runtime
+    checks (`segment_mdl_to_trials.m:259-272`,
+    `perform_session_cca.m:341-345`): CV R² in [0,1] per fold, 10
+    folds, unit-norm sign-aligned weights, rho in [0,1], PC1 share in
+    (0, 100], deviations sum to zero."""
+    from oxford_data_pipeline_spark.plans.oxford import oxford_pipeline_full
+
+    rows = oxford_pipeline_full(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_folds"] == 10
+        assert 0.0 <= r["min_cv_r2"] <= r["max_cv_r2"] <= 1.0
+        assert r["min_cv_r2"] <= r["mean_cv_r2_c1"] <= r["max_cv_r2"] + 1e-9
+        assert 0.0 <= r["rho1"] <= 1.0
+        assert abs(r["wx_norm"] - 1.0) < 1e-6
+        assert r["dominant_positive"]
+        assert 0.0 < r["pc1_pct_x"] <= 100.0 and 0.0 < r["pc1_pct_y"] <= 100.0
+        assert r["n_samples"] == 36  # SAMP_K bound engaged
+    assert abs(sum(r["rho1_dev"] for r in rows)) < 1e-5 * len(rows) + 1e-5
+
+
+def test_oxford_full_seed_determinism_and_ridge_path(spark):
+    """Two runs are bit-identical (md5 sampling + deterministic
+    numerics), and the M2 guard on the composite's path regularizes a
+    genuinely rank-deficient group (duplicated feature columns — the
+    degenerate-session case `perform_session_cca.m` ridge-guards):
+    ridge output must differ from plain canoncorr and stay bounded."""
+    from oxford_data_pipeline_spark.ml.linalg import canoncorr, robust_cca
+    from oxford_data_pipeline_spark.plans.oxford import oxford_pipeline_full
+
+    a = sorted(map(tuple, oxford_pipeline_full(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, oxford_pipeline_full(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(36, 8))
+    X = np.hstack([base, base[:, :4]])  # rank 8 < min(12, 35): deficient
+    Y = rng.normal(size=(36, 12))
+    Ar, _, rr = robust_cca(X, Y, 3)
+    Ac, _, rc = canoncorr(X, Y, 3)
+    assert not np.allclose(Ar, Ac), "ridge fallback did not engage"
+    assert np.all(rr <= 1.0 + 1e-12) and np.all(rc <= 1.0 + 1e-12)
+    assert np.all(np.isfinite(Ar))

