@@ -209,6 +209,116 @@ def svg_timecourse(series: dict[str, list[tuple]], title: str,
     return "".join(out)
 
 
+# Perceptual-ramp anchors for the reference figure's colormaps
+# (`CCA_test_all.py:446-456` uses cmap='viridis' for means and
+# 'plasma' for stds).  Anchor colors are the published matplotlib
+# endpoints/quartiles; linear interpolation between anchors is a close
+# visual stand-in without the dependency.
+_VIRIDIS = [(68, 1, 84), (59, 82, 139), (33, 145, 140), (94, 201, 98), (253, 231, 37)]
+_PLASMA = [(13, 8, 135), (126, 3, 168), (204, 71, 120), (248, 149, 64), (240, 249, 33)]
+
+
+def _ramp(anchors: list[tuple], frac: float) -> str:
+    frac = min(1.0, max(0.0, frac))
+    pos = frac * (len(anchors) - 1)
+    i = min(int(pos), len(anchors) - 2)
+    t = pos - i
+    r, g, b = (
+        round(a + (b_ - a) * t) for a, b_ in zip(anchors[i], anchors[i + 1])
+    )
+    return f"#{r:02x}{g:02x}{b:02x}"
+
+
+def svg_connectivity_panels(
+    cells: list[dict], ranks: list[int], title: str,
+    cell: int = 40, gap: int = 2,
+) -> str:
+    """The reference's multi-panel connectivity figure layout
+    (`CCA_test_all.py:402-541` create_connectivity_matrices_figure):
+    row 1 = mean CV-R² matrices on a FIXED 0–0.6 viridis scale, row 2 =
+    std matrices on a FIXED 0–0.2 plasma scale, one column per
+    component rank, anatomical region order, bold row labels — the
+    fixed scales (not data-derived) are what make panels comparable
+    across runs, the styling detail the reference pins."""
+    if not cells:
+        raise ValueError("no cells to render")
+    regions: dict = {}
+    for c in cells:
+        regions.setdefault(c["pair_r1"], c["row_idx"])
+        regions.setdefault(c["pair_r2"], c["col_idx"])
+    order = [k for k, _ in sorted(regions.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(order)
+    rows_spec = [
+        ("Mean Across Sessions", "mean_r2", 0.0, 0.6, _VIRIDIS, "Mean CV-R²"),
+        ("Std Across Sessions", "std_r2", 0.0, 0.2, _PLASMA, "Std CV-R²"),
+    ]
+    left, top = 150, 52
+    pw = n * (cell + gap) + 40   # panel width incl. spacing
+    ph = n * (cell + gap) + 46   # panel height incl. titles
+    w = left + len(ranks) * pw + 70
+    h = top + 2 * ph + 20
+    out = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}"'
+        f' font-family="sans-serif" font-size="10">',
+        f'<rect width="{w}" height="{h}" fill="{_SURFACE}"/>',
+        f'<text x="{left}" y="22" font-size="14" fill="{_INK}">{_esc(title)}</text>',
+    ]
+    lut = {(c["rank"], c["pair_r1"], c["pair_r2"]): c for c in cells}
+    for ri, (row_label, key, vmin, vmax, ramp, panel_word) in enumerate(rows_spec):
+        py0 = top + ri * ph
+        out.append(
+            f'<text x="16" y="{_f(py0 + (n * (cell + gap)) / 2)}"'
+            f' font-size="12" font-weight="bold" fill="{_INK}"'
+            f'>{_esc(row_label)}</text>'
+        )
+        for ci, rk in enumerate(ranks):
+            px0 = left + ci * pw
+            out.append(
+                f'<text x="{_f(px0 + (n * (cell + gap)) / 2)}" y="{py0 - 6}"'
+                f' text-anchor="middle" font-size="11" fill="{_INK}"'
+                f'>{_esc(panel_word)} [Comp {rk}]</text>'
+            )
+            for i, rl in enumerate(order):
+                if ci == 0:
+                    out.append(
+                        f'<text x="{px0 - 6}" y="{_f(py0 + i * (cell + gap) + cell / 2 + 4)}"'
+                        f' text-anchor="end" fill="{_INK2}">{_esc(rl)}</text>'
+                    )
+                for j, cl in enumerate(order):
+                    c = lut.get((rk, rl, cl))
+                    if c is None or c.get(key) is None:
+                        continue
+                    frac = (c[key] - vmin) / (vmax - vmin)
+                    x, y = px0 + j * (cell + gap), py0 + i * (cell + gap)
+                    ink = "#ffffff" if frac < 0.55 else _INK
+                    out.append(
+                        f'<g><rect x="{x}" y="{y}" width="{cell}" height="{cell}"'
+                        f' rx="3" fill="{_ramp(ramp, frac)}">'
+                        f"<title>{_esc(rl)} × {_esc(cl)} comp {rk}:"
+                        f" {c[key]:.6g}</title></rect>"
+                        f'<text x="{_f(x + cell / 2)}" y="{_f(y + cell / 2 + 4)}"'
+                        f' text-anchor="middle" fill="{ink}">{c[key]:.2g}</text></g>'
+                    )
+            if ci == 0:
+                for j, cl in enumerate(order):
+                    out.append(
+                        f'<text x="{_f(px0 + j * (cell + gap) + cell / 2)}"'
+                        f' y="{py0 + n * (cell + gap) + 12}" text-anchor="middle"'
+                        f' fill="{_INK2}">{_esc(cl)}</text>'
+                    )
+        # fixed color scale per row (the reference's vmin/vmax)
+        lx = left + len(ranks) * pw + 10
+        for k in range(20):
+            out.append(
+                f'<rect x="{lx}" y="{py0 + k * 6}" width="12" height="6"'
+                f' fill="{_ramp(ramp, 1 - k / 19)}"/>'
+            )
+        out.append(f'<text x="{lx + 16}" y="{py0 + 8}" fill="{_INK2}">{vmax:g}</text>')
+        out.append(f'<text x="{lx + 16}" y="{py0 + 124}" fill="{_INK2}">{vmin:g}</text>')
+    out.append("</svg>")
+    return "".join(out)
+
+
 def write_figure_svgs(
     cca_r2: DataFrame, projection_avg: DataFrame, out_dir: str,
     min_sessions: int = 3,
@@ -238,6 +348,22 @@ def write_figure_svgs(
     )
     paths["connectivity_matrix"] = os.path.join(out_dir, "connectivity_matrix.svg")
     with open(paths["connectivity_matrix"], "w") as f:
+        f.write(svg)
+
+    # the reference's full multi-panel layout (mean row / std row ×
+    # component columns, fixed scales, viridis/plasma)
+    ranks = (1, 2, 3)
+    panel_cells = [
+        r.asDict()
+        for r in connectivity_figure_table(
+            cca_r2, ranks=ranks, min_sessions=min_sessions
+        ).collect()
+    ]
+    svg = svg_connectivity_panels(
+        panel_cells, list(ranks), "CCA connectivity matrices (mean | std)"
+    )
+    paths["connectivity_panels"] = os.path.join(out_dir, "connectivity_panels.svg")
+    with open(paths["connectivity_panels"], "w") as f:
         f.write(svg)
 
     pop = [

@@ -31,47 +31,39 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # driver records correctness rows for roughly the FIRST 50 registry
 # entries only, so registration order is driver exposure, and the
 # front list rotates every round to keep each query's driver row <= 2
-# rounds old.  Round 7 front-loads (a) the five queries added in the
-# round-6 snapshot commit that have never earned a driver row
-# (judge-verified green only), (b) queries NEW this round, then (c)
-# the dedup/curation/similarity/text families last driver-checked in
-# round 5.  Only ORACLE-CHECKED queries go in the window — a rows-only
-# query would burn a slot on an err:"no_oracle" record.  Rotation
-# reorders, never drops; the suite's own oracle tests still cover the
-# full set.
-_ROUND7_FRONT = [
-    # (a) oracle-checked but never driver-checked (round-6 snapshot)
-    "text_bm25_topk", "text_tfidf_top_terms", "text_dup_span_cut",
-    "dedup_pagerank_canonical", "cur_corpus_diff",
-    # (b) new this round
-    "text_postings_incremental", "oxford_pipeline", "mm_jpeg_decode",
-    "ret_hybrid_rrf", "cur_adaptive_quality_gate", "sim_matryoshka_recall",
-    "ret_phrase_search", "cur_bloom_prefilter", "cur_term_cms", "sim_sq8_recall",
-    "sim_compression_ladder", "cur_provenance", "cur_corpus_drift",
-    "mm_audio_features", "mm_image_features",
-    # (c) families last driver-checked in round 5
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
-    "dedup_clusters", "dedup_survivors", "dedup_incremental",
-    "dedup_semantic", "dedup_winnowing",
-    "cur_repetition", "cur_stratified_sample", "cur_mixture_weights",
-    "cur_decontaminate", "cur_unigram_surprisal", "cur_bigram_surprisal",
-    "cur_length_profile", "cur_pipeline", "cur_temperature_mix",
-    "cur_dsir_weights", "cur_pack_stats", "cur_pii_scrub",
-    "cur_c4_heuristics", "cur_quality_classifier",
-    "emb_outliers", "emb_label_cohesion", "emb_hard_negatives",
-    "j9_asof_join", "a14_sessionize", "e_json_props",
-    "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann",
-    "sim_lsh_recall", "sim_ivf_recall", "sim_ivfpq_ann",
-    "sim_ivfpq_recall", "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
-    "text_dup_ngram_coverage", "text_dup_spans",
-    "text_bpe_merges", "text_bpe_compression",
-    "mm_metadata_profile", "mm_frame_sample",
-    "m6_glm_closed_form", "m1_cca_closed_form",
-    # spill zone (~slots 51+): chains pinned by in-window twins —
-    # span-cut re-derives text_dup_spans' islands, PCA shares the
-    # closed-form kernel family with m1/m6, PSTH shares the event
-    # window with a14/j9 time handling
-    "m4_pca_closed_form", "j1_event_psth", "m12_sign_alignment",
+# rounds old.  Round 8 front-loads (a) queries NEW or materially
+# CHANGED this round (hybrid serving-leg swap + audit, df-memoized
+# BM25, the zero-norm-guarded IVF family), (b) the round-4 rows (the
+# oldest anywhere), (c) the round-5 rows, then (d) as much of the
+# round-6 set as fits.  Only ORACLE-CHECKED queries go in the window —
+# a rows-only query would burn a slot on an err:"no_oracle" record.
+# Rotation reorders, never drops; the suite's own oracle tests still
+# cover the full set.
+_ROUND8_FRONT = [
+    # (a) NEW or materially CHANGED this round: the hybrid serving-leg
+    # swap + its audit, the df-memoized BM25, and the whole IVF family
+    # touched by the zero-norm quarantine guard
+    "ret_hybrid_rrf", "ret_hybrid_rrf_audit", "text_bm25_topk",
+    "sim_ivf_ann", "sim_ivf_recall", "sim_ivf_incremental",
+    "sim_ivf_incremental_recall", "sim_ivfpq_ann", "sim_ivfpq_recall",
+    "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
+    # (b) oldest driver rows (round 4)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "text_fingerprint", "text_token_count",
+    # (c) round-5 rows
+    "j1_event_psth", "m12_sign_alignment", "m1_cca_closed_form",
+    "m4_pca_closed_form", "m6_glm_closed_form", "mm_frame_sample",
+    "mm_metadata_profile", "sim_lsh_recall", "text_bpe_compression",
+    "text_bpe_merges", "text_dup_ngram_coverage", "text_dup_spans",
+    # (d) round-6 rows, oldest families first (the rest of the r6 set
+    # rotates in next round)
+    "f_predicate_stack", "f5_having_admission", "f7_min_distinct",
+    "j2_dim_enrichment", "j3_pair_selfjoin", "j4_fact_join_chain",
+    "j8_fold_train_split", "e_set_ops", "o1_anatomical_order",
+    "o3_seeded_sample", "sc_scalar_functions", "a4_connectivity_pivot",
+    "a5_max_then_mean", "a6_label_distribution", "a7_threshold_grid",
+    "a8_count_stats", "a9_rollup_summary", "a10_hierarchical_rollup",
+    "a11_cumulative_share", "w2_removal_schedule", "w3_restricted_peak",
 ]
 
 
@@ -85,6 +77,6 @@ def _rotate(front: list[str]) -> None:
         d.update(items)
 
 
-_rotate(_ROUND7_FRONT)
+_rotate(_ROUND8_FRONT)
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -145,3 +145,58 @@ def test_decode_normalizes_parser_errors_to_valueerror():
     wav = bytearray(wav_encode(np.zeros(4, dtype=np.int16)))
     with pytest.raises(ValueError):
         decode(bytes(wav[:20]))
+
+
+# --------------------------------------------------------------------------
+# JSONL / CSV corpus connectors (sources/textfiles.py)
+# --------------------------------------------------------------------------
+def test_jsonl_documents_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL ingest: canonical schema, content-derived stable ids for
+    rows without doc_id, malformed lines quarantined not fatal, and
+    every registered text query runs on the result."""
+    import json
+
+    from oxford_data_pipeline_spark.sources.textfiles import read_jsonl_documents
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        json.dumps({"doc_id": 7, "text": "alpha beta gamma", "lang": "en"}),
+        json.dumps({"text": "no id here", "source": "webcrawl"}),
+        json.dumps({"text": "third doc words", "lang": "de"}),
+        '{"text": "broken json', # malformed
+    ]
+    p.write_text("\n".join(lines))
+    docs, bad = read_jsonl_documents(spark, str(p))
+    rows = {r["text"]: r for r in docs.collect()}
+    assert set(rows) == {"alpha beta gamma", "no id here", "third doc words"}
+    assert rows["alpha beta gamma"]["doc_id"] == 7
+    assert rows["no id here"]["source"] == "webcrawl"
+    assert rows["third doc words"]["source"] == "jsonl"
+    assert all(r["n_chars"] == len(t) for t, r in rows.items())
+    assert bad.count() == 1
+    # content ids are stable across re-reads
+    docs2, _ = read_jsonl_documents(spark, str(p))
+    ids1 = sorted(r["doc_id"] for r in docs.collect())
+    ids2 = sorted(r["doc_id"] for r in docs2.collect())
+    assert ids1 == ids2
+
+
+def test_csv_documents_multiline_and_pipeline_compat(spark, tmp_path):
+    """CSV ingest: quoted multiline text survives, and the normalized
+    relation feeds the engine's text operators unchanged."""
+    from oxford_data_pipeline_spark.operators.textops import normalized, tokens
+    from oxford_data_pipeline_spark.sources.textfiles import read_csv_documents
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "corpus.csv"
+    p.write_text(
+        'doc_id,text,lang,source\n'
+        '1,"hello world",en,export\n'
+        '2,"line one\nline two",en,export\n'
+    )
+    docs, bad = read_csv_documents(spark, str(p))
+    assert bad.count() == 0
+    rows = {r["doc_id"]: r for r in docs.collect()}
+    assert len(rows) == 2 and "\n" in rows[2]["text"]
+    toks = docs.select(F.explode(tokens(normalized("text"))).alias("t")).count()
+    assert toks == 6

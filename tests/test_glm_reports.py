@@ -250,10 +250,35 @@ def test_figure_svgs_on_entry_a(pipe, tmp_path):
     cfg, res = pipe
     paths = write_figure_svgs(res["cca_r2"], res["projection_avg"], str(tmp_path))
     assert set(paths) == {
-        "connectivity_matrix", "population_summary", "temporal_projection"
+        "connectivity_matrix", "connectivity_panels", "population_summary",
+        "temporal_projection",
     }
     for p in paths.values():
         ET.parse(p)
+
+
+def test_connectivity_panels_mirror_reference_layout(pipe, tmp_path):
+    """The multi-panel figure mirrors create_connectivity_matrices_figure
+    (`CCA_test_all.py:402-541`): a mean row and a std row, one panel
+    per component, FIXED per-row scales (legend labels 0.6/0.2 — not
+    data-derived), bold row labels, viridis/plasma ramp swatches."""
+    import xml.etree.ElementTree as ET
+
+    from oxford_data_pipeline_spark.pipeline.svg_figures import write_figure_svgs
+
+    cfg, res = pipe
+    paths = write_figure_svgs(res["cca_r2"], res["projection_avg"], str(tmp_path))
+    root = ET.parse(paths["connectivity_panels"]).getroot()
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    texts = [t.text for t in root.findall(".//s:text", ns) if t.text]
+    assert "Mean Across Sessions" in texts and "Std Across Sessions" in texts
+    assert any(t.startswith("Mean CV-R² [Comp ") for t in texts)
+    assert any(t.startswith("Std CV-R² [Comp ") for t in texts)
+    # fixed scales: both rows' vmax legend labels present
+    assert "0.6" in texts and "0.2" in texts
+    # ramp endpoints: viridis dark-purple anchor and plasma dark-blue anchor
+    fills = {e.get("fill") for e in root.findall(".//s:rect", ns)}
+    assert "#440154" in fills and "#0d0887" in fills
 
 
 def test_sensitivity_curve_figure(pipe, tmp_path):

@@ -1115,3 +1115,26 @@ def test_streaming_cms_maintenance_matches_batch(spark, tmp_path):
         for r in batch_counters(batch_docs).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_search_example_end_to_end(spark, tmp_path):
+    """The composed streaming-search example (round-7 verdict item 8)
+    runs in CI: base ingest → checkpointed delta resume (only delta
+    rows processed) → maintained-index closure vs batch rebuild →
+    fused BM25+IVF serving.  Its internal asserts are the contract;
+    this test just drives it and checks the summary shape."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "run_streaming_search", os.path.join(repo, "examples", "run_streaming_search.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from tests.conftest import SF_DIR
+
+    out = mod.main(spark=spark, sf_dir=SF_DIR, work=str(tmp_path / "stream_search"))
+    assert out["queries_served"] == 3
+    assert out["fused_rows"] > 0
+    assert out["delta_rows"] > 0
