@@ -376,3 +376,62 @@ def image_feature_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "dominant_band": np.array(out["dominant_band"], dtype=np.int32),
             }
         )
+
+
+_PH_BANDS = 4       # horizontal row-bands of the image
+_PH_COLS = 16       # == _IMG_W; one cell mean per (band, column)
+_PH_BITS_PER_BAND = _PH_COLS - 1  # adjacent-column comparisons
+
+
+def image_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Perceptual dHash over the REAL codec path (the LAION-style image
+    near-dup primitive): synthesize the byte image, PNG encode+decode,
+    then hash the DECODED pixels — 4 row-bands × 16 column means, one
+    bit per adjacent-column comparison (60 bits).  All comparisons are
+    integer cross-products (s_a·n_b > s_b·n_a), so the DuckDB oracle
+    reproduces the hash bit-for-bit from the source bytes: any decoder
+    pixel error flips hash bits and fails the hash check.  Padding
+    bytes are EXCLUDED (only the first n real pixels hash), so the
+    hash is a pure content fingerprint."""
+    from oxford_data_pipeline_spark.operators.codecs import decode, png_encode
+
+    for pdf in batches:
+        ids, hashes, blks = [], [], [[] for _ in range(_PH_BANDS)]
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            h = max(-(-len(b) // _IMG_W), 1)
+            img = np.zeros(h * _IMG_W, dtype=np.uint8)
+            img[: len(b)] = b
+            dec, meta = decode(png_encode(img.reshape(h, _IMG_W)))
+            if meta["format"] != "png":
+                raise ValueError(f"png codec mismatch for doc {doc_id}: {meta}")
+            px = dec.ravel()[: len(b)].astype(np.int64)  # real pixels only
+            pos = np.arange(len(px))
+            band = np.minimum(_PH_BANDS - 1, (pos // _IMG_W) * _PH_BANDS // h)
+            col = pos % _IMG_W
+            s = np.zeros((_PH_BANDS, _PH_COLS), dtype=np.int64)
+            n = np.zeros((_PH_BANDS, _PH_COLS), dtype=np.int64)
+            np.add.at(s, (band, col), px)
+            np.add.at(n, (band, col), 1)
+            bits = (
+                s[:, :-1] * n[:, 1:] > s[:, 1:] * n[:, :-1]
+            )  # integer-exact adjacent-column comparison
+            weights = 1 << (
+                np.arange(_PH_BANDS)[:, None] * _PH_BITS_PER_BAND
+                + np.arange(_PH_BITS_PER_BAND)[None, :]
+            ).astype(np.int64)
+            phash = int((bits * weights).sum())
+            ids.append(doc_id)
+            hashes.append(phash)
+            for k in range(_PH_BANDS):
+                blks[k].append((phash >> (k * _PH_BITS_PER_BAND)) & 0x7FFF)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "phash": np.array(hashes, dtype=np.int64),
+                **{
+                    f"blk{k}": np.array(blks[k], dtype=np.int64)
+                    for k in range(_PH_BANDS)
+                },
+            }
+        )

@@ -41,8 +41,10 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # cover the full set.
 _ROUND8_FRONT = [
     # (a) NEW or materially CHANGED this round: the hybrid serving-leg
-    # swap + its audit, the df-memoized BM25, and the whole IVF family
-    # touched by the zero-norm quarantine guard
+    # swap + its audit, the df-memoized BM25, the whole IVF family
+    # touched by the zero-norm quarantine guard, and the four queries
+    # added later in the round (perceptual-hash near-dup, RM3, snippets)
+    "mm_phash", "mm_phash_neardup", "ret_rm3_expansion", "ret_snippets",
     "ret_hybrid_rrf", "ret_hybrid_rrf_audit", "text_bm25_topk",
     "sim_ivf_ann", "sim_ivf_recall", "sim_ivf_incremental",
     "sim_ivf_incremental_recall", "sim_ivfpq_ann", "sim_ivfpq_recall",
@@ -62,8 +64,7 @@ _ROUND8_FRONT = [
     "j8_fold_train_split", "e_set_ops", "o1_anatomical_order",
     "o3_seeded_sample", "sc_scalar_functions", "a4_connectivity_pivot",
     "a5_max_then_mean", "a6_label_distribution", "a7_threshold_grid",
-    "a8_count_stats", "a9_rollup_summary", "a10_hierarchical_rollup",
-    "a11_cumulative_share", "w2_removal_schedule", "w3_restricted_peak",
+    "a8_count_stats", "a9_rollup_summary",
 ]
 
 

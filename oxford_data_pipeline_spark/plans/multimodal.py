@@ -419,3 +419,146 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, b0 long, b1 long, b2 long, b3 long,"
                " dominant_band int",
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image near-dup (the LAION-style multimodal dedup op)
+# --------------------------------------------------------------------------
+# dHash through the REAL codec: 4 row-bands x 16 column integer means
+# of the decoded pixels, one bit per adjacent-column comparison done as
+# an integer cross-product (no floats anywhere), 60 bits total.  The
+# oracle recomputes the hash from the source bytes, so a single decoder
+# pixel error flips bits and fails the hash gate.  Near-dup pairs come
+# from pigeonhole blocking: Hamming <= 3 over 4 blocks guarantees an
+# equal 15-bit block, so an equi-join on any block finds every pair; a
+# block-occupancy cap bounds join fan-out on degenerate corpora (the
+# same hot-key guard as the simhash/shingle pair generators).
+_PH_HAM_T = 3
+_PH_BLOCK_CAP = 200
+
+_PHASH_CELL_CTES = """
+ascii_docs AS (
+    SELECT * FROM documents WHERE octet_length(encode(text)) = length(text)
+),
+px AS (
+    SELECT d.doc_id,
+           greatest(CAST(ceil(length(d.text) / 16.0) AS INTEGER), 1) AS h,
+           CAST(p AS INTEGER) - 1 AS pos,
+           ascii(substr(d.text, CAST(p AS INTEGER), 1)) AS v
+    FROM ascii_docs d, unnest(generate_series(1, length(d.text))) AS u(p)
+),
+cells AS (
+    SELECT doc_id,
+           least(3, ((pos // 16) * 4) // h) AS band,
+           pos % 16 AS col,
+           CAST(sum(v) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+    SELECT a.doc_id, a.band, a.col,
+           CASE WHEN a.s * b.n > b.s * a.n THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS bit
+    FROM cells a
+    JOIN cells b ON a.doc_id = b.doc_id AND a.band = b.band
+               AND b.col = a.col + 1
+),
+ph AS (
+    SELECT doc_id,
+           CAST(coalesce(sum(bit * (CAST(1 AS BIGINT) << (band * 15 + col))), 0)
+                AS BIGINT) AS phash
+    FROM ascii_docs LEFT JOIN bits USING (doc_id)
+    GROUP BY doc_id
+)
+"""
+
+_PHASH_ORACLE = f"""
+WITH {_PHASH_CELL_CTES}
+SELECT doc_id, phash,
+       CAST((phash >> 0) & 32767 AS BIGINT) AS blk0,
+       CAST((phash >> 15) & 32767 AS BIGINT) AS blk1,
+       CAST((phash >> 30) & 32767 AS BIGINT) AS blk2,
+       CAST((phash >> 45) & 32767 AS BIGINT) AS blk3
+FROM ph
+"""
+
+
+@register("mm_phash", _PHASH_ORACLE)
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perceptual hash of the synthesized image, computed
+    from the REAL decoded pixels inside an Arrow kernel (see section
+    comment) — the multimodal near-dup fingerprint, hash-checked
+    bit-for-bit against the oracle's from-source recomputation."""
+    from oxford_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_phash,
+    )
+
+    docs = _ascii_docs(spark, sf_dir)
+    mm = attach_binary_payload(docs).select("doc_id", "payload")
+    return mm.mapInPandas(
+        image_phash,
+        schema="doc_id long, phash long, blk0 long, blk1 long,"
+        " blk2 long, blk3 long",
+    )
+
+
+_PHASH_NEARDUP_ORACLE = f"""
+WITH {_PHASH_CELL_CTES},
+blocks AS (
+    SELECT doc_id, phash, k,
+           (phash >> (k * 15)) & 32767 AS blk
+    FROM ph, unnest([0, 1, 2, 3]) AS t(k)
+),
+capped AS (
+    SELECT b.* FROM blocks b
+    JOIN (
+        SELECT k, blk FROM blocks GROUP BY 1, 2
+        HAVING count(*) <= {_PH_BLOCK_CAP}
+    ) ok USING (k, blk)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM capped a
+    JOIN capped b ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {_PH_HAM_T}
+"""
+
+
+@register("mm_phash_neardup", _PHASH_NEARDUP_ORACLE)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: Hamming(phash) <= {_PH_HAM_T} via
+    pigeonhole 4x15-bit block equi-join over the {_PH_BLOCK_CAP}-capped
+    block relation — the simhash pair-generation shape applied to the
+    multimodal fingerprint; candidate fan-out is bounded at cap² per
+    hot block and every emitted pair is exact-verified by bit_count."""
+    ph = mm_phash(spark, sf_dir)
+    blocks = ph.select(
+        "doc_id", "phash",
+        F.posexplode(
+            F.array(*[F.col(f"blk{k}") for k in range(4)])
+        ).alias("k", "blk"),
+    )
+    occ = blocks.groupBy("k", "blk").agg(F.count(F.lit(1)).alias("occ"))
+    capped = blocks.join(
+        occ.filter(F.col("occ") <= _PH_BLOCK_CAP).select("k", "blk"),
+        ["k", "blk"],
+    )
+    a = capped.select(
+        "k", "blk", F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a")
+    )
+    b = capped.select(
+        "k", "blk", F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b")
+    )
+    return (
+        a.join(b, ["k", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.expr("cast(bit_count(ph_a ^ ph_b) as int)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PH_HAM_T)
+        .distinct()
+    )

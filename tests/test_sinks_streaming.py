@@ -1138,3 +1138,36 @@ def test_streaming_search_example_end_to_end(spark, tmp_path):
     assert out["queries_served"] == 3
     assert out["fused_rows"] > 0
     assert out["delta_rows"] > 0
+
+
+def test_streaming_phash_bit_identical_to_batch(spark, tmp_path):
+    """Documents replayed through phash_stream must produce EXACTLY the
+    batch mm_phash relation — the stateless kernel is one code path, so
+    online fingerprints cannot drift from the maintained index."""
+    import os
+
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from oxford_data_pipeline_spark.streaming.stream_multimodal import phash_stream
+    from tests.conftest import SF_DIR
+
+    batch = sorted(
+        map(tuple, QUERIES["mm_phash"](spark, SF_DIR).collect())
+    )
+    src = os.path.join(SF_DIR, "documents.parquet")
+    docs = spark.read.parquet(src)
+    d = str(tmp_path / "docs_stream_phash")
+    docs.write.parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    q = (
+        phash_stream(stream.select("doc_id", "text"))
+        .writeStream.format("memory")
+        .queryName("phash_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM phash_stream_t").collect())
+    )
+    assert got == batch and len(got) > 0
