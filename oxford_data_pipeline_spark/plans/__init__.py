@@ -45,6 +45,7 @@ _ROUND8_FRONT = [
     # touched by the zero-norm quarantine guard, and the four queries
     # added later in the round (perceptual-hash near-dup, RM3, snippets)
     "mm_phash", "mm_phash_neardup", "ret_rm3_expansion", "ret_snippets",
+    "emb_knn_classify",
     "ret_hybrid_rrf", "ret_hybrid_rrf_audit", "text_bm25_topk",
     "sim_ivf_ann", "sim_ivf_recall", "sim_ivf_incremental",
     "sim_ivf_incremental_recall", "sim_ivfpq_ann", "sim_ivfpq_recall",

@@ -2167,3 +2167,76 @@ for _audit_name, _audit_tier in (
     ("sim_sq8_recall", "sq8"),
 ):
     _memoize_audit(_audit_name, _audit_tier)
+
+
+# ---------------------------------------------------------------------------
+# k-NN label classification THROUGH the serving tier.
+#
+# The standard embedding-space labeler a training-data pipeline runs at
+# corpus scale (topic/quality label propagation a la fastText-free
+# classifiers): each unlabeled/query document takes the majority label
+# of its k nearest neighbors.  The neighbor set is NOT a brute-force
+# scan — it is exactly the IVFADC+R serving tier's output
+# (`sim_ivfpq_rerank`), so classification costs one probe of the
+# maintained ANN index per query plus a (queries x k)-row vote
+# aggregation.  The vote is INTEGER counts with a lexical tiebreak, so
+# the predicted label is engine-order-independent and the oracle
+# hash-matches bit-for-bit.
+#
+# At 100 TB: the label relation is a projection of the corpus table
+# (equi-join keyed on cand_id against the tiny shortlist relation —
+# AQE broadcasts the shortlist side); nothing here scales with
+# corpus x corpus.
+_KNN_CLASSIFY_ORACLE = f"""
+WITH ann AS MATERIALIZED ({_IVFPQ_RERANK_ORACLE}),
+emb AS (SELECT vec_id, label FROM embeddings),
+votes AS (
+    SELECT a.query_id, e.label, CAST(count(*) AS BIGINT) AS votes
+    FROM ann a JOIN emb e ON a.cand_id = e.vec_id
+    GROUP BY 1, 2
+),
+pick AS (
+    SELECT query_id, label, votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, label) AS rn
+    FROM votes
+)
+SELECT p.query_id,
+       p.label AS pred_label,
+       p.votes,
+       q.label AS true_label,
+       CAST(CASE WHEN p.label = q.label THEN 1 ELSE 0 END AS INTEGER) AS correct
+FROM pick p JOIN emb q ON p.query_id = q.vec_id
+WHERE p.rn = 1
+"""
+
+
+@register("emb_knn_classify", _KNN_CLASSIFY_ORACLE)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification through the ANN serving tier: majority
+    label of the IVFADC+R top-k (`sim_ivfpq_rerank`) per query vector,
+    integer votes, lexical tiebreak, with the true label and a 0/1
+    correctness flag per query.  The serving-tier composition mirrors
+    how hybrid retrieval consumes the same shortlist
+    (`ret_hybrid_rrf`): index probes, never corpus scans."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec
+
+    labels = embeddings_vec(spark, sf_dir).select("vec_id", "label")
+    ann = sim_ivfpq_rerank(spark, sf_dir).select("query_id", "cand_id")
+    votes = (
+        ann.join(labels.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    pick = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pick.join(truth, "query_id").select(
+        "query_id",
+        F.col("label").alias("pred_label"),
+        "votes",
+        "true_label",
+        (F.col("label") == F.col("true_label")).cast("int").alias("correct"),
+    )

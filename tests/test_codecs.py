@@ -231,3 +231,93 @@ def test_phash_neardup_finds_planted_twin(spark, tmp_path):
         (r["doc_a"], r["doc_b"]) for r in QUERIES["mm_phash_neardup"](spark, sf).collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def _warc_record(rectype: str, uri: str | None, payload: bytes) -> bytes:
+    hdr = [b"WARC/1.0", b"WARC-Type: " + rectype.encode(),
+           b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000000>"]
+    if uri:
+        hdr.append(b"WARC-Target-URI: " + uri.encode())
+    hdr.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(hdr) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+_HTTP_HTML = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    b"<html><head><script>var x = 1 < 2;</script><style>p {color:red}"
+    b"</style></head><body><h1>Hello &amp; welcome</h1>"
+    b"<p>crawl   text</p><!-- secret --></body></html>"
+)
+
+
+def _warc_fixture_bytes() -> bytes:
+    return b"".join([
+        _warc_record("warcinfo", None, b"software: test\r\n"),
+        _warc_record("request", "http://a.example/page", b"GET / HTTP/1.1\r\n"),
+        _warc_record("response", "http://a.example/page", _HTTP_HTML),
+        _warc_record("conversion", "http://b.example/wet", b"plain wet text here\n"),
+    ])
+
+
+def test_warc_documents_response_and_conversion(spark, tmp_path):
+    """WARC ingest: response HTML is extracted to visible text,
+    conversion records pass through, non-text records are skipped,
+    the target URI lands in `source`, and the relation feeds the
+    text operators unchanged."""
+    from oxford_data_pipeline_spark.operators.textops import normalized, tokens
+    from oxford_data_pipeline_spark.sources.warc import read_warc_documents
+    from pyspark.sql import functions as F
+
+    (tmp_path / "crawl.warc").write_bytes(_warc_fixture_bytes())
+    docs, bad = read_warc_documents(spark, str(tmp_path / "crawl.warc"))
+    assert bad.count() == 0
+    rows = {r["source"]: r for r in docs.collect()}
+    assert set(rows) == {"http://a.example/page", "http://b.example/wet"}
+    assert rows["http://a.example/page"]["text"] == "Hello & welcome crawl text"
+    assert rows["http://b.example/wet"]["text"] == "plain wet text here"
+    assert all(r["doc_id"] is not None and r["n_chars"] == len(r["text"])
+               for r in rows.values())
+    toks = docs.select(F.explode(tokens(normalized("text"))).alias("t")).count()
+    assert toks == 8
+
+
+def test_warc_gzip_members_bit_identical(spark, tmp_path):
+    """.warc.gz (one gzip member per record, the Common Crawl layout)
+    parses bit-identically to the plain file."""
+    import gzip
+
+    from oxford_data_pipeline_spark.sources.warc import read_warc_documents
+
+    (tmp_path / "plain").mkdir()
+    (tmp_path / "gz").mkdir()
+    (tmp_path / "plain" / "crawl.warc").write_bytes(_warc_fixture_bytes())
+    members = b"".join(
+        gzip.compress(_warc_record(*args)) for args in [
+            ("warcinfo", None, b"software: test\r\n"),
+            ("response", "http://a.example/page", _HTTP_HTML),
+            ("conversion", "http://b.example/wet", b"plain wet text here\n"),
+        ]
+    )
+    (tmp_path / "gz" / "crawl.warc.gz").write_bytes(members)
+    d1, _ = read_warc_documents(spark, str(tmp_path / "plain"))
+    d2, _ = read_warc_documents(spark, str(tmp_path / "gz"))
+    r1 = sorted((r["doc_id"], r["text"], r["source"]) for r in d1.collect())
+    r2 = sorted((r["doc_id"], r["text"], r["source"]) for r in d2.collect())
+    assert r1 == r2 and len(r1) == 2
+
+
+def test_warc_malformed_quarantines_not_fails(spark, tmp_path):
+    """A truncated record quarantines with (file, offset, reason);
+    records before the damage still ingest."""
+    from oxford_data_pipeline_spark.sources.warc import read_warc_documents
+
+    good = _warc_record("conversion", "http://ok.example", b"survivor text")
+    broken = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+              b"Content-Length: 9999\r\n\r\nshort")
+    (tmp_path / "bad.warc").write_bytes(good + broken)
+    docs, bad = read_warc_documents(spark, str(tmp_path / "bad.warc"))
+    assert [r["text"] for r in docs.collect()] == ["survivor text"]
+    quarantine = bad.collect()
+    assert len(quarantine) == 1
+    assert quarantine[0]["reason"] == "truncated record payload"
+    assert quarantine[0]["offset"] == len(good)

@@ -489,3 +489,35 @@ def test_keep_longest_picks_longest_cluster_member(spark):
         keeper = min(members, key=lambda d: (-docs[d], d))
         assert keeper in survivors
         assert all(m not in survivors for m in members if m != keeper)
+
+
+# --------------------------------------------------------------------------
+# k-NN label classification (serving-tier)
+# --------------------------------------------------------------------------
+def test_knn_classify_is_neighbor_mode(spark):
+    """Every query gets exactly one prediction, votes are bounded by k,
+    the correctness flag is consistent, and the predicted label IS the
+    mode (lexical tiebreak) of the serving-tier neighbors' labels,
+    recomputed independently here.  (The fixture labels are not
+    geometrically clustered — even brute-force 5-NN accuracy sits at
+    chance — so the contract is the vote semantics, not accuracy.)"""
+    from collections import Counter
+
+    rows = QUERIES["emb_knn_classify"](spark, SF_DIR).collect()
+    assert len(rows) == len({r["query_id"] for r in rows})  # one pick per query
+    for r in rows:
+        assert 1 <= r["votes"] <= 5
+        assert r["correct"] == int(r["pred_label"] == r["true_label"])
+    neigh = QUERIES["sim_ivfpq_rerank"](spark, SF_DIR).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    by_q = {}
+    for r in neigh:
+        by_q.setdefault(r["query_id"], []).append(labels[r["cand_id"]])
+    for r in rows:
+        counts = Counter(by_q[r["query_id"]])
+        best = min(counts, key=lambda lb: (-counts[lb], lb))
+        assert r["pred_label"] == best and r["votes"] == counts[best]
+        assert r["true_label"] == labels[r["query_id"]]
