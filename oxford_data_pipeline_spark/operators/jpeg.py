@@ -1,13 +1,17 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T T.81, sequential DCT).
+"""Pure-stdlib JPEG codec (ITU-T T.81): sequential + progressive DCT.
 
 Closes the codec-tier gap the round-6 verdict named: a real 100 TB
 multimodal corpus is dominantly JPEG, and until now those payloads hit
 the quarantine path.  Coverage (documented in COVERAGE.md's codec
-contract): baseline sequential (SOF0), 8-bit samples, grayscale and
-3-component YCbCr with 4:4:4 or 4:2:0 sampling, standard JFIF color
-transform, restart intervals (DRI/RSTn).  Progressive (SOF2),
-arithmetic coding, 12-bit, and hierarchical modes raise — they fall to
-the quarantine path like every unsupported feature.
+contract): baseline sequential (SOF0/1) and progressive (SOF2, Annex
+G: spectral selection + successive approximation with general EOB
+runs), 8-bit samples, grayscale and 3-component YCbCr with 4:4:4 or
+4:2:0 sampling, standard JFIF color transform, restart intervals
+(DRI/RSTn).  Arithmetic coding, 12-bit, and hierarchical modes raise —
+they fall to the quarantine path like every unsupported feature.  The
+encoder can emit both scan styles (the progressive script is how the
+decoder's Annex-G paths are round-trip-tested against the sequential
+decode of the same coefficients).
 
 All constants are the public spec's: Annex K.1 quantization tables,
 Annex K.3 typical Huffman tables, the zigzag order, the IJG quality
@@ -313,11 +317,21 @@ def jpeg_encode(
     quality: int = 90,
     subsample: bool = True,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JPEG encoding of a [h, w] grayscale or [h, w, 3] RGB
-    uint8 array (JFIF; 4:2:0 when `subsample` and the image is color).
+    """JPEG encoding of a [h, w] grayscale or [h, w, 3] RGB uint8
+    array (JFIF; 4:2:0 when `subsample` and the image is color).
     `restart_interval` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (T.81 B.2.4.4 / E.2.4)."""
+    that many MCUs (T.81 B.2.4.4 / E.2.4).  `progressive` emits a
+    SOF2 spectral-selection + successive-approximation scan script
+    (T.81 Annex G): interleaved DC first/refine, per-component AC
+    bands at Al=1 then their refinements — same reconstruction, bytes
+    arrive coarse-to-fine.  The script uses the Annex K tables, so EOB
+    runs are emitted per-block (EOBn>0 symbols aren't in K.3); the
+    decoder handles general EOB runs."""
+    if progressive and restart_interval:
+        raise ValueError("restart_interval unsupported with progressive "
+                         "encode (decode supports both)")
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -360,9 +374,10 @@ def jpeg_encode(
     for tid, qt in enumerate(qts[: 2 if not gray else 1]):
         zz = qt.astype(np.uint8)[ZIGZAG]
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
-    # SOF0
+    # SOF0 (sequential) / SOF2 (progressive)
     ncomp = len(planes)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid in range(ncomp):
         sh, sv = samp[cid]
         out += bytes([cid + 1, (sh << 4) | sv, 0 if cid == 0 else 1])
@@ -375,6 +390,10 @@ def jpeg_encode(
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
+    if progressive:
+        out += _encode_progressive_scans(coefs, planes, samp, gray, h, w)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid in range(ncomp):
@@ -456,9 +475,10 @@ def jpeg_encode(
 # Decoder
 # --------------------------------------------------------------------------
 def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a baseline JPEG to a uint8 array ([h, w] gray or
-    [h, w, 3] RGB) + metadata.  Unsupported modes raise
-    NotImplementedError; malformed payloads raise ValueError."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
+    JPEG to a uint8 array ([h, w] gray or [h, w, 3] RGB) + metadata.
+    Unsupported modes raise NotImplementedError; malformed payloads
+    raise ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -467,12 +487,17 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
     restart = 0
     frame = None
     comps: list[dict] = []
-    while pos + 4 <= len(data):
+    progressive = False
+    geom = None   # (hmax, vmax, mcus_x, mcus_y) once the frame is prepared
+    scans = 0
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and scans:
+                return _reconstruct(frame, comps, qts, geom[0], geom[1])
             raise ValueError("no scan data before EOI")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -503,7 +528,7 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2 (progressive)
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -514,7 +539,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     {"id": cid, "sh": hv >> 4, "sv": hv & 0x0F, "tq": tq}
                 )
             frame = (h, w, nc)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xDA:  # SOS
@@ -525,14 +551,30 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 smap[cs] = (tdta >> 4, tdta & 0x0F)
-            return _decode_scan(
-                data, pos + seglen, frame, comps, smap, qts, huff, restart
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seglen, frame, comps, smap, qts, huff, restart
+                )
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated progressive SOS header")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if geom is None:
+                geom = _prepare_components(frame, comps, qts)
+            pos = _decode_progressive_scan(
+                data, pos + seglen, frame, comps, smap, huff, restart,
+                ss, se, ahal >> 4, ahal & 0x0F, *geom,
             )
+            scans += 1
+            continue
         pos += seglen
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
+def _prepare_components(frame, comps, qts):
+    """Shared frame setup (both DCT modes): sampling checks, MCU
+    geometry, zeroed coefficient planes.  Returns
+    (hmax, vmax, mcus_x, mcus_y)."""
     h, w, nc = frame
     if h == 0 or w == 0:
         raise ValueError("zero image dimension")
@@ -551,9 +593,18 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
     for c in comps:
         c["bw"] = mcus_x * c["sh"]
         c["bh"] = mcus_y * c["sv"]
-        c["coefs"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+        # int64: progressive refinement does bitwise successive-
+        # approximation updates; floats only appear at dequantization
+        c["coefs"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
         if c["tq"] not in qts:
             raise ValueError("missing quant table")
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
+    h, w, nc = frame
+    hmax, vmax, mcus_x, mcus_y = _prepare_components(frame, comps, qts)
+    for c in comps:
         if c["id"] not in smap:
             raise ValueError("component missing from scan")
         td, ta = smap[c["id"]]
@@ -598,10 +649,18 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
                             k += 1
             mcu_count += 1
 
+    return _reconstruct(frame, comps, qts, hmax, vmax)
+
+
+def _reconstruct(frame, comps, qts, hmax, vmax):
+    """Dequantize + IDCT + upsample + color transform — shared by the
+    sequential path and the progressive path (which accumulates
+    coefficients over several scans first)."""
+    h, w, nc = frame
     planes = []
     for c in comps:
         qt = qts[c["tq"]]
-        deq = np.zeros_like(c["coefs"])
+        deq = np.zeros(c["coefs"].shape, dtype=np.float64)
         # coefs are zigzag-ordered; qt is natural-order, so index it by
         # ZIGZAG to pair coefficient k with its own quant value (T.81 F.2.1.5)
         deq[:, ZIGZAG] = c["coefs"] * qt[ZIGZAG]
@@ -629,3 +688,367 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8), meta
+
+
+# --------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G, Huffman successive approximation)
+# --------------------------------------------------------------------------
+def _scan_grid(c, frame, hmax, vmax):
+    """Block grid of a NON-interleaved scan: ceil of the component's
+    own sample dimensions over 8 (T.81 A.2.2) — can be narrower than
+    the MCU-padded grid the coefficient plane is allocated on."""
+    h, w, _ = frame
+    cw = -(-(w * c["sh"]) // hmax)
+    ch = -(-(h * c["sv"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _skip_to_marker(data, pos):
+    """Advance past entropy-coded bytes (incl. stuffed FF00 pairs) to
+    the next true marker; returns its 0xFF offset."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("unterminated scan")
+
+
+def _dc_unit(reader, blk, dc_table, cid, preds, ah, al):
+    """One block's DC contribution: first pass decodes the Huffman
+    diff and places pred << Al; refinement appends bit Al."""
+    if ah == 0:
+        s = reader.read_symbol(dc_table)
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        preds[cid] += diff
+        blk[0] = preds[cid] << al
+    elif reader.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first_unit(reader, blk, ac, ss, se, al, eobrun):
+    """AC first-pass band decode (G.1.2.2): run/size codes place
+    value << Al at zigzag k; (r<15, s=0) codes start an EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_unit(reader, blk, ac, ss, se, al, eobrun):
+    """AC refinement band decode (G.1.2.3): newly-nonzero coefficients
+    arrive as ±1 << Al; every already-nonzero coefficient passed over
+    (including under an EOB run or ZRL) consumes one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun:
+        while k <= se:
+            if blk[k] != 0 and reader.read_bit() and (int(blk[k]) & p1) == 0:
+                blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data, pos, frame, comps, smap, huff, restart,
+    ss, se, ah, al, hmax, vmax, mcus_x, mcus_y,
+):
+    """One SOS of a progressive frame: DC scans run interleaved in MCU
+    order (or over the component grid when single-component), AC scans
+    are single-component over the component's own block grid.  Restart
+    intervals byte-align, reset DC predictors and kill the EOB run.
+    Returns the offset of the marker ending the scan."""
+    scomps = [c for c in comps if c["id"] in smap]
+    if len(scomps) != len(smap):
+        raise ValueError("unknown scan component")
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("DC scan with Se != 0")
+    if not dc_scan and len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ah and al != ah - 1:
+        raise ValueError("successive approximation must step by one bit")
+    for c in scomps:
+        td, ta = smap[c["id"]]
+        if dc_scan and ah == 0:
+            if (0, td) not in huff:
+                raise ValueError("missing Huffman table")
+            c["dc"] = huff[(0, td)]
+        if not dc_scan:
+            if (1, ta) not in huff:
+                raise ValueError("missing Huffman table")
+            c["ac"] = huff[(1, ta)]
+
+    reader = _BitReader(data, pos)
+    rst_n = 0
+    count = 0
+    preds = {c["id"]: 0 for c in scomps}
+    if dc_scan and len(scomps) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and count and count % restart == 0:
+                    reader.align_and_expect_rst(rst_n)
+                    rst_n = (rst_n + 1) % 8
+                    preds = {c["id"]: 0 for c in scomps}
+                for c in scomps:
+                    for by in range(c["sv"]):
+                        for bx in range(c["sh"]):
+                            blk = c["coefs"][
+                                (my * c["sv"] + by) * c["bw"]
+                                + mx * c["sh"] + bx
+                            ]
+                            _dc_unit(
+                                reader, blk, c.get("dc"), c["id"], preds,
+                                ah, al,
+                            )
+                count += 1
+    else:
+        c = scomps[0]
+        bw_s, bh_s = _scan_grid(c, frame, hmax, vmax)
+        eobrun = 0
+        for by in range(bh_s):
+            for bx in range(bw_s):
+                if restart and count and count % restart == 0:
+                    reader.align_and_expect_rst(rst_n)
+                    rst_n = (rst_n + 1) % 8
+                    preds = {c["id"]: 0}
+                    eobrun = 0
+                blk = c["coefs"][by * c["bw"] + bx]
+                if dc_scan:
+                    _dc_unit(reader, blk, c.get("dc"), c["id"], preds, ah, al)
+                elif ah == 0:
+                    eobrun = _ac_first_unit(reader, blk, c["ac"], ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_unit(reader, blk, c["ac"], ss, se, al, eobrun)
+                count += 1
+    return _skip_to_marker(data, reader.pos)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoding (scan-script emitter; T.81 Annex G)
+# --------------------------------------------------------------------------
+def _emit_sos(scomps, ss, se, ah, al) -> bytes:
+    """SOS header for one progressive scan; scomps = [(cid, td, ta)]."""
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+    for cid, td, ta in scomps:
+        out += bytes([cid, (td << 4) | ta])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def _ac_first_block(writer, blk, ss, se, al, ac_codes) -> None:
+    """AC first pass over one block's [Ss..Se] band at point transform
+    Al (abs-shift, T.81 G.1.2.2); trailing zeros close with EOB."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        vals.append(t if v >= 0 else -t)
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+    run = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < se - ss:
+        code, length = ac_codes[0x00]  # EOB (run of 1)
+        writer.write(code, length)
+
+
+def _ac_refine_block(writer, blk, ss, se, al, ac_codes) -> None:
+    """AC refinement over one block's band (T.81 G.1.2.3, the libjpeg
+    jcphuff shape): newly-nonzero coefficients emit (run<<4)|1 + sign,
+    already-nonzero ones buffer a correction bit that rides with the
+    next emitted symbol; a per-block EOB flushes the remainder."""
+    ab = []
+    coef = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        ab.append(abs(v) >> al)
+        coef.append(v)
+    eob = 0  # 1-past the last newly-nonzero coefficient
+    for i, t in enumerate(ab):
+        if t == 1:
+            eob = i + 1
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(ab):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i < eob:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)  # correction bit for known-nonzero coef
+            continue
+        code, length = ac_codes[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if coef[i] >= 0 else 0, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        code, length = ac_codes[0x00]  # EOB (run of 1)
+        writer.write(code, length)
+        for bit in br:
+            writer.write(bit, 1)
+
+
+def _encode_progressive_scans(coefs, planes, samp, gray, h, w) -> bytes:
+    """The scan script: interleaved DC first (Al=1) → per-component AC
+    first bands (luma split 1-5/6-63 to exercise Ss>1) → interleaved
+    DC refine → per-component AC refines.  AC scans walk the
+    component's OWN block grid (can be narrower than the MCU-padded
+    plane for 4:2:0 luma), with the padded plane's row stride."""
+    ncomp = len(coefs)
+    dc_l = _canonical_codes(*_DC_LUM)
+    ac_l = _canonical_codes(*_AC_LUM)
+    dc_c = _canonical_codes(*_DC_CHROM)
+    ac_c = _canonical_codes(*_AC_CHROM)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def mcu_dc_blocks():
+        """Per-MCU (ci, block) sequence in interleaved order."""
+        if gray:
+            for blk in coefs[0]:
+                yield [(0, blk)]
+            return
+        ywb = planes[0].shape[1] // 8
+        cwb = planes[1].shape[1] // 8
+        if samp[0] == (2, 2):
+            for my in range(planes[1].shape[0] // 8):
+                for mx in range(cwb):
+                    units = [
+                        (0, coefs[0][(2 * my + dy) * ywb + 2 * mx + dx])
+                        for dy in (0, 1) for dx in (0, 1)
+                    ]
+                    units.append((1, coefs[1][my * cwb + mx]))
+                    units.append((2, coefs[2][my * cwb + mx]))
+                    yield units
+        else:
+            for i in range(len(coefs[0])):
+                yield [(0, coefs[0][i]), (1, coefs[1][i]), (2, coefs[2][i])]
+
+    def comp_blocks(ci):
+        """The component's spec-grid blocks (row stride = padded grid)."""
+        sh, sv = samp[ci]
+        stride = planes[ci].shape[1] // 8
+        bw_s = (-(-(w * sh) // hmax) + 7) // 8
+        bh_s = (-(-(h * sv) // vmax) + 7) // 8
+        for by in range(bh_s):
+            for bx in range(bw_s):
+                yield coefs[ci][by * stride + bx]
+
+    out = bytearray()
+    scan_comps = [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+                  for ci in range(ncomp)]
+    # 1: DC first, all components interleaved, Al=1
+    out += _emit_sos([(cid, td, 0) for cid, td, _ in scan_comps], 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for units in mcu_dc_blocks():
+        for ci, blk in units:
+            v = int(blk[0]) >> 1  # arithmetic shift (DC point transform)
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _category(diff)
+            code, length = (dc_l if ci == 0 else dc_c)[s]
+            writer.write(code, length)
+            if s:
+                writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    writer.flush()
+    out += writer.out
+    # 2: AC first bands per component, Al=1 (luma split to exercise Ss>1)
+    bands = {0: [(1, 5), (6, 63)]}
+    for ci in range(ncomp):
+        cid, _, ta = scan_comps[ci]
+        ac_codes = ac_l if ci == 0 else ac_c
+        for ss, se in bands.get(ci, [(1, 63)]):
+            out += _emit_sos([(cid, 0, ta)], ss, se, 0, 1)
+            writer = _BitWriter()
+            for blk in comp_blocks(ci):
+                _ac_first_block(writer, blk, ss, se, 1, ac_codes)
+            writer.flush()
+            out += writer.out
+    # 3: DC refine (raw bit Al=0 per block, interleaved)
+    out += _emit_sos([(cid, td, 0) for cid, td, _ in scan_comps], 0, 0, 1, 0)
+    writer = _BitWriter()
+    for units in mcu_dc_blocks():
+        for _ci, blk in units:
+            writer.write(int(blk[0]) & 1, 1)
+    writer.flush()
+    out += writer.out
+    # 4: AC refine bands per component, Ah=1 -> Al=0
+    for ci in range(ncomp):
+        cid, _, ta = scan_comps[ci]
+        ac_codes = ac_l if ci == 0 else ac_c
+        for ss, se in bands.get(ci, [(1, 63)]):
+            out += _emit_sos([(cid, 0, ta)], ss, se, 1, 0)
+            writer = _BitWriter()
+            for blk in comp_blocks(ci):
+                _ac_refine_block(writer, blk, ss, se, 0, ac_codes)
+            writer.flush()
+            out += writer.out
+    return bytes(out)

@@ -1728,3 +1728,84 @@ def cur_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_shift").desc(), "term")
         .limit(_DRIFT_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# Topic-balanced corpus sampling through the trained quantizer
+# --------------------------------------------------------------------------
+# Cluster-balanced data selection (the DoReMi / cluster-dedup family's
+# rebalancing step): assign every embedding to its learned k-means
+# topic cell — the SAME trained coarse quantizer the IVF ANN tier
+# maintains, reused as a topic model — then draw an equal per-topic
+# quota in seeded md5 order so over-represented topics are capped and
+# the curated mix is uniform across learned topics.
+#
+# Scale shape: the only full-corpus step is the one-pass cell
+# assignment, which the ANN index already maintains (memoized here,
+# incrementally appendable via sim_ivf_incremental's path) — the
+# balance pass itself is a per-cell count + a per-cell md5-rank
+# selection.  The rank window partitions on cell; because the
+# selection key is a uniform hash, at 100 TB the same selection is a
+# constant-time md5-threshold filter (keep if md5 < quota/n_cells
+# quantile) with the window only re-ranking the bounded survivor set —
+# the relation below IS that contract at test scale.
+def _topic_balance_oracle() -> str:
+    from oxford_data_pipeline_spark.plans.similarity import _IVF_CHAIN
+
+    return f"""
+WITH {_IVF_CHAIN},
+bal_assign AS (
+    SELECT a.vec_id,
+           CASE WHEN n.nrm > 0 THEN CAST(a.cell AS INTEGER)
+                ELSE -1 END AS cell
+    FROM assignment a JOIN norms n ON n.vec_id = a.vec_id
+),
+sizes AS (SELECT cell, count(*) AS n_vecs FROM bal_assign GROUP BY 1),
+tot AS (
+    SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / count(DISTINCT cell)) AS BIGINT)
+               AS quota
+    FROM bal_assign
+),
+bal_ranked AS (
+    SELECT vec_id, cell,
+           CAST(row_number() OVER (
+               PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS rk
+    FROM bal_assign
+)
+SELECT r.vec_id, r.cell, r.rk, s.n_vecs, t.quota
+FROM bal_ranked r
+JOIN sizes s ON s.cell = r.cell
+CROSS JOIN tot t
+WHERE r.rk <= t.quota
+"""
+
+
+@register("cur_topic_balance", _topic_balance_oracle())
+def cur_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced sampling (see section comment): equal per-cell
+    quotas over the trained IVF quantizer's cell assignment, drawn in
+    md5(vec_id) order.  Output carries the per-cell size and the
+    global quota so the kept/eligible accounting is part of the
+    hash-checked relation.  Zero-norm vectors sit in the -1
+    quarantine cell and compete for its quota like any topic."""
+    from oxford_data_pipeline_spark.plans.similarity import _ivf_candidates
+
+    _long, _norms, _cent, assignment, _cand = _ivf_candidates(spark, sf_dir)
+    assignment = assignment.select("vec_id", F.col("cell").cast("int").alias("cell"))
+    sizes = assignment.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = assignment.agg(
+        F.ceil(
+            F.count(F.lit(1)).cast("double") / F.countDistinct("cell")
+        ).alias("quota")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assignment.withColumn("rk", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(sizes), "cell")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("vec_id", "cell", "rk", "n_vecs", "quota")
+    )

@@ -1043,3 +1043,225 @@ def ret_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"concat_ws(' ', slice(t, strt, {_SNIP_W}))").alias("snippet"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking over the ANN serving tier
+# --------------------------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) — the
+# standard diversity-aware re-rank for retrieval-augmented data
+# selection: from the serving tier's top-k, greedily pick documents
+# that are relevant to the query but NOT near-duplicates of what was
+# already picked (mmr = λ·rel − (1−λ)·max sim-to-selected).  Training
+# pipelines use exactly this to avoid stuffing a retrieval-curated
+# batch with k copies of the same boilerplate page.
+#
+# Scale shape: the candidate set is `sim_ivfpq_rerank`'s IVFADC+R
+# output — ≤(queries×k) rows, never queries×corpus.  The
+# candidate-candidate similarity relation is ≤k² rows per query
+# (ARRAY-form exact cosine, one join, no dim explosion), and each of
+# the M−1 greedy rounds is a join + per-query window over ≤(queries×k)
+# rows.  Everything after the (memoized) index probes is tiny.
+#
+# Cross-engine float discipline: pair sims and every mmr score are
+# round6-nudged before any ranking decision; ranking windows order by
+# the rounded score with a cand_id tie-break.
+_MMR_LAMBDA = "0.7e0"   # relevance weight (shared literal text)
+_MMR_DIVW = "0.3e0"     # 1 − λ
+_MMR_PICKS = 3
+
+
+def _mmr_oracle() -> str:
+    from oxford_data_pipeline_spark.plans.dedup import _EMB_LONG_SQL
+    from oxford_data_pipeline_spark.plans.similarity import (
+        _IVFPQ_RERANK_ORACLE,
+    )
+
+    parts = [
+        f"""WITH ann AS MATERIALIZED ({_IVFPQ_RERANK_ORACLE}),
+elong AS MATERIALIZED (
+    SELECT l.* FROM ({_EMB_LONG_SQL}) l
+    JOIN (SELECT DISTINCT cand_id FROM ann) c ON l.vec_id = c.cand_id
+),
+enorms AS MATERIALIZED (
+    SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM elong GROUP BY 1
+),
+psim AS MATERIALIZED (
+    SELECT a.query_id, a.cand_id AS c1, b.cand_id AS c2,
+           round(sum(l1.val * l2.val) / (n1.nrm * n2.nrm) * 1000000 + 0.01, 0)
+               / 1000000 + 0 AS sim
+    FROM ann a
+    JOIN ann b ON b.query_id = a.query_id AND b.cand_id <> a.cand_id
+    JOIN elong l1 ON l1.vec_id = a.cand_id
+    JOIN elong l2 ON l2.vec_id = b.cand_id AND l2.dim = l1.dim
+    JOIN enorms n1 ON n1.vec_id = a.cand_id
+    JOIN enorms n2 ON n2.vec_id = b.cand_id
+    GROUP BY a.query_id, a.cand_id, b.cand_id, n1.nrm, n2.nrm
+),
+sel1 AS (
+    SELECT query_id, cand_id, cosine,
+           round({_MMR_LAMBDA} * cosine * 1000000 + 0.01, 0) / 1000000 + 0
+               AS mmr_score,
+           1 AS pick
+    FROM ann WHERE rnk = 1
+)"""
+    ]
+    for r in range(2, _MMR_PICKS + 1):
+        union = " UNION ALL ".join(
+            f"SELECT query_id, cand_id FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""selset{r} AS ({union}),
+rem{r} AS (
+    SELECT a.query_id, a.cand_id, a.cosine FROM ann a
+    WHERE NOT EXISTS (SELECT 1 FROM selset{r} s
+                      WHERE s.query_id = a.query_id
+                        AND s.cand_id = a.cand_id)
+),
+mmr{r} AS (
+    SELECT m.query_id, m.cand_id, m.cosine,
+           round(({_MMR_LAMBDA} * m.cosine - {_MMR_DIVW} * max(p.sim))
+                 * 1000000 + 0.01, 0) / 1000000 + 0 AS mmr_score
+    FROM rem{r} m
+    JOIN psim p ON p.query_id = m.query_id AND p.c1 = m.cand_id
+    JOIN selset{r} s ON s.query_id = p.query_id AND s.cand_id = p.c2
+    GROUP BY m.query_id, m.cand_id, m.cosine
+),
+sel{r} AS (
+    SELECT query_id, cand_id, cosine, mmr_score, {r} AS pick FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY mmr_score DESC, cand_id) AS rr
+        FROM mmr{r}
+    ) WHERE rr = 1
+)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, _MMR_PICKS + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, cand_id, cosine, mmr_score, CAST(pick AS INTEGER) AS pick
+FROM ({final})"""
+    )
+
+
+@register("ret_mmr", _mmr_oracle())
+def ret_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (see section comment): greedy
+    λ·relevance − (1−λ)·max-sim-to-selected selection of 3
+    documents per query from the IVFADC+R serving tier's top-k.  First pick is the top-relevance candidate; each
+    later round anti-joins the selected set, takes the max pair-sim
+    against it, and picks the per-query argmax of the rounded mmr
+    score.  All relations after the memoized index probes are
+    ≤(queries×k) or ≤(queries×k²) rows."""
+    from oxford_data_pipeline_spark.plans.projection import (
+        embeddings_vec,
+        pair_dot,
+    )
+    from oxford_data_pipeline_spark.plans.similarity import sim_ivfpq_rerank
+
+    lam, divw = float(_MMR_LAMBDA[:-2]), float(_MMR_DIVW[:-2])
+    # the candidate relation is ≤(queries×k) rows but its lineage is the
+    # whole IVFADC+R serving subtree; the greedy unroll references it
+    # ~2+M times, so materialize it ONCE (same discipline as the
+    # iterative dedup/pagerank programs)
+    ann = (
+        sim_ivfpq_rerank(spark, sf_dir)
+        .select("query_id", "cand_id", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    vecs = embeddings_vec(spark, sf_dir)
+    v1 = vecs.select(
+        F.col("vec_id").alias("c1"), F.col("vec").alias("w1"),
+        F.col("nrm").alias("n1"),
+    )
+    v2 = vecs.select(
+        F.col("vec_id").alias("c2"), F.col("vec").alias("w2"),
+        F.col("nrm").alias("n2"),
+    )
+    a, b = ann.alias("a"), ann.alias("b")
+    psim = (
+        a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
+               & (F.col("a.cand_id") != F.col("b.cand_id")))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand_id").alias("c1"),
+            F.col("b.cand_id").alias("c2"),
+        )
+        .join(v1, "c1")
+        .join(v2, "c2")
+        .select(
+            "query_id", "c1", "c2",
+            round6(pair_dot("w1", "w2") / (F.col("n1") * F.col("n2"))).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # ≤(queries×k²) rows, probed per round
+    )
+    wq = Window.partitionBy("query_id")
+    top1 = (
+        ann.withColumn(
+            "rr",
+            F.row_number().over(wq.orderBy(F.col("cosine").desc(), "cand_id")),
+        )
+        .filter(F.col("rr") == 1)
+        .select(
+            "query_id", "cand_id", "cosine",
+            round6(F.lit(lam) * F.col("cosine")).alias("mmr_score"),
+            F.lit(1).alias("pick"),
+        )
+    )
+    sels = [top1]
+    for r in range(2, _MMR_PICKS + 1):
+        selset = sels[0].select("query_id", "cand_id")
+        for s in sels[1:]:
+            selset = selset.unionByName(s.select("query_id", "cand_id"))
+        rem = ann.join(selset, ["query_id", "cand_id"], "left_anti")
+        # rename the derived-from-ann relations before re-joining them so
+        # the lineage-shared columns can't be ambiguous
+        psim_r = psim.select(
+            F.col("query_id").alias("pq"), F.col("c1").alias("p1"),
+            F.col("c2").alias("p2"), "sim",
+        )
+        selset_r = selset.select(
+            F.col("query_id").alias("sq"), F.col("cand_id").alias("sc")
+        )
+        mmr = (
+            rem.join(
+                psim_r,
+                (F.col("query_id") == F.col("pq"))
+                & (F.col("cand_id") == F.col("p1")),
+            )
+            .join(
+                selset_r,
+                (F.col("pq") == F.col("sq")) & (F.col("p2") == F.col("sc")),
+            )
+            .groupBy("query_id", "cand_id", "cosine")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                "query_id", "cand_id", "cosine",
+                round6(
+                    F.lit(lam) * F.col("cosine") - F.lit(divw) * F.col("maxsim")
+                ).alias("mmr_score"),
+            )
+        )
+        pick = (
+            mmr.withColumn(
+                "rr",
+                F.row_number().over(
+                    wq.orderBy(F.col("mmr_score").desc(), "cand_id")
+                ),
+            )
+            .filter(F.col("rr") == 1)
+            .select(
+                "query_id", "cand_id", "cosine", "mmr_score",
+                F.lit(r).alias("pick"),
+            )
+        )
+        sels.append(pick)
+    out = sels[0]
+    for s in sels[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "query_id", "cand_id", "cosine", "mmr_score",
+        F.col("pick").cast("int").alias("pick"),
+    )

@@ -344,11 +344,17 @@ def test_jpeg_rejects_malformed_and_unsupported():
         jpeg_decode(good[:24])  # truncated in segments
     with pytest.raises(ValueError):
         jpeg_decode(good[:-6])  # truncated entropy-coded data
-    # progressive (SOF2) must fall to the quarantine path
-    prog = bytearray(good)
-    sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2
+    # arithmetic coding (SOF9) must fall to the quarantine path
+    arith = bytearray(good)
+    sof = arith.find(b"\xff\xc0")
+    arith[sof + 1] = 0xC9
     with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(arith))
+    # a baseline stream RELABELED progressive has an invalid scan
+    # header for SOF2 (DC scan with Se=63) — typed rejection, no crash
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
         jpeg_decode(bytes(prog))
     # corrupt a Huffman-coded byte: ValueError, never a crash/hang
     bad = bytearray(good)
@@ -464,3 +470,132 @@ def test_jpeg_restart_marker_sequence_and_corruption():
             break
     with pytest.raises(ValueError):
         jpeg_decode(bytes(enc))
+
+
+@given(
+    quality=st.sampled_from([50, 75, 90, 100]),
+    seed=st.integers(0, 10_000),
+    color=st.booleans(),
+    sub=st.booleans(),
+    dims=st.tuples(st.integers(8, 40), st.integers(8, 40)),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_decodes_bit_identical_to_baseline(
+    quality, seed, color, sub, dims
+):
+    """The progressive scan script carries EXACTLY the same quantized
+    coefficients as the sequential scan, so decoding either stream
+    must give byte-identical pixels — a far stronger check than a
+    PSNR floor (any spectral-band / refinement / EOB bookkeeping slip
+    changes some pixel)."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base, _ = jpeg_decode(
+        jpeg_encode(img, quality=quality, subsample=sub, progressive=False)
+    )
+    prog, meta = jpeg_decode(
+        jpeg_encode(img, quality=quality, subsample=sub, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+    assert (meta["height"], meta["width"]) == (h, w)
+
+
+def test_jpeg_progressive_stream_is_sof2_multi_scan():
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_encode
+
+    data = jpeg_encode(
+        np.arange(24 * 24 * 3, dtype=np.uint8).reshape(24, 24, 3) % 251,
+        quality=80, progressive=True,
+    )
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # scan script: DC first + 4 luma/chroma AC firsts... count SOS markers
+    n_sos = data.count(b"\xff\xda")
+    assert n_sos == 10  # DC first, 2+1+1 AC firsts, DC refine, 2+1+1 AC refines
+
+
+def test_jpeg_progressive_general_eob_runs_decode():
+    """Hand-built SOF2 stream exercising EOBn>0 codes (our encoder
+    only emits per-block EOB): a 4-block gray image whose AC-first
+    scan covers all 4 blocks with ONE EOB4 code, and whose refinement
+    scan covers them with ONE EOB4 while streaming correction bits for
+    the previously-nonzero coefficients."""
+    import struct
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        jpeg_decode,
+    )
+
+    # custom AC table: symbols EOB(0x00), EOB2(0x10), EOB4(0x20), (0,1)=0x01
+    ac_bits = [0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x10, 0x20, 0x01]
+    dc_bits = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = [0x00]  # DC diff always zero
+    ac = _canonical_codes(ac_bits, ac_vals)
+    dc = _canonical_codes(dc_bits, dc_vals)
+
+    out = bytearray(b"\xff\xd8")
+    qt = bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + qt
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+    out += bytes([1, 0x11, 0])  # comp 1, 1x1, qt 0
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(dc_vals)) + bytes([0x00])
+    out += bytes(dc_bits) + bytes(dc_vals)
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(ac_vals)) + bytes([0x10])
+    out += bytes(ac_bits) + bytes(ac_vals)
+
+    def sos(ss, se, ah, al):
+        return (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + bytes([1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, Al=1 — four zero-category diffs
+    out += sos(0, 0, 0, 1)
+    wtr = _BitWriter()
+    for _ in range(4):
+        code, length = dc[0x00]
+        wtr.write(code, length)
+    wtr.flush()
+    out += wtr.out
+    # scan 2: AC first 1..63 at Al=1 — block0 places +1 at zigzag k=1
+    # (stored 1<<1 = 2), then ONE EOB4 closes block0 AND skips the
+    # remaining 3 blocks
+    out += sos(1, 63, 0, 1)
+    wtr = _BitWriter()
+    code, length = ac[0x01]
+    wtr.write(code, length)
+    wtr.write(1, 1)  # value +1 -> stored 1<<1 = 2 at k=1
+    code, length = ac[0x20]  # EOB4
+    wtr.write(code, length)
+    wtr.write(0b00, 2)  # run = 4 + 0
+    wtr.flush()
+    out += wtr.out
+    # scan 3: AC refine 1..63 Ah=1 Al=0 — one EOB4 covering all 4 blocks,
+    # with a correction bit (1) for block0's nonzero k=1: coef 2 -> 3
+    out += sos(1, 63, 1, 0)
+    wtr = _BitWriter()
+    code, length = ac[0x20]  # EOB4
+    wtr.write(code, length)
+    wtr.write(0b00, 2)
+    wtr.write(1, 1)  # correction bit for block0 k=1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+
+    px, meta = jpeg_decode(bytes(out))
+    assert (meta["height"], meta["width"]) == (16, 16)
+    # reconstruct expectation: block0 has DC=0, AC k=1 (zigzag -> natural 1)
+    # = 3 with qt=1; other blocks flat 128
+    from oxford_data_pipeline_spark.operators.jpeg import _A
+    blk = np.zeros((8, 8))
+    blk[0, 1] = 3.0
+    want0 = np.clip(np.round(_A.T @ blk @ _A + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(px[:8, :8], want0)
+    assert (px[:8, 8:] == 128).all() and (px[8:, :] == 128).all()

@@ -521,3 +521,38 @@ def test_knn_classify_is_neighbor_mode(spark):
         best = min(counts, key=lambda lb: (-counts[lb], lb))
         assert r["pred_label"] == best and r["votes"] == counts[best]
         assert r["true_label"] == labels[r["query_id"]]
+
+
+def test_topic_balance_quota_accounting(spark):
+    """Per-cell selection respects the global quota, kept counts equal
+    min(cell size, quota), and the selection key is the seeded md5
+    order — recomputed independently for one cell."""
+    import hashlib
+    from collections import Counter
+
+    from oxford_data_pipeline_spark.plans.curation import cur_topic_balance
+    from oxford_data_pipeline_spark.plans.similarity import _ivf_candidates
+    from tests.conftest import SF_DIR
+
+    rows = cur_topic_balance(spark, SF_DIR).collect()
+    _l, _n, _c, assignment, _cd = _ivf_candidates(spark, SF_DIR)
+    asg = {r.vec_id: r.cell for r in assignment.collect()}
+    sizes = Counter(asg.values())
+    n_total, n_cells = len(asg), len(sizes)
+    quota = int(__import__("math").ceil(n_total / n_cells))
+    kept = Counter(r.cell for r in rows)
+    for cell, n_vecs in sizes.items():
+        assert kept[cell] == min(n_vecs, quota)
+    for r in rows:
+        assert r.quota == quota and r.n_vecs == sizes[r.cell]
+        assert asg[r.vec_id] == r.cell and 1 <= r.rk <= quota
+    # md5-order check on the largest cell: the kept members are exactly
+    # the quota-smallest md5(vec_id) keys of that cell
+    big = max(sizes, key=lambda c: (sizes[c], c))
+    members = sorted(
+        (v for v, c in asg.items() if c == big),
+        key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+    )
+    want = set(members[: min(quota, len(members))])
+    got = {r.vec_id for r in rows if r.cell == big}
+    assert got == want

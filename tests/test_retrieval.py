@@ -472,3 +472,75 @@ def test_snippets_contain_query_terms_and_best_window(spark):
             for i in range(len(toks))
         )
         assert r["n_hits"] == best
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-rank: definitional and structural properties
+# --------------------------------------------------------------------------
+def test_mmr_picks_subset_and_first_pick_is_top_relevance(spark):
+    from oxford_data_pipeline_spark.plans.retrieval import ret_mmr
+    from oxford_data_pipeline_spark.plans.similarity import sim_ivfpq_rerank
+
+    mmr = ret_mmr(spark, SF_DIR).collect()
+    ann = sim_ivfpq_rerank(spark, SF_DIR).collect()
+    top = {}
+    cands = {}
+    for r in ann:
+        cands.setdefault(r.query_id, set()).add(r.cand_id)
+        if r.rnk == 1:
+            top[r.query_id] = r.cand_id
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r.query_id, []).append(r)
+        # every pick comes from the serving tier's candidate set
+        assert r.cand_id in cands[r.query_id]
+    for q, rows in by_q.items():
+        picks = sorted(rows, key=lambda r: r.pick)
+        # picks are distinct documents, numbered 1..n without gaps
+        assert [r.pick for r in picks] == list(range(1, len(picks) + 1))
+        assert len({r.cand_id for r in picks}) == len(picks)
+        # pick 1 is the pure-relevance argmax (rnk=1 in the serving tier)
+        assert picks[0].cand_id == top[q]
+        # each query yields min(3, |candidates|) picks
+        assert len(picks) == min(3, len(cands[q]))
+
+
+def test_mmr_score_definition_reproduced_independently(spark):
+    """Recompute round-2's mmr score from raw embeddings for one query
+    and check the engine picked the argmax."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.plans.retrieval import ret_mmr
+    from oxford_data_pipeline_spark.plans.similarity import sim_ivfpq_rerank
+
+    mmr = ret_mmr(spark, SF_DIR).collect()
+    ann = sim_ivfpq_rerank(spark, SF_DIR).collect()
+    q0 = min(r.query_id for r in mmr)
+    cand = {r.cand_id: r.cosine for r in ann if r.query_id == q0}
+    picks = sorted((r for r in mmr if r.query_id == q0), key=lambda r: r.pick)
+    if len(picks) < 2:
+        pytest.skip("query has a single candidate")
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(
+            os.path.join(SF_DIR, "embeddings.parquet")
+        ).collect()
+        if r.vec_id in cand
+    }
+
+    def cos(a, b):
+        d = float(np.dot(emb[a], emb[b]))
+        n = float(np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]))
+        return round(d / n * 1e6 + 0.01) / 1e6
+
+    sel = picks[0].cand_id
+    best = None
+    for c, rel in cand.items():
+        if c == sel:
+            continue
+        score = round((0.7 * rel - 0.3 * cos(c, sel)) * 1e6 + 0.01) / 1e6
+        key = (-score, c)
+        if best is None or key < best[0]:
+            best = (key, c, score)
+    assert picks[1].cand_id == best[1]
+    assert picks[1].mmr_score == pytest.approx(best[2], abs=2e-6)
