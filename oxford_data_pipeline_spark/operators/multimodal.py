@@ -278,7 +278,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     from oxford_data_pipeline_spark.operators.jpeg import jpeg_encode
 
     for pdf in batches:
-        ids, hs, n_px, ok = [], [], [], []
+        ids, hs, n_px, ok, prog_ok = [], [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             h = max(-(-len(b) // _IMG_W), 1)
@@ -289,10 +289,19 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             if meta["format"] != "jpeg" or meta["width"] != _IMG_W:
                 raise ValueError(f"jpeg codec mismatch for doc {doc_id}: {meta}")
             err = int(np.abs(dec.astype(np.int32) - img.astype(np.int32)).max())
+            # progressive leg: the SOF2 scan script carries the same
+            # quantized coefficients, so its decode must be
+            # BYTE-identical to the sequential decode
+            pdec, pmeta = decode(jpeg_encode(img, quality=100, progressive=True))
+            if pmeta["format"] != "jpeg" or pmeta["width"] != _IMG_W:
+                raise ValueError(
+                    f"progressive jpeg mismatch for doc {doc_id}: {pmeta}"
+                )
             ids.append(doc_id)
             hs.append(meta["height"])
             n_px.append(int(dec.size))
             ok.append(err <= 1)
+            prog_ok.append(bool(np.array_equal(pdec, dec)))
         yield pd.DataFrame(
             {
                 "doc_id": np.array(ids, dtype=np.int64),
@@ -300,6 +309,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "width": np.full(len(ids), _IMG_W, dtype=np.int32),
                 "n_px": np.array(n_px, dtype=np.int64),
                 "max_err_le_1": np.array(ok, dtype=bool),
+                "prog_eq_seq": np.array(prog_ok, dtype=bool),
             }
         )
 

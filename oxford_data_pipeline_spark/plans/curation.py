@@ -1809,3 +1809,80 @@ def cur_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("quota"))
         .select("vec_id", "cell", "rk", "n_vecs", "quota")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-guarded train/val/test split (cluster-aware)
+# --------------------------------------------------------------------------
+# The split hygiene step every serious pre-training pipeline needs:
+# a per-DOCUMENT random split leaks near-duplicates across train and
+# eval (the classic inflated-eval bug); the correct unit of assignment
+# is the near-dup CLUSTER.  Split key = md5 of the cluster id, so (a)
+# every member of a cluster lands in the same split by construction,
+# (b) the assignment is seeded/deterministic across engines and runs,
+# and (c) at 100 TB it is a scan-local hash on the maintained cluster
+# label — no shuffle beyond the label join the dedup tier already owns.
+# Thresholds: first byte of md5 in [0,204) → train, [204,230) → val,
+# else test (⌊0.8·256⌋ / ⌊0.9·256⌋ — the standard hash-bucket split).
+_CLUSTER_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_WALK_CTES},
+labels AS (SELECT doc_id, min(label) AS grp FROM walk GROUP BY doc_id),
+grps AS (
+    SELECT d.doc_id, coalesce(l.grp, d.doc_id) AS group_id
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+),
+sizes AS (SELECT group_id, count(*) AS n_members FROM grps GROUP BY 1),
+keyed AS (
+    SELECT doc_id, group_id,
+           (strpos('0123456789abcdef',
+                   substr(md5('split|' || CAST(group_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5('split|' || CAST(group_id AS VARCHAR)), 2, 1)) - 1) AS v
+    FROM grps
+)
+SELECT k.doc_id, k.group_id, s.n_members,
+       CASE WHEN k.v < 204 THEN 'train'
+            WHEN k.v < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed k JOIN sizes s ON s.group_id = k.group_id
+"""
+
+
+@register("cur_cluster_split", _CLUSTER_SPLIT_ORACLE)
+def cur_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split (see section comment): every document joins
+    its maintained near-dup cluster label (singletons are their own
+    cluster), and the whole cluster is hashed into train/val/test
+    together — the leakage guard a per-doc split lacks.  The label
+    relation is the SAME memoized `_cc_labels` table the dedup tier
+    maintains; the split itself is one broadcast-joinable aggregation
+    plus a scan-local hash."""
+    from oxford_data_pipeline_spark.plans.dedup import _cc_labels
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    labels = _cc_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    grps = docs.join(
+        labels.select("doc_id", F.col("label").alias("grp")), "doc_id", "left"
+    ).select("doc_id", F.coalesce("grp", "doc_id").alias("group_id"))
+    sizes = grps.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_members"))
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split|"), F.col("group_id").cast("string"))),
+            1, 2,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        grps.withColumn("v", v)
+        .join(sizes, "group_id")
+        .select(
+            "doc_id",
+            "group_id",
+            "n_members",
+            F.when(F.col("v") < 204, "train")
+            .when(F.col("v") < 230, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

@@ -271,20 +271,24 @@ SELECT doc_id,
        16 AS width,
        CAST(greatest(CAST(ceil(length(text) / 16.0) AS INTEGER), 1) * 16
             AS BIGINT) AS n_px,
-       TRUE AS max_err_le_1
+       TRUE AS max_err_le_1,
+       TRUE AS prog_eq_seq
 FROM ascii_docs
 """
 
 
 @register("mm_jpeg_decode", _JPEG_DECODE_ORACLE)
 def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline-JPEG round-trip decode: each document's bytes become
-    the canonical 16-wide grayscale image, JPEG-encoded at quality 100
-    and decoded back through the full marker/Huffman/IDCT path inside
-    mapInPandas.  Header geometry hash-checks against the oracle;
-    JPEG's lossiness means pixel sums cannot (by design), so the
-    value gate is the per-row ±1 reconstruction verdict — exact
-    tolerance semantics live in the codec property tests."""
+    """JPEG round-trip decode, BOTH scan styles: each document's bytes
+    become the canonical 16-wide grayscale image, encoded sequential
+    (SOF0) AND progressive (SOF2) at quality 100 and decoded back
+    through the full marker/Huffman/IDCT (and Annex-G spectral/
+    successive-approximation) paths inside mapInPandas.  Header
+    geometry hash-checks against the oracle; JPEG's lossiness means
+    pixel sums cannot (by design), so the value gates are the per-row
+    ±1 reconstruction verdict and the progressive-decode ==
+    sequential-decode byte-identity verdict — any Annex-G bookkeeping
+    slip flips `prog_eq_seq` on some document."""
     from oxford_data_pipeline_spark.operators.multimodal import (
         attach_binary_payload,
         jpeg_roundtrip_stats,
@@ -295,7 +299,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(
         jpeg_roundtrip_stats,
         schema="doc_id long, height int, width int, n_px long,"
-               " max_err_le_1 boolean",
+               " max_err_le_1 boolean, prog_eq_seq boolean",
     )
 
 

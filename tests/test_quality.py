@@ -556,3 +556,26 @@ def test_topic_balance_quota_accounting(spark):
     want = set(members[: min(quota, len(members))])
     got = {r.vec_id for r in rows if r.cell == big}
     assert got == want
+
+
+def test_cluster_split_leakage_guard(spark):
+    """Every member of a near-dup cluster lands in the SAME split, the
+    split is deterministic, and singletons use their own doc_id as the
+    group key."""
+    from oxford_data_pipeline_spark.plans.curation import cur_cluster_split
+    from oxford_data_pipeline_spark.plans.dedup import dedup_clusters
+    from tests.conftest import SF_DIR
+
+    rows = cur_cluster_split(spark, SF_DIR).collect()
+    clus = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, SF_DIR).collect()}
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+        assert r.group_id == clus.get(r.doc_id, r.doc_id)
+    assert len({r.split for r in rows}) >= 2  # corpus large enough to split
+    for g, members in by_group.items():
+        assert len({r.split for r in members}) == 1  # the leakage guard
+        assert all(r.n_members == len(members) for r in members)
+    # deterministic: a second run gives the identical assignment
+    again = {r.doc_id: r.split for r in cur_cluster_split(spark, SF_DIR).collect()}
+    assert again == {r.doc_id: r.split for r in rows}
