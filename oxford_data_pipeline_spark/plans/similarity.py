@@ -2240,3 +2240,100 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         (F.col("label") == F.col("true_label")).cast("int").alias("correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF tombstone deletion (the remove_ids CDC leg)
+# --------------------------------------------------------------------------
+# Index maintenance so far covers build (train+assign), append
+# (sim_ivf_incremental: new vectors onto base-trained centroids) and
+# the postings/band deltas on the text side; DELETION is the remaining
+# CRUD leg.  The production shape (FAISS remove_ids / every vector DB's
+# delete): vectors leave the INVERTED LISTS via a tombstone relation —
+# the quantizer is NOT retrained (centroid drift from deletes triggers
+# the same out-of-band retrain signal appends do).  Relationally that
+# is one anti-join of the maintained assignment against the tombstone
+# set before candidate generation; deleted vectors can never be served.
+# Tombstones: first md5 nibble = 'f' (~6% of the corpus) — hash-
+# deterministic on both engines, overlapping the query set so the
+# "deleted query" case (query vector itself removed) is exercised too.
+_DEL_PRED_SQL = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = 'f'"
+
+_IVF_DELETE_ORACLE = f"""
+WITH {_IVF_CHAIN},
+tomb AS (SELECT vec_id FROM norms WHERE {_DEL_PRED_SQL}),
+live_cand AS (
+    SELECT c.query_id, c.cand_id FROM cand c
+    WHERE c.cand_id NOT IN (SELECT vec_id FROM tomb)
+      AND c.query_id NOT IN (SELECT vec_id FROM tomb)
+),
+ddots AS (
+    SELECT cd.query_id, cd.cand_id, sum(lq.val * lc.val) AS dot
+    FROM live_cand cd
+    JOIN long lq ON lq.vec_id = cd.query_id
+    JOIN long lc ON lc.vec_id = cd.cand_id AND lq.dim = lc.dim
+    GROUP BY 1, 2
+),
+dscored AS (
+    SELECT d.query_id, d.cand_id,
+           round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) / 1000000 + 0
+               AS cosine
+    FROM ddots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.cand_id = nc.vec_id
+),
+dranked AS (
+    SELECT query_id, cand_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rnk
+    FROM dscored
+)
+SELECT query_id, cand_id, cosine, rnk FROM dranked WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("sim_ivf_delete", _IVF_DELETE_ORACLE)
+def sim_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-deletion IVF serving (see section comment): the memoized
+    cell assignment anti-joins the tombstone relation on BOTH sides
+    (deleted vectors leave the lists; deleted queries stop being
+    served), then the surviving candidates re-rank exactly as
+    `sim_ivf_ann` — one broadcast-able anti-join on top of the
+    maintained index, no rebuild, no retrain."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    _long, norms, _centroids, _assignment, cand = _ivf_candidates(spark, sf_dir)
+    tomb = norms.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "f"
+    ).select("vec_id")
+    live = (
+        cand.join(
+            tomb.withColumnRenamed("vec_id", "cand_id"), "cand_id", "left_anti"
+        )
+        .join(
+            tomb.withColumnRenamed("vec_id", "query_id"), "query_id", "left_anti"
+        )
+    )
+    vecs = embeddings_vec(spark, sf_dir)
+    vq = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("wq"),
+        F.col("nrm").alias("nq"),
+    )
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vec").alias("wc"),
+        F.col("nrm").alias("nc"),
+    )
+    scored = (
+        live.join(vq, "query_id")
+        .join(vc, "cand_id")
+        .select(
+            "query_id", "cand_id",
+            round6(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )

@@ -579,3 +579,37 @@ def test_cluster_split_leakage_guard(spark):
     # deterministic: a second run gives the identical assignment
     again = {r.doc_id: r.split for r in cur_cluster_split(spark, SF_DIR).collect()}
     assert again == {r.doc_id: r.split for r in rows}
+
+
+def test_ivf_delete_tombstones_never_served(spark):
+    """Deleted vectors appear neither as candidates nor as queries,
+    live queries keep a full (or explainably shorter) top-k, and
+    results agree with sim_ivf_ann wherever a query's pre-delete top-k
+    contained no tombstone."""
+    import hashlib
+
+    from oxford_data_pipeline_spark.plans.similarity import (
+        sim_ivf_ann,
+        sim_ivf_delete,
+    )
+    from tests.conftest import SF_DIR
+
+    def deleted(v):
+        return hashlib.md5(str(v).encode()).hexdigest()[0] == "f"
+
+    before = {}
+    for r in sim_ivf_ann(spark, SF_DIR).collect():
+        before.setdefault(r.query_id, []).append(r)
+    after = {}
+    for r in sim_ivf_delete(spark, SF_DIR).collect():
+        assert not deleted(r.cand_id) and not deleted(r.query_id)
+        after.setdefault(r.query_id, []).append(r)
+    assert after  # some queries survive
+    for q, rows in before.items():
+        if deleted(q):
+            assert q not in after
+        elif not any(deleted(r.cand_id) for r in rows):
+            # untouched top-k must be identical post-delete
+            want = [(r.cand_id, r.cosine, r.rnk) for r in rows]
+            got = [(r.cand_id, r.cosine, r.rnk) for r in after[q]]
+            assert got == want
