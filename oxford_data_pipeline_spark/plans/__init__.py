@@ -42,8 +42,12 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 _ROUND8_FRONT = [
     # (a) NEW or materially CHANGED this round: the hybrid serving-leg
     # swap + its audit, the df-memoized BM25, the whole IVF family
-    # touched by the zero-norm quarantine guard, and the four queries
-    # added later in the round (perceptual-hash near-dup, RM3, snippets)
+    # touched by the zero-norm quarantine guard, and the queries added
+    # later in the round (perceptual-hash near-dup, RM3, snippets, MMR,
+    # topic balance, cluster split, IVF tombstone delete, and
+    # mm_jpeg_decode's new progressive-identity column)
+    "ret_mmr", "cur_topic_balance", "cur_cluster_split", "sim_ivf_delete",
+    "mm_jpeg_decode",
     "mm_phash", "mm_phash_neardup", "ret_rm3_expansion", "ret_snippets",
     "emb_knn_classify",
     "ret_hybrid_rrf", "ret_hybrid_rrf_audit", "text_bm25_topk",
@@ -64,8 +68,6 @@ _ROUND8_FRONT = [
     "j2_dim_enrichment", "j3_pair_selfjoin", "j4_fact_join_chain",
     "j8_fold_train_split", "e_set_ops", "o1_anatomical_order",
     "o3_seeded_sample", "sc_scalar_functions", "a4_connectivity_pivot",
-    "a5_max_then_mean", "a6_label_distribution", "a7_threshold_grid",
-    "a8_count_stats", "a9_rollup_summary",
 ]
 
 
