@@ -1886,3 +1886,142 @@ def cur_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted corpus sampling (Efraimidis–Spirakis, seeded)
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement at corpus scale: the A-ES
+# scheme (Efraimidis & Spirakis 2006) — key = u^(1/w) per item with
+# u ~ U(0,1), global top-k by key IS an exact weighted sample.  Here
+# w = n_chars, i.e. token-budget-proportional selection (long docs
+# proportionally likelier — the standard way to sample a fixed-doc
+# preview whose mass tracks the corpus).  u derives from md5(doc_id)
+# (6 nibbles → (v+0.5)/16^6), so the sample is seeded/deterministic
+# and engine-identical; keys are compared in log space (ln(u)/w,
+# order-isomorphic to u^(1/w)), round6-nudged before ranking with a
+# doc_id tie-break.  Scale shape: one scan-local key per doc + a
+# global top-k — TakeOrdered, never a global sort; the final rank
+# window runs over k rows.
+_ES_SAMPLE_K = 20
+_ES_V_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars, {_ES_V_SQL} AS v
+    FROM documents
+),
+es AS (
+    SELECT doc_id, source, n_chars,
+           round(ln((CAST(v AS DOUBLE) + 0.5e0) / 16777216.0e0)
+                 / CAST(n_chars AS DOUBLE) * 1000000 + 0.01, 0) / 1000000 + 0
+               AS es_key
+    FROM keyed
+)
+SELECT doc_id, source, n_chars, es_key, rk FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY es_key DESC, doc_id)
+                   AS INTEGER) AS rk
+    FROM es
+) WHERE rk <= {_ES_SAMPLE_K}
+"""
+
+
+@register("cur_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded weighted sample (see section comment): per-doc A-ES key
+    ln(u)/n_chars (u md5-derived), global top-{_ES_SAMPLE_K} via
+    orderBy+limit (TakeOrdered — no global sort/exchange), ranked
+    within the k survivors only."""
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    es = docs.select(
+        "doc_id", "source", "n_chars",
+        round6(
+            F.log((v.cast("double") + F.lit(0.5)) / F.lit(16777216.0))
+            / F.col("n_chars").cast("double")
+        ).alias("es_key"),
+    )
+    top = es.orderBy(F.col("es_key").desc(), "doc_id").limit(_ES_SAMPLE_K)
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog vocabulary sketch (register relation)
+# --------------------------------------------------------------------------
+# The third sketch tier beside count-min (`cur_term_cms`) and Bloom
+# (`cur_bloom_prefilter`): distinct-count at corpus scale as a FIXED
+# 256-register relation (Flajolet et al. 2007).  bucket = first 8 bits
+# of md5(term); rho = 1 + leading-zero count of the next 48 bits
+# (capped: all-zero → 49); register = max(rho) per bucket.  max() is
+# duplicate-insensitive, so the sketch builds straight off the posting
+# relation with NO distinct — one map-side-combinable aggregation into
+# ≤256 rows, mergeable across shards/streams by the same max.  The
+# register relation is the hash-checked artifact; the cardinality
+# estimate derived from it is audited against the exact vocabulary
+# count in tests (the estimate itself is a float formula — registers
+# are the engine-exact contract, same split as the CMS counters).
+# Both engines compute rho by EXACT integer/string logic (no
+# float log2 — its boundary rounding could flip a register).
+_HLL_ORACLE = f"""
+WITH {{postings}},
+hashed AS (
+    SELECT md5(term) AS h FROM tf
+),
+rhos AS (
+    SELECT
+        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+        length(regexp_extract(substr(h, 3, 12), '^0*')) AS lead0,
+        strpos('0123456789abcdef',
+               substr(h, 3 + length(regexp_extract(substr(h, 3, 12), '^0*')), 1)
+        ) - 1 AS nz
+    FROM hashed
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(max(CASE WHEN lead0 = 12 THEN 49
+                     ELSE lead0 * 4
+                          + (4 - CASE WHEN nz >= 8 THEN 4
+                                      WHEN nz >= 4 THEN 3
+                                      WHEN nz >= 2 THEN 2
+                                      ELSE 1 END) + 1 END)
+            AS INTEGER) AS mreg
+FROM rhos
+GROUP BY 1
+"""
+
+
+def _hll_oracle() -> str:
+    from oxford_data_pipeline_spark.plans.retrieval import _POSTINGS_CTE
+
+    return _HLL_ORACLE.format(postings=_POSTINGS_CTE)
+
+
+@register("cur_vocab_hll", _hll_oracle())
+def cur_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register relation (see section comment) over the maintained
+    posting table.  rho on the Spark side: conv(hex→binary string) has
+    no leading zeros, so 49 − length(binary) IS the exact
+    leading-zero-plus-one count — pure string/integer ops, engine-
+    identical with the oracle's nibble CASE logic."""
+    from oxford_data_pipeline_spark.plans.retrieval import postings_relation
+
+    tf = postings_relation(spark, sf_dir)
+    h = F.md5(F.col("term"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    bitlen = F.length(F.conv(F.substring(h, 3, 12), 16, 2))
+    rho = F.when(v == 0, F.lit(49)).otherwise(F.lit(49) - bitlen)
+    return (
+        tf.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("mreg"))
+    )

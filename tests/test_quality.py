@@ -613,3 +613,79 @@ def test_ivf_delete_tombstones_never_served(spark):
             want = [(r.cand_id, r.cosine, r.rnk) for r in rows]
             got = [(r.cand_id, r.cosine, r.rnk) for r in after[q]]
             assert got == want
+
+
+def test_weighted_sample_keys_recomputed_independently(spark):
+    """Recompute the A-ES selection in python over the whole corpus:
+    the engine's top-20 must be exactly the 20 largest ln(u)/w keys,
+    rank order included."""
+    import hashlib
+    import math
+
+    from oxford_data_pipeline_spark.plans.curation import cur_weighted_sample
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = {}
+    for r in docs:
+        v = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:6], 16)
+        u = (v + 0.5) / 16 ** 6
+        keys[r.doc_id] = round(math.log(u) / r.n_chars * 1e6 + 0.01) / 1e6
+    want = sorted(keys, key=lambda d: (-keys[d], d))[:20]
+    got = sorted(
+        cur_weighted_sample(spark, SF_DIR).collect(), key=lambda r: r.rk
+    )
+    assert [r.doc_id for r in got] == want
+    for r in got:
+        assert r.es_key == keys[r.doc_id]
+
+
+def test_vocab_hll_estimate_and_mergeability(spark):
+    """The register relation yields a cardinality estimate within the
+    expected HLL error band of the exact vocabulary count, and
+    max-merging sketches of two corpus halves reproduces the full
+    sketch exactly (the shard/stream merge contract)."""
+    import hashlib
+    import math
+
+    from oxford_data_pipeline_spark.plans.curation import cur_vocab_hll
+    from oxford_data_pipeline_spark.plans.retrieval import postings_relation
+    from tests.conftest import SF_DIR
+
+    regs = {r.bucket: r.mreg for r in cur_vocab_hll(spark, SF_DIR).collect()}
+    tf = postings_relation(spark, SF_DIR)
+    terms = {r.term for r in tf.select("term").distinct().collect()}
+    n_exact = len(terms)
+    # estimate (with the m=256 bias constant and small-range correction)
+    m = 256
+    full = [regs.get(b, 0) for b in range(m)]
+    est = (0.7213 / (1 + 1.079 / m)) * m * m / sum(2.0 ** -x for x in full)
+    zeros = full.count(0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    assert abs(est - n_exact) / n_exact < 0.2  # 3σ ≈ 0.195 for m=256
+    # registers recomputed independently from the term set
+    want = {}
+    for t in terms:
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = int(h[:2], 16)
+        v = int(h[2:14], 16)
+        rho = 49 if v == 0 else 49 - v.bit_length()
+        want[b] = max(want.get(b, 0), rho)
+    assert regs == want
+    # mergeability: per-half sketches max-merge to the full sketch
+    half1 = {}
+    half2 = {}
+    for r in tf.select("doc_id", "term").collect():
+        h = hashlib.md5(r.term.encode()).hexdigest()
+        b, v = int(h[:2], 16), int(h[2:14], 16)
+        rho = 49 if v == 0 else 49 - v.bit_length()
+        tgt = half1 if r.doc_id % 2 == 0 else half2
+        tgt[b] = max(tgt.get(b, 0), rho)
+    merged = {
+        b: max(half1.get(b, 0), half2.get(b, 0))
+        for b in set(half1) | set(half2)
+    }
+    assert merged == regs
