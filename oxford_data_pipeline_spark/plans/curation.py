@@ -2005,23 +2005,29 @@ def _hll_oracle() -> str:
     return _HLL_ORACLE.format(postings=_POSTINGS_CTE)
 
 
-@register("cur_vocab_hll", _hll_oracle())
-def cur_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL register relation (see section comment) over the maintained
-    posting table.  rho on the Spark side: conv(hex→binary string) has
-    no leading zeros, so 49 − length(binary) IS the exact
-    leading-zero-plus-one count — pure string/integer ops, engine-
-    identical with the oracle's nibble CASE logic."""
-    from oxford_data_pipeline_spark.plans.retrieval import postings_relation
-
-    tf = postings_relation(spark, sf_dir)
-    h = F.md5(F.col("term"))
+def hll_registers(terms: DataFrame, term_col: str = "term") -> DataFrame:
+    """(…, term) → the (bucket, mreg) HLL register relation.  rho on
+    the Spark side: conv(hex→binary string) has no leading zeros, so
+    49 − length(binary) IS the exact leading-zero-plus-one count —
+    pure string/integer ops, engine-identical with the oracle's nibble
+    CASE logic.  Shared by the batch query and the streaming
+    maintainer (`streaming/stream_profile.py`)."""
+    h = F.md5(F.col(term_col))
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     v = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
     bitlen = F.length(F.conv(F.substring(h, 3, 12), 16, 2))
     rho = F.when(v == 0, F.lit(49)).otherwise(F.lit(49) - bitlen)
     return (
-        tf.select(bucket.alias("bucket"), rho.alias("rho"))
+        terms.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").cast("int").alias("mreg"))
     )
+
+
+@register("cur_vocab_hll", _hll_oracle())
+def cur_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register relation (see section comment) over the maintained
+    posting table, via the shared `hll_registers` builder."""
+    from oxford_data_pipeline_spark.plans.retrieval import postings_relation
+
+    return hll_registers(postings_relation(spark, sf_dir))

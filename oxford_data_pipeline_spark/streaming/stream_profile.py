@@ -69,3 +69,53 @@ def cms_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog register maintenance (the online half of cur_vocab_hll)
+# --------------------------------------------------------------------------
+def batch_registers(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) → this batch's (bucket, mreg) HLL register
+    relation, same tokenizer + hash addressing as the batch sketch."""
+    from oxford_data_pipeline_spark.plans.curation import hll_registers
+
+    terms = docs.select(
+        F.explode(tokens(normalized("text"))).alias("term")
+    )
+    return hll_registers(terms)
+
+
+def merge_registers(maintained: DataFrame, delta: DataFrame) -> DataFrame:
+    """registers ⊕ registers: full-outer on bucket, mreg maxed — the
+    HLL merge operator (associative, commutative AND idempotent, so
+    shard order, batch order and replays all collapse to the same
+    sketch — strictly stronger delivery tolerance than the CMS sum,
+    which must not double-count)."""
+    m = maintained.withColumnRenamed("mreg", "mreg_a")
+    d = delta.withColumnRenamed("mreg", "mreg_b")
+    return m.join(d, ["bucket"], "full_outer").select(
+        "bucket",
+        F.greatest(
+            F.coalesce(F.col("mreg_a"), F.lit(0)),
+            F.coalesce(F.col("mreg_b"), F.lit(0)),
+        ).cast("int").alias("mreg"),
+    )
+
+
+def hll_maintenance_stream(
+    docs: DataFrame, sink: Callable[[DataFrame, int], None]
+):
+    """Start a foreachBatch maintenance query: each micro-batch of
+    (doc_id, text) rows becomes a register-delta relation handed to
+    `sink`, which max-merges it into the maintained register table
+    (with `merge_registers`, or any greatest-on-conflict upsert).
+    Returns the StreamingQuery; caller controls trigger/termination."""
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sink(batch_registers(batch), batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

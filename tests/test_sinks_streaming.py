@@ -1171,3 +1171,61 @@ def test_streaming_phash_bit_identical_to_batch(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM phash_stream_t").collect())
     )
     assert got == batch and len(got) > 0
+
+
+def test_streaming_hll_maintenance_matches_batch(spark, tmp_path):
+    """Documents replayed through the HLL maintenance stream,
+    max-merged batch by batch, must yield EXACTLY the registers the
+    batch sketch builds over the whole corpus — and re-merging a batch
+    (an at-least-once replay) must change nothing (idempotence, the
+    delivery property CMS's sum does NOT have)."""
+    import os
+
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from oxford_data_pipeline_spark.streaming.stream_profile import (
+        batch_registers,
+        hll_maintenance_stream,
+        merge_registers,
+    )
+    from tests.conftest import SF_DIR
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    batch_docs = spark.read.parquet(src).select("doc_id", "text")
+    d = str(tmp_path / "docs_hll_stream")
+    batch_docs.repartition(2).write.parquet(d)
+    stream = spark.readStream.schema(batch_docs.schema).parquet(d)
+
+    state = {"regs": None, "last_delta": None}
+
+    def sink(delta, _bid):
+        rows = delta.collect()
+        state["last_delta"] = rows
+        cur = state["regs"]
+        state["regs"] = (
+            rows
+            if cur is None
+            else merge_registers(
+                spark.createDataFrame(cur, "bucket int, mreg int"),
+                spark.createDataFrame(rows, "bucket int, mreg int"),
+            ).collect()
+        )
+
+    q = hll_maintenance_stream(stream, sink)
+    q.awaitTermination()
+    got = sorted((r["bucket"], r["mreg"]) for r in state["regs"])
+    want = sorted(
+        (r["bucket"], r["mreg"]) for r in batch_registers(batch_docs).collect()
+    )
+    assert got == want and len(got) > 0
+    # the registered batch query over the same corpus agrees
+    reg = sorted(
+        (r["bucket"], r["mreg"])
+        for r in QUERIES["cur_vocab_hll"](spark, SF_DIR).collect()
+    )
+    assert reg == want
+    # idempotence: replaying the last delta is a no-op
+    replay = merge_registers(
+        spark.createDataFrame(state["regs"], "bucket int, mreg int"),
+        spark.createDataFrame(state["last_delta"], "bucket int, mreg int"),
+    ).collect()
+    assert sorted((r["bucket"], r["mreg"]) for r in replay) == got
