@@ -99,6 +99,31 @@ def main() -> None:
     prov = q("cur_provenance").groupBy("verdict").count().collect()
     print("  provenance:", {r["verdict"]: r["count"] for r in prov})
 
+    print("== selection + split (round-8 tier) ==")
+    hll = q("cur_vocab_hll").collect()
+    m = 256
+    regs = {r["bucket"]: r["mreg"] for r in hll}
+    est = (0.7213 / (1 + 1.079 / m)) * m * m / sum(
+        2.0 ** -regs.get(b, 0) for b in range(m)
+    )
+    print(f"  HLL vocab estimate: {est:.0f} (256 registers)")
+    ws = q("cur_weighted_sample").orderBy("rk").limit(3).collect()
+    print("  A-ES weighted sample head:",
+          [(r["doc_id"], r["n_chars"]) for r in ws])
+    bal = q("cur_topic_balance")
+    print("  topic balance: kept", bal.count(), "docs across",
+          bal.select("cell").distinct().count(), "learned topics")
+    split = q("cur_cluster_split").groupBy("split").count().collect()
+    print("  leakage-guarded split:", {r["split"]: r["count"] for r in split})
+
+    print("== serving tier extras ==")
+    mmr = q("ret_mmr")
+    print("  MMR diverse picks:", mmr.count(), "rows,",
+          mmr.select("query_id").distinct().count(), "queries")
+    post_del = q("sim_ivf_delete")
+    print("  post-tombstone serving:", post_del.count(), "rows for",
+          post_del.select("query_id").distinct().count(), "live queries")
+
     print("== composed curation pipeline ==")
     curated = q("cur_pipeline")
     write_csv_report(
