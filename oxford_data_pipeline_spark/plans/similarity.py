@@ -2337,3 +2337,116 @@ def sim_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "cand_id", "cosine", "rnk")
     )
+
+
+def _del_pred(col: str) -> str:
+    return f"substr(md5(CAST({col} AS VARCHAR)), 1, 1) = 'f'"
+
+
+_IVF_DELETE_RECALL_ORACLE = f"""
+WITH livebrute AS MATERIALIZED (
+    WITH long AS ({_EMB_LONG_SQL}),
+    norms AS (
+        SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               sum(q.val * c.val) AS dot
+        FROM long q JOIN long c ON q.dim = c.dim
+        WHERE q.vec_id % {_QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+          AND NOT ({_del_pred('q.vec_id')})
+          AND NOT ({_del_pred('c.vec_id')})
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.query_id, d.cand_id,
+               round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) / 1000000 + 0
+                   AS cosine
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.cand_id = nc.vec_id
+    )
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_TOP_K}
+),
+delann AS MATERIALIZED (
+    SELECT query_id, cand_id FROM ({_IVF_DELETE_ORACLE})
+)
+SELECT b.query_id,
+       count(*) AS n_true,
+       count(a.cand_id) AS n_hit,
+       round(CAST(count(a.cand_id) AS DOUBLE) / count(*) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS recall
+FROM livebrute b
+LEFT JOIN delann a ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+GROUP BY 1
+"""
+
+_live_brute_cache: dict[tuple, DataFrame] = {}
+
+
+@register("sim_ivf_delete_recall", _IVF_DELETE_RECALL_ORACLE)
+def sim_ivf_delete_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-after-delete audit (the symmetry every other tier has:
+    lsh/ivf/ivfpq/rerank/incremental): post-tombstone serving vs the
+    exact top-k over LIVE vectors only — ground truth must exclude the
+    deleted set on both sides, since deletion legitimately promotes
+    new neighbors into the top-k.  The live brute relation is an
+    evaluation artifact (memoized, same posture as sim_cosine_topk),
+    never a serving path."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    def build() -> DataFrame:
+        vecs = embeddings_vec(spark, sf_dir)
+        live = vecs.filter(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) != "f"
+        )
+        vq = live.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("wq"),
+            F.col("nrm").alias("nq"),
+        )
+        vc = live.select(
+            F.col("vec_id").alias("cand_id"), F.col("vec").alias("wc"),
+            F.col("nrm").alias("nc"),
+        )
+        scored = (
+            vc.join(F.broadcast(vq), F.col("query_id") != F.col("cand_id"))
+            .select(
+                "query_id", "cand_id",
+                round6(
+                    pair_dot("wq", "wc") / (F.col("nq") * F.col("nc"))
+                ).alias("cosine"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("cand_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    brute = memoized(
+        _live_brute_cache, spark, (sf_dir, _QUERY_MOD, _TOP_K), build
+    )
+    ann = (
+        sim_ivf_delete(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(ann, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+            round6(
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )

@@ -689,3 +689,20 @@ def test_vocab_hll_estimate_and_mergeability(spark):
         for b in set(half1) | set(half2)
     }
     assert merged == regs
+
+
+def test_ivf_delete_recall_floor(spark):
+    """Post-deletion serving keeps the IVF tier's recall against the
+    live-only exact top-k — deletion must not silently degrade the
+    serving floor (new neighbors promoted into the top-k are found via
+    the same probes)."""
+    from oxford_data_pipeline_spark.plans.similarity import (
+        sim_ivf_delete_recall,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = sim_ivf_delete_recall(spark, SF_DIR).collect()
+    assert rows
+    rec = [r.recall for r in rows]
+    assert sum(rec) / len(rec) >= 0.7
+    assert all(r.n_true > 0 for r in rows)
