@@ -1930,28 +1930,37 @@ SELECT doc_id, source, n_chars, es_key, rk FROM (
 """
 
 
-@register("cur_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
-def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded weighted sample (see section comment): per-doc A-ES key
-    ln(u)/n_chars (u md5-derived), global top-{_ES_SAMPLE_K} via
-    orderBy+limit (TakeOrdered — no global sort/exchange), ranked
-    within the k survivors only."""
-    from oxford_data_pipeline_spark.sources.catalog import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
+def es_keyed(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_chars, …) → + es_key: the A-ES selection key
+    ln(u)/n_chars with u md5-derived, round6-nudged.  Shared by the
+    batch query and the streaming sample maintainer."""
     v = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
     ).cast("long")
-    es = docs.select(
+    return docs.select(
         "doc_id", "source", "n_chars",
         round6(
             F.log((v.cast("double") + F.lit(0.5)) / F.lit(16777216.0))
             / F.col("n_chars").cast("double")
         ).alias("es_key"),
     )
-    top = es.orderBy(F.col("es_key").desc(), "doc_id").limit(_ES_SAMPLE_K)
+
+
+def es_top_k(keyed: DataFrame, k: int = _ES_SAMPLE_K) -> DataFrame:
+    """Global top-k by A-ES key (TakeOrdered — no global sort), ranked
+    within the k survivors only."""
+    top = keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(k)
     w = Window.orderBy(F.col("es_key").desc(), "doc_id")
     return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+@register("cur_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded weighted sample (see section comment): per-doc A-ES key
+    via `es_keyed`, global top-k via `es_top_k`."""
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    return es_top_k(es_keyed(load_table(spark, sf_dir, "documents")))
 
 
 # --------------------------------------------------------------------------

@@ -119,3 +119,52 @@ def hll_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# A-ES weighted-sample maintenance (the online half of cur_weighted_sample)
+# --------------------------------------------------------------------------
+# Top-k-by-key is a semilattice just like the HLL max: merging two
+# partial top-k lists and re-cutting to k gives exactly the global
+# top-k (a distributed reservoir).  So the streaming maintainer keeps a
+# k-row state relation and folds each micro-batch's LOCAL top-k into
+# it — constant state, order-insensitive, replay-idempotent (an item
+# already in the reservoir re-merges to the same place).
+def batch_sample(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(doc_id, source, n_chars, ...) → this batch's local top-k A-ES
+    sample (doc_id, source, n_chars, es_key), same key arithmetic as
+    the batch query."""
+    from oxford_data_pipeline_spark.plans.curation import es_keyed
+
+    keyed = es_keyed(docs)
+    return (
+        keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(k)
+    )
+
+
+def merge_samples(maintained: DataFrame, delta: DataFrame, k: int = 20) -> DataFrame:
+    """reservoir ⊕ reservoir: union, re-cut to the global top-k by
+    (es_key desc, doc_id) — associative, commutative, idempotent."""
+    return (
+        maintained.unionByName(delta)
+        .dropDuplicates(["doc_id"])
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def sample_maintenance_stream(
+    docs: DataFrame, sink: Callable[[DataFrame, int], None], k: int = 20
+):
+    """Start a foreachBatch maintenance query: each micro-batch's local
+    top-k sample is handed to `sink`, which merges it into the
+    maintained reservoir with `merge_samples`."""
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sink(batch_sample(batch, k), batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

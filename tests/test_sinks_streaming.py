@@ -1229,3 +1229,55 @@ def test_streaming_hll_maintenance_matches_batch(spark, tmp_path):
         spark.createDataFrame(state["last_delta"], "bucket int, mreg int"),
     ).collect()
     assert sorted((r["bucket"], r["mreg"]) for r in replay) == got
+
+
+def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
+    """Micro-batch local top-k reservoirs, merged and re-cut, must
+    equal the batch A-ES top-k over the whole corpus — the semilattice
+    property that makes the weighted sample maintainable online."""
+    import os
+
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from oxford_data_pipeline_spark.streaming.stream_profile import (
+        merge_samples,
+        sample_maintenance_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    batch_docs = spark.read.parquet(src).select("doc_id", "source", "n_chars")
+    d = str(tmp_path / "docs_es_stream")
+    batch_docs.repartition(3).write.parquet(d)
+    stream = spark.readStream.schema(batch_docs.schema).parquet(d)
+
+    schema = "doc_id long, source string, n_chars long, es_key double"
+    state = {"res": None}
+
+    def sink(delta, _bid):
+        rows = delta.collect()
+        cur = state["res"]
+        state["res"] = (
+            rows
+            if cur is None
+            else merge_samples(
+                spark.createDataFrame(cur, schema),
+                spark.createDataFrame(rows, schema),
+            ).collect()
+        )
+
+    q = sample_maintenance_stream(stream, sink)
+    q.awaitTermination()
+    got = sorted(
+        (r["doc_id"], r["es_key"]) for r in state["res"]
+    )
+    want = sorted(
+        (r["doc_id"], r["es_key"])
+        for r in QUERIES["cur_weighted_sample"](spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) == 20
+    # idempotence: re-merging the final reservoir into itself is a no-op
+    again = merge_samples(
+        spark.createDataFrame(state["res"], schema),
+        spark.createDataFrame(state["res"], schema),
+    ).collect()
+    assert sorted((r["doc_id"], r["es_key"]) for r in again) == got
