@@ -2298,8 +2298,12 @@ def sim_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell assignment anti-joins the tombstone relation on BOTH sides
     (deleted vectors leave the lists; deleted queries stop being
     served), then the surviving candidates re-rank exactly as
-    `sim_ivf_ann` — one broadcast-able anti-join on top of the
-    maintained index, no rebuild, no retrain."""
+    `sim_ivf_ann`.  At 100 TB the anti-join runs ONCE at
+    delta-apply time — tombstones merge into the maintained list
+    table exactly like `apply_postings_delta` on the text side, and
+    serving reads the post-delete lists; it is inline here because
+    the memo layer stands in for that maintained table.  Either way
+    it is one equi-keyed anti-join; no rebuild, no retrain."""
     from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
 
     _long, norms, _centroids, _assignment, cand = _ivf_candidates(spark, sf_dir)
