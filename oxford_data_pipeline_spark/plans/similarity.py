@@ -2257,7 +2257,12 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Tombstones: first md5 nibble = 'f' (~6% of the corpus) — hash-
 # deterministic on both engines, overlapping the query set so the
 # "deleted query" case (query vector itself removed) is exercised too.
-_DEL_PRED_SQL = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = 'f'"
+def _del_pred(col: str = "vec_id") -> str:
+    """Tombstone membership predicate (shared by both delete oracles)."""
+    return f"substr(md5(CAST({col} AS VARCHAR)), 1, 1) = 'f'"
+
+
+_DEL_PRED_SQL = _del_pred()
 
 _IVF_DELETE_ORACLE = f"""
 WITH {_IVF_CHAIN},
@@ -2342,9 +2347,6 @@ def sim_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "cosine", "rnk")
     )
 
-
-def _del_pred(col: str) -> str:
-    return f"substr(md5(CAST({col} AS VARCHAR)), 1, 1) = 'f'"
 
 
 _IVF_DELETE_RECALL_ORACLE = f"""
