@@ -572,3 +572,192 @@ def text_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
         F.md5(cleaned).alias("cleaned_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier TRAINING (relational IRLS logistic regression)
+# --------------------------------------------------------------------------
+# `cur_quality_classifier` scores the corpus with a weight vector and
+# documents that "production swaps the literal vector for the trained
+# one" — THIS query is that training step, in-engine: logistic
+# regression fit by IRLS (iteratively reweighted least squares), each
+# iteration one corpus aggregation + a closed-form 3×3 weighted
+# normal-equations solve (Cramer), unrolled for a fixed iteration
+# count exactly like the Lloyd quantizer.  The same shape scales to
+# 100 TB because an iteration is ONE map-side-combinable aggregate
+# over scan-local features — no gradient server, no per-row Python.
+# Weak labels stand in for LLM-graded ones (the FineWeb-Edu recipe):
+# y = (n_chars ≥ 350), predicted from token-side features x1 =
+# ln(1+n_tokens), x2 = type-token ratio — related but not derived, so
+# the problem is noisy and non-separable.  Ridge 1e-3 keeps the solve
+# conditioned; every per-row float (eta, p, w, z) and every beta is
+# round6-nudged so both engines walk the identical IRLS trajectory.
+_LR_RIDGE = "0.001e0"
+_LR_ITERS = 3
+_LR_LABEL_CHARS = 350
+
+
+def _lr_iter_ctes(i: int) -> str:
+    r6 = lambda x: f"round(({x}) * 1000000 + 0.01, 0) / 1000000 + 0"  # noqa: E731
+    return f"""it{i} AS (
+    SELECT f.y, f.x1, f.x2,
+           {r6(f"b.b0 + b.b1 * f.x1 + b.b2 * f.x2")} AS eta
+    FROM feat f CROSS JOIN beta{i - 1} b
+),
+pw{i} AS (
+    SELECT y, x1, x2, eta, p,
+           greatest({r6("p * (1.0e0 - p)")}, 0.000001e0) AS w
+    FROM (SELECT *, {r6("1.0e0 / (1.0e0 + exp(-eta))")} AS p FROM it{i})
+),
+zz{i} AS (
+    SELECT y, x1, x2, w,
+           {r6("eta + (CAST(y AS DOUBLE) - p) / w")} AS z
+    FROM pw{i}
+),
+ag{i} AS (
+    SELECT sum(w) + {_LR_RIDGE} AS sa, sum(w * x1) AS sb, sum(w * x2) AS sc,
+           sum(w * x1 * x1) + {_LR_RIDGE} AS sd, sum(w * x1 * x2) AS se,
+           sum(w * x2 * x2) + {_LR_RIDGE} AS sf,
+           sum(w * z) AS r0, sum(w * x1 * z) AS r1, sum(w * x2 * z) AS r2
+    FROM zz{i}
+),
+beta{i} AS (
+    SELECT {r6("(r0 * (sd * sf - se * se) - sb * (r1 * sf - se * r2)"
+               " + sc * (r1 * se - sd * r2)) / det")} AS b0,
+           {r6("(sa * (r1 * sf - se * r2) - r0 * (sb * sf - se * sc)"
+               " + sc * (sb * r2 - r1 * sc)) / det")} AS b1,
+           {r6("(sa * (sd * r2 - se * r1) - sb * (sb * r2 - r1 * sc)"
+               " + r0 * (sb * se - sd * sc)) / det")} AS b2
+    FROM (SELECT *, sa * (sd * sf - se * se) - sb * (sb * sf - se * sc)
+                    + sc * (sb * se - sd * sc) AS det
+          FROM ag{i})
+)"""
+
+
+def _lr_train_oracle() -> str:
+    from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE
+
+    iters = ",\n".join(_lr_iter_ctes(i) for i in range(1, _LR_ITERS + 1))
+    n = _LR_ITERS
+    return f"""
+WITH {_TOKENS_CTE},
+feat AS (
+    SELECT round(ln(1.0e0 + len(t)) * 1000000 + 0.01, 0) / 1000000 + 0 AS x1,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                 * 1000000 + 0.01, 0) / 1000000 + 0 AS x2,
+           CASE WHEN d.n_chars >= {_LR_LABEL_CHARS} THEN 1 ELSE 0 END AS y
+    FROM toks k JOIN documents d ON d.doc_id = k.doc_id
+    WHERE len(t) > 0
+),
+beta0 AS (SELECT 0.0e0 AS b0, 0.0e0 AS b1, 0.0e0 AS b2),
+{iters},
+final AS (
+    SELECT f.y,
+           round((b.b0 + b.b1 * f.x1 + b.b2 * f.x2) * 1000000 + 0.01, 0)
+               / 1000000 + 0 AS eta
+    FROM feat f CROSS JOIN beta{n} b
+),
+acc AS (
+    SELECT round(avg(CASE WHEN (eta >= 0) = (y = 1) THEN 1.0e0 ELSE 0.0e0 END)
+                 * 1000000 + 0.01, 0) / 1000000 + 0 AS train_acc,
+           count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+    FROM final
+)
+SELECT w.feature, w.weight, a.train_acc, a.n, a.n_pos
+FROM (
+    SELECT 'bias' AS feature, b0 AS weight FROM beta{n}
+    UNION ALL SELECT 'log_tokens', b1 FROM beta{n}
+    UNION ALL SELECT 'ttr', b2 FROM beta{n}
+) w CROSS JOIN acc a
+"""
+
+
+@register("cur_classifier_train", _lr_train_oracle())
+def cur_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine logistic-regression training (see section comment):
+    3 unrolled IRLS iterations; per iteration the 1-row beta
+    relation broadcasts into the scan-local feature pass, one
+    aggregation produces the weighted normal equations, and Cramer's
+    rule yields the next beta — checkpointed eagerly (3 doubles) so
+    the lineage stays flat."""
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    ridge = float(_LR_RIDGE[:-2])
+    toks = tokens_relation(spark, sf_dir).filter(F.size("t") > 0)
+    nt = F.size("t")
+    feat = (
+        toks
+        .select(
+            round6(F.log(F.lit(1.0) + nt)).alias("x1"),
+            round6(F.size(F.array_distinct("t")).cast("double") / nt).alias("x2"),
+            (F.col("n_chars") >= _LR_LABEL_CHARS).cast("int").alias("y"),
+        )
+        .localCheckpoint(eager=True)  # one feature pass feeds all iterations
+    )
+    spark_session = feat.sparkSession
+    beta = spark_session.createDataFrame(
+        [(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double"
+    )
+    for _ in range(_LR_ITERS):
+        t = feat.crossJoin(F.broadcast(beta))
+        eta = round6(F.col("b0") + F.col("b1") * F.col("x1")
+                     + F.col("b2") * F.col("x2"))
+        t = t.withColumn("eta", eta)
+        t = t.withColumn("p", round6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))))
+        t = t.withColumn(
+            "w",
+            F.greatest(round6(F.col("p") * (F.lit(1.0) - F.col("p"))),
+                       F.lit(1e-6)),
+        )
+        t = t.withColumn(
+            "z",
+            round6(F.col("eta")
+                   + (F.col("y").cast("double") - F.col("p")) / F.col("w")),
+        )
+        w, x1, x2, z = F.col("w"), F.col("x1"), F.col("x2"), F.col("z")
+        ag = t.agg(
+            (F.sum(w) + ridge).alias("sa"),
+            F.sum(w * x1).alias("sb"),
+            F.sum(w * x2).alias("sc"),
+            (F.sum(w * x1 * x1) + ridge).alias("sd"),
+            F.sum(w * x1 * x2).alias("se"),
+            (F.sum(w * x2 * x2) + ridge).alias("sf"),
+            F.sum(w * z).alias("r0"),
+            F.sum(w * x1 * z).alias("r1"),
+            F.sum(w * x2 * z).alias("r2"),
+        )
+        sa, sb, sc = F.col("sa"), F.col("sb"), F.col("sc")
+        sd, se, sf_ = F.col("sd"), F.col("se"), F.col("sf")
+        r0, r1, r2 = F.col("r0"), F.col("r1"), F.col("r2")
+        det = (sa * (sd * sf_ - se * se) - sb * (sb * sf_ - se * sc)
+               + sc * (sb * se - sd * sc))
+        beta = ag.select(
+            round6((r0 * (sd * sf_ - se * se) - sb * (r1 * sf_ - se * r2)
+                    + sc * (r1 * se - sd * r2)) / det).alias("b0"),
+            round6((sa * (r1 * sf_ - se * r2) - r0 * (sb * sf_ - se * sc)
+                    + sc * (sb * r2 - r1 * sc)) / det).alias("b1"),
+            round6((sa * (sd * r2 - se * r1) - sb * (sb * r2 - r1 * sc)
+                    + r0 * (sb * se - sd * sc)) / det).alias("b2"),
+        ).localCheckpoint(eager=True)
+    scored = feat.crossJoin(F.broadcast(beta)).withColumn(
+        "eta",
+        round6(F.col("b0") + F.col("b1") * F.col("x1")
+               + F.col("b2") * F.col("x2")),
+    )
+    acc = scored.agg(
+        round6(
+            F.avg(
+                F.when((F.col("eta") >= 0) == (F.col("y") == 1), 1.0)
+                .otherwise(0.0)
+            )
+        ).alias("train_acc"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    weights = beta.selectExpr(
+        "stack(3, 'bias', b0, 'log_tokens', b1, 'ttr', b2)"
+        " AS (feature, weight)"
+    )
+    return weights.crossJoin(F.broadcast(acc)).select(
+        "feature", "weight", "train_acc", "n", "n_pos"
+    )

@@ -706,3 +706,57 @@ def test_ivf_delete_recall_floor(spark):
     rec = [r.recall for r in rows]
     assert sum(rec) / len(rec) >= 0.7
     assert all(r.n_true > 0 for r in rows)
+
+
+def test_classifier_train_matches_numpy_irls(spark):
+    """Replay the exact IRLS trajectory (same rounding discipline) in
+    numpy from the raw features: betas must match to the rounding
+    grain, accuracy must beat the majority-class base rate, and the
+    logistic loss must decrease monotonically across iterations."""
+    import numpy as np
+    import pytest
+
+    from oxford_data_pipeline_spark.plans.quality import cur_classifier_train
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+    from tests.conftest import SF_DIR
+
+    rows = cur_classifier_train(spark, SF_DIR).collect()
+    got = {r.feature: r.weight for r in rows}
+    acc, n, n_pos = rows[0].train_acc, rows[0].n, rows[0].n_pos
+
+    toks = tokens_relation(spark, SF_DIR).filter("size(t) > 0").select(
+        "t", "n_chars"
+    ).collect()
+    r6 = lambda a: np.round(np.asarray(a, dtype=np.float64) * 1e6 + 0.01) / 1e6  # noqa: E731
+    x1 = r6([np.log(1.0 + len(r.t)) for r in toks])
+    x2 = r6([len(set(r.t)) / len(r.t) for r in toks])
+    y = np.array([1 if r.n_chars >= 350 else 0 for r in toks], dtype=np.float64)
+    assert n == len(toks) and n_pos == int(y.sum())
+
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta = np.zeros(3)
+    losses = []
+    for _ in range(3):
+        eta = r6(X @ beta)
+        p = r6(1.0 / (1.0 + np.exp(-eta)))
+        losses.append(
+            -np.mean(y * np.log(np.clip(p, 1e-9, 1))
+                     + (1 - y) * np.log(np.clip(1 - p, 1e-9, 1)))
+        )
+        w = np.maximum(r6(p * (1 - p)), 1e-6)
+        z = r6(eta + (y - p) / w)
+        M = (X * w[:, None]).T @ X + 1e-3 * np.eye(3)
+        beta = r6(np.linalg.solve(M, (X * w[:, None]).T @ z))
+    eta = r6(X @ beta)
+    p = r6(1.0 / (1.0 + np.exp(-eta)))
+    losses.append(
+        -np.mean(y * np.log(np.clip(p, 1e-9, 1))
+                 + (1 - y) * np.log(np.clip(1 - p, 1e-9, 1)))
+    )
+    want = {"bias": beta[0], "log_tokens": beta[1], "ttr": beta[2]}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6), (k, got[k], want[k])
+    base = max(n_pos, n - n_pos) / n
+    assert acc > base + 0.02  # the model actually learned something
+    assert acc == pytest.approx(float(np.mean((eta >= 0) == (y == 1))), abs=2e-6)
+    assert all(b < a + 1e-12 for a, b in zip(losses, losses[1:]))
