@@ -761,3 +761,100 @@ def cur_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weights.crossJoin(F.broadcast(acc)).select(
         "feature", "weight", "train_acc", "n", "n_pos"
     )
+
+
+# The train→serve composition: score the corpus with the TRAINED beta
+# (the literal-weights inference query's production shape, end-to-end
+# in-engine).  The trained beta is memoized like every model artifact.
+_lr_beta_cache: dict[tuple, DataFrame] = {}
+
+
+def _trained_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oxford_data_pipeline_spark.plans.memo import memoized
+
+    def build() -> DataFrame:
+        return (
+            cur_classifier_train(spark, sf_dir)
+            .groupBy()
+            .pivot("feature", ["bias", "log_tokens", "ttr"])
+            .agg(F.first("weight"))
+            .select(
+                F.col("bias").alias("b0"),
+                F.col("log_tokens").alias("b1"),
+                F.col("ttr").alias("b2"),
+            )
+        )
+
+    return memoized(
+        _lr_beta_cache, spark, (sf_dir, _LR_ITERS, _LR_LABEL_CHARS), build
+    )
+
+
+def _lr_scored_oracle() -> str:
+    from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE
+
+    iters = ",\n".join(_lr_iter_ctes(i) for i in range(1, _LR_ITERS + 1))
+    return f"""
+WITH {_TOKENS_CTE},
+feat0 AS (
+    SELECT doc_id,
+           round(ln(1.0e0 + len(t)) * 1000000 + 0.01, 0) / 1000000 + 0 AS x1,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                 * 1000000 + 0.01, 0) / 1000000 + 0 AS x2,
+           CASE WHEN n_chars >= {_LR_LABEL_CHARS} THEN 1 ELSE 0 END AS y
+    FROM toks
+    WHERE len(t) > 0
+),
+feat AS (SELECT x1, x2, y FROM feat0),
+beta0 AS (SELECT 0.0e0 AS b0, 0.0e0 AS b1, 0.0e0 AS b2),
+{iters},
+scored AS (
+    SELECT f.doc_id, f.y,
+           round((b.b0 + b.b1 * f.x1 + b.b2 * f.x2) * 1000000 + 0.01, 0)
+               / 1000000 + 0 AS eta
+    FROM feat0 f CROSS JOIN beta{_LR_ITERS} b
+)
+SELECT doc_id,
+       eta AS logit,
+       round(1.0e0 / (1.0e0 + exp(-eta)) * 1000000 + 0.01, 0) / 1000000 + 0
+           AS quality_prob,
+       eta >= 0 AS admitted,
+       y = 1 AS weak_label
+FROM scored
+"""
+
+
+@register("cur_classifier_scored", _lr_scored_oracle())
+def cur_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scoring with the TRAINED classifier (train→serve,
+    end-to-end in-engine): the memoized 1-row beta artifact broadcasts
+    into the same scan-local feature pass the fixed-weights inference
+    query uses — per-doc logit, probability, admission bit, and the
+    weak label for downstream calibration reporting."""
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    toks = tokens_relation(spark, sf_dir).filter(F.size("t") > 0)
+    nt = F.size("t")
+    feat = toks.select(
+        "doc_id",
+        round6(F.log(F.lit(1.0) + nt)).alias("x1"),
+        round6(F.size(F.array_distinct("t")).cast("double") / nt).alias("x2"),
+        (F.col("n_chars") >= _LR_LABEL_CHARS).cast("int").alias("y"),
+    )
+    beta = _trained_beta(spark, sf_dir)
+    eta = round6(
+        F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+    )
+    return (
+        feat.crossJoin(F.broadcast(beta))
+        .withColumn("eta", eta)
+        .select(
+            "doc_id",
+            F.col("eta").alias("logit"),
+            round6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))).alias(
+                "quality_prob"
+            ),
+            (F.col("eta") >= 0).alias("admitted"),
+            (F.col("y") == 1).alias("weak_label"),
+        )
+    )

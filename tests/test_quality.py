@@ -760,3 +760,22 @@ def test_classifier_train_matches_numpy_irls(spark):
     assert acc > base + 0.02  # the model actually learned something
     assert acc == pytest.approx(float(np.mean((eta >= 0) == (y == 1))), abs=2e-6)
     assert all(b < a + 1e-12 for a, b in zip(losses, losses[1:]))
+
+
+def test_classifier_scored_consistent_with_training(spark):
+    """Scoring with the trained beta must reproduce the training
+    accuracy exactly: mean(admitted == weak_label) over the scored
+    corpus equals the train_acc the training query reports."""
+    from oxford_data_pipeline_spark.plans.quality import (
+        cur_classifier_scored,
+        cur_classifier_train,
+    )
+    from tests.conftest import SF_DIR
+
+    acc = cur_classifier_train(spark, SF_DIR).collect()[0].train_acc
+    rows = cur_classifier_scored(spark, SF_DIR).collect()
+    agree = sum(1 for r in rows if r.admitted == r.weak_label) / len(rows)
+    assert round(agree * 1e6 + 0.01) / 1e6 == acc
+    for r in rows:
+        assert (r.quality_prob >= 0.5) == r.admitted
+        assert 0.0 <= r.quality_prob <= 1.0
