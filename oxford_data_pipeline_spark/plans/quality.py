@@ -858,3 +858,43 @@ def cur_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y") == 1).alias("weak_label"),
         )
     )
+
+
+# Calibration report over the trained classifier's scores: decile
+# reliability bins (predicted probability vs observed weak-label rate)
+# — the standard post-training audit before a probability threshold is
+# trusted as an admission dial.  Bounded output (≤10 rows); the only
+# corpus-sized work is the same scan the scoring query does.
+def _lr_calibration_oracle() -> str:
+    scored = _lr_scored_oracle()
+    return f"""
+WITH scored AS ({scored})
+SELECT CAST(least(floor(quality_prob * 10), 9) AS INTEGER) AS bin,
+       count(*) AS n,
+       round(avg(quality_prob) * 1000000 + 0.01, 0) / 1000000 + 0
+           AS mean_prob,
+       round(avg(CASE WHEN weak_label THEN 1.0e0 ELSE 0.0e0 END)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS obs_rate
+FROM scored
+GROUP BY 1
+"""
+
+
+@register("cur_classifier_calibration", _lr_calibration_oracle())
+def cur_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile reliability bins of the trained classifier (see comment):
+    per bin, document count, mean predicted probability, and observed
+    weak-label rate — the calibration audit that says whether
+    `quality_prob >= τ` is a trustworthy admission dial."""
+    scored = cur_classifier_scored(spark, sf_dir)
+    bin_ = F.least(F.floor(F.col("quality_prob") * 10), F.lit(9)).cast("int")
+    return (
+        scored.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round6(F.avg("quality_prob")).alias("mean_prob"),
+            round6(
+                F.avg(F.when(F.col("weak_label"), 1.0).otherwise(0.0))
+            ).alias("obs_rate"),
+        )
+    )

@@ -779,3 +779,33 @@ def test_classifier_scored_consistent_with_training(spark):
     for r in rows:
         assert (r.quality_prob >= 0.5) == r.admitted
         assert 0.0 <= r.quality_prob <= 1.0
+
+
+def test_classifier_calibration_bins(spark):
+    """Bins partition the scored corpus, per-bin counts sum to the
+    corpus, observed rates are recomputed independently, and the
+    mean predicted probability falls inside its bin."""
+    from collections import defaultdict
+
+    from oxford_data_pipeline_spark.plans.quality import (
+        cur_classifier_calibration,
+        cur_classifier_scored,
+    )
+    from tests.conftest import SF_DIR
+
+    scored = cur_classifier_scored(spark, SF_DIR).collect()
+    bins = cur_classifier_calibration(spark, SF_DIR).collect()
+    want = defaultdict(lambda: [0, 0.0, 0])
+    for r in scored:
+        b = min(int(r.quality_prob * 10), 9)
+        want[b][0] += 1
+        want[b][1] += r.quality_prob
+        want[b][2] += 1 if r.weak_label else 0
+    assert sum(r.n for r in bins) == len(scored)
+    for r in bins:
+        n, psum, pos = want[r.bin]
+        assert r.n == n
+        assert r.mean_prob == round(psum / n * 1e6 + 0.01) / 1e6
+        assert r.obs_rate == round(pos / n * 1e6 + 0.01) / 1e6
+        if r.bin < 9:
+            assert r.bin / 10 <= r.mean_prob < (r.bin + 1) / 10 + 1e-9
