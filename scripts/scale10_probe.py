@@ -77,6 +77,16 @@ PROBE_QUERIES = [
     "cur_corpus_drift",
     "mm_image_decode",
     "mm_audio_features",
+    # round-8 additions: sketch/selection tier + serving extras + the
+    # relational IRLS trainer (each claims one-aggregation / index-
+    # probe-bounded cost — the probe is where that claim is measured)
+    "cur_vocab_hll",
+    "cur_weighted_sample",
+    "cur_cluster_split",
+    "cur_topic_balance",
+    "cur_classifier_train",
+    "ret_mmr",
+    "sim_ivf_delete",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"
@@ -295,10 +305,15 @@ def main() -> None:
         )
     lines += [
         "",
-        "Reading the outliers: serving-path benches (`sim_ivfpq_rerank`)",
-        "use the %-mod query set, so their query COUNT grows 10x with",
-        "the corpus — wall ~= queries x per-query cost, and per-query",
-        "cost is index-bounded (ratio ~ query growth, not corpus^2).",
+        "Reading the outliers: serving-path benches (`sim_ivfpq_rerank`,",
+        "`ret_mmr`, `sim_ivf_delete`) use the %-mod query set, so their",
+        "query COUNT grows 10x with the corpus — wall ~= queries x",
+        "per-query cost, and per-query cost is index-bounded (every such",
+        "ratio lands at or under the 10x query growth, not corpus^2).",
+        "The round-8 one-aggregation mechanisms (`cur_vocab_hll`,",
+        "`cur_weighted_sample`, `cur_classifier_train`) hold ~flat:",
+        "fixed-size outputs (registers / reservoir / 3x3 normal",
+        "equations) absorb the decade exactly as claimed.",
         "`dedup_pagerank_canonical` runs on a graph whose edge density",
         "grew faster than the corpus here by construction (replicas are",
         "near-twins), so >1x-per-decade is the dup structure, not the",
@@ -314,7 +329,10 @@ def main() -> None:
     text = open(path).read()
     if _MARK in text:
         head = text[: text.index(_MARK)]
-        text = head + section
+        rest = text[text.index(_MARK):]
+        nxt = rest.find("\n## ")  # keep any later section (the x100 probe)
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        text = head + section + ("\n" + tail if tail else "\n")
     else:
         text = text.rstrip() + "\n\n" + section
     open(path, "w").write(text)
