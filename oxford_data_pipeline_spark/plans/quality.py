@@ -827,12 +827,15 @@ FROM scored
 @register("cur_classifier_scored", _lr_scored_oracle())
 def cur_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus scoring with the TRAINED classifier (train→serve,
-    end-to-end in-engine): the memoized 1-row beta artifact broadcasts
-    into the same scan-local feature pass the fixed-weights inference
-    query uses — per-doc logit, probability, admission bit, and the
-    weak label for downstream calibration reporting."""
+    end-to-end in-engine), in EXACTLY the production shape the
+    fixed-weights inference query documents ("production swaps the
+    literal vector for the trained one"): the memoized trained beta —
+    a 3-double model artifact — is embedded as plan literals (the
+    `stream_ann.centroid_literal` convention), so scoring is the same
+    scan-local zero-join pass as `cur_quality_classifier`."""
     from oxford_data_pipeline_spark.plans.textops import tokens_relation
 
+    b = _trained_beta(spark, sf_dir).collect()[0]  # 3 doubles: the model
     toks = tokens_relation(spark, sf_dir).filter(F.size("t") > 0)
     nt = F.size("t")
     feat = toks.select(
@@ -841,22 +844,18 @@ def cur_classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.size(F.array_distinct("t")).cast("double") / nt).alias("x2"),
         (F.col("n_chars") >= _LR_LABEL_CHARS).cast("int").alias("y"),
     )
-    beta = _trained_beta(spark, sf_dir)
     eta = round6(
-        F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+        F.lit(b["b0"]) + F.lit(b["b1"]) * F.col("x1")
+        + F.lit(b["b2"]) * F.col("x2")
     )
-    return (
-        feat.crossJoin(F.broadcast(beta))
-        .withColumn("eta", eta)
-        .select(
-            "doc_id",
-            F.col("eta").alias("logit"),
-            round6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))).alias(
-                "quality_prob"
-            ),
-            (F.col("eta") >= 0).alias("admitted"),
-            (F.col("y") == 1).alias("weak_label"),
-        )
+    return feat.withColumn("eta", eta).select(
+        "doc_id",
+        F.col("eta").alias("logit"),
+        round6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))).alias(
+            "quality_prob"
+        ),
+        (F.col("eta") >= 0).alias("admitted"),
+        (F.col("y") == 1).alias("weak_label"),
     )
 
 
