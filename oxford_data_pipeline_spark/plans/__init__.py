@@ -49,7 +49,7 @@ _ROUND8_FRONT = [
     "ret_mmr", "cur_topic_balance", "cur_cluster_split", "sim_ivf_delete",
     "mm_jpeg_decode", "cur_weighted_sample", "cur_vocab_hll",
     "sim_ivf_delete_recall", "cur_classifier_train", "cur_classifier_scored",
-    "cur_classifier_calibration",
+    "cur_classifier_calibration", "dedup_labels_incremental",
     "mm_phash", "mm_phash_neardup", "ret_rm3_expansion", "ret_snippets",
     "emb_knn_classify",
     "ret_hybrid_rrf", "ret_hybrid_rrf_audit", "text_bm25_topk",

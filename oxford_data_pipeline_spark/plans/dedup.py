@@ -1465,3 +1465,148 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.withColumn("rn", F.row_number().over(w)).select(
         "doc_id", "cluster_id", "pagerank", (F.col("rn") == 1).alias("is_canonical")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental cluster-label maintenance (the CC delta-apply leg)
+# --------------------------------------------------------------------------
+# The cluster-label table is a MAINTAINED artifact (`_cc_labels`); this
+# query is its delta-apply step: when an ingest batch introduces new
+# verified near-dup edges, the updated labels come from connected
+# components over the QUOTIENT graph — existing components collapsed to
+# their label plus the delta-incident edges — never a CC re-run over
+# the full pair graph.  Affected work is O(|delta edges| + touched
+# components); the untouched corpus is never scanned.  Emits the
+# affected docs only: each delta doc's assigned cluster and every
+# member of a base component whose label merges.  The "delta applies
+# cleanly" invariant (incremental result == full-graph rebuild) is
+# pytest-pinned, same discipline as apply_postings_delta.
+_LABELS_INCR_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CAND_CTES},
+base_cand AS (
+    SELECT doc1, doc2 FROM cand
+    WHERE NOT (doc1 % 7 = 0) AND NOT (doc2 % 7 = 0)
+),
+base_edges AS (
+    SELECT doc1 AS src, doc2 AS dst FROM base_cand
+    UNION SELECT doc2, doc1 FROM base_cand
+),
+walk_base(doc_id, label) AS (
+    SELECT src, src FROM base_edges
+    UNION
+    SELECT e.src, w.label FROM base_edges e JOIN walk_base w ON e.dst = w.doc_id
+),
+base_labels AS (SELECT doc_id, min(label) AS label FROM walk_base GROUP BY 1),
+delta_edges AS (
+    SELECT doc1 AS a, doc2 AS b FROM cand
+    WHERE doc1 % 7 = 0 OR doc2 % 7 = 0
+),
+qe0 AS (
+    SELECT coalesce(la.label, de.a) AS src, coalesce(lb.label, de.b) AS dst
+    FROM delta_edges de
+    LEFT JOIN base_labels la ON la.doc_id = de.a AND NOT (de.a % 7 = 0)
+    LEFT JOIN base_labels lb ON lb.doc_id = de.b AND NOT (de.b % 7 = 0)
+),
+qedges AS (SELECT src, dst FROM qe0 UNION SELECT dst, src FROM qe0),
+walk_q(node, label) AS (
+    SELECT src, src FROM qedges
+    UNION
+    SELECT e.src, w.label FROM qedges e JOIN walk_q w ON e.dst = w.node
+),
+qlabels AS (SELECT node, min(label) AS qlabel FROM walk_q GROUP BY 1)
+SELECT doc_id, old_label, new_label, new_label <> old_label AS changed
+FROM (
+    SELECT q.node AS doc_id, q.node AS old_label, q.qlabel AS new_label
+    FROM qlabels q WHERE q.node % 7 = 0
+    UNION ALL
+    SELECT bl.doc_id, bl.label AS old_label, q.qlabel AS new_label
+    FROM base_labels bl JOIN qlabels q ON q.node = bl.label
+    UNION ALL
+    SELECT q.node AS doc_id, q.node AS old_label, q.qlabel AS new_label
+    FROM qlabels q
+    WHERE NOT (q.node % 7 = 0)
+      AND q.node NOT IN (SELECT label FROM base_labels)
+)
+"""
+
+_base_cc_cache: dict[tuple, DataFrame] = {}
+
+
+@register("dedup_labels_incremental", _LABELS_INCR_ORACLE)
+def dedup_labels_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-apply for the maintained cluster-label table (see section
+    comment): base components collapse to their label, delta-incident
+    verified edges map through the labels, and one pointer-jumping CC
+    over that tiny quotient graph yields the merged labels — emitted
+    for affected docs only (delta docs; members of merged base
+    components; isolated base docs a delta edge pulls in)."""
+    from oxford_data_pipeline_spark.operators.iterate import (
+        min_label_components,
+    )
+    from oxford_data_pipeline_spark.plans.memo import memoized
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    d1 = F.col("doc1") % 7 == 0
+    d2 = F.col("doc2") % 7 == 0
+
+    def build_base() -> DataFrame:
+        return min_label_components(
+            pairs.filter(~d1 & ~d2), "doc1", "doc2"
+        )
+
+    base_labels = memoized(_base_cc_cache, spark, ("base_cc", sf_dir), build_base)
+    delta_edges = pairs.filter(d1 | d2).select(
+        F.col("doc1").alias("a"), F.col("doc2").alias("b")
+    )
+    la = base_labels.select(
+        F.col("doc_id").alias("a"), F.col("label").alias("la")
+    )
+    lb = base_labels.select(
+        F.col("doc_id").alias("b"), F.col("label").alias("lb")
+    )
+    qe0 = (
+        delta_edges.join(F.broadcast(la), "a", "left")
+        .join(F.broadcast(lb), "b", "left")
+        .select(
+            F.coalesce(
+                F.when(F.col("a") % 7 != 0, F.col("la")), F.col("a")
+            ).alias("src"),
+            F.coalesce(
+                F.when(F.col("b") % 7 != 0, F.col("lb")), F.col("b")
+            ).alias("dst"),
+        )
+    )
+    qlabels = min_label_components(qe0, "src", "dst").select(
+        F.col("doc_id").alias("node"), F.col("label").alias("qlabel")
+    )
+    delta_out = qlabels.filter(F.col("node") % 7 == 0).select(
+        F.col("node").alias("doc_id"),
+        F.col("node").alias("old_label"),
+        F.col("qlabel").alias("new_label"),
+    )
+    base_merged = (
+        base_labels.join(
+            qlabels, base_labels["label"] == qlabels["node"]
+        ).select(
+            "doc_id",
+            F.col("label").alias("old_label"),
+            F.col("qlabel").alias("new_label"),
+        )
+    )
+    isolated = (
+        qlabels.filter(F.col("node") % 7 != 0)
+        .join(
+            base_labels.select(F.col("label").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("node").alias("old_label"),
+            F.col("qlabel").alias("new_label"),
+        )
+    )
+    out = delta_out.unionByName(base_merged).unionByName(isolated)
+    return out.withColumn(
+        "changed", F.col("new_label") != F.col("old_label")
+    )

@@ -809,3 +809,54 @@ def test_classifier_calibration_bins(spark):
         assert r.obs_rate == round(pos / n * 1e6 + 0.01) / 1e6
         if r.bin < 9:
             assert r.bin / 10 <= r.mean_prob < (r.bin + 1) / 10 + 1e-9
+
+
+def test_labels_incremental_delta_applies_cleanly(spark):
+    """Applying the incremental label updates to (base labels + delta
+    self-labels) must reconstruct EXACTLY the labels a full CC rebuild
+    over the whole pair graph produces — the maintained-index
+    invariant, same discipline as apply_postings_delta."""
+    from oxford_data_pipeline_spark.operators.iterate import (
+        min_label_components,
+    )
+    from oxford_data_pipeline_spark.plans.dedup import (
+        dedup_labels_incremental,
+        dedup_minhash_lsh,
+    )
+    from tests.conftest import SF_DIR
+
+    pairs = dedup_minhash_lsh(spark, SF_DIR).select("doc1", "doc2")
+    full = {
+        r.doc_id: r.label
+        for r in min_label_components(pairs, "doc1", "doc2").collect()
+    }
+    prows = pairs.collect()
+    base_pairs = [
+        (r.doc1, r.doc2) for r in prows if r.doc1 % 7 and r.doc2 % 7
+    ]
+    delta_docs = {
+        d for r in prows for d in (r.doc1, r.doc2) if d % 7 == 0
+    }
+    base = spark.createDataFrame(base_pairs or [(0, 0)], "doc1 long, doc2 long")
+    state = (
+        {
+            r.doc_id: r.label
+            for r in min_label_components(base, "doc1", "doc2").collect()
+        }
+        if base_pairs
+        else {}
+    )
+    for d in delta_docs:
+        state.setdefault(d, d)
+    updates = dedup_labels_incremental(spark, SF_DIR).collect()
+    assert updates
+    for r in updates:
+        assert state.get(r.doc_id) is not None or r.old_label == r.doc_id
+        state[r.doc_id] = r.new_label
+        assert r.changed == (r.new_label != r.old_label)
+    # every doc the full rebuild labels must now match exactly; docs
+    # the rebuild doesn't know (true singletons) must not appear
+    for doc, lab in full.items():
+        assert state.get(doc, doc) == lab, (doc, state.get(doc), lab)
+    for doc in state:
+        assert doc in full or state[doc] == doc
