@@ -1564,9 +1564,12 @@ def dedup_labels_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     lb = base_labels.select(
         F.col("doc_id").alias("b"), F.col("label").alias("lb")
     )
+    # label table is corpus-scale at 100 TB — never broadcast it; the
+    # delta-edge side is the small one (AQE broadcasts it), and the
+    # label side is one equi-keyed probe of the maintained table
     qe0 = (
-        delta_edges.join(F.broadcast(la), "a", "left")
-        .join(F.broadcast(lb), "b", "left")
+        delta_edges.join(la, "a", "left")
+        .join(lb, "b", "left")
         .select(
             F.coalesce(
                 F.when(F.col("a") % 7 != 0, F.col("la")), F.col("a")
