@@ -74,6 +74,18 @@ def main() -> None:
         title="hybrid retrieval sample (RRF of BM25 + dense legs)",
     )
 
+    print("== round-8 serving extras ==")
+    rm3 = q("ret_rm3_expansion")
+    print("  RM3-expanded result rows:", rm3.count())
+    snip = q("ret_snippets").orderBy("query_id", "doc_id").limit(3).collect()
+    print("  snippet sample:", [(r["query_id"], r["doc_id"], r["snippet"][:40])
+                                for r in snip])
+    mmr = q("ret_mmr")
+    print("  MMR diverse picks:", mmr.count(), "rows across",
+          mmr.select("query_id").distinct().count(), "queries")
+    dr = q("sim_ivf_delete_recall").agg({"recall": "avg"}).collect()[0][0]
+    print(f"  recall after tombstone delete (live-only truth): {dr:.3f}")
+
     print(f"reports under {out_dir}")
 
 
