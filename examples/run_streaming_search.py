@@ -255,38 +255,127 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
 
     qsrc = os.path.join(work, "src_queries")
     queries.write.parquet(qsrc)
-    results: list = []
 
-    def serve(batch: DataFrame, batch_id: int) -> None:
-        lex = bm25_rank(query_terms(batch), postings, doclens, topk=_TOPK).select(
-            "query_id", F.col("doc_id").alias("cand_id"), F.col("rank").alias("rnk")
+    def serve_stream(p, dl, cl) -> list:
+        """Stream the query file through foreachBatch fused serving
+        against the given maintained tables; return the fused rows."""
+        results: list = []
+
+        def serve(batch: DataFrame, batch_id: int) -> None:
+            lex = bm25_rank(query_terms(batch), p, dl, topk=_TOPK).select(
+                "query_id", F.col("doc_id").alias("cand_id"), F.col("rank").alias("rnk")
+            )
+            # dense leg serves THIS micro-batch's queries only (join
+            # qembs against the batch ids) — fusing the static full
+            # query set would re-emit every query's rows once per
+            # micro-batch
+            batch_qembs = qembs.join(
+                batch.select(F.col("query_id").alias("vec_id")).distinct(), "vec_id"
+            )
+            dense = _dense_probe(spark, batch_qembs, centroids, cl, embs_all)
+            fused = _rrf_fuse(lex, dense)
+            results.extend(fused.collect())
+
+        (
+            spark.readStream.schema("query_id long, text string")
+            .parquet(qsrc)
+            .writeStream.foreachBatch(serve)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
         )
-        dense = _dense_probe(spark, qembs, centroids, cells, embs_all)
-        fused = _rrf_fuse(lex, dense)
-        results.extend(fused.collect())
+        assert results, "serving produced no fused rows"
+        by_q: dict = {}
+        for r in results:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, lst in by_q.items():
+            ranks = sorted(x["fused_rank"] for x in lst)
+            assert ranks == list(range(1, len(lst) + 1)), q
+        return results
+
+    results = serve_stream(postings, doclens, cells)
+    by_q: dict = {}
+    for r in results:
+        by_q.setdefault(r["query_id"], []).append(r)
+    print(f"served {len(results)} fused rows for {len(by_q)} queries")
+
+    # ---- phase 4: tombstone CDC — deletes merge into the maintained
+    # tables (dense: apply_ivf_tombstones anti-join; lexical: the SAME
+    # postings-delta shape the text CDC uses, old_tf -> new_tf = 0) ----
+    from oxford_data_pipeline_spark.plans.retrieval import apply_postings_delta
+    from oxford_data_pipeline_spark.streaming.stream_ann import (
+        apply_ivf_tombstones,
+    )
+
+    victims = sorted(
+        {r["cand_id"] for r in results if r["cand_id"] not in qids}
+    )[:2]
+    assert victims, "no deletable candidate appeared in the fused results"
+    tomb_src = os.path.join(work, "src_tombstones")
+    spark.createDataFrame(
+        [(int(v),) for v in victims], "vec_id long"
+    ).write.parquet(tomb_src)
+
+    live_tables = {"postings": postings, "doclens": doclens, "cells": cells}
+
+    def apply_tomb(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        rm = batch.select(F.col("vec_id").alias("doc_id"))
+        cur_p = live_tables["postings"]
+        delta = cur_p.join(rm, "doc_id").select(
+            "doc_id", "term", F.col("tf").alias("old_tf"),
+            F.lit(0).cast("long").alias("new_tf"),
+        )
+        live_tables["postings"] = apply_postings_delta(cur_p, delta).localCheckpoint(
+            eager=True
+        )
+        live_tables["doclens"] = (
+            live_tables["doclens"].join(rm, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+        )
+        live_tables["cells"] = apply_ivf_tombstones(
+            live_tables["cells"], batch
+        ).localCheckpoint(eager=True)
 
     (
-        spark.readStream.schema("query_id long, text string")
-        .parquet(qsrc)
-        .writeStream.foreachBatch(serve)
+        spark.readStream.schema("vec_id long")
+        .parquet(tomb_src)
+        .writeStream.foreachBatch(apply_tomb)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
-    assert results, "serving produced no fused rows"
-    by_q: dict = {}
-    for r in results:
-        by_q.setdefault(r["query_id"], []).append(r)
-    for q, lst in by_q.items():
-        ranks = sorted(x["fused_rank"] for x in lst)
-        assert ranks == list(range(1, len(lst) + 1)), q
-    print(f"served {len(results)} fused rows for {len(by_q)} queries")
+    assert live_tables["cells"].filter(F.col("vec_id").isin(victims)).count() == 0
+    assert live_tables["postings"].filter(F.col("doc_id").isin(victims)).count() == 0
+    print(f"tombstone CDC applied: deleted doc_ids {victims}")
+
+    # ---- phase 5: delete-then-serve — a deleted doc must never
+    # surface in fused results again, on either leg ----
+    results_after = serve_stream(
+        live_tables["postings"], live_tables["doclens"], live_tables["cells"]
+    )
+    served_before = {r["cand_id"] for r in results}
+    served_after = {r["cand_id"] for r in results_after}
+    assert set(victims) <= served_before, "victims must come from live results"
+    assert not set(victims) & served_after, "deleted doc served after tombstone"
+    by_q_after: dict = {}
+    for r in results_after:
+        by_q_after.setdefault(r["query_id"], []).append(r)
+    assert set(by_q_after) == set(by_q), "delete changed the served query set"
+    print(
+        f"delete-then-serve OK: {len(results_after)} fused rows, "
+        f"victims absent from all {len(by_q_after)} queries"
+    )
+
     return {
         "postings": p2,
         "cells": c2,
         "delta_rows": delta_only,
         "queries_served": len(by_q),
         "fused_rows": len(results),
+        "deleted": victims,
+        "fused_rows_after_delete": len(results_after),
         "work": work,
     }
 

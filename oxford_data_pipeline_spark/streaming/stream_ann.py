@@ -48,6 +48,25 @@ def centroid_literal(centroids: DataFrame) -> Column:
     return F.array(*cents)
 
 
+def apply_ivf_tombstones(inverted: DataFrame, remove_ids: DataFrame) -> DataFrame:
+    """Merge a tombstone CDC batch into the maintained inverted list:
+    one equi-keyed anti-join removes every (vec_id, cell) row whose
+    vector was deleted — the streaming twin of the batch tombstone
+    apply (`similarity.sim_ivf_delete`), mirroring how
+    `apply_postings_delta` merges remove rows on the text side.
+
+    FAISS-delete semantics: the quantizer is untouched (no retrain, no
+    reassignment of survivors) and serving reads the post-delete list,
+    so a deleted vector can never be produced as a candidate.  The
+    delta batch is tiny relative to the list table; at 100 TB this is
+    one partition-local anti-join per maintenance cycle, never a
+    rebuild.  Maintained-equals-batch is asserted in
+    tests/test_sinks_streaming.py."""
+    return inverted.join(
+        remove_ids.select("vec_id").distinct(), "vec_id", "left_anti"
+    )
+
+
 def ivf_assign_stream(embs: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding, ...) → (vec_id, cell, ...): nearest
     base-trained centroid per arriving vector, computed entirely

@@ -42,7 +42,9 @@ def main() -> int:
             errors.append(f"no STATUS line: {header}")
             continue
         # every cited test path must exist (strip ::test selectors)
-        for cite in re.findall(r"tests/[\w/]+\.py", it):
+        # filename chars beyond \w (dashes, extra dots) must not let a
+        # citation silently escape the existence check
+        for cite in re.findall(r"tests/[\w./-]+\.py", it):
             if not os.path.exists(os.path.join(repo, cite)):
                 errors.append(f"STATUS cites missing file {cite}: {header}")
 

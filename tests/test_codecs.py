@@ -281,6 +281,39 @@ def test_warc_documents_response_and_conversion(spark, tmp_path):
     assert toks == 8
 
 
+def test_warc_lf_headers_and_chunked_bodies(spark, tmp_path):
+    """Real captures include LF-only HTTP responses (headers must not
+    leak into text) and Transfer-Encoding: chunked bodies (chunk-size
+    hex tokens must be stripped before extraction)."""
+    from oxford_data_pipeline_spark.sources.warc import (
+        _http_payload_to_text,
+        read_warc_documents,
+    )
+
+    # LF-only header separator
+    lf_payload = (b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+                  b"<p>lf body text</p>")
+    assert _http_payload_to_text(lf_payload) == "lf body text"
+    # chunked framing, CRLF separators
+    chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+               b"b\r\n<p>chunk on\r\n"
+               b"8\r\ne body</\r\n"
+               b"2\r\np>\r\n"
+               b"0\r\n\r\n")
+    assert _http_payload_to_text(chunked) == "chunk one body"
+    # malformed chunk framing degrades to the cleanly-decoded prefix,
+    # never leaks hex size tokens
+    broken = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+              b"4\r\ngood\r\nZZZ\r\nrest")
+    assert _http_payload_to_text(broken) == "good"
+    # end-to-end through the connector
+    rec = _warc_record("response", "http://c.example/chunked", chunked)
+    (tmp_path / "chunked.warc").write_bytes(rec)
+    docs, bad = read_warc_documents(spark, str(tmp_path / "chunked.warc"))
+    assert bad.count() == 0
+    assert [r["text"] for r in docs.collect()] == ["chunk one body"]
+
+
 def test_warc_gzip_members_bit_identical(spark, tmp_path):
     """.warc.gz (one gzip member per record, the Common Crawl layout)
     parses bit-identically to the plain file."""
@@ -304,6 +337,62 @@ def test_warc_gzip_members_bit_identical(spark, tmp_path):
     r1 = sorted((r["doc_id"], r["text"], r["source"]) for r in d1.collect())
     r2 = sorted((r["doc_id"], r["text"], r["source"]) for r in d2.collect())
     assert r1 == r2 and len(r1) == 2
+
+
+def test_warc_feeds_url_dedup_and_domain_mix(spark, tmp_path):
+    """End-to-end: the connector's preserved WARC-Target-URI feeds the
+    URL-tier operators — two captures of the same page under scheme /
+    www / fragment / tracking-param noise collapse to one normalized
+    URL, and the domain rollup keys on the normalized host."""
+    from oxford_data_pipeline_spark.operators.urlops import normalize_urls
+    from oxford_data_pipeline_spark.sources.warc import read_warc_documents
+    from pyspark.sql import functions as F
+
+    recs = b"".join([
+        _warc_record("response", "HTTP://WWW.A.Example/page?utm_source=x&id=7",
+                     _HTTP_HTML),
+        _warc_record("response", "https://a.example/page?id=7#frag",
+                     _HTTP_HTML.replace(b"crawl", b"recrawl")),
+        _warc_record("conversion", "https://b.example/wet/", b"other text"),
+    ])
+    (tmp_path / "crawl.warc").write_bytes(recs)
+    docs, bad = read_warc_documents(spark, str(tmp_path / "crawl.warc"))
+    assert bad.count() == 0 and docs.count() == 3
+    normed = normalize_urls(docs, url_col="source")
+    groups = (
+        normed.groupBy("host", "norm_url")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_urls"))
+    )
+    by_url = {r["norm_url"]: r["n_urls"] for r in groups.collect()}
+    assert by_url == {"a.example/page?id=7": 2, "b.example/wet": 1}
+    hosts = {
+        r["host"]: r["n_docs"]
+        for r in normed.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    }
+    assert hosts == {"a.example": 2, "b.example": 1}
+
+
+def test_url_normalization_rules(spark):
+    """Each normalization rule in isolation: fragment, scheme, case,
+    www, userinfo, default vs real port, tracking params (order of the
+    surviving params preserved), trailing slash."""
+    from oxford_data_pipeline_spark.operators.urlops import normalize_urls
+
+    cases = [
+        (1, "https://www.Ex.COM:443/A/b/?utm_campaign=c&q=1&ref=r#top",
+         "ex.com", "ex.com/A/b?q=1"),
+        (2, "HTTP://user:pw@EX.com:80/A/b?q=1&z=2", "ex.com", "ex.com/A/b?q=1&z=2"),
+        (3, "ex.com:8080/x", "ex.com:8080", "ex.com:8080/x"),  # real port kept
+        (4, "https://ex.com", "ex.com", "ex.com"),
+        (5, "https://ex.com/?fbclid=abc", "ex.com", "ex.com"),
+        (6, "https://ex.com/p?b=2&a=1", "ex.com", "ex.com/p?b=2&a=1"),  # order kept
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, *_ in cases], "doc_id long, url string"
+    )
+    got = {r["doc_id"]: (r["host"], r["norm_url"]) for r in normalize_urls(df).collect()}
+    for i, _, host, norm in cases:
+        assert got[i] == (host, norm), (i, got[i], (host, norm))
 
 
 def test_warc_malformed_quarantines_not_fails(spark, tmp_path):

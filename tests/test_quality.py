@@ -642,6 +642,25 @@ def test_weighted_sample_keys_recomputed_independently(spark):
         assert r.es_key == keys[r.doc_id]
 
 
+def test_weighted_sample_excludes_empty_documents(spark):
+    """n_chars = 0 gives ln(u)/0 = -inf — engine-divergent NaN
+    ordering — so weight-0 docs must be filtered before keying
+    (A-ES semantics: weight 0 ⇒ never sampled), and every emitted
+    key must be finite."""
+    import math
+
+    from oxford_data_pipeline_spark.plans.curation import es_keyed, es_top_k
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 0), (3, "c", 50)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = es_top_k(es_keyed(docs), k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 2 not in ids and sorted(ids) == [1, 3]
+    assert all(math.isfinite(r.es_key) for r in rows)
+
+
 def test_vocab_hll_estimate_and_mergeability(spark):
     """The register relation yields a cardinality estimate within the
     expected HLL error band of the exact vocabulary count, and
@@ -706,6 +725,29 @@ def test_ivf_delete_recall_floor(spark):
     rec = [r.recall for r in rows]
     assert sum(rec) / len(rec) >= 0.7
     assert all(r.n_true > 0 for r in rows)
+
+
+def test_ivf_churn_recall_floor_and_liveness(spark):
+    """Combined churn (append delta + tombstone set in one cycle) must
+    keep the serving floor vs the live-only exact top-k, and neither a
+    tombstoned query nor a tombstoned candidate may appear anywhere in
+    the audited relation."""
+    import hashlib
+
+    from oxford_data_pipeline_spark.plans.similarity import (
+        sim_ivf_churn_recall,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = sim_ivf_churn_recall(spark, SF_DIR).collect()
+    assert rows
+    rec = [r.recall for r in rows]
+    assert sum(rec) / len(rec) >= 0.7
+    assert all(r.n_true > 0 for r in rows)
+    # no served query is tombstoned (2nd md5 nibble 'f') or base-split
+    for r in rows:
+        h = hashlib.md5(str(r.query_id).encode()).hexdigest()
+        assert h[1] != "f" and h[0] >= "c" and r.query_id % 10 == 0
 
 
 def test_classifier_train_matches_numpy_irls(spark):

@@ -1028,6 +1028,46 @@ def test_ivf_zero_norm_vector_quarantined_both_paths(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_ivf_tombstones_match_batch_delete(spark, tmp_path):
+    """remove_ids replayed as a CDC stream through
+    apply_ivf_tombstones, merged batch by batch into the maintained
+    inverted list, must leave EXACTLY the rows the batch tombstone
+    apply (`sim_ivf_delete`'s equi-keyed anti-join, frozen quantizer,
+    no reassignment) leaves — and no tombstoned vector may survive."""
+    from oxford_data_pipeline_spark.plans.similarity import (
+        _churn_del_pred,
+        _inc_index_parts,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_ann import (
+        apply_ivf_tombstones,
+    )
+    from tests.conftest import SF_DIR
+
+    _l, _n, _r, merged = _inc_index_parts(spark, SF_DIR)
+    start = merged.collect()
+    tomb = merged.filter(_churn_del_pred()).select("vec_id")
+    d = str(tmp_path / "tomb_stream")
+    tomb.repartition(2).write.parquet(d)  # 2 files -> chance of 2 batches
+    stream = spark.readStream.schema("vec_id long").parquet(d)
+
+    state = {"rows": start}
+
+    def sink(batch, _bid):
+        cur = spark.createDataFrame(state["rows"], merged.schema)
+        state["rows"] = apply_ivf_tombstones(cur, batch).collect()
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sorted((r["vec_id"], r["cell"]) for r in state["rows"])
+    want = sorted(
+        (r["vec_id"], r["cell"])
+        for r in merged.join(tomb, "vec_id", "left_anti").collect()
+    )
+    assert got == want and 0 < len(got) < len(start)
+    dead = {r["vec_id"] for r in tomb.collect()}
+    assert dead and not dead & {v for v, _ in got}
+
+
 def test_streaming_bm25_serving_matches_batch(spark, tmp_path):
     """Queries replayed through the foreachBatch serving path must
     rank EXACTLY as the registered batch query: same scorer, same
