@@ -5,13 +5,16 @@ multimodal corpus is dominantly JPEG, and until now those payloads hit
 the quarantine path.  Coverage (documented in COVERAGE.md's codec
 contract): baseline sequential (SOF0/1) and progressive (SOF2, Annex
 G: spectral selection + successive approximation with general EOB
-runs), 8-bit samples, grayscale and 3-component YCbCr with 4:4:4 or
-4:2:0 sampling, standard JFIF color transform, restart intervals
-(DRI/RSTn).  Arithmetic coding, 12-bit, and hierarchical modes raise —
-they fall to the quarantine path like every unsupported feature.  The
-encoder can emit both scan styles (the progressive script is how the
-decoder's Annex-G paths are round-trip-tested against the sequential
-decode of the same coefficients).
+runs), 8-bit samples everywhere plus 12-bit in the extended-sequential
+and progressive processes (T.81 B.2.2; 12-bit decodes to uint16 with
+`precision` in the metadata), 8- and 16-bit quantization tables
+(Pq = 0/1 — 16-bit permitted only with 12-bit samples, B.2.4.1),
+grayscale and 3-component YCbCr with 4:4:4 or 4:2:0 sampling, standard
+JFIF color transform, restart intervals (DRI/RSTn).  Arithmetic coding
+and hierarchical modes raise — they fall to the quarantine path like
+every unsupported feature.  The encoder can emit both scan styles plus
+the 12-bit extended-sequential process with 16-bit tables (how the
+12-bit decode paths are round-trip-tested).
 
 All constants are the public spec's: Annex K.1 quantization tables,
 Annex K.3 typical Huffman tables, the zigzag order, the IJG quality
@@ -127,6 +130,26 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
         t = np.floor((base * scale + 50) / 100)
         out.append(np.clip(t, 1, 255))
     return out[0], out[1]
+
+
+def _hufftables_12bit() -> tuple[tuple, tuple]:
+    """Huffman tables for the 12-bit extended-sequential encoder.
+
+    Annex K.3 only covers 8-bit (DC SSSS 0..11, AC size 1..10); 12-bit
+    needs DC difference categories up to 16 and AC sizes up to 14
+    (T.81 Tables F.6/F.7).  Compression optimality is irrelevant for
+    an encoder used to build fixtures, so every DC symbol gets length
+    6 (17 codes <= 64) and every AC symbol length 9 (226 codes <= 512)
+    — valid canonical prefix codes with no all-ones codeword."""
+    dc_bits = [0] * 16
+    dc_bits[5] = 17
+    dc_vals = list(range(17))
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_vals)
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -289,16 +312,18 @@ def _encode_blocks(
     return dc_pred
 
 
-def _component_coefs(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    """Level-shift, 8x8 DCT, quantize, zigzag: [n_blocks, 64] int32 in
-    raster block order (plane dims must be multiples of 8)."""
+def _component_coefs(
+    plane: np.ndarray, qt: np.ndarray, half: float = 128.0
+) -> np.ndarray:
+    """Level-shift (2^(P-1)), 8x8 DCT, quantize, zigzag: [n_blocks, 64]
+    int32 in raster block order (plane dims must be multiples of 8)."""
     h, w = plane.shape
     blocks = (
         plane.reshape(h // 8, 8, w // 8, 8)
         .transpose(0, 2, 1, 3)
         .reshape(-1, 8, 8)
         .astype(np.float64)
-        - 128.0
+        - half
     )
     dct = np.einsum("ij,njk,lk->nil", _A, blocks, _A)
     q = np.round(dct / qt.reshape(8, 8)).astype(np.int32)
@@ -318,6 +343,7 @@ def jpeg_encode(
     subsample: bool = True,
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """JPEG encoding of a [h, w] grayscale or [h, w, 3] RGB uint8
     array (JFIF; 4:2:0 when `subsample` and the image is color).
@@ -332,14 +358,31 @@ def jpeg_encode(
     if progressive and restart_interval:
         raise ValueError("restart_interval unsupported with progressive "
                          "encode (decode supports both)")
-    img = np.asarray(img, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 12 and progressive:
+        raise ValueError("12-bit encode is extended-sequential only")
+    if precision == 12:
+        img = np.asarray(img, dtype=np.uint16)
+        if img.size and int(img.max()) > 4095:
+            raise ValueError("12-bit samples must be <= 4095")
+    else:
+        img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
-        raise ValueError("jpeg_encode expects [h,w] or [h,w,3] uint8")
+        raise ValueError("jpeg_encode expects [h,w] or [h,w,3] samples")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
     qt_l, qt_c = _quality_tables(quality)
+    half = float(1 << (precision - 1))
+    maxv = float((1 << precision) - 1)
+    if precision == 12:
+        # quant values scale with the DCT coefficient range (libjpeg
+        # convention: x16 for 12-bit) — values exceed 255, so the DQT
+        # ships 16-bit entries (Pq=1), the only precision T.81 permits
+        # them with (B.2.4.1)
+        qt_l, qt_c = qt_l * 16, qt_c * 16
 
     if gray:
         planes = [img.astype(np.float64)]
@@ -349,8 +392,8 @@ def jpeg_encode(
         g = img[..., 1].astype(np.float64)
         b = img[..., 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
         if subsample:
             yp = _pad_to(y, 16)
             cbp = _pad_to(cb, 16)
@@ -363,28 +406,45 @@ def jpeg_encode(
             planes = [y, cb, cr]
             samp = [(1, 1), (1, 1), (1, 1)]
 
-    planes = [np.clip(_pad_to(p, 8), 0, 255) for p in planes]
+    planes = [np.clip(_pad_to(p, 8), 0, maxv) for p in planes]
     qts = [qt_l] + [qt_c] * (len(planes) - 1)
-    coefs = [_component_coefs(p, qt) for p, qt in zip(planes, qts)]
+    coefs = [_component_coefs(p, qt, half) for p, qt in zip(planes, qts)]
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 / JFIF
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     # DQT, stored in zigzag order: table[i] = qt[zigzag[i]]
     for tid, qt in enumerate(qts[: 2 if not gray else 1]):
-        zz = qt.astype(np.uint8)[ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
-    # SOF0 (sequential) / SOF2 (progressive)
+        if precision == 12:
+            zz = qt.astype(">u2")[ZIGZAG]
+            out += (b"\xff\xdb" + struct.pack(">H", 131)
+                    + bytes([0x10 | tid]) + zz.tobytes())
+        else:
+            zz = qt.astype(np.uint8)[ZIGZAG]
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
+    # SOF0 (8-bit baseline) / SOF1 (12-bit extended) / SOF2 (progressive)
     ncomp = len(planes)
-    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
-    out += sof + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    if progressive:
+        sof = b"\xff\xc2"
+    elif precision == 12:
+        sof = b"\xff\xc1"
+    else:
+        sof = b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for cid in range(ncomp):
         sh, sv = samp[cid]
         out += bytes([cid + 1, (sh << 4) | sv, 0 if cid == 0 else 1])
-    # DHT: DC/AC lum (+ chrom for color)
-    tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
-    if not gray:
-        tables += [(0x01, _DC_CHROM), (0x11, _AC_CHROM)]
+    # DHT: DC/AC lum (+ chrom for color); 12-bit uses the extended
+    # category tables (K.3 stops at 8-bit ranges)
+    if precision == 12:
+        dc12, ac12 = _hufftables_12bit()
+        tables = [(0x00, dc12), (0x10, ac12)]
+        if not gray:
+            tables += [(0x01, dc12), (0x11, ac12)]
+    else:
+        tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+        if not gray:
+            tables += [(0x01, _DC_CHROM), (0x11, _AC_CHROM)]
     for tc_th, (bits, vals) in tables:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
         out += bytes(bits) + bytes(vals)
@@ -400,10 +460,15 @@ def jpeg_encode(
         out += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
     out += b"\x00\x3f\x00"
 
-    dc_l = _canonical_codes(*_DC_LUM)
-    ac_l = _canonical_codes(*_AC_LUM)
-    dc_c = _canonical_codes(*_DC_CHROM)
-    ac_c = _canonical_codes(*_AC_CHROM)
+    if precision == 12:
+        dc12, ac12 = _hufftables_12bit()
+        dc_l = dc_c = _canonical_codes(*dc12)
+        ac_l = ac_c = _canonical_codes(*ac12)
+    else:
+        dc_l = _canonical_codes(*_DC_LUM)
+        ac_l = _canonical_codes(*_AC_LUM)
+        dc_c = _canonical_codes(*_DC_CHROM)
+        ac_c = _canonical_codes(*_AC_CHROM)
     writer = _BitWriter()
     rst_state = [0, 0]  # [mcus since last restart, next RSTn index]
 
@@ -511,12 +576,18 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {pq}")
                 tbl = np.zeros(64)
-                tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], np.uint8)
+                if pq:  # 16-bit entries (T.81 B.2.4.1, Pq = 1)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg[p + 1 : p + 129], ">u2"
+                    ).astype(np.float64)
+                    p += 129
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], np.uint8)
+                    p += 65
                 qts[tq] = tbl
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -530,15 +601,18 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2 (progressive)
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
+            # 8-bit baseline everywhere; 12-bit in the extended
+            # sequential (SOF1) and progressive (SOF2) processes where
+            # T.81 allows it (B.2.2) — baseline SOF0 is 8-bit only
+            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+                raise NotImplementedError(f"{prec}-bit precision")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append(
                     {"id": cid, "sh": hv >> 4, "sv": hv & 0x0F, "tq": tq}
                 )
-            frame = (h, w, nc)
+            frame = (h, w, nc, prec)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -575,7 +649,7 @@ def _prepare_components(frame, comps, qts):
     """Shared frame setup (both DCT modes): sampling checks, MCU
     geometry, zeroed coefficient planes.  Returns
     (hmax, vmax, mcus_x, mcus_y)."""
-    h, w, nc = frame
+    h, w, nc, prec = frame
     if h == 0 or w == 0:
         raise ValueError("zero image dimension")
     hmax = max(c["sh"] for c in comps)
@@ -602,7 +676,7 @@ def _prepare_components(frame, comps, qts):
 
 
 def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
-    h, w, nc = frame
+    h, w, nc, prec = frame
     hmax, vmax, mcus_x, mcus_y = _prepare_components(frame, comps, qts)
     for c in comps:
         if c["id"] not in smap:
@@ -656,7 +730,7 @@ def _reconstruct(frame, comps, qts, hmax, vmax):
     """Dequantize + IDCT + upsample + color transform — shared by the
     sequential path and the progressive path (which accumulates
     coefficients over several scans first)."""
-    h, w, nc = frame
+    h, w, nc, prec = frame
     planes = []
     for c in comps:
         qt = qts[c["tq"]]
@@ -665,7 +739,10 @@ def _reconstruct(frame, comps, qts, hmax, vmax):
         # ZIGZAG to pair coefficient k with its own quant value (T.81 F.2.1.5)
         deq[:, ZIGZAG] = c["coefs"] * qt[ZIGZAG]
         blocks = deq.reshape(-1, 8, 8)
-        pix = np.einsum("ji,njk,kl->nil", _A, blocks, _A) + 128.0
+        # level shift = 2^(P-1), sample range [0, 2^P - 1] (T.81 A.3.1)
+        half = float(1 << (prec - 1))
+        maxv = float((1 << prec) - 1)
+        pix = np.einsum("ji,njk,kl->nil", _A, blocks, _A) + half
         plane = (
             pix.reshape(c["bh"], c["bw"], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -677,17 +754,21 @@ def _reconstruct(frame, comps, qts, hmax, vmax):
             plane = plane.repeat(ry[0], axis=0).repeat(ry[1], axis=1)
         planes.append(plane[:h, :w])
 
-    meta = {"width": w, "height": h, "channels": nc, "format": "jpeg"}
+    dtype = np.uint8 if prec == 8 else np.uint16
+    meta = {
+        "width": w, "height": h, "channels": nc, "format": "jpeg",
+        "precision": prec,
+    }
     if nc == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8), meta
+        return np.clip(np.round(planes[0]), 0, maxv).astype(dtype), meta
     if nc != 3:
         raise NotImplementedError(f"{nc}-component JPEG")
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), meta
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype), meta
 
 
 # --------------------------------------------------------------------------
@@ -697,7 +778,7 @@ def _scan_grid(c, frame, hmax, vmax):
     """Block grid of a NON-interleaved scan: ceil of the component's
     own sample dimensions over 8 (T.81 A.2.2) — can be narrower than
     the MCU-padded grid the coefficient plane is allocated on."""
-    h, w, _ = frame
+    h, w = frame[0], frame[1]
     cw = -(-(w * c["sh"]) // hmax)
     ch = -(-(h * c["sv"]) // vmax)
     return -(-cw // 8), -(-ch // 8)

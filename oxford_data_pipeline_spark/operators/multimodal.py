@@ -278,7 +278,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     from oxford_data_pipeline_spark.operators.jpeg import jpeg_encode
 
     for pdf in batches:
-        ids, hs, n_px, ok, prog_ok = [], [], [], [], []
+        ids, hs, n_px, ok, prog_ok, p12_ok = [], [], [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             h = max(-(-len(b) // _IMG_W), 1)
@@ -297,11 +297,22 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 raise ValueError(
                     f"progressive jpeg mismatch for doc {doc_id}: {pmeta}"
                 )
+            # 12-bit leg: the same image at 12-bit scale (x16) through
+            # the extended-sequential process (SOF1, 16-bit quant
+            # tables).  q100 tables are all-16 at 12-bit, so the exact
+            # 8-bit +-1 contract scales to +-16; the verdict allows the
+            # same x2 tail the 8-bit property tests pin (+-2 -> 32)
+            img12 = (img.astype(np.uint16) << 4)
+            d12, m12 = decode(jpeg_encode(img12, quality=100, precision=12))
+            if m12.get("precision") != 12 or m12["width"] != _IMG_W:
+                raise ValueError(f"12-bit jpeg mismatch for doc {doc_id}: {m12}")
+            err12 = int(np.abs(d12.astype(np.int32) - img12.astype(np.int32)).max())
             ids.append(doc_id)
             hs.append(meta["height"])
             n_px.append(int(dec.size))
             ok.append(err <= 1)
             prog_ok.append(bool(np.array_equal(pdec, dec)))
+            p12_ok.append(err12 <= 32)
         yield pd.DataFrame(
             {
                 "doc_id": np.array(ids, dtype=np.int64),
@@ -310,6 +321,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "n_px": np.array(n_px, dtype=np.int64),
                 "max_err_le_1": np.array(ok, dtype=bool),
                 "prog_eq_seq": np.array(prog_ok, dtype=bool),
+                "p12_err_le_32": np.array(p12_ok, dtype=bool),
             }
         )
 

@@ -31,45 +31,39 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # driver records correctness rows for roughly the FIRST 50 registry
 # entries only, so registration order is driver exposure, and the
 # front list rotates every round to keep each query's driver row <= 2
-# rounds old.  Round 8 front-loads (a) queries NEW or materially
-# CHANGED this round (hybrid serving-leg swap + audit, df-memoized
-# BM25, the zero-norm-guarded IVF family), (b) the round-4 rows (the
-# oldest anywhere), (c) the round-5 rows, then (d) as much of the
-# round-6 set as fits.  Only ORACLE-CHECKED queries go in the window —
-# a rows-only query would burn a slot on an err:"no_oracle" record.
-# Rotation reorders, never drops; the suite's own oracle tests still
-# cover the full set.
-_ROUND8_FRONT = [
-    # (a) NEW or materially CHANGED this round: the hybrid serving-leg
-    # swap + its audit, the df-memoized BM25, the whole IVF family
-    # touched by the zero-norm quarantine guard, and the queries added
-    # later in the round (perceptual-hash near-dup, RM3, snippets, MMR,
-    # topic balance, cluster split, IVF tombstone delete, and
-    # mm_jpeg_decode's new progressive-identity column)
-    "ret_mmr", "cur_topic_balance", "cur_cluster_split", "sim_ivf_delete",
-    "mm_jpeg_decode", "cur_weighted_sample", "cur_vocab_hll",
-    "sim_ivf_delete_recall", "cur_classifier_train", "cur_classifier_scored",
-    "cur_classifier_calibration", "dedup_labels_incremental",
-    "mm_phash", "mm_phash_neardup", "ret_rm3_expansion", "ret_snippets",
-    "emb_knn_classify",
-    "ret_hybrid_rrf", "ret_hybrid_rrf_audit", "text_bm25_topk",
-    "sim_ivf_ann", "sim_ivf_recall", "sim_ivf_incremental",
-    "sim_ivf_incremental_recall", "sim_ivfpq_ann", "sim_ivfpq_recall",
-    "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
-    # (b) oldest driver rows (round 4)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped", "text_fingerprint", "text_token_count",
-    # (c) round-5 rows
-    "j1_event_psth", "m12_sign_alignment", "m1_cca_closed_form",
-    "m4_pca_closed_form", "m6_glm_closed_form", "mm_frame_sample",
-    "mm_metadata_profile", "sim_lsh_recall", "text_bpe_compression",
-    "text_bpe_merges", "text_dup_ngram_coverage", "text_dup_spans",
-    # (d) round-6 rows, oldest families first (the rest of the r6 set
-    # rotates in next round)
-    "f_predicate_stack", "f5_having_admission", "f7_min_distinct",
-    "j2_dim_enrichment", "j3_pair_selfjoin", "j4_fact_join_chain",
-    "j8_fold_train_split", "e_set_ops", "o1_anatomical_order",
-    "o3_seeded_sample", "sc_scalar_functions", "a4_connectivity_pivot",
+# rounds old.  Round 9 front-loads (a) queries NEW or materially
+# CHANGED this round (URL-tier dedup + domain mix, combined-churn
+# recall, the re-attributed hybrid audit, the zero-guarded A-ES
+# sample), then (b) the ENTIRE round-6-stale cohort — the 44 oracle
+# queries whose newest driver row is r6 (round-8 verdict item 2), so
+# after this round no driver row is older than r8.  Only
+# ORACLE-CHECKED queries go in the window — a rows-only query would
+# burn a slot on an err:"no_oracle" record.  Rotation reorders, never
+# drops; the suite's own oracle tests still cover the full set.
+_ROUND9_FRONT = [
+    # (a) NEW or materially CHANGED this round (cur_weighted_sample
+    # also changed — zero-weight guard — but its driver row is r8 and
+    # parity re-verified at both SFs, so it yields its slot to the
+    # changed mm_jpeg_decode, whose output schema gained the 12-bit
+    # verdict column)
+    "dedup_url", "cur_domain_mix", "cur_domain_blocklist",
+    "sim_ivf_churn_recall", "ret_hybrid_rrf_audit", "mm_jpeg_decode",
+    # (b) the r6-stale cohort (newest driver row = r6 for all 44)
+    "j3_pair_selfjoin", "j4_fact_join_chain", "j8_fold_train_split",
+    "e_set_ops", "o1_anatomical_order", "o3_seeded_sample",
+    "sc_scalar_functions", "a4_connectivity_pivot", "a5_max_then_mean",
+    "a6_label_distribution", "a7_threshold_grid", "a8_count_stats",
+    "a9_rollup_summary", "a10_hierarchical_rollup", "a11_cumulative_share",
+    "w2_removal_schedule", "w3_restricted_peak", "w5_percentile_threshold",
+    "w6_contiguous_folds", "w7_first_match_baseline", "a12_mc_average",
+    "m5_relational_matmul", "m3_weight_minmax_norm", "m9_pearson_corr",
+    "m11_cohens_d", "m13_effective_dim", "m16_spearman",
+    "m10_wilcoxon_stat", "w4_peak_amplitude", "o4_truncate_min_length",
+    "f9_significance_filter", "j7_condition_weight_reuse",
+    "a3_cross_session_agg", "f11_flip_detection", "text_quality",
+    "text_langid", "text_langid_confusion", "text_chunking",
+    "text_chunk_dedup", "dedup_containment", "dedup_lsh_audit",
+    "dedup_survivors_keep_longest", "mm_image_decode", "mm_audio_decode",
 ]
 
 
@@ -83,6 +77,6 @@ def _rotate(front: list[str]) -> None:
         d.update(items)
 
 
-_rotate(_ROUND8_FRONT)
+_rotate(_ROUND9_FRONT)
 
 __all__ = ["QUERIES", "ORACLES", "register"]

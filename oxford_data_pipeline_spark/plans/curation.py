@@ -2088,14 +2088,30 @@ FROM per_host h CROSS JOIN tot t
 """
 
 
+def host_counts(docs_with_url: DataFrame) -> DataFrame:
+    """(…, n_chars, url) → (host, n_docs, n_chars): the additive
+    per-host count relation — the maintained table the domain-mix
+    rollup reads.  Addition-mergeable across shards and stream
+    batches (the same algebra as the CMS counters), so the streaming
+    maintainer (`streaming/stream_curation.host_mix_maintenance_stream`)
+    folds micro-batches into it with no rescan."""
+    from oxford_data_pipeline_spark.operators.urlops import normalize_urls
+
+    return (
+        normalize_urls(docs_with_url)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
 @register("cur_domain_mix", _domain_mix_oracle())
 def cur_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host docs/chars + mixing weights vs a uniform-host target
     (see section comment)."""
-    from oxford_data_pipeline_spark.operators.urlops import (
-        normalize_urls,
-        synthetic_url,
-    )
+    from oxford_data_pipeline_spark.operators.urlops import synthetic_url
     from oxford_data_pipeline_spark.sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2103,14 +2119,7 @@ def cur_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
     )
-    per_host = (
-        normalize_urls(docs)
-        .groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("n_chars"),
-        )
-    )
+    per_host = host_counts(docs)
     tot = per_host.agg(
         F.sum("n_chars").alias("total_chars"),
         F.count(F.lit(1)).alias("n_hosts"),
@@ -2124,4 +2133,74 @@ def cur_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(
             F.when(share > 0, F.lit(1.0) / F.col("n_hosts") / share)
         ).alias("mix_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain blocklist filter (per-host admission off the normalized host)
+# --------------------------------------------------------------------------
+# The companion first-pass crawl op to `dedup_url`: cc_net and
+# RefinedWeb both drop documents whose registered host is on a
+# blocklist BEFORE any content processing.  The blocklist is a tiny
+# relation (thousands of hosts vs billions of docs), so the filter is
+# a broadcast anti-join against the scan-local normalized host — zero
+# corpus-sized shuffles before admission.  Here the blocklist derives
+# deterministically from the host hash (first md5 nibble < '2',
+# ~12.5% of hosts) so the query is self-contained and engine-exact;
+# production swaps in the curated host relation at the same seam.
+# Output = per-host admitted tallies (blocked hosts anti-joined out),
+# the relation a domain-mix sampler consumes post-filter.
+_DOMAIN_BLOCKLIST_ORACLE = None
+
+
+def _domain_blocklist_oracle() -> str:
+    from oxford_data_pipeline_spark.operators.urlops import (
+        SYNTH_URLS_CTE,
+        URL_NORM_SQL,
+    )
+
+    return f"""
+WITH {SYNTH_URLS_CTE.strip()},
+{URL_NORM_SQL.strip()},
+blocklist AS (
+    SELECT DISTINCT host FROM normed
+    WHERE substr(md5(host), 1, 1) < '2'
+)
+SELECT n.host, count(*) AS n_docs,
+       CAST(sum(n.n_chars) AS BIGINT) AS n_chars
+FROM normed n
+WHERE n.host NOT IN (SELECT host FROM blocklist)
+GROUP BY 1
+"""
+
+
+@register("cur_domain_blocklist", _domain_blocklist_oracle())
+def cur_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-filtered per-host admission (see section comment):
+    derive the blocklist relation, broadcast anti-join it against the
+    normalized host, aggregate the admitted remainder per host."""
+    from oxford_data_pipeline_spark.operators.urlops import (
+        normalize_urls,
+        synthetic_url,
+    )
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
+    )
+    normed = normalize_urls(docs)
+    blocklist = (
+        normed.select("host")
+        .distinct()
+        .filter(F.substring(F.md5("host"), 1, 1) < "2")
+    )
+    return (
+        normed.join(F.broadcast(blocklist), "host", "left_anti")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
     )

@@ -272,7 +272,8 @@ SELECT doc_id,
        CAST(greatest(CAST(ceil(length(text) / 16.0) AS INTEGER), 1) * 16
             AS BIGINT) AS n_px,
        TRUE AS max_err_le_1,
-       TRUE AS prog_eq_seq
+       TRUE AS prog_eq_seq,
+       TRUE AS p12_err_le_32
 FROM ascii_docs
 """
 
@@ -288,7 +289,11 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel sums cannot (by design), so the value gates are the per-row
     ±1 reconstruction verdict and the progressive-decode ==
     sequential-decode byte-identity verdict — any Annex-G bookkeeping
-    slip flips `prog_eq_seq` on some document."""
+    slip flips `prog_eq_seq` on some document.  A third leg runs the
+    SAME image at 12-bit scale through the extended-sequential process
+    (SOF1, 16-bit quantization tables) — the q100 ±1 contract scales
+    to ±16 at the 12-bit grain, gated per row as `p12_err_le_32` (the
+    same ×2 tail the 8-bit property tests pin)."""
     from oxford_data_pipeline_spark.operators.multimodal import (
         attach_binary_payload,
         jpeg_roundtrip_stats,
@@ -299,7 +304,8 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(
         jpeg_roundtrip_stats,
         schema="doc_id long, height int, width int, n_px long,"
-               " max_err_le_1 boolean, prog_eq_seq boolean",
+               " max_err_le_1 boolean, prog_eq_seq boolean,"
+               " p12_err_le_32 boolean",
     )
 
 

@@ -897,3 +897,155 @@ def cur_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("obs_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full-feature classifier training (d-dimensional IRLS)
+# --------------------------------------------------------------------------
+# The 2-D trainer above is hash-checked against an unrolled-CTE oracle;
+# its 3×3 Cramer solve does not scale past a couple of features.  This
+# is the d ≤ ~8 tier (round-8 verdict item 7): the SAME IRLS trajectory
+# discipline (every per-row float and every beta round6-nudged, fixed
+# iteration count, ridge-conditioned), over the full feature set the
+# quality plans already compute — log-tokens, type-token ratio,
+# stopword ratio, mean token length, top-term concentration — with the
+# normal equations assembled by ONE map-side-combinable aggregation
+# (d(d+1)/2 + d sums) and solved by a 1-row grouped-Arrow kernel
+# (np.linalg.solve on a d×d matrix — O(d³) on one row, never
+# corpus-sized).  Registered rows-only: the d-feature solve is not
+# SQL-expressible at hash grain; the numpy-replay property test pins
+# the exact trajectory and the calibration-parity test pins quality
+# vs the 2-D baseline.
+_LR_FULL_NAMES = [
+    "bias", "log_tokens", "ttr", "stop_ratio", "avg_len", "top_tf_ratio",
+]
+
+
+def _lr_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, x: array<double>) — x[0] = 1.0 bias, then the five scan-local
+    features, each round6-nudged (engine-deterministic trajectory)."""
+    from oxford_data_pipeline_spark.operators.textops import (
+        STOPWORDS,
+        count_in_list,
+    )
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    toks = tokens_relation(spark, sf_dir).filter(F.size("t") > 0)
+    n = F.size("t")
+    top_tf = F.expr(
+        "array_max(transform(array_distinct(t),"
+        " u -> size(filter(t, x -> x = u))))"
+    )
+    return toks.select(
+        F.array(
+            F.lit(1.0),
+            round6(F.log(F.lit(1.0) + n)),
+            round6(F.size(F.array_distinct("t")).cast("double") / n),
+            round6(count_in_list(F.col("t"), STOPWORDS).cast("double") / n),
+            round6(
+                F.length(F.regexp_replace("norm", " ", "")).cast("double") / n
+            ),
+            round6(top_tf.cast("double") / n),
+        ).alias("x"),
+        (F.col("n_chars") >= _LR_LABEL_CHARS).cast("int").alias("y"),
+    )
+
+
+@register("cur_classifier_train_full", None)
+def cur_classifier_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d-feature IRLS logistic regression (see section comment):
+    per iteration one corpus aggregation builds the weighted normal
+    equations, a 1-row Arrow kernel solves them, and the d-double beta
+    is checkpointed — identical scale shape to the 2-D trainer, the
+    solve generalized."""
+    import pandas as pd  # noqa: F401  (applyInPandas dependency)
+
+    d = len(_LR_FULL_NAMES)
+    ridge = float(_LR_RIDGE[:-2])
+    feat = _lr_full_features(spark, sf_dir).localCheckpoint(eager=True)
+    sess = feat.sparkSession
+    beta = sess.createDataFrame([([0.0] * d,)], "b array<double>")
+
+    def xi(i: int):
+        return F.element_at("x", i + 1)
+
+    def solve(pdf):
+        import numpy as np
+        import pandas as pd
+
+        A = np.zeros((d, d))
+        rhs = np.zeros(d)
+        for i in range(d):
+            rhs[i] = float(pdf[f"r_{i}"].iloc[0])
+            for j in range(i, d):
+                A[i, j] = A[j, i] = float(pdf[f"s_{i}_{j}"].iloc[0])
+        A += np.eye(d) * ridge
+        nb = np.linalg.solve(A, rhs)
+        nb = np.round(nb * 1e6 + 0.01) / 1e6  # the round6 nudge
+        return pd.DataFrame({"b": [[float(v) for v in nb]]})
+
+    for _ in range(_LR_ITERS):
+        t = feat.crossJoin(F.broadcast(beta))
+        eta = round6(
+            F.expr(
+                "aggregate(zip_with(x, b, (xi, bi) -> xi * bi), 0D,"
+                " (acc, v) -> acc + v)"
+            )
+        )
+        t = t.withColumn("eta", eta)
+        t = t.withColumn(
+            "p", round6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta"))))
+        )
+        t = t.withColumn(
+            "w",
+            F.greatest(
+                round6(F.col("p") * (F.lit(1.0) - F.col("p"))), F.lit(1e-6)
+            ),
+        )
+        t = t.withColumn(
+            "z",
+            round6(
+                F.col("eta")
+                + (F.col("y").cast("double") - F.col("p")) / F.col("w")
+            ),
+        )
+        w = F.col("w")
+        aggs = [
+            F.sum(w * xi(i) * xi(j)).alias(f"s_{i}_{j}")
+            for i in range(d)
+            for j in range(i, d)
+        ] + [F.sum(w * xi(i) * F.col("z")).alias(f"r_{i}") for i in range(d)]
+        sums = t.agg(*aggs)
+        beta = (
+            sums.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(solve, "b array<double>")
+            .localCheckpoint(eager=True)
+        )
+
+    scored = feat.crossJoin(F.broadcast(beta)).withColumn(
+        "eta",
+        round6(
+            F.expr(
+                "aggregate(zip_with(x, b, (xi, bi) -> xi * bi), 0D,"
+                " (acc, v) -> acc + v)"
+            )
+        ),
+    )
+    acc = scored.agg(
+        round6(
+            F.avg(
+                F.when((F.col("eta") >= 0) == (F.col("y") == 1), 1.0)
+                .otherwise(0.0)
+            )
+        ).alias("train_acc"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    names = F.array(*[F.lit(s) for s in _LR_FULL_NAMES])
+    weights = beta.select(
+        F.posexplode("b").alias("pos", "weight")
+    ).withColumn("feature", F.element_at(names, F.col("pos") + 1))
+    return weights.crossJoin(F.broadcast(acc)).select(
+        "feature", "weight", "train_acc", "n", "n_pos"
+    )

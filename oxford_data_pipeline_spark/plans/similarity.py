@@ -1026,6 +1026,11 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
                 "sim_ivfpq_rerank_recall",
                 "sim_matryoshka_recall",
                 "sim_sq8_recall",
+                # the live-only brute ground truths of the delete and
+                # combined-churn audits are evaluation artifacts too —
+                # materialized and attributed here like the rest
+                "sim_ivf_delete_recall",
+                "sim_ivf_churn_recall",
             )
             for k, v in _timed_audit(_audit_reg[name], spark, sf_dir, name).items()
         },

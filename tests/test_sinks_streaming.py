@@ -1321,3 +1321,56 @@ def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
         spark.createDataFrame(state["res"], schema),
     ).collect()
     assert sorted((r["doc_id"], r["es_key"]) for r in again) == got
+
+
+def test_streaming_host_counts_match_batch(spark, tmp_path):
+    """Documents (with their synthetic URLs) replayed through the
+    host-count maintenance stream, merged batch by batch, must yield
+    EXACTLY the per-host counts the batch `cur_domain_mix` rollup
+    aggregates over the whole corpus — addition-mergeability is the
+    maintained table's defining property."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oxford_data_pipeline_spark.operators.urlops import synthetic_url
+    from oxford_data_pipeline_spark.plans.curation import host_counts
+    from oxford_data_pipeline_spark.streaming.stream_curation import (
+        host_mix_maintenance_stream,
+        merge_host_counts,
+    )
+    from tests.conftest import SF_DIR
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    batch_docs = spark.read.parquet(src).select(
+        "doc_id",
+        "n_chars",
+        synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
+    )
+    d = str(tmp_path / "docs_host_stream")
+    batch_docs.repartition(2).write.parquet(d)
+    stream = spark.readStream.schema(batch_docs.schema).parquet(d)
+
+    state = {"counts": None}
+
+    def sink(delta, _bid):
+        cur = state["counts"]
+        state["counts"] = (
+            delta.collect()
+            if cur is None
+            else merge_host_counts(
+                spark.createDataFrame(
+                    cur, "host string, n_docs long, n_chars long"
+                ),
+                delta,
+            ).collect()
+        )
+
+    q = host_mix_maintenance_stream(stream, sink)
+    q.awaitTermination()
+    got = sorted((r["host"], r["n_docs"], r["n_chars"]) for r in state["counts"])
+    want = sorted(
+        (r["host"], r["n_docs"], r["n_chars"])
+        for r in host_counts(batch_docs).collect()
+    )
+    assert got == want and len(got) > 0
