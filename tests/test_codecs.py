@@ -410,3 +410,23 @@ def test_warc_malformed_quarantines_not_fails(spark, tmp_path):
     assert len(quarantine) == 1
     assert quarantine[0]["reason"] == "truncated record payload"
     assert quarantine[0]["offset"] == len(good)
+
+
+def test_crawl_pipeline_example_end_to_end(spark, tmp_path):
+    """The composed crawl-ingest walkthrough runs in CI: .warc.gz →
+    connector (+quarantine) → URL normalize/blocklist/dedup → domain
+    rollup → content gates → exact dedup.  Its internal asserts are
+    the contract; this drives it and checks the summary shape."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "run_crawl_pipeline", os.path.join(repo, "examples", "run_crawl_pipeline.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(spark=spark, work=str(tmp_path / "crawl"))
+    assert out["documents"] == 7 and out["quarantined"] == 1
+    assert out["url_survivors"] == 4 and out["admitted"] >= 1
+    assert out["hosts"] == {"news.example": 4, "blog.example": 2}
