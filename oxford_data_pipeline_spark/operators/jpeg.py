@@ -10,11 +10,14 @@ and progressive processes (T.81 B.2.2; 12-bit decodes to uint16 with
 `precision` in the metadata), 8- and 16-bit quantization tables
 (Pq = 0/1 — 16-bit permitted only with 12-bit samples, B.2.4.1),
 grayscale and 3-component YCbCr with 4:4:4 or 4:2:0 sampling, standard
-JFIF color transform, restart intervals (DRI/RSTn).  Arithmetic coding
-and hierarchical modes raise — they fall to the quarantine path like
-every unsupported feature.  The encoder can emit both scan styles plus
-the 12-bit extended-sequential process with 16-bit tables (how the
-12-bit decode paths are round-trip-tested).
+JFIF color transform, restart intervals (DRI/RSTn), AND the lossless
+process (SOF3, Annex H: Huffman DPCM with all seven predictors, point
+transform, modulo-2^16 differences incl. SSSS = 16, precisions 2..16
+— bit-exact round trip, the format DICOM archives ship).  Arithmetic
+coding and hierarchical modes raise — they fall to the quarantine path
+like every unsupported feature.  The encoder can emit both DCT scan
+styles, the 12-bit extended-sequential process with 16-bit tables, and
+lossless streams (how every decode path is round-trip-tested).
 
 All constants are the public spec's: Annex K.1 quantization tables,
 Annex K.3 typical Huffman tables, the zigzag order, the IJG quality
@@ -553,6 +556,7 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
     frame = None
     comps: list[dict] = []
     progressive = False
+    lossless = False
     geom = None   # (hmax, vmax, mcus_x, mcus_y) once the frame is prepared
     scans = 0
     while pos + 2 <= len(data):
@@ -599,12 +603,16 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2 (progressive)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 (DCT), SOF3 (lossless)
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if marker == 0xC3:
+                # lossless process: any precision 2..16 (T.81 B.2.2)
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"invalid lossless precision {prec}")
             # 8-bit baseline everywhere; 12-bit in the extended
             # sequential (SOF1) and progressive (SOF2) processes where
             # T.81 allows it (B.2.2) — baseline SOF0 is 8-bit only
-            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+            elif prec not in (8, 12) or (prec == 12 and marker == 0xC0):
                 raise NotImplementedError(f"{prec}-bit precision")
             comps = []
             for i in range(nc):
@@ -614,7 +622,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 )
             frame = (h, w, nc, prec)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            lossless = marker == 0xC3
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xDA:  # SOS
@@ -625,6 +634,15 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 smap[cs] = (tdta >> 4, tdta & 0x0F)
+            if lossless:
+                if len(seg) < 4 + 2 * ns:
+                    raise ValueError("truncated lossless SOS header")
+                pred_sel = seg[1 + 2 * ns]   # Ss = predictor selection
+                pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+                return _decode_lossless_scan(
+                    data, pos + seglen, frame, comps, smap, huff, restart,
+                    pred_sel, pt,
+                )
             if not progressive:
                 return _decode_scan(
                     data, pos + seglen, frame, comps, smap, qts, huff, restart
@@ -1132,4 +1150,185 @@ def _encode_progressive_scans(coefs, planes, samp, gray, h, w) -> bytes:
                 _ac_refine_block(writer, blk, ss, se, 0, ac_codes)
             writer.flush()
             out += writer.out
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Lossless JPEG (SOF3): Huffman-coded DPCM, T.81 Annex H
+# --------------------------------------------------------------------------
+# The lossless process is DCT-free: each sample's prediction error
+# (modulo 2^16) is coded with the DC-difference mechanism (category
+# SSSS 0..16 + extend bits; SSSS = 16 means 32768 with no extra bits).
+# Seven predictors (H.1.2.1):
+#   1: Ra    2: Rb    3: Rc    4: Ra+Rb-Rc
+#   5: Ra+((Rb-Rc)>>1)   6: Rb+((Ra-Rc)>>1)   7: (Ra+Rb)>>1
+# Positional rules: the very first sample (and the first sample after
+# a restart marker) predicts 2^(P-1-Pt); the rest of the first line
+# uses Ra; the first column of later lines uses Rb.  Multi-component
+# scans interleave one sample per component per MCU with all sampling
+# factors 1 (the common lossless layout; subsampled lossless
+# quarantines).  This is the format DICOM archives ship — the
+# round-trip is EXACT, which the tests pin bit-for-bit.
+
+
+def _ll_predict(plane, x, y, sel, default, use_default):
+    if use_default or (x == 0 and y == 0):
+        return default
+    if y == 0:
+        return int(plane[y, x - 1])                      # Ra
+    if x == 0:
+        return int(plane[y - 1, x])                      # Rb
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid lossless predictor {sel}")
+
+
+def _decode_lossless_scan(
+    data, pos, frame, comps, smap, huff, restart, pred_sel, pt
+):
+    h, w, nc, prec = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero image dimension")
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"invalid lossless predictor {pred_sel}")
+    if nc > 1 and any(c["sh"] != 1 or c["sv"] != 1 for c in comps):
+        raise NotImplementedError("subsampled lossless JPEG")
+    tables = []
+    for c in comps:
+        if c["id"] not in smap:
+            raise ValueError("component missing from scan")
+        td, _ta = smap[c["id"]]
+        if (0, td) not in huff:
+            raise ValueError("missing Huffman table")
+        tables.append(huff[(0, td)])
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
+    default = 1 << (prec - 1 - pt)
+    reader = _BitReader(data, pos)
+    use_default = True
+    mcu_count = 0
+    rst_n = 0
+    for y in range(h):
+        for x in range(w):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) % 8
+                use_default = True
+            for ci in range(nc):
+                s = reader.read_symbol(tables[ci])
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = _extend(reader.read_bits(s), s)
+                else:
+                    diff = 0
+                pred = _ll_predict(
+                    planes[ci], x, y, pred_sel, default, use_default
+                )
+                planes[ci][y, x] = (pred + diff) & 0xFFFF
+            use_default = False
+            mcu_count += 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = [(p << pt).astype(dtype) for p in planes]
+    meta = {
+        "width": w, "height": h, "channels": nc, "format": "jpeg",
+        "precision": prec, "lossless": True, "predictor": int(pred_sel),
+    }
+    if nc == 1:
+        return out[0], meta
+    return np.stack(out, axis=-1), meta
+
+
+def jpeg_encode_lossless(
+    img: np.ndarray,
+    predictor: int = 4,
+    precision: int | None = None,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless JPEG (SOF3) encode of [h, w] or [h, w, C] integer
+    samples.  Components are coded as-is (no color transform — the
+    lossless process defines none); decode(encode(x)) == x exactly."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3:
+        raise ValueError("jpeg_encode_lossless expects [h,w] or [h,w,C]")
+    h, w, nc = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"invalid lossless precision {precision}")
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError(f"invalid point transform {pt}")
+    samples = img.astype(np.int64) >> pt
+    if int(samples.max()) >= (1 << (precision - pt)) or int(samples.min()) < 0:
+        raise ValueError("samples exceed the declared precision")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for cid in range(nc):
+        out += bytes([cid + 1, 0x11, 0])
+    dc_tab = _hufftables_12bit()[0]  # SSSS 0..16, length-6 codes
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(dc_tab[1])) + bytes([0x00])
+    out += bytes(dc_tab[0]) + bytes(dc_tab[1])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(nc):
+        out += bytes([cid + 1, 0x00])
+    out += bytes([predictor, 0, pt])  # Ss = predictor, Se = 0, AhAl = Pt
+
+    codes = _canonical_codes(*dc_tab)
+    writer = _BitWriter()
+    planes = [samples[:, :, ci] for ci in range(nc)]
+    default = 1 << (precision - 1 - pt)
+    use_default = True
+    mcu_count = 0
+    rst_n = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                use_default = True
+            for ci in range(nc):
+                pred = _ll_predict(
+                    planes[ci], x, y, predictor, default, use_default
+                )
+                diff = (int(planes[ci][y, x]) - pred + 32768) % 65536 - 32768
+                if diff == -32768:
+                    code, length = codes[16]
+                    writer.write(code, length)  # SSSS=16: no extra bits
+                    continue
+                s = _category(diff)
+                code, length = codes[s]
+                writer.write(code, length)
+                if s:
+                    writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            use_default = False
+            mcu_count += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -275,10 +275,13 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     bug blows far past ±1), and looser color/4:2:0 tolerances are
     property-tested in tests/test_codecs.py."""
     from oxford_data_pipeline_spark.operators.codecs import decode
-    from oxford_data_pipeline_spark.operators.jpeg import jpeg_encode
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_encode,
+        jpeg_encode_lossless,
+    )
 
     for pdf in batches:
-        ids, hs, n_px, ok, prog_ok, p12_ok = [], [], [], [], [], []
+        ids, hs, n_px, ok, prog_ok, p12_ok, ll_ok = ([] for _ in range(7))
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             h = max(-(-len(b) // _IMG_W), 1)
@@ -307,12 +310,19 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             if m12.get("precision") != 12 or m12["width"] != _IMG_W:
                 raise ValueError(f"12-bit jpeg mismatch for doc {doc_id}: {m12}")
             err12 = int(np.abs(d12.astype(np.int32) - img12.astype(np.int32)).max())
+            # lossless leg (SOF3, predictor 4): decode must be EXACT —
+            # the defining property, and a per-document gate on the
+            # whole DPCM/predictor/category-16 path
+            dll, mll = decode(jpeg_encode_lossless(img, predictor=4))
+            if not mll.get("lossless") or mll["width"] != _IMG_W:
+                raise ValueError(f"lossless jpeg mismatch for doc {doc_id}: {mll}")
             ids.append(doc_id)
             hs.append(meta["height"])
             n_px.append(int(dec.size))
             ok.append(err <= 1)
             prog_ok.append(bool(np.array_equal(pdec, dec)))
             p12_ok.append(err12 <= 32)
+            ll_ok.append(bool(np.array_equal(dll, img)))
         yield pd.DataFrame(
             {
                 "doc_id": np.array(ids, dtype=np.int64),
@@ -322,6 +332,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "max_err_le_1": np.array(ok, dtype=bool),
                 "prog_eq_seq": np.array(prog_ok, dtype=bool),
                 "p12_err_le_32": np.array(p12_ok, dtype=bool),
+                "lossless_exact": np.array(ll_ok, dtype=bool),
             }
         )
 

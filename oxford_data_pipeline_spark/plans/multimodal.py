@@ -273,7 +273,8 @@ SELECT doc_id,
             AS BIGINT) AS n_px,
        TRUE AS max_err_le_1,
        TRUE AS prog_eq_seq,
-       TRUE AS p12_err_le_32
+       TRUE AS p12_err_le_32,
+       TRUE AS lossless_exact
 FROM ascii_docs
 """
 
@@ -293,7 +294,9 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME image at 12-bit scale through the extended-sequential process
     (SOF1, 16-bit quantization tables) — the q100 ±1 contract scales
     to ±16 at the 12-bit grain, gated per row as `p12_err_le_32` (the
-    same ×2 tail the 8-bit property tests pin)."""
+    same ×2 tail the 8-bit property tests pin).  A fourth leg encodes
+    the image through the LOSSLESS process (SOF3, predictor 4) and
+    gates exact equality per row (`lossless_exact`)."""
     from oxford_data_pipeline_spark.operators.multimodal import (
         attach_binary_payload,
         jpeg_roundtrip_stats,
@@ -305,7 +308,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpeg_roundtrip_stats,
         schema="doc_id long, height int, width int, n_px long,"
                " max_err_le_1 boolean, prog_eq_seq boolean,"
-               " p12_err_le_32 boolean",
+               " p12_err_le_32 boolean, lossless_exact boolean",
     )
 
 

@@ -672,3 +672,70 @@ def test_jpeg_12bit_restart_and_guards():
     d8 = jpeg_encode((img >> 4).astype(np.uint8), quality=90)
     o8, m8 = jpeg_decode(d8)
     assert o8.dtype == np.uint8 and m8["precision"] == 8
+
+
+@given(
+    st.integers(1, 7),
+    st.sampled_from([(8, 256), (12, 4096), (16, 65536)]),
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_lossless_roundtrip_exact(pred, prec_hi, h, w, seed):
+    """SOF3 lossless: decode(encode(x)) == x BIT-EXACTLY for every
+    predictor and precision tier — the defining property of the
+    lossless process (T.81 Annex H)."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+    )
+
+    prec, hi = prec_hi
+    rng = np.random.default_rng(seed)
+    dt = np.uint8 if prec == 8 else np.uint16
+    img = rng.integers(0, hi, size=(h, w), dtype=dt)
+    out, meta = jpeg_decode(jpeg_encode_lossless(img, predictor=pred, precision=prec))
+    assert np.array_equal(out, img)
+    assert meta["lossless"] and meta["precision"] == prec
+    assert meta["predictor"] == pred
+
+
+def test_jpeg_lossless_modes_and_guards():
+    """3-component exactness, restart intervals, point transform,
+    the SSSS=16 extreme-difference path, and the typed guards
+    (invalid predictor / precision overflow / subsampled lossless)."""
+    import pytest
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    out, meta = jpeg_decode(jpeg_encode_lossless(rgb, predictor=7))
+    assert np.array_equal(out, rgb) and meta["channels"] == 3
+    g12 = rng.integers(0, 4096, size=(8, 10), dtype=np.uint16)
+    out, _ = jpeg_decode(
+        jpeg_encode_lossless(g12, predictor=4, precision=12, restart_interval=5)
+    )
+    assert np.array_equal(out, g12)
+    g8 = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+    out, _ = jpeg_decode(jpeg_encode_lossless(g8, predictor=1, point_transform=2))
+    assert np.array_equal(out, (g8 >> 2) << 2)
+    alt = np.zeros((4, 4), np.uint16)
+    alt[::2, ::2] = 65535
+    alt[1::2, 1::2] = 65535
+    out, _ = jpeg_decode(jpeg_encode_lossless(alt, predictor=1, precision=16))
+    assert np.array_equal(out, alt)  # exercises SSSS=16 (diff = 32768)
+    with pytest.raises(ValueError):
+        jpeg_encode_lossless(g8, predictor=0)
+    with pytest.raises(ValueError):
+        jpeg_encode_lossless(np.full((4, 4), 300, np.uint16), precision=8)
+    # subsampled lossless quarantines with a typed error
+    data = bytearray(jpeg_encode_lossless(rgb, predictor=1))
+    sof = data.find(b"\xff\xc3")
+    data[sof + 11] = 0x22  # first component Hv = 2x2
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(data))
