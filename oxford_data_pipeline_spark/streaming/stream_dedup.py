@@ -39,3 +39,27 @@ def dedup_stream_within_watermark(
         .withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(["exact_fp"])
     )
+
+
+def url_dedup_stream(
+    stream: DataFrame,
+    url_col: str = "source",
+    ts_col: str = "event_ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """URL-tier streaming dedup — the online form of `dedup_url`, the
+    FIRST pass of a continuous crawl ingest: each arriving capture is
+    keyed by its NORMALIZED URL (`operators/urlops.py` — scheme / www /
+    fragment / tracking-param / port / trailing-slash noise removed
+    scan-locally) and first-seen-wins within the watermark horizon,
+    exactly as a re-crawl window works in production (the recrawl of a
+    page arrives within the horizon and is suppressed; state for older
+    URLs is evicted — bounded memory forever).  Runs BEFORE content
+    fingerprinting, so recrawled bytes never reach the content tier."""
+    from oxford_data_pipeline_spark.operators.urlops import normalize_urls
+
+    return (
+        normalize_urls(stream, url_col=url_col)
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["norm_url"])
+    )

@@ -1374,3 +1374,49 @@ def test_streaming_host_counts_match_batch(spark, tmp_path):
         for r in host_counts(batch_docs).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_url_dedup_suppresses_recrawl(spark, tmp_path):
+    """URL-tier streaming dedup: a recrawl of the same page under
+    scheme/www/fragment/tracking-param noise arriving within the
+    watermark horizon is suppressed (first capture wins); distinct
+    pages all pass.  Keys match the batch normalizer exactly."""
+    import datetime
+    import os
+
+    from oxford_data_pipeline_spark.streaming.stream_dedup import (
+        url_dedup_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "HTTP://WWW.A.Example/page?utm_source=x&id=7", "first capture", t0),
+        (2, "https://a.example/page?id=7#frag", "recrawl bytes",
+         t0 + datetime.timedelta(minutes=5)),
+        (3, "https://a.example/other", "other page",
+         t0 + datetime.timedelta(minutes=6)),
+        (4, "https://b.example/page?id=7", "different host",
+         t0 + datetime.timedelta(minutes=7)),
+    ]
+    src = str(tmp_path / "url_stream")
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, event_ts timestamp"
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        url_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("url_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: r["norm_url"]
+        for r in spark.sql("SELECT * FROM url_dedup_t").collect()
+    }
+    assert set(got) == {1, 3, 4}, got  # recrawl (doc 2) suppressed
+    assert got[1] == "a.example/page?id=7"
+    assert got[4] == "b.example/page?id=7"
