@@ -355,14 +355,16 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
     results_after = serve_stream(
         live_tables["postings"], live_tables["doclens"], live_tables["cells"]
     )
-    served_before = {r["cand_id"] for r in results}
     served_after = {r["cand_id"] for r in results_after}
-    assert set(victims) <= served_before, "victims must come from live results"
     assert not set(victims) & served_after, "deleted doc served after tombstone"
     by_q_after: dict = {}
     for r in results_after:
         by_q_after.setdefault(r["query_id"], []).append(r)
     assert set(by_q_after) == set(by_q), "delete changed the served query set"
+    # every query that served a victim pre-delete must still be served
+    # post-delete (deletion replaces results, never silences a query)
+    hit_queries = {r["query_id"] for r in results if r["cand_id"] in victims}
+    assert hit_queries and hit_queries <= set(by_q_after), hit_queries
     print(
         f"delete-then-serve OK: {len(results_after)} fused rows, "
         f"victims absent from all {len(by_q_after)} queries"

@@ -414,8 +414,10 @@ def jpeg_encode(
     coefs = [_component_coefs(p, qt, half) for p, qt in zip(planes, qts)]
 
     out = bytearray(b"\xff\xd8")  # SOI
-    # APP0 / JFIF
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    # APP0 / JFIF — 8-bit only: JFIF mandates 8-bit BT.601 samples, so
+    # a 12-bit extended-process stream must not self-label as JFIF
+    if precision == 8:
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     # DQT, stored in zigzag order: table[i] = qt[zigzag[i]]
     for tid, qt in enumerate(qts[: 2 if not gray else 1]):
         if precision == 12:
@@ -1262,7 +1264,9 @@ def jpeg_encode_lossless(
 ) -> bytes:
     """Lossless JPEG (SOF3) encode of [h, w] or [h, w, C] integer
     samples.  Components are coded as-is (no color transform — the
-    lossless process defines none); decode(encode(x)) == x exactly."""
+    lossless process defines none).  decode(encode(x)) == x exactly
+    when point_transform == 0; with pt > 0 the process is lossless on
+    the point-transformed samples, i.e. decode == (x >> pt) << pt."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]

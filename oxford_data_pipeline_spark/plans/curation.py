@@ -2059,9 +2059,6 @@ def cur_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus is touched once, output is |hosts| rows.  A degenerate
 # all-empty host (char_share = 0) gets a NULL mix_weight on both
 # engines, same convention as cur_mixture_weights.
-_DOMAIN_MIX_ORACLE = None  # bound below after the imports
-
-
 def _domain_mix_oracle() -> str:
     from oxford_data_pipeline_spark.operators.urlops import (
         SYNTH_URLS_CTE,
@@ -2150,9 +2147,6 @@ def cur_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production swaps in the curated host relation at the same seam.
 # Output = per-host admitted tallies (blocked hosts anti-joined out),
 # the relation a domain-mix sampler consumes post-filter.
-_DOMAIN_BLOCKLIST_ORACLE = None
-
-
 def _domain_blocklist_oracle() -> str:
     from oxford_data_pipeline_spark.operators.urlops import (
         SYNTH_URLS_CTE,

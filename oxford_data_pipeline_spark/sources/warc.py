@@ -74,14 +74,16 @@ def _dechunk(body: bytes) -> bytes:
     into document text."""
     out, pos, n = [], 0, len(body)
     while pos < n:
-        eol = body.find(b"\r\n", pos)
-        if eol < 0:
-            eol = body.find(b"\n", pos)
-            if eol < 0:
-                break
-            nxt = eol + 1
+        # earliest line terminator wins: an LF-only size line must not
+        # be skipped in favour of a CRLF that sits inside chunk data
+        crlf = body.find(b"\r\n", pos)
+        lf = body.find(b"\n", pos)
+        if lf < 0:
+            break
+        if crlf >= 0 and crlf < lf:
+            eol, nxt = crlf, crlf + 2
         else:
-            nxt = eol + 2
+            eol, nxt = lf, lf + 1
         size_tok = body[pos:eol].split(b";", 1)[0].strip()
         try:
             size = int(size_tok, 16)

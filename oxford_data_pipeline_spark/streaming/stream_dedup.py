@@ -46,6 +46,7 @@ def url_dedup_stream(
     url_col: str = "source",
     ts_col: str = "event_ts",
     delay: str = "1 hour",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """URL-tier streaming dedup — the online form of `dedup_url`, the
     FIRST pass of a continuous crawl ingest: each arriving capture is
@@ -55,11 +56,28 @@ def url_dedup_stream(
     exactly as a re-crawl window works in production (the recrawl of a
     page arrives within the horizon and is suppressed; state for older
     URLs is evicted — bounded memory forever).  Runs BEFORE content
-    fingerprinting, so recrawled bytes never reach the content tier."""
+    fingerprinting, so recrawled bytes never reach the content tier.
+
+    Two contract points: (1) rows WITHOUT a real URL (the WARC
+    connector coalesces a missing WARC-Target-URI to its corpus label,
+    so their "URLs" all normalize identically) are keyed by `id_col`
+    instead — URL dedup must never collapse distinct URI-less
+    documents; they fall through to the content-tier dedup.  (2)
+    first-SEEN wins at micro-batch granularity: across batches the
+    earlier batch's row is kept, but within one micro-batch Spark's
+    dropDuplicates keeps an arbitrary representative — the batch
+    keep-rule (min doc_id, `dedup_url`) applies on compaction."""
     from oxford_data_pipeline_spark.operators.urlops import normalize_urls
 
+    normed = normalize_urls(stream, url_col=url_col)
+    # a real URL has a dotted host after normalization; label-only
+    # sources ('warc', 'crawl-demo', ...) do not
+    key = F.when(
+        F.col("host").contains("."), F.col("norm_url")
+    ).otherwise(F.concat(F.lit("#nourl#"), F.col(id_col).cast("string")))
     return (
-        normalize_urls(stream, url_col=url_col)
+        normed.withColumn("_url_key", key)
         .withWatermark(ts_col, delay)
-        .dropDuplicatesWithinWatermark(["norm_url"])
+        .dropDuplicatesWithinWatermark(["_url_key"])
+        .drop("_url_key")
     )

@@ -301,6 +301,14 @@ def test_warc_lf_headers_and_chunked_bodies(spark, tmp_path):
                b"2\r\np>\r\n"
                b"0\r\n\r\n")
     assert _http_payload_to_text(chunked) == "chunk one body"
+    # LF-only chunk framing (size lines terminated by bare LF), with a
+    # CRLF sitting INSIDE later chunk data — the earliest-terminator
+    # rule must still parse the size lines correctly
+    lf_chunked = (b"HTTP/1.1 200 OK\nTransfer-Encoding: chunked\n\n"
+                  b"a\nlf chunked\n"
+                  b"7\n\r\n body\n"
+                  b"0\n\n")
+    assert _http_payload_to_text(lf_chunked) == "lf chunked body"
     # malformed chunk framing degrades to the cleanly-decoded prefix,
     # never leaks hex size tokens
     broken = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"

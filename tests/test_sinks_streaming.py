@@ -1379,10 +1379,11 @@ def test_streaming_host_counts_match_batch(spark, tmp_path):
 def test_streaming_url_dedup_suppresses_recrawl(spark, tmp_path):
     """URL-tier streaming dedup: a recrawl of the same page under
     scheme/www/fragment/tracking-param noise arriving within the
-    watermark horizon is suppressed (first capture wins); distinct
-    pages all pass.  Keys match the batch normalizer exactly."""
+    watermark horizon is suppressed (exactly ONE representative of the
+    pair survives — within a micro-batch Spark's dropDuplicates picks
+    an arbitrary one); distinct pages all pass, and URI-less rows
+    (label-only source) are NEVER collapsed into each other."""
     import datetime
-    import os
 
     from oxford_data_pipeline_spark.streaming.stream_dedup import (
         url_dedup_stream,
@@ -1397,6 +1398,10 @@ def test_streaming_url_dedup_suppresses_recrawl(spark, tmp_path):
          t0 + datetime.timedelta(minutes=6)),
         (4, "https://b.example/page?id=7", "different host",
          t0 + datetime.timedelta(minutes=7)),
+        # URI-less records: the connector's corpus-label fallback —
+        # both normalize to the same label "URL" but must BOTH survive
+        (5, "warc", "uri-less doc one", t0 + datetime.timedelta(minutes=8)),
+        (6, "warc", "uri-less doc two", t0 + datetime.timedelta(minutes=9)),
     ]
     src = str(tmp_path / "url_stream")
     df = spark.createDataFrame(
@@ -1417,6 +1422,46 @@ def test_streaming_url_dedup_suppresses_recrawl(spark, tmp_path):
         r["doc_id"]: r["norm_url"]
         for r in spark.sql("SELECT * FROM url_dedup_t").collect()
     }
-    assert set(got) == {1, 3, 4}, got  # recrawl (doc 2) suppressed
-    assert got[1] == "a.example/page?id=7"
+    assert len(set(got) & {1, 2}) == 1, got  # exactly one of the pair
+    assert {3, 4, 5, 6} <= set(got), got
+    kept = (set(got) & {1, 2}).pop()
+    assert got[kept] == "a.example/page?id=7"
     assert got[4] == "b.example/page?id=7"
+
+
+def test_streaming_url_dedup_first_batch_wins_across_batches(spark, tmp_path):
+    """Cross-batch determinism: when the original capture and the
+    recrawl arrive in SEPARATE micro-batches, the earlier batch's row
+    is the one the state store keeps."""
+    import datetime
+
+    from oxford_data_pipeline_spark.streaming.stream_dedup import (
+        url_dedup_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id long, source string, text string, event_ts timestamp"
+    src = str(tmp_path / "url_stream_batches")
+    spark.createDataFrame(
+        [(1, "https://a.example/page", "original", t0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, "HTTP://WWW.A.Example/page#f", "recrawl",
+          t0 + datetime.timedelta(minutes=1))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        url_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("url_dedup_b")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r["doc_id"] for r in spark.sql("SELECT * FROM url_dedup_b").collect()]
+    assert got == [1], got
