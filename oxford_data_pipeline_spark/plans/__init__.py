@@ -48,6 +48,9 @@ _ROUND9_FRONT = [
     # verdict column)
     "dedup_url", "cur_domain_mix", "cur_domain_blocklist",
     "sim_ivf_churn_recall", "ret_hybrid_rrf_audit", "mm_jpeg_decode",
+    # (dedup_url_survivors, added late in round 9, stays OUT of this
+    # window: the r6-cohort completeness below takes the remaining
+    # slots; its parity is pinned at both SFs and it rotates in at r10)
     # (b) the r6-stale cohort (newest driver row = r6 for all 44)
     "j3_pair_selfjoin", "j4_fact_join_chain", "j8_fold_train_split",
     "e_set_ops", "o1_anatomical_order", "o3_seeded_sample",

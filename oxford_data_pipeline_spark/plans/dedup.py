@@ -1668,3 +1668,38 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_urls") > 1)
     )
+
+
+_URL_SURVIVORS_ORACLE = f"""
+WITH {SYNTH_URLS_CTE.strip()},
+{URL_NORM_SQL.strip()},
+keep AS (
+    SELECT norm_url, min(doc_id) AS doc_id FROM normed GROUP BY 1
+)
+SELECT n.doc_id, n.host, n.norm_url, n.n_chars
+FROM normed n JOIN keep k
+  ON n.norm_url = k.norm_url AND n.doc_id = k.doc_id
+"""
+
+
+@register("dedup_url_survivors", _URL_SURVIVORS_ORACLE)
+def dedup_url_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-deduplicated corpus — what the URL tier actually emits
+    downstream (the `dedup_survivors` symmetry for `dedup_url`): one
+    keeper per normalized URL under the min-doc_id rule, singletons
+    included.  One hash aggregation for the keep relation + one
+    equi-join back to the normalized rows; at 100 TB both shuffle on
+    the same (norm_url) key, so AQE plans them as one co-partitioned
+    exchange — no pair space, no broadcast of anything corpus-sized."""
+    from oxford_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
+    )
+    normed = normalize_urls(docs)
+    keep = normed.groupBy("norm_url").agg(F.min("doc_id").alias("doc_id"))
+    return normed.join(keep, ["norm_url", "doc_id"]).select(
+        "doc_id", "host", "norm_url", "n_chars"
+    )
