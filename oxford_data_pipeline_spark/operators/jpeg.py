@@ -724,7 +724,14 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
                             (my * c["sv"] + by) * c["bw"] + mx * c["sh"] + bx
                         ]
                         s = reader.read_symbol(c["dc"])
-                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        if s == 16:
+                            # T.81 F.1.2.1.2: SSSS=16 (12-bit frames)
+                            # means diff=32768 with NO appended bits
+                            diff = 32768
+                        elif s:
+                            diff = _extend(reader.read_bits(s), s)
+                        else:
+                            diff = 0
                         preds[ci] += diff
                         blk[0] = preds[ci]
                         k = 1
@@ -819,7 +826,13 @@ def _dc_unit(reader, blk, dc_table, cid, preds, ah, al):
     diff and places pred << Al; refinement appends bit Al."""
     if ah == 0:
         s = reader.read_symbol(dc_table)
-        diff = _extend(reader.read_bits(s), s) if s else 0
+        if s == 16:
+            # T.81 F.1.2.1.2: SSSS=16 → diff=32768, no appended bits
+            diff = 32768
+        elif s:
+            diff = _extend(reader.read_bits(s), s)
+        else:
+            diff = 0
         preds[cid] += diff
         blk[0] = preds[cid] << al
     elif reader.read_bit():
@@ -1173,10 +1186,17 @@ def _encode_progressive_scans(coefs, planes, samp, gray, h, w) -> bytes:
 # round-trip is EXACT, which the tests pin bit-for-bit.
 
 
-def _ll_predict(plane, x, y, sel, default, use_default):
-    if use_default or (x == 0 and y == 0):
-        return default
-    if y == 0:
+def _ll_predict(plane, x, y, sel, default, first_y, first_x):
+    """Lossless prediction with T.81 H.1.2 positional rules, stated
+    relative to the start of the scan OR of the current restart
+    interval at (first_y, first_x): the interval's first sample uses
+    the default prediction, the remainder of its first line uses the
+    1-D Ra predictor (so samples decoded before the restart are never
+    referenced on that line), the start of every later line uses Rb,
+    and the selected predictor applies everywhere else (H.1.2.2)."""
+    if y == first_y:
+        if x == first_x:
+            return default
         return int(plane[y, x - 1])                      # Ra
     if x == 0:
         return int(plane[y - 1, x])                      # Rb
@@ -1221,7 +1241,7 @@ def _decode_lossless_scan(
     planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
     default = 1 << (prec - 1 - pt)
     reader = _BitReader(data, pos)
-    use_default = True
+    first_y, first_x = 0, 0  # start of the current restart interval
     mcu_count = 0
     rst_n = 0
     for y in range(h):
@@ -1229,7 +1249,7 @@ def _decode_lossless_scan(
             if restart and mcu_count and mcu_count % restart == 0:
                 reader.align_and_expect_rst(rst_n)
                 rst_n = (rst_n + 1) % 8
-                use_default = True
+                first_y, first_x = y, x
             for ci in range(nc):
                 s = reader.read_symbol(tables[ci])
                 if s == 16:
@@ -1239,10 +1259,9 @@ def _decode_lossless_scan(
                 else:
                     diff = 0
                 pred = _ll_predict(
-                    planes[ci], x, y, pred_sel, default, use_default
+                    planes[ci], x, y, pred_sel, default, first_y, first_x
                 )
                 planes[ci][y, x] = (pred + diff) & 0xFFFF
-            use_default = False
             mcu_count += 1
     dtype = np.uint8 if prec <= 8 else np.uint16
     out = [(p << pt).astype(dtype) for p in planes]
@@ -1306,7 +1325,7 @@ def jpeg_encode_lossless(
     writer = _BitWriter()
     planes = [samples[:, :, ci] for ci in range(nc)]
     default = 1 << (precision - 1 - pt)
-    use_default = True
+    first_y, first_x = 0, 0  # start of the current restart interval
     mcu_count = 0
     rst_n = 0
     for y in range(h):
@@ -1315,10 +1334,10 @@ def jpeg_encode_lossless(
                 writer.flush()
                 writer.out += bytes([0xFF, 0xD0 + rst_n])
                 rst_n = (rst_n + 1) % 8
-                use_default = True
+                first_y, first_x = y, x
             for ci in range(nc):
                 pred = _ll_predict(
-                    planes[ci], x, y, predictor, default, use_default
+                    planes[ci], x, y, predictor, default, first_y, first_x
                 )
                 diff = (int(planes[ci][y, x]) - pred + 32768) % 65536 - 32768
                 if diff == -32768:
@@ -1330,7 +1349,6 @@ def jpeg_encode_lossless(
                 writer.write(code, length)
                 if s:
                     writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            use_default = False
             mcu_count += 1
     writer.flush()
     out += writer.out

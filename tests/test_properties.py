@@ -724,9 +724,14 @@ def test_jpeg_lossless_modes_and_guards():
     g8 = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
     out, _ = jpeg_decode(jpeg_encode_lossless(g8, predictor=1, point_transform=2))
     assert np.array_equal(out, (g8 >> 2) << 2)
-    alt = np.zeros((4, 4), np.uint16)
-    alt[::2, ::2] = 65535
-    alt[1::2, 1::2] = 65535
+    # alt[0,0] = 0 at precision 16: first diff = 0 - 32768 (the default
+    # prediction) = -32768 ≡ 32768 mod 2^16 → SSSS=16, no appended bits
+    # (ADVICE r9: the previous orientation started at 65535, whose first
+    # diff is +32767 = SSSS 15, so the SSSS=16 branch was never hit)
+    alt = np.full((4, 4), 65535, np.uint16)
+    alt[::2, ::2] = 0
+    alt[1::2, 1::2] = 0
+    assert alt[0, 0] == 0
     out, _ = jpeg_decode(jpeg_encode_lossless(alt, predictor=1, precision=16))
     assert np.array_equal(out, alt)  # exercises SSSS=16 (diff = 32768)
     with pytest.raises(ValueError):
@@ -739,3 +744,149 @@ def test_jpeg_lossless_modes_and_guards():
     data[sof + 11] = 0x22  # first component Hv = 2x2
     with pytest.raises(NotImplementedError):
         jpeg_decode(bytes(data))
+
+
+def _build_12bit_dc_ssss16_stream(progressive: bool) -> bytes:
+    """Hand-built conformant 12-bit stream (SOF1 or SOF2) whose second
+    block's DC difference is coded as SSSS=16 — per T.81 F.1.2.1.2 that
+    symbol means diff=32768 with NO appended bits.  The in-repo encoder
+    never emits SSSS=16 in DCT modes, so only an external stream can
+    exercise these decode branches (ADVICE r9 item 1)."""
+    import struct
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        _hufftables_12bit,
+    )
+
+    dc_tab, ac_tab = _hufftables_12bit()
+    dc_codes = _canonical_codes(*dc_tab)
+    ac_codes = _canonical_codes(*ac_tab)
+    out = bytearray(b"\xff\xd8")
+    sof = b"\xff\xc2" if progressive else b"\xff\xc1"
+    out += sof + struct.pack(">HBHHB", 11, 12, 8, 16, 1) + bytes([1, 0x11, 0])
+    # 16-bit DQT (Pq=1), all-ones table → coefficients pass through
+    out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10]) + b"\x00\x01" * 64
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(dc_tab[1]))
+            + bytes([0x00]) + bytes(dc_tab[0]) + bytes(dc_tab[1]))
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(ac_tab[1]))
+            + bytes([0x10]) + bytes(ac_tab[0]) + bytes(ac_tab[1]))
+    if progressive:  # DC-only first scan: Ss=Se=0, Ah=Al=0
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+    else:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    w = _BitWriter()
+    c, ln = dc_codes[11]
+    w.write(c, ln)
+    w.write(2047, 11)  # block 1: DC diff +2047 (SSSS=11)
+    if not progressive:
+        c, ln = ac_codes[0x00]
+        w.write(c, ln)  # EOB
+    c, ln = dc_codes[16]
+    w.write(c, ln)  # block 2: SSSS=16 → diff 32768, zero appended bits
+    if not progressive:
+        c, ln = ac_codes[0x00]
+        w.write(c, ln)  # EOB
+    w.flush()
+    out += w.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_12bit_dc_ssss16_external_stream():
+    """ADVICE r9 item 1: a conformant external 12-bit stream using DC
+    SSSS=16 must decode without desync in BOTH DCT decode paths.  With
+    the bug (reading 16 appended bits) the decoder eats the next
+    symbol(s) and errors or produces garbage.  DC-only blocks over an
+    all-ones quant table decode to flat value DC/8 + 2048."""
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_decode
+
+    for progressive in (False, True):
+        img, meta = jpeg_decode(_build_12bit_dc_ssss16_stream(progressive))
+        assert meta["precision"] == 12 and img.shape == (8, 16)
+        assert img.dtype == np.uint16
+        # block 1: DC=2047 → round(2047/8 + 2048) = 2304
+        assert np.all(img[:, :8] == 2304), f"progressive={progressive}"
+        # block 2: DC=2047+32768=34815 → 34815/8 + 2048 > 4095 → clamped
+        assert np.all(img[:, 8:] == 4095), f"progressive={progressive}"
+
+
+def test_jpeg_lossless_restart_spec_conformance():
+    """ADVICE r9 item 2: T.81 H.1.2.2 positional rules inside restart
+    intervals.  Builds the entropy-coded segment BY HAND with the
+    spec's prediction rules (first sample of each interval → default;
+    remainder of the interval's first line → Ra; start of later lines
+    → Rb; elsewhere the selected predictor) and asserts jpeg_decode
+    reproduces the samples exactly.  The restart interval (5) splits
+    rows mid-line, so the interval-first-line Ra rule diverges from
+    the full 2-D predictor whenever Rb != Rc."""
+    import struct
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        _category,
+        _hufftables_12bit,
+        jpeg_decode,
+        jpeg_encode_lossless,
+    )
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    predictor, restart, default = 4, 5, 128
+
+    def spec_pred(y, x, fy, fx):
+        # transcribed from T.81 H.1.2.1-H.1.2.2, NOT from jpeg.py
+        if (y, x) == (fy, fx):
+            return default
+        if y == fy:
+            return int(samples[y, x - 1])          # Ra (interval 1st line)
+        if x == 0:
+            return int(samples[y - 1, x])          # Rb (line start)
+        ra, rb = int(samples[y, x - 1]), int(samples[y - 1, x])
+        rc = int(samples[y - 1, x - 1])
+        return ra + rb - rc                        # predictor 4
+
+    dc_tab = _hufftables_12bit()[0]
+    codes = _canonical_codes(*dc_tab)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(dc_tab[1]))
+            + bytes([0x00]) + bytes(dc_tab[0]) + bytes(dc_tab[1]))
+    out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, predictor, 0, 0])
+    scan = bytearray()
+    w = _BitWriter()
+    fy = fx = 0
+    rst_n = n = 0
+    for y in range(4):
+        for x in range(4):
+            if n and n % restart == 0:
+                w.flush()
+                scan += w.out
+                w = _BitWriter()
+                scan += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                fy, fx = y, x
+            diff = (int(samples[y, x]) - spec_pred(y, x, fy, fx) + 32768) % 65536 - 32768
+            s = 16 if diff == -32768 else _category(diff)
+            c, ln = codes[s]
+            w.write(c, ln)
+            if s and s != 16:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            n += 1
+    w.flush()
+    scan += w.out
+    out += scan + b"\xff\xd9"
+    img, meta = jpeg_decode(bytes(out))
+    assert meta["lossless"] and meta["predictor"] == predictor
+    assert np.array_equal(img, samples)
+    # the divergence is real on this input: at the first post-restart
+    # line position the 2-D predictor disagrees with the spec's Ra rule
+    y0, x0 = divmod(restart, 4)
+    assert int(samples[y0 - 1, x0 + 1]) != int(samples[y0 - 1, x0]), \
+        "fixture must make Rb != Rc after the restart"
+    # and the module's own encoder agrees with the spec-built stream
+    assert bytes(out) == jpeg_encode_lossless(
+        samples, predictor=predictor, restart_interval=restart
+    )
