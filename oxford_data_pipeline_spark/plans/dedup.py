@@ -1682,6 +1682,20 @@ FROM normed n JOIN keep k
 """
 
 
+def url_survivors_relation(
+    normed: DataFrame, key_col: str = "norm_url"
+) -> DataFrame:
+    """The batch URL-tier keep-rule over a `normalize_urls` output:
+    min(doc_id) per url key, joined back for the survivor attributes.
+    Shared by the registered `dedup_url_survivors` query and the
+    streaming compaction twin test (`compact_url_survivors` must equal
+    this on the same input)."""
+    keep = normed.groupBy(key_col).agg(F.min("doc_id").alias("doc_id"))
+    return normed.join(keep, [key_col, "doc_id"]).select(
+        "doc_id", "host", "norm_url", "n_chars"
+    )
+
+
 @register("dedup_url_survivors", _URL_SURVIVORS_ORACLE)
 def dedup_url_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The URL-deduplicated corpus — what the URL tier actually emits
@@ -1698,8 +1712,123 @@ def dedup_url_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         synthetic_url(F.col("doc_id"), F.col("source")).alias("url"),
     )
-    normed = normalize_urls(docs)
-    keep = normed.groupBy("norm_url").agg(F.min("doc_id").alias("doc_id"))
-    return normed.join(keep, ["norm_url", "doc_id"]).select(
-        "doc_id", "host", "norm_url", "n_chars"
+    return url_survivors_relation(normalize_urls(docs))
+
+
+# --------------------------------------------------------------------------
+# Paragraph-tier hash dedup (cc_net's second pass)
+# --------------------------------------------------------------------------
+# After URL-keyed dedup, cc_net/RefinedWeb hash-dedup at PARAGRAPH
+# granularity: boilerplate (nav bars, cookie banners, license blocks)
+# repeats across pages that document-level dedup keeps.  Natural
+# corpora delimit paragraphs with newlines; the synthetic `documents`
+# table has none, so boundaries here are CONTENT-DEFINED (the CDC
+# trick rolling-hash chunkers use): a paragraph starts wherever the
+# hash of an adjacent token pair lands in a 1-in-8 bucket.  Because
+# the boundary depends only on the local content, identical text runs
+# segment identically in every document that contains them — the
+# property newline boundaries give real corpora — so shared
+# boilerplate collides by construction.
+#
+# Scale shape (same as `dedup_url`): segmentation is pure array
+# algebra on the memoized tokenized relation — transform/array_join/
+# split inside whole-stage codegen, no UDF, no per-doc window, no
+# shuffle — and the dedup itself is ONE map-side-combinable hash
+# aggregation on paragraph text.  Partial aggregation bounds shuffled
+# bytes at one copy per (paragraph, partition); nothing pairwise,
+# O(corpus) at 100 TB.  Keep-rule: min(doc_id), the engine convention.
+
+_PARA_MIN_TOKENS = 3  # cc_net drops tiny paragraphs before hashing
+
+_PARA_DEDUP_ORACLE = f"""
+WITH {{tokens_cte}},
+tok AS (
+    SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+           t[CAST(u.pos AS INTEGER)] AS tok,
+           CASE WHEN u.pos = 1 THEN 1
+                WHEN substr(md5(t[CAST(u.pos AS INTEGER) - 1] || ' '
+                                || t[CAST(u.pos AS INTEGER)]), 1, 1)
+                     IN ('0', '8') THEN 1
+                ELSE 0 END AS is_start
+    FROM toks, unnest(generate_series(1, len(t))) AS u(pos)
+),
+para_tok AS (
+    SELECT doc_id, pos, tok,
+           sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS para_id
+    FROM tok
+),
+ptext AS (
+    SELECT doc_id, para_id,
+           string_agg(tok, ' ' ORDER BY pos) AS para,
+           count(*) AS n_toks
+    FROM para_tok GROUP BY 1, 2
+)
+SELECT md5(para) AS para_fp, para,
+       CAST(min(n_toks) AS INTEGER) AS n_toks,
+       count(*) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS keep_id
+FROM ptext
+WHERE n_toks >= {_PARA_MIN_TOKENS}
+GROUP BY 1, 2
+HAVING count(*) > 1
+""".format(tokens_cte=_TOKENS_CTE.strip())
+
+
+@register("dedup_paragraph", _PARA_DEDUP_ORACLE)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-tier hash dedup (see section comment): content-defined
+    paragraph segmentation, normalize, hash-groupBy, emit duplicated
+    paragraphs with the min-doc_id keeper — `dedup_url`'s associative
+    shape one tier down.  cf. cc_net's paragraph-hash second pass."""
+    t = tokens_relation(spark, sf_dir).select("doc_id", "t").filter(
+        F.size("t") > 0
+    )
+    toks = F.col("t")
+    # boundary BEFORE token i (0-based, i>0) when md5(prev ⊕ tok) lands
+    # in the 1-in-8 bucket; the sentinel + join + split builds every
+    # paragraph in one scan-local O(n) pass over the token array
+    marked = F.transform(
+        toks,
+        lambda tok, i: F.when(
+            (i > F.lit(0))
+            & F.substring(
+                F.md5(
+                    F.concat(
+                        F.element_at(toks, F.greatest(i, F.lit(1))),
+                        F.lit(" "),
+                        tok,
+                    )
+                ),
+                1,
+                1,
+            ).isin("0", "8"),
+            F.concat(F.lit("\x01"), tok),
+        ).otherwise(tok),
+    )
+    paras = F.transform(
+        F.split(F.array_join(marked, " "), "\x01"), lambda p: F.trim(p)
+    )
+    rows = (
+        t.select("doc_id", F.explode(paras).alias("para"))
+        .withColumn("n_toks", F.size(F.split(F.col("para"), " ")))
+        .filter(F.col("n_toks") >= _PARA_MIN_TOKENS)
+    )
+    return (
+        rows.groupBy("para")
+        .agg(
+            F.min("n_toks").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            F.md5("para").alias("para_fp"),
+            "para",
+            "n_toks",
+            "n_copies",
+            "n_docs",
+            "keep_id",
+        )
     )

@@ -922,8 +922,9 @@ _LR_FULL_NAMES = [
 
 
 def _lr_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(y, x: array<double>) — x[0] = 1.0 bias, then the five scan-local
-    features, each round6-nudged (engine-deterministic trajectory)."""
+    """(doc_id, y, x: array<double>) — x[0] = 1.0 bias, then the five
+    scan-local features, each round6-nudged (engine-deterministic
+    trajectory)."""
     from oxford_data_pipeline_spark.operators.textops import (
         STOPWORDS,
         count_in_list,
@@ -937,6 +938,7 @@ def _lr_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         " u -> size(filter(t, x -> x = u))))"
     )
     return toks.select(
+        "doc_id",
         F.array(
             F.lit(1.0),
             round6(F.log(F.lit(1.0) + n)),
@@ -1048,4 +1050,78 @@ def cur_classifier_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("feature", F.element_at(names, F.col("pos") + 1))
     return weights.crossJoin(F.broadcast(acc)).select(
         "feature", "weight", "train_acc", "n", "n_pos"
+    )
+
+
+# The d-feature train→serve→calibration chain (round-9 verdict item 4
+# — "production would serve the better model"): the SAME production
+# shape as the 2-D chain above, generalized.  The trained d-double
+# beta is a memoized model artifact embedded as plan literals, so
+# serving stays a scan-local zero-join pass; the calibration report is
+# the same decile-reliability audit.  Registered rows-only (the
+# d-feature solve is not SQL-expressible at hash grain); the parity
+# floor test asserts the d=6 model is at least as reliable as the
+# hash-checked 2-D baseline.
+_lr_full_beta_cache: dict[tuple, DataFrame] = {}
+
+
+def _trained_beta_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oxford_data_pipeline_spark.plans.memo import memoized
+
+    def build() -> DataFrame:
+        return (
+            cur_classifier_train_full(spark, sf_dir)
+            .groupBy()
+            .pivot("feature", _LR_FULL_NAMES)
+            .agg(F.first("weight"))
+        )
+
+    return memoized(
+        _lr_full_beta_cache,
+        spark,
+        (sf_dir, _LR_ITERS, _LR_LABEL_CHARS, "full"),
+        build,
+    )
+
+
+@register("cur_classifier_scored_full", None)
+def cur_classifier_scored_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scoring with the TRAINED d-feature classifier — the 2-D
+    `cur_classifier_scored` production shape with the richer model a
+    deployment would actually serve: the memoized trained beta (d
+    doubles) is embedded as plan literals, so scoring is the same
+    scan-local zero-join feature pass + dot product, no join, no
+    model relation at serve time."""
+    b = _trained_beta_full(spark, sf_dir).collect()[0]  # d doubles
+    eta_expr = None
+    for i, name in enumerate(_LR_FULL_NAMES):
+        term = F.lit(float(b[name])) * F.element_at("x", i + 1)
+        eta_expr = term if eta_expr is None else eta_expr + term
+    feat = _lr_full_features(spark, sf_dir)
+    return feat.withColumn("eta", round6(eta_expr)).select(
+        "doc_id",
+        F.col("eta").alias("logit"),
+        round6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))).alias(
+            "quality_prob"
+        ),
+        (F.col("eta") >= 0).alias("admitted"),
+        (F.col("y") == 1).alias("weak_label"),
+    )
+
+
+@register("cur_classifier_calibration_full", None)
+def cur_classifier_calibration_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decile reliability bins of the d-feature classifier — the same
+    bounded (≤10-row) audit as `cur_classifier_calibration`, over the
+    model a deployment would serve."""
+    scored = cur_classifier_scored_full(spark, sf_dir)
+    bin_ = F.least(F.floor(F.col("quality_prob") * 10), F.lit(9)).cast("int")
+    return scored.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        round6(F.avg("quality_prob")).alias("mean_prob"),
+        round6(
+            F.avg(F.when(F.col("weak_label"), 1.0).otherwise(0.0))
+        ).alias("obs_rate"),
     )

@@ -684,6 +684,28 @@ def _hybrid_fused(
     )
 
 
+_hybrid_serving_cache: dict[tuple, DataFrame] = {}
+
+
+def hybrid_serving_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING fused ranking (ANN dense leg), memoized like the
+    truth leg: `ret_hybrid_rrf` returns it and `ret_hybrid_rrf_audit`
+    compares against it, and in production it is one materialized
+    relation — rebuilding the identical fusion inside the audit double
+    charged the serving plan (round-9 verdict item 2)."""
+    from oxford_data_pipeline_spark.plans.similarity import sim_ivfpq_rerank
+
+    def build() -> DataFrame:
+        dense_top = sim_ivfpq_rerank(spark, sf_dir).filter(
+            F.col("rnk") <= _HYBRID_TOPK
+        ).select("query_id", "cand_id", "rnk")
+        return _hybrid_fused(spark, sf_dir, dense_top)
+
+    return memoized(
+        _hybrid_serving_cache, spark, (sf_dir, "hybrid_serving"), build
+    )
+
+
 @register("ret_hybrid_rrf", _hybrid_oracle())
 def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (see the section
@@ -696,13 +718,10 @@ def ret_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-list relations (shortlist + exact re-rank — never a
     queries×corpus product); fusion is a full-outer join of two
     ≤(queries×k)-row relations — nothing corpus-sized moves after the
-    index probes."""
-    from oxford_data_pipeline_spark.plans.similarity import sim_ivfpq_rerank
-
-    dense_top = sim_ivfpq_rerank(spark, sf_dir).filter(
-        F.col("rnk") <= _HYBRID_TOPK
-    ).select("query_id", "cand_id", "rnk")
-    return _hybrid_fused(spark, sf_dir, dense_top)
+    index probes.  The fused relation is memoized + persisted
+    (`hybrid_serving_fused`) so the audit reuses it instead of
+    re-deriving the identical plan."""
+    return hybrid_serving_fused(spark, sf_dir)
 
 
 _hybrid_truth_cache: dict[tuple, DataFrame] = {}
@@ -735,16 +754,10 @@ def ret_hybrid_rrf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_HYBRID_TOPK} (exact brute-force dense leg).  The brute leg is
     an evaluation artifact (charged to the ann index-build phase like
     every other recall audit — `hybrid_truth_fused`), never a serving
-    path."""
-    from oxford_data_pipeline_spark.plans.similarity import sim_ivfpq_rerank
-
-    serving = _hybrid_fused(
-        spark,
-        sf_dir,
-        sim_ivfpq_rerank(spark, sf_dir)
-        .filter(F.col("rnk") <= _HYBRID_TOPK)
-        .select("query_id", "cand_id", "rnk"),
-    )
+    path.  Both fused relations are memoized (`hybrid_serving_fused`,
+    `hybrid_truth_fused`), so this query times the agreement
+    aggregation over two ≤(queries×k)-row persisted inputs only."""
+    serving = hybrid_serving_fused(spark, sf_dir)
     truth = hybrid_truth_fused(spark, sf_dir)
     s = (
         serving.filter(F.col("fused_rank") <= _HYBRID_TOPK)

@@ -952,15 +952,21 @@ def test_classifier_train_full_matches_numpy_irls(spark):
 
 
 def test_classifier_full_calibration_parity_vs_2d(spark):
-    """Decile-bin expected calibration error of the d-feature model
-    must not be materially worse than the hash-checked 2-D baseline —
-    the calibration floor that makes the richer model trustworthy as
-    an admission dial."""
+    """The d-feature model must be AT LEAST as reliable as the
+    hash-checked 2-D baseline (round-9 verdict item 3): decile-bin
+    expected calibration error of the REGISTERED served chain
+    (`cur_classifier_scored_full`) <= the 2-D chain's — the model a
+    deployment would actually serve cannot calibrate worse than the
+    model it replaces.  Also pins serving parity: the plan-literal
+    logits equal X @ beta of the trained weights."""
     import numpy as np
 
     from oxford_data_pipeline_spark.plans.quality import (
+        _LR_FULL_NAMES,
         _lr_full_features,
+        cur_classifier_calibration_full,
         cur_classifier_scored,
+        cur_classifier_scored_full,
         cur_classifier_train_full,
     )
     from tests.conftest import SF_DIR
@@ -974,19 +980,34 @@ def test_classifier_full_calibration_parity_vs_2d(spark):
                 err += m.sum() / total * abs(probs[m].mean() - labels[m].mean())
         return err
 
+    # serving parity: registered scored_full == X @ trained beta
     rows = cur_classifier_train_full(spark, SF_DIR).collect()
-    beta = np.array([r.weight for r in rows], dtype=np.float64)
-    feats = _lr_full_features(spark, SF_DIR).collect()
-    X = np.array([r.x for r in feats], dtype=np.float64)
-    y = np.array([r.y for r in feats], dtype=np.float64)
-    p_full = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    beta = {r.feature: r.weight for r in rows}
+    bvec = np.array([beta[f] for f in _LR_FULL_NAMES], dtype=np.float64)
+    feats = {r.doc_id: np.array(r.x) for r in _lr_full_features(spark, SF_DIR).collect()}
+    served = cur_classifier_scored_full(spark, SF_DIR).collect()
+    assert len(served) == len(feats)
+    for r in served:
+        eta = float(feats[r.doc_id] @ bvec)
+        assert abs(r.logit - eta) <= 2e-6, (r.doc_id, r.logit, eta)
+        assert r.admitted == (r.logit >= 0)
 
+    p_full = np.array([r.quality_prob for r in served], dtype=np.float64)
+    y_full = np.array([1.0 if r.weak_label else 0.0 for r in served])
     scored = cur_classifier_scored(spark, SF_DIR).collect()
     p_2d = np.array([r.quality_prob for r in scored], dtype=np.float64)
     y_2d = np.array([1.0 if r.weak_label else 0.0 for r in scored])
 
-    e_full, e_2d = ece(p_full, y), ece(p_2d, y_2d)
-    assert e_full <= e_2d + 0.05, (e_full, e_2d)
+    e_full, e_2d = ece(p_full, y_full), ece(p_2d, y_2d)
+    assert e_full <= e_2d + 1e-6, (e_full, e_2d)
+
+    # the registered calibration report aggregates the served scores
+    cal = {r.bin: r for r in cur_classifier_calibration_full(spark, SF_DIR).collect()}
+    bins = np.minimum((p_full * 10).astype(int), 9)
+    for b, rec in cal.items():
+        m = bins == b
+        assert rec.n == int(m.sum())
+        assert abs(rec.obs_rate - y_full[m].mean()) <= 2e-6
 
 
 def test_domain_blocklist_semantics_and_plan(spark):

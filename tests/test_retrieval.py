@@ -316,9 +316,13 @@ def test_hybrid_serving_leg_is_ann_not_brute(spark, monkeypatch):
     consume the IVFADC+R tier (`sim_ivfpq_rerank`) and must be
     buildable+runnable without the brute-force queries×corpus relation
     existing at all — brute force stays confined to the audit."""
+    import oxford_data_pipeline_spark.plans.retrieval as ret
     import oxford_data_pipeline_spark.plans.similarity as sim
     from oxford_data_pipeline_spark.plans.retrieval import ret_hybrid_rrf
 
+    # the serving fusion is memoized (round-9 verdict item 2); start
+    # cold so this test observes the actual build path
+    ret._hybrid_serving_cache.clear()
     calls = {"rerank": 0}
     orig_rerank = sim.sim_ivfpq_rerank
 

@@ -924,3 +924,32 @@ def test_sq8_recall_near_exact(spark):
     rows = QUERIES["sim_sq8_recall"](spark, SF_DIR).collect()
     mean = sum(r["recall"] for r in rows) / len(rows)
     assert mean >= 0.95, mean
+
+
+def test_dedup_paragraph_flags_real_repeats(spark):
+    """Content-defined paragraph dedup (`dedup_paragraph`): every
+    flagged paragraph must be REAL repeated content — its token run
+    occurs in >= n_docs distinct documents' normalized text — with the
+    keeper among the containing docs.  This validates the segmentation
+    is content-aligned: the same run segments the same way wherever it
+    appears (the property newline boundaries give natural corpora).
+    The keeper can exceed the substring-minimum doc because the
+    paragraph's LEADING boundary depends on one token outside the run;
+    interior alignment is what the dedup relies on."""
+    from oxford_data_pipeline_spark.plans.dedup import dedup_paragraph
+    from oxford_data_pipeline_spark.plans.textops import tokens_relation
+
+    rows = dedup_paragraph(spark, SF_DIR).collect()
+    assert rows, "synthetic corpus must contain repeated paragraphs"
+    docs = {
+        r["doc_id"]: f" {r['norm']} "
+        for r in tokens_relation(spark, SF_DIR).select("doc_id", "norm").collect()
+    }
+    for r in rows:
+        assert r["n_copies"] > 1 and r["n_docs"] >= 1
+        assert r["n_docs"] <= r["n_copies"]
+        assert r["n_toks"] == len(r["para"].split()) >= 3
+        containing = [d for d, n in docs.items() if f" {r['para']} " in n]
+        assert len(containing) >= r["n_docs"], r["para"]
+        assert r["keep_id"] in containing
+        assert min(containing) <= r["keep_id"]

@@ -1465,3 +1465,110 @@ def test_streaming_url_dedup_first_batch_wins_across_batches(spark, tmp_path):
     q.awaitTermination()
     got = [r["doc_id"] for r in spark.sql("SELECT * FROM url_dedup_b").collect()]
     assert got == [1], got
+
+
+def test_streaming_url_compaction_equals_batch_survivors(spark, tmp_path):
+    """Round-9 verdict item 2, closed: streamed-then-compacted ==
+    `dedup_url_survivors`'s batch rule on the same input.  The fixture
+    forces BOTH failure modes compaction exists to fix: (a) within one
+    micro-batch the min-doc_id capture arrives second, so the state
+    store may keep the wrong representative; (b) across batches a
+    LATER batch carries a smaller doc_id, so first-batch-wins keeps
+    the wrong one deterministically.  The maintained keeper relation
+    (merged batch by batch, the host-count convention) re-resolves
+    both; URI-less rows pass through 1:1."""
+    import datetime
+
+    from oxford_data_pipeline_spark.operators.urlops import normalize_urls
+    from oxford_data_pipeline_spark.plans.dedup import url_survivors_relation
+    from oxford_data_pipeline_spark.streaming.stream_dedup import (
+        _url_key,
+        compact_url_survivors,
+        merge_url_keepers,
+        url_dedup_stream,
+        url_keeper_maintenance_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    schema = "doc_id long, source string, text string, event_ts timestamp"
+    batch1 = [
+        (10, "https://a.example/page?utm_source=x", "arbitrary pick", t0),
+        (7, "HTTP://WWW.A.Example/page#f", "min arrives second", t0 + m),
+        (3, "https://b.example/page", "other page", t0 + 2 * m),
+        (20, "warc", "uri-less one", t0 + 3 * m),
+        (21, "warc", "uri-less two", t0 + 4 * m),
+    ]
+    batch2 = [
+        (30, "https://a.example/page", "late recrawl", t0 + 5 * m),
+        (2, "https://b.example/page/", "smaller id, later batch", t0 + 6 * m),
+    ]
+    src = str(tmp_path / "url_compaction_stream")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    q = (
+        url_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("url_compact_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    survivors = spark.sql("SELECT * FROM url_compact_t")
+
+    keeper_schema = (
+        "_url_key string, doc_id long, host string,"
+        " norm_url string, n_chars long"
+    )
+    state = {"keepers": None}
+
+    def sink(delta, _bid):
+        cur = state["keepers"]
+        state["keepers"] = (
+            delta.collect()
+            if cur is None
+            else merge_url_keepers(
+                spark.createDataFrame(cur, keeper_schema), delta
+            ).collect()
+        )
+
+    q2 = url_keeper_maintenance_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        sink,
+    )
+    q2.awaitTermination()
+    keepers = spark.createDataFrame(state["keepers"], keeper_schema)
+
+    compacted = sorted(
+        (r["doc_id"], r["host"], r["norm_url"], r["n_chars"])
+        for r in compact_url_survivors(survivors, keepers).collect()
+    )
+    all_rows = spark.createDataFrame(batch1 + batch2, schema).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    normed = normalize_urls(all_rows, url_col="source").withColumn(
+        "_k", _url_key()
+    )
+    batch_want = sorted(
+        (r["doc_id"], r["host"], r["norm_url"], r["n_chars"])
+        for r in url_survivors_relation(normed, key_col="_k").collect()
+    )
+    assert compacted == batch_want, (compacted, batch_want)
+    # the two compaction-only corrections actually happened
+    kept = {r[0] for r in compacted}
+    assert 7 in kept and 10 not in kept and 30 not in kept  # within-batch fix
+    assert 2 in kept and 3 not in kept                      # cross-batch fix
+    assert {20, 21} <= kept                                 # uri-less 1:1
