@@ -58,6 +58,47 @@ def positional_ngrams(col: str, k: int) -> Column:
     )
 
 
+PARA_BOUNDARY_CHARS = ("0", "8")  # 1-in-8 md5 bucket => ~8-token paragraphs
+
+
+def paragraph_array(toks: Column) -> Column:
+    """Content-defined paragraph segmentation of a token array: a new
+    paragraph starts at token i (i > 0) when md5(prev_token || ' ' ||
+    token) begins with a PARA_BOUNDARY_CHARS nibble.  Boundaries
+    depend only on local content, so identical token runs segment
+    identically in every document containing them — the cross-document
+    alignment property newline boundaries give natural corpora (the
+    CDC rolling-hash chunking trick, applied to paragraphs).
+
+    Pure array algebra — transform / array_join / split inside
+    whole-stage codegen, O(n) per doc, no UDF, no shuffle: boundary
+    tokens are prefixed with a \\x01 sentinel, the array is joined and
+    re-split on it.  Oracle SQL twin: per-position is_start flags via
+    `substr(md5(t[i-1] || ' ' || t[i]), 1, 1) IN ('0','8')` and a
+    running sum per doc (see `_PARA_DEDUP_ORACLE`)."""
+    marked = F.transform(
+        toks,
+        lambda tok, i: F.when(
+            (i > F.lit(0))
+            & F.substring(
+                F.md5(
+                    F.concat(
+                        F.element_at(toks, F.greatest(i, F.lit(1))),
+                        F.lit(" "),
+                        tok,
+                    )
+                ),
+                1,
+                1,
+            ).isin(*PARA_BOUNDARY_CHARS),
+            F.concat(F.lit("\x01"), tok),
+        ).otherwise(tok),
+    )
+    return F.transform(
+        F.split(F.array_join(marked, " "), "\x01"), lambda p: F.trim(p)
+    )
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; short docs fall back to the whole
     token sequence as one shingle.

@@ -31,42 +31,42 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # driver records correctness rows for roughly the FIRST 50 registry
 # entries only, so registration order is driver exposure, and the
 # front list rotates every round to keep each query's driver row <= 2
-# rounds old.  Round 9 front-loads (a) queries NEW or materially
-# CHANGED this round (URL-tier dedup + domain mix, combined-churn
-# recall, the re-attributed hybrid audit, the zero-guarded A-ES
-# sample), then (b) the ENTIRE round-6-stale cohort — the 44 oracle
-# queries whose newest driver row is r6 (round-8 verdict item 2), so
-# after this round no driver row is older than r8.  Only
-# ORACLE-CHECKED queries go in the window — a rows-only query would
-# burn a slot on an err:"no_oracle" record.  Rotation reorders, never
-# drops; the suite's own oracle tests still cover the full set.
-_ROUND9_FRONT = [
-    # (a) NEW or materially CHANGED this round (cur_weighted_sample
-    # also changed — zero-weight guard — but its driver row is r8 and
-    # parity re-verified at both SFs, so it yields its slot to the
-    # changed mm_jpeg_decode, whose output schema gained the 12-bit
-    # verdict column)
-    "dedup_url", "cur_domain_mix", "cur_domain_blocklist",
-    "sim_ivf_churn_recall", "ret_hybrid_rrf_audit", "mm_jpeg_decode",
-    # (dedup_url_survivors, added late in round 9, stays OUT of this
-    # window: the r6-cohort completeness below takes the remaining
-    # slots; its parity is pinned at both SFs and it rotates in at r10)
-    # (b) the r6-stale cohort (newest driver row = r6 for all 44)
-    "j3_pair_selfjoin", "j4_fact_join_chain", "j8_fold_train_split",
-    "e_set_ops", "o1_anatomical_order", "o3_seeded_sample",
-    "sc_scalar_functions", "a4_connectivity_pivot", "a5_max_then_mean",
-    "a6_label_distribution", "a7_threshold_grid", "a8_count_stats",
-    "a9_rollup_summary", "a10_hierarchical_rollup", "a11_cumulative_share",
-    "w2_removal_schedule", "w3_restricted_peak", "w5_percentile_threshold",
-    "w6_contiguous_folds", "w7_first_match_baseline", "a12_mc_average",
-    "m5_relational_matmul", "m3_weight_minmax_norm", "m9_pearson_corr",
-    "m11_cohens_d", "m13_effective_dim", "m16_spearman",
-    "m10_wilcoxon_stat", "w4_peak_amplitude", "o4_truncate_min_length",
-    "f9_significance_filter", "j7_condition_weight_reuse",
-    "a3_cross_session_agg", "f11_flip_detection", "text_quality",
-    "text_langid", "text_langid_confusion", "text_chunking",
-    "text_chunk_dedup", "dedup_containment", "dedup_lsh_audit",
-    "dedup_survivors_keep_longest", "mm_image_decode", "mm_audio_decode",
+# rounds old.  Round 10 front-loads (a) `dedup_url_survivors` — the
+# only pre-r10 oracle query that has NEVER had a driver row (it
+# landed after the r9 snapshot; round-9 verdict item 1) — plus the
+# two fully-new round-10 operators `dedup_paragraph` and
+# `sim_ivf_retrain`, then (b) the ENTIRE round-7-stale cohort — the
+# 47 oracle queries whose newest driver row is r7 — so after this
+# round no driver row is older than r8.  That fills all 50 slots
+# exactly.  Two candidates deliberately YIELD their slots to the
+# cohort and rotate in at r11: `dedup_paragraph_survivors` (derived
+# from dedup_paragraph by the same splice machinery, parity pinned
+# hash-green at both SFs) and `ret_hybrid_rrf_audit` (this round's
+# change is result-preserving memoization; its r9 driver row is
+# green and parity re-verified).  Only ORACLE-CHECKED queries go in
+# the window — a rows-only query would burn a slot on an
+# err:"no_oracle" record.  Rotation reorders, never drops; the
+# suite's own oracle tests still cover the full set.
+_ROUND10_FRONT = [
+    # (a) never-driver-checked + fully-new this round
+    "dedup_url_survivors", "dedup_paragraph", "sim_ivf_retrain",
+    # (b) the r7-stale cohort (newest driver row = r7 for all 47)
+    "a14_sessionize", "cur_adaptive_quality_gate", "cur_bigram_surprisal",
+    "cur_bloom_prefilter", "cur_c4_heuristics", "cur_corpus_diff",
+    "cur_corpus_drift", "cur_decontaminate", "cur_dsir_weights",
+    "cur_length_profile", "cur_mixture_weights", "cur_pack_stats",
+    "cur_pii_scrub", "cur_pipeline", "cur_provenance",
+    "cur_quality_classifier", "cur_repetition", "cur_stratified_sample",
+    "cur_temperature_mix", "cur_term_cms", "cur_unigram_surprisal",
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_incremental",
+    "dedup_pagerank_canonical", "dedup_semantic", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_survivors", "dedup_winnowing",
+    "e_json_props", "emb_hard_negatives", "emb_label_cohesion",
+    "emb_outliers", "j9_asof_join", "mm_audio_features",
+    "mm_image_features", "oxford_pipeline", "ret_phrase_search",
+    "sim_compression_ladder", "sim_cosine_topk", "sim_lsh_ann",
+    "sim_matryoshka_recall", "sim_sq8_recall", "text_dup_span_cut",
+    "text_postings_incremental", "text_tfidf_top_terms",
 ]
 
 
@@ -80,6 +80,6 @@ def _rotate(front: list[str]) -> None:
         d.update(items)
 
 
-_rotate(_ROUND9_FRONT)
+_rotate(_ROUND10_FRONT)
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1781,36 +1781,13 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph segmentation, normalize, hash-groupBy, emit duplicated
     paragraphs with the min-doc_id keeper — `dedup_url`'s associative
     shape one tier down.  cf. cc_net's paragraph-hash second pass."""
+    from oxford_data_pipeline_spark.operators.textops import paragraph_array
+
     t = tokens_relation(spark, sf_dir).select("doc_id", "t").filter(
         F.size("t") > 0
     )
-    toks = F.col("t")
-    # boundary BEFORE token i (0-based, i>0) when md5(prev ⊕ tok) lands
-    # in the 1-in-8 bucket; the sentinel + join + split builds every
-    # paragraph in one scan-local O(n) pass over the token array
-    marked = F.transform(
-        toks,
-        lambda tok, i: F.when(
-            (i > F.lit(0))
-            & F.substring(
-                F.md5(
-                    F.concat(
-                        F.element_at(toks, F.greatest(i, F.lit(1))),
-                        F.lit(" "),
-                        tok,
-                    )
-                ),
-                1,
-                1,
-            ).isin("0", "8"),
-            F.concat(F.lit("\x01"), tok),
-        ).otherwise(tok),
-    )
-    paras = F.transform(
-        F.split(F.array_join(marked, " "), "\x01"), lambda p: F.trim(p)
-    )
     rows = (
-        t.select("doc_id", F.explode(paras).alias("para"))
+        t.select("doc_id", F.explode(paragraph_array(F.col("t"))).alias("para"))
         .withColumn("n_toks", F.size(F.split(F.col("para"), " ")))
         .filter(F.col("n_toks") >= _PARA_MIN_TOKENS)
     )
@@ -1831,4 +1808,112 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "keep_id",
         )
+    )
+
+
+_PARA_SURVIVORS_ORACLE = f"""
+WITH {{tokens_cte}},
+tok AS (
+    SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+           t[CAST(u.pos AS INTEGER)] AS tok,
+           CASE WHEN u.pos = 1 THEN 1
+                WHEN substr(md5(t[CAST(u.pos AS INTEGER) - 1] || ' '
+                                || t[CAST(u.pos AS INTEGER)]), 1, 1)
+                     IN ('0', '8') THEN 1
+                ELSE 0 END AS is_start
+    FROM toks, unnest(generate_series(1, len(t))) AS u(pos)
+),
+para_tok AS (
+    SELECT doc_id, pos, tok,
+           sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS para_id
+    FROM tok
+),
+ptext AS (
+    SELECT doc_id, para_id,
+           string_agg(tok, ' ' ORDER BY pos) AS para,
+           count(*) AS n_toks
+    FROM para_tok GROUP BY 1, 2
+),
+occ AS (
+    SELECT doc_id, para_id, para, n_toks,
+           row_number() OVER (PARTITION BY para
+                              ORDER BY doc_id, para_id) AS occ_rank
+    FROM ptext
+),
+kept AS (
+    SELECT doc_id, para_id, para
+    FROM occ
+    WHERE n_toks < {_PARA_MIN_TOKENS} OR occ_rank = 1
+)
+SELECT p.doc_id,
+       CAST(p.n_paras AS INTEGER) AS n_paras,
+       CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept,
+       coalesce(k.clean_text, '') AS clean_text
+FROM (SELECT doc_id, count(*) AS n_paras FROM ptext GROUP BY 1) p
+LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(para, ' ' ORDER BY para_id) AS clean_text
+    FROM kept GROUP BY 1
+) k USING (doc_id)
+""".format(tokens_cte=_TOKENS_CTE.strip())
+
+
+@register("dedup_paragraph_survivors", _PARA_SURVIVORS_ORACLE)
+def dedup_paragraph_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paragraph-deduplicated corpus — what cc_net's second pass
+    actually EMITS: every document rebuilt with duplicate paragraphs
+    removed, keeping only the globally-first occurrence (min (doc_id,
+    position)) of each repeated paragraph; sub-threshold paragraphs
+    (< {_PARA_MIN_TOKENS} tokens, never hashed) always remain.
+
+    Plan shape: scan-local segmentation (`paragraph_array`) → one
+    min_by aggregation on paragraph text for the keeper-occurrence
+    relation → one co-partitioned equi-join back on the same key →
+    one per-doc reassembly aggregation.  Nothing pairwise; the only
+    relations shuffled are paragraph-keyed (combinable) and
+    doc-keyed."""
+    from oxford_data_pipeline_spark.operators.textops import paragraph_array
+
+    t = tokens_relation(spark, sf_dir).select("doc_id", "t").filter(
+        F.size("t") > 0
+    )
+    p = t.select(
+        "doc_id",
+        F.posexplode(paragraph_array(F.col("t"))).alias("para_idx", "para"),
+    ).withColumn("n_toks", F.size(F.split(F.col("para"), " ")))
+    keeper = (
+        p.filter(F.col("n_toks") >= _PARA_MIN_TOKENS)
+        .groupBy("para")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "para_idx"),
+                F.struct("doc_id", "para_idx"),
+            ).alias("first_occ")
+        )
+    )
+    kept = p.join(keeper, "para", "left").filter(
+        (F.col("n_toks") < _PARA_MIN_TOKENS)
+        | (
+            (F.col("first_occ.doc_id") == F.col("doc_id"))
+            & (F.col("first_occ.para_idx") == F.col("para_idx"))
+        )
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_paras")
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

@@ -305,62 +305,68 @@ _LLOYD_ITERS = 3
 _TRAIN_SAMPLE = 256
 
 
-def _lloyd_ctes(k: int, iters: int) -> str:
+def _lloyd_ctes(k: int, iters: int, sfx: str = "",
+                src_long: str = "long", src_norms: str = "norms") -> str:
     """Unrolled k-means CTE chain: training restricted to the bounded
     md5-ordered sample (tlong/tnorms); c0 = md5-seeded centroids; each
     iteration = assign (argmax rounded cosine, cell tiebreak) + update
     (rounded per-dim mean).  Fixed iteration count keeps the quantizer
     SQL-expressible; every float that crosses an assignment decision is
-    round-nudged so Spark and DuckDB pick identical cells."""
+    round-nudged so Spark and DuckDB pick identical cells.
+
+    `sfx` suffixes every CTE name and `src_long`/`src_norms` rename the
+    training source relations, so TWO quantizer chains (e.g. the base-
+    trained one and a live-corpus retrain) can coexist in one oracle;
+    defaults produce the original text verbatim."""
     parts = [
-        f"""tsample AS (
+        f"""tsample{sfx} AS (
     SELECT vec_id FROM (
         SELECT vec_id,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
-        FROM norms
+        FROM {src_norms}
     ) WHERE r <= {_TRAIN_SAMPLE}
 ),
-tlong AS (SELECT l.* FROM long l JOIN tsample ts ON l.vec_id = ts.vec_id),
-tnorms AS (SELECT n.* FROM norms n JOIN tsample ts ON n.vec_id = ts.vec_id),
-seeds AS (
+tlong{sfx} AS (SELECT l.* FROM {src_long} l JOIN tsample{sfx} ts ON l.vec_id = ts.vec_id),
+tnorms{sfx} AS (SELECT n.* FROM {src_norms} n JOIN tsample{sfx} ts ON n.vec_id = ts.vec_id),
+seeds{sfx} AS (
     SELECT vec_id, cell FROM (
         SELECT vec_id,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
-        FROM tnorms
+        FROM tnorms{sfx}
     ) WHERE cell <= {k}
 ),
-c0 AS (
+c0{sfx} AS (
     SELECT s.cell, l.dim, l.val AS w
-    FROM seeds s JOIN tlong l ON l.vec_id = s.vec_id
+    FROM seeds{sfx} s JOIN tlong{sfx} l ON l.vec_id = s.vec_id
 )"""
     ]
     for i in range(iters):
         parts.append(
-            f"""kn{i} AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM c{i} GROUP BY 1),
-kaff{i} AS (
+            f"""kn{i}{sfx} AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM c{i}{sfx} GROUP BY 1),
+kaff{i}{sfx} AS (
     SELECT l.vec_id, c.cell,
-           round(sum(l.val * c.w) / (n.nrm * kn{i}.cn) * 1000000 + 0.01, 0) / 1000000 AS aff
-    FROM tlong l
-    JOIN c{i} c ON l.dim = c.dim
-    JOIN tnorms n ON l.vec_id = n.vec_id
-    JOIN kn{i} ON c.cell = kn{i}.cell
-    GROUP BY l.vec_id, c.cell, n.nrm, kn{i}.cn
+           round(sum(l.val * c.w) / (n.nrm * kn{i}{sfx}.cn) * 1000000 + 0.01, 0) / 1000000 AS aff
+    FROM tlong{sfx} l
+    JOIN c{i}{sfx} c ON l.dim = c.dim
+    JOIN tnorms{sfx} n ON l.vec_id = n.vec_id
+    JOIN kn{i}{sfx} ON c.cell = kn{i}{sfx}.cell
+    GROUP BY l.vec_id, c.cell, n.nrm, kn{i}{sfx}.cn
 ),
-asg{i} AS (
+asg{i}{sfx} AS (
     SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS r
-        FROM kaff{i}
+        FROM kaff{i}{sfx}
     ) WHERE r = 1
 ),
-c{i + 1} AS (
+c{i + 1}{sfx} AS (
     SELECT a.cell, l.dim,
            round(avg(l.val) * 1000000 + 0.01, 0) / 1000000 AS w
-    FROM asg{i} a JOIN tlong l ON l.vec_id = a.vec_id
+    FROM asg{i}{sfx} a JOIN tlong{sfx} l ON l.vec_id = a.vec_id
     GROUP BY 1, 2
 )"""
         )
-    parts.append(f"centroids AS (SELECT cell, dim, w FROM c{iters})")
+    parts.append(f"centroids{sfx} AS (SELECT cell, dim, w FROM c{iters}{sfx})")
     return ",\n".join(parts)
 
 
@@ -2640,5 +2646,352 @@ def sim_ivf_churn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(
                 F.count("hit").cast("double") / F.count(F.lit(1))
             ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantizer retrain (the drift-response operation)
+# --------------------------------------------------------------------------
+# Every scaling note about the incremental index ends at the same
+# knob: "cell-occupancy drift triggers a quantizer retrain".  This is
+# that operation, executed — the FAISS re-train+re-add cycle as a
+# relational program: fit a NEW coarse quantizer on a bounded sample
+# of the LIVE corpus (post-append, post-tombstone), reassign every
+# live vector in one pass, and audit what the retrain bought: cell
+# occupancy balance and serving recall, before vs after, against the
+# SAME memoized exact truth the churn audit uses.  Cost shape is the
+# build cost it replaces: O(sample·k·iters) training + one O(corpus·k)
+# assignment pass — exactly what "retrain" costs at 100 TB, run out of
+# band when the drift signal trips, never per query.
+_RETRAIN_AFF_SQL = """
+    SELECT l.vec_id, c.cell,
+           round(sum(l.val * c.w) / (n.nrm * cn.cn) * 1000000 + 0.01, 0) / 1000000
+               AS aff
+    FROM live_long l
+    JOIN centroids_r c ON l.dim = c.dim
+    JOIN live_norms n ON l.vec_id = n.vec_id
+    JOIN cnorms_r cn ON c.cell = cn.cell
+    GROUP BY l.vec_id, c.cell, n.nrm, cn.cn
+"""
+
+_IVF_RETRAIN_ORACLE = f"""
+WITH {_IVF_INC_CHAIN},
+tomb AS (SELECT vec_id FROM norms_all WHERE {_CHURN_DEL_SQL}),
+live_long AS (
+    SELECT * FROM long_all WHERE vec_id NOT IN (SELECT vec_id FROM tomb)
+),
+live_norms AS (
+    SELECT * FROM norms_all WHERE vec_id NOT IN (SELECT vec_id FROM tomb)
+),
+{_lloyd_ctes(_K_CELLS, _LLOYD_ITERS, sfx="_r",
+             src_long="live_long", src_norms="live_norms")},
+cnorms_r AS (SELECT cell, sqrt(sum(w * w)) AS cn FROM centroids_r GROUP BY 1),
+aff_r AS ({_RETRAIN_AFF_SQL}),
+ranked_r AS (
+    SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY aff DESC, cell) AS crnk
+    FROM aff_r
+),
+merged_r AS (SELECT vec_id, cell FROM ranked_r WHERE crnk = 1),
+live_before AS (
+    SELECT m.vec_id, m.cell FROM merged m
+    JOIN live_norms n ON m.vec_id = n.vec_id
+),
+occ_b AS (SELECT cell, count(*) AS n FROM live_before GROUP BY 1),
+occ_a AS (SELECT cell, count(*) AS n FROM merged_r GROUP BY 1),
+queries AS (
+    SELECT vec_id FROM norms_all
+    WHERE NOT ({_INC_SPLIT_SQL}) AND vec_id % {_INC_QUERY_MOD} = 0
+      AND vec_id NOT IN (SELECT vec_id FROM tomb)
+),
+probes_b AS (
+    SELECT r.vec_id, r.cell FROM inc_ranked r JOIN queries q ON r.vec_id = q.vec_id
+    WHERE r.crnk <= {_N_PROBE}
+),
+cand_b AS (
+    SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+    FROM probes_b p JOIN live_before a ON p.cell = a.cell
+    WHERE p.vec_id <> a.vec_id
+),
+probes_a AS (
+    SELECT r.vec_id, r.cell FROM ranked_r r JOIN queries q ON r.vec_id = q.vec_id
+    WHERE r.crnk <= {_N_PROBE}
+),
+cand_a AS (
+    SELECT p.vec_id AS query_id, a.vec_id AS cand_id
+    FROM probes_a p JOIN merged_r a ON p.cell = a.cell
+    WHERE p.vec_id <> a.vec_id
+),
+adots_b AS (
+    SELECT cd.query_id, cd.cand_id, sum(lq.val * lc.val) AS dot
+    FROM cand_b cd
+    JOIN long_all lq ON lq.vec_id = cd.query_id
+    JOIN long_all lc ON lc.vec_id = cd.cand_id AND lq.dim = lc.dim
+    GROUP BY 1, 2
+),
+ann_b AS (
+    SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id, row_number() OVER (
+            PARTITION BY d.query_id
+            ORDER BY round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) DESC,
+                     d.cand_id) AS rnk
+        FROM adots_b d
+        JOIN norms_all nq ON d.query_id = nq.vec_id
+        JOIN norms_all nc ON d.cand_id = nc.vec_id
+    ) WHERE rnk <= {_TOP_K}
+),
+adots_a AS (
+    SELECT cd.query_id, cd.cand_id, sum(lq.val * lc.val) AS dot
+    FROM cand_a cd
+    JOIN long_all lq ON lq.vec_id = cd.query_id
+    JOIN long_all lc ON lc.vec_id = cd.cand_id AND lq.dim = lc.dim
+    GROUP BY 1, 2
+),
+ann_a AS (
+    SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id, row_number() OVER (
+            PARTITION BY d.query_id
+            ORDER BY round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) DESC,
+                     d.cand_id) AS rnk
+        FROM adots_a d
+        JOIN norms_all nq ON d.query_id = nq.vec_id
+        JOIN norms_all nc ON d.cand_id = nc.vec_id
+    ) WHERE rnk <= {_TOP_K}
+),
+bdots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.val * c.val) AS dot
+    FROM long_all q
+    JOIN queries qq ON q.vec_id = qq.vec_id
+    JOIN long_all c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM tomb)
+    GROUP BY 1, 2
+),
+brute AS (
+    SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id, row_number() OVER (
+            PARTITION BY d.query_id
+            ORDER BY round(d.dot / (nq.nrm * nc.nrm) * 1000000 + 0.01, 0) DESC,
+                     d.cand_id) AS rnk
+        FROM bdots d
+        JOIN norms_all nq ON d.query_id = nq.vec_id
+        JOIN norms_all nc ON d.cand_id = nc.vec_id
+    ) WHERE rnk <= {_TOP_K}
+),
+rec_b AS (
+    SELECT round(CAST(sum(CASE WHEN a.cand_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                 / count(*) * 1000000 + 0.01, 0) / 1000000 + 0 AS r
+    FROM brute b LEFT JOIN ann_b a
+      ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+),
+rec_a AS (
+    SELECT round(CAST(sum(CASE WHEN a.cand_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                 / count(*) * 1000000 + 0.01, 0) / 1000000 + 0 AS r
+    FROM brute b LEFT JOIN ann_a a
+      ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+)
+SELECT (SELECT count(*) FROM live_norms) AS n_live,
+       (SELECT CAST(count(*) AS BIGINT) FROM occ_b) AS cells_before,
+       (SELECT CAST(count(*) AS BIGINT) FROM occ_a) AS cells_after,
+       round((SELECT CAST(max(n) AS DOUBLE) FROM occ_b)
+             / (SELECT count(*) FROM live_norms) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS max_share_before,
+       round((SELECT CAST(max(n) AS DOUBLE) FROM occ_a)
+             / (SELECT count(*) FROM live_norms) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS max_share_after,
+       (SELECT r FROM rec_b) AS recall_before,
+       (SELECT r FROM rec_a) AS recall_after
+"""
+
+_retrain_centroid_cache: dict[tuple, DataFrame] = {}
+_retrain_ranked_cache: dict[tuple, DataFrame] = {}
+
+
+def _retrain_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(live_long, live_norms, ranked_r, merged_r): the retrained
+    quantizer (fit on a bounded live-corpus sample, memoized like the
+    base model artifact) and the one-pass live reassignment."""
+    long_all, norms_all, _inc_ranked, _merged = _inc_index_parts(spark, sf_dir)
+    live_long = long_all.filter(~_churn_del_pred())
+    live_norms = norms_all.filter(~_churn_del_pred())
+    centroids = memoized(
+        _retrain_centroid_cache, spark,
+        (sf_dir, _K_CELLS, _LLOYD_ITERS, _TRAIN_SAMPLE, "retrain"),
+        lambda: _trained_centroids(live_long, live_norms),
+    )
+
+    def build_ranked() -> DataFrame:
+        cnorms = centroids.groupBy("cell").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn")
+        )
+        aff = (
+            live_long.join(F.broadcast(centroids), "dim")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+            .join(live_norms, "vec_id")
+            .join(F.broadcast(cnorms), "cell")
+            .select(
+                "vec_id", "cell",
+                F.when(
+                    F.col("nrm") > 0,
+                    F.round(F.col("dot") / (F.col("nrm") * F.col("cn")) * 1e6 + 0.01, 0)
+                    / 1e6,
+                ).alias("aff"),
+            )
+        )
+        wc = W.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell"))
+        return aff.withColumn("crnk", F.row_number().over(wc))
+
+    ranked_r = memoized(
+        _retrain_ranked_cache, spark,
+        (sf_dir, _K_CELLS, _LLOYD_ITERS, _TRAIN_SAMPLE, "retrain"),
+        build_ranked,
+    )
+    merged_r = ranked_r.filter(F.col("crnk") == 1).select(
+        "vec_id",
+        F.when(F.col("aff").isNull(), F.lit(-1)).otherwise(F.col("cell")).alias("cell"),
+    )
+    return live_long, live_norms, ranked_r, merged_r
+
+
+def _ivf_topk_from_cand(spark, sf_dir, cand):
+    """Exact re-rank of an IVF candidate relation to top-{_TOP_K} per
+    query (the shared back half of the before/after audits)."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    vecs = embeddings_vec(spark, sf_dir)
+    vq = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("wq"),
+        F.col("nrm").alias("nq"),
+    )
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vec").alias("wc"),
+        F.col("nrm").alias("nc"),
+    )
+    cos = F.round(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc")) * 1e6 + 0.01, 0)
+    w = W.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("cand_id"))
+    return (
+        cand.join(vq, "query_id").join(vc, "cand_id")
+        .select("query_id", "cand_id", cos.alias("c6"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "cand_id")
+    )
+
+
+@register("sim_ivf_retrain", _IVF_RETRAIN_ORACLE)
+def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer retrain audit (see section comment): new quantizer on
+    the live corpus, one-pass reassignment, and a single summary row —
+    live count, occupied cells and max cell share before vs after, and
+    serving recall before vs after against the SAME memoized exact
+    truth the churn audit charges to the build phase."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    long_all, norms_all, inc_ranked, merged = _inc_index_parts(spark, sf_dir)
+    live_long, live_norms, ranked_r, merged_r = _retrain_parts(spark, sf_dir)
+    queries = (
+        norms_all.filter(
+            ~_inc_base_pred()
+            & (F.col("vec_id") % _INC_QUERY_MOD == 0)
+            & ~_churn_del_pred()
+        ).select(F.col("vec_id").alias("query_id"))
+    )
+    live_before = merged.join(
+        live_norms.select("vec_id"), "vec_id"
+    ).select("vec_id", "cell")
+
+    def cand_from(ranked, assignment):
+        probes = (
+            ranked.join(
+                queries.withColumnRenamed("query_id", "vec_id"), "vec_id"
+            )
+            .filter(F.col("crnk") <= _N_PROBE)
+            .select(F.col("vec_id").alias("query_id"), "cell")
+        )
+        return (
+            probes.join(
+                assignment.withColumnRenamed("vec_id", "cand_id"), "cell"
+            )
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id")
+            .distinct()
+        )
+
+    ann_b = _ivf_topk_from_cand(
+        spark, sf_dir, cand_from(inc_ranked, live_before)
+    ).withColumn("hit", F.lit(1))
+    ann_a = _ivf_topk_from_cand(
+        spark, sf_dir, cand_from(ranked_r, merged_r)
+    ).withColumn("hit", F.lit(1))
+
+    # the SAME exact-truth artifact the churn audit memoizes (same key
+    # — whichever audit runs first pays the build)
+    vecs = embeddings_vec(spark, sf_dir)
+    vq = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("wq"),
+        F.col("nrm").alias("nq"),
+    )
+    vc = vecs.select(
+        F.col("vec_id").alias("cand_id"), F.col("vec").alias("wc"),
+        F.col("nrm").alias("nc"),
+    )
+    cos = F.round(pair_dot("wq", "wc") / (F.col("nq") * F.col("nc")) * 1e6 + 0.01, 0)
+    w = W.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("cand_id"))
+
+    def build_brute() -> DataFrame:
+        vq_live = vq.join(queries, "query_id")
+        vc_live = vc.filter(~_churn_del_pred("cand_id"))
+        return (
+            vc_live.join(F.broadcast(vq_live), F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", cos.alias("c6"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    brute = memoized(
+        _churn_brute_cache, spark,
+        (sf_dir, _INC_QUERY_MOD, _TOP_K, "churn"), build_brute,
+    )
+
+    def recall(ann, name):
+        return (
+            brute.join(ann, ["query_id", "cand_id"], "left")
+            .agg(
+                round6(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                ).alias(name)
+            )
+        )
+
+    n_live = live_norms.agg(F.count(F.lit(1)).alias("n_live"))
+    occ_b = live_before.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("cells_before"),
+        F.max("n").alias("_max_b"),
+    )
+    occ_a = merged_r.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("cells_after"),
+        F.max("n").alias("_max_a"),
+    )
+    return (
+        n_live.crossJoin(F.broadcast(occ_b))
+        .crossJoin(F.broadcast(occ_a))
+        .crossJoin(F.broadcast(recall(ann_b, "recall_before")))
+        .crossJoin(F.broadcast(recall(ann_a, "recall_after")))
+        .select(
+            "n_live",
+            "cells_before",
+            "cells_after",
+            round6(F.col("_max_b").cast("double") / F.col("n_live")).alias(
+                "max_share_before"
+            ),
+            round6(F.col("_max_a").cast("double") / F.col("n_live")).alias(
+                "max_share_after"
+            ),
+            "recall_before",
+            "recall_after",
         )
     )

@@ -141,23 +141,35 @@ def url_keeper_delta(
     ).select("_url_key", "s.*")
 
 
-def merge_url_keepers(maintained: DataFrame, delta: DataFrame) -> DataFrame:
-    """Fold a keeper delta into the maintained keeper relation:
-    full-outer on the url key, smaller doc_id wins.  Merge-equal to
-    recomputing from scratch (min is associative + commutative)."""
+def merge_keepers(
+    maintained: DataFrame, delta: DataFrame, key_col: str, attr_cols: list[str]
+) -> DataFrame:
+    """Fold a keeper delta into a maintained keeper relation:
+    full-outer on `key_col`, smaller doc_id wins, `attr_cols` travel
+    with the winner.  Merge-equal to recomputing from scratch (min is
+    associative + commutative) — the shared core of the URL-tier and
+    content-tier keeper maintainers."""
     m = maintained.alias("m")
     d = delta.alias("d")
-    take_m = F.col("d._url_key").isNull() | (
-        F.col("m._url_key").isNotNull()
+    take_m = F.col(f"d.{key_col}").isNull() | (
+        F.col(f"m.{key_col}").isNotNull()
         & (F.col("m.doc_id") <= F.col("d.doc_id"))
     )
     pick = lambda c: F.when(take_m, F.col(f"m.{c}")).otherwise(F.col(f"d.{c}"))  # noqa: E731
-    return m.join(d, F.col("m._url_key") == F.col("d._url_key"), "full_outer").select(
-        F.coalesce("m._url_key", "d._url_key").alias("_url_key"),
+    return m.join(
+        d, F.col(f"m.{key_col}") == F.col(f"d.{key_col}"), "full_outer"
+    ).select(
+        F.coalesce(f"m.{key_col}", f"d.{key_col}").alias(key_col),
         pick("doc_id").alias("doc_id"),
-        pick("host").alias("host"),
-        pick("norm_url").alias("norm_url"),
-        pick("n_chars").alias("n_chars"),
+        *[pick(c).alias(c) for c in attr_cols],
+    )
+
+
+def merge_url_keepers(maintained: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a keeper delta into the maintained URL-keeper relation:
+    full-outer on the url key, smaller doc_id wins."""
+    return merge_keepers(
+        maintained, delta, "_url_key", ["host", "norm_url", "n_chars"]
     )
 
 
@@ -196,4 +208,103 @@ def compact_url_survivors(
     )
     return keepers.join(keys, "_url_key").select(
         "doc_id", "host", "norm_url", "n_chars"
+    )
+
+
+def paragraph_dedup_stream(
+    stream: DataFrame,
+    ts_col: str = "event_ts",
+    delay: str = "1 hour",
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Paragraph-tier streaming dedup — the online form of
+    `dedup_paragraph`: each arriving document is segmented with the
+    SAME content-defined boundaries as the batch query
+    (`paragraph_array` — scan-local array algebra, so online/offline
+    segmentation cannot drift), sub-threshold paragraphs pass through
+    unhashed, and hashed paragraphs are first-seen-wins within the
+    watermark horizon.  The output is the NOVEL-paragraph stream (one
+    row per first sighting: doc_id, para_idx, para, para_fp) that a
+    continuous training-data assembly consumes; repeated boilerplate
+    arriving later is suppressed while its state lives, evicted after
+    the horizon — bounded memory forever."""
+    from oxford_data_pipeline_spark.operators.textops import (
+        normalized,
+        paragraph_array,
+        tokens,
+    )
+
+    toks = stream.withColumn("t", tokens(normalized(F.col("text")))).filter(
+        F.size("t") > 0
+    )
+    paras = toks.select(
+        "doc_id",
+        ts_col,
+        F.posexplode(paragraph_array(F.col("t"))).alias("para_idx", "para"),
+    ).withColumn("n_toks", F.size(F.split(F.col("para"), " ")))
+    key = F.when(
+        F.col("n_toks") >= min_tokens, F.md5("para")
+    ).otherwise(
+        F.concat(
+            F.lit("#short#"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.col("para_idx").cast("string"),
+        )
+    )
+    return (
+        paras.withColumn("para_fp", key)
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["para_fp"])
+    )
+
+
+# Content-tier compaction — the same closure for `dedup_stream` /
+# `dedup_stream_within_watermark` that the URL tier has above: within
+# a micro-batch the state store keeps an ARBITRARY representative per
+# exact fingerprint; the batch keep-rule (min doc_id per exact_fp —
+# `dedup_exact`'s materialization convention) is re-resolved at
+# compaction against a maintained fingerprint-keeper relation.
+
+
+def content_keeper_delta(batch: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-micro-batch content keeper delta: min-doc_id row per exact
+    fingerprint, carrying n_chars.  Associative."""
+    b = fingerprinted(batch)
+    if "n_chars" not in b.columns:
+        b = b.withColumn("n_chars", F.length("text").cast("long"))
+    return b.groupBy(F.col("exact_fp").alias("_fp")).agg(
+        F.min_by(F.struct(id_col, "n_chars"), F.col(id_col)).alias("s")
+    ).select("_fp", "s.*")
+
+
+def content_keeper_maintenance_stream(stream: DataFrame, sink):
+    """foreachBatch maintainer for the content keeper relation."""
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sink(content_keeper_delta(batch), batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merge_content_keepers(maintained: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a content keeper delta into the maintained relation."""
+    return merge_keepers(maintained, delta, "_fp", ["n_chars"])
+
+
+def compact_content_survivors(
+    survivors: DataFrame, keepers: DataFrame
+) -> DataFrame:
+    """Re-resolve streamed exact-dedup survivors to the batch
+    keep-rule: the survivor set supplies the admitted fingerprint
+    keys, the maintained keeper relation the min-doc_id
+    representative — streamed-then-compacted equals the batch
+    min-doc_id-per-fingerprint rule on the same input."""
+    keys = survivors.select(F.col("exact_fp").alias("_fp")).distinct()
+    return keepers.join(keys, "_fp").select(
+        F.col("_fp").alias("exact_fp"), "doc_id", "n_chars"
     )

@@ -93,6 +93,16 @@ PROBE_QUERIES = [
     "cur_domain_mix",
     "sim_ivf_churn_recall",
     "cur_classifier_train_full",
+    # round-10 additions: paragraph-tier dedup (scan-local segmentation
+    # + one hash agg — dup-hostile replicas multiply duplicate-GROUP
+    # output, the plan stays one aggregation), the served d-feature
+    # classifier (literal-beta scan, zero joins), and the quantizer
+    # retrain (bounded-sample training + ONE O(corpus x k) assignment
+    # pass + the %-mod recall audit — the out-of-band build cost it
+    # replaces, same posture as the churn audit)
+    "dedup_paragraph",
+    "cur_classifier_scored_full",
+    "sim_ivf_retrain",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"

@@ -1572,3 +1572,238 @@ def test_streaming_url_compaction_equals_batch_survivors(spark, tmp_path):
     assert 7 in kept and 10 not in kept and 30 not in kept  # within-batch fix
     assert 2 in kept and 3 not in kept                      # cross-batch fix
     assert {20, 21} <= kept                                 # uri-less 1:1
+
+
+def test_streaming_url_blocklist_matches_batch_admission(spark, tmp_path):
+    """Round-9 verdict item 7: the URL-tier stream takes the domain
+    blocklist as a broadcast anti-join BEFORE the dedup state store,
+    so blocked hosts are never admitted (and never occupy state).
+    Twin equality: the streamed admitted set == the batch anti-join
+    admission on the same input (`cur_domain_blocklist`'s gate), and
+    a blocked host's recrawl cannot 'shadow' an allowed URL's state."""
+    import datetime
+
+    from oxford_data_pipeline_spark.streaming.stream_dedup import (
+        url_dedup_stream,
+    )
+    from oxford_data_pipeline_spark.operators.urlops import normalize_urls
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    schema = "doc_id long, source string, text string, event_ts timestamp"
+    rows = [
+        (1, "https://blocked.example/a", "blocked host", t0),
+        (2, "https://ok.example/a", "allowed", t0 + m),
+        (3, "https://blocked.example/b", "blocked again", t0 + 2 * m),
+        (4, "https://ok.example/a#frag", "recrawl of allowed", t0 + 3 * m),
+        (5, "https://other.example/x", "allowed other", t0 + 4 * m),
+        (6, "warc", "uri-less passes the host gate", t0 + 5 * m),
+    ]
+    src = str(tmp_path / "url_blocklist_stream")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(src)
+    blocklist = spark.createDataFrame(
+        [("blocked.example",)], "host string"
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        url_dedup_stream(stream, blocklist=blocklist)
+        .writeStream.format("memory")
+        .queryName("url_block_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_hosts = {
+        r["doc_id"]: r["host"]
+        for r in spark.sql("SELECT * FROM url_block_t").collect()
+    }
+    # batch twin: anti-join admission on the same input, then the
+    # batch URL keep-rule (min doc_id per normalized URL)
+    normed = normalize_urls(df, url_col="source")
+    admitted = normed.join(F.broadcast(blocklist), "host", "left_anti")
+    assert set(got_hosts) == {2, 5, 6}
+    batch_hosts = {r["host"] for r in admitted.collect()}
+    assert set(got_hosts.values()) <= batch_hosts
+    assert "blocked.example" not in got_hosts.values()
+
+
+def test_streaming_paragraph_dedup_matches_batch_segmentation(spark, tmp_path):
+    """Paragraph-tier streaming dedup: the streamed novel-paragraph
+    set must key by EXACTLY the batch segmentation (same content-
+    defined boundaries), suppress a later recrawl's repeated
+    paragraphs within the watermark, keep first-batch-wins across
+    batches, and never collapse sub-threshold paragraphs."""
+    import datetime
+
+    from oxford_data_pipeline_spark.operators.textops import (
+        normalized,
+        paragraph_array,
+        tokens,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_dedup import (
+        paragraph_dedup_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    schema = "doc_id long, text string, event_ts timestamp"
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows1 = [
+        (1, base + " unique tail one", t0),
+        (2, "xy", t0 + m),                   # sub-threshold only
+        (3, "xy", t0 + 2 * m),               # same short text, distinct doc
+    ]
+    rows2 = [
+        (4, base + " unique tail two", t0 + 3 * m),  # shares base paragraphs
+    ]
+    src = str(tmp_path / "para_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        paragraph_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("para_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM para_dedup_t").collect()
+
+    # batch segmentation of the same input
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    batch_paras = (
+        all_rows.withColumn("t", tokens(normalized(F.col("text"))))
+        .select(
+            "doc_id",
+            F.posexplode(paragraph_array(F.col("t"))).alias("para_idx", "para"),
+        )
+        .collect()
+    )
+    batch_by_occ = {(r["doc_id"], r["para_idx"]): r["para"] for r in batch_paras}
+    hashed_batch = {
+        p for p in (r["para"] for r in batch_paras) if len(p.split()) >= 3
+    }
+    hashed_got = [r for r in got if not r["para_fp"].startswith("#short#")]
+    # streamed novel set == batch distinct hashed paragraphs, keyed identically
+    assert {r["para"] for r in hashed_got} == hashed_batch
+    assert len(hashed_got) == len(hashed_batch)  # one sighting per paragraph
+    for r in got:  # every sighting is a real batch occurrence
+        assert batch_by_occ[(r["doc_id"], r["para_idx"])] == r["para"]
+    # first-batch-wins: every shared base paragraph surfaced from docs 1..3
+    for r in hashed_got:
+        if any(
+            batch_by_occ.get((4, i)) == r["para"]
+            for i in range(0, 12)
+        ):
+            # paragraph also present in doc 4 — the sighting must be doc 1's
+            if any(batch_by_occ.get((1, i)) == r["para"] for i in range(0, 12)):
+                assert r["doc_id"] == 1, r
+    # sub-threshold "xy" rows: BOTH docs 2 and 3 pass through
+    short_docs = {r["doc_id"] for r in got if r["para_fp"].startswith("#short#")}
+    assert {2, 3} <= short_docs
+
+
+def test_streaming_content_compaction_equals_batch_rule(spark, tmp_path):
+    """Content-tier symmetry of the URL compaction contract: streamed
+    exact-dedup survivors re-resolved against the maintained
+    fingerprint-keeper relation must equal the batch min-doc_id-per-
+    fingerprint rule on the same input — including the within-batch
+    wrong-representative and smaller-id-in-later-batch cases."""
+    import datetime
+
+    from oxford_data_pipeline_spark.operators.textops import normalized
+    from oxford_data_pipeline_spark.streaming.stream_dedup import (
+        compact_content_survivors,
+        content_keeper_maintenance_stream,
+        dedup_stream_within_watermark,
+        merge_content_keepers,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    schema = "doc_id long, text string, event_ts timestamp"
+    batch1 = [
+        (10, "Duplicate Payload!", t0),          # same fp as doc 7
+        (7, "duplicate payload",  t0 + m),       # min arrives second
+        (3, "unique one", t0 + 2 * m),
+    ]
+    batch2 = [
+        (2, "unique ONE", t0 + 3 * m),           # smaller id, later batch
+        (30, "duplicate payload", t0 + 4 * m),   # recrawl
+    ]
+    src = str(tmp_path / "content_compaction_stream")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    q = (
+        dedup_stream_within_watermark(stream())
+        .writeStream.format("memory")
+        .queryName("content_compact_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    survivors = spark.sql("SELECT * FROM content_compact_t")
+
+    keeper_schema = "_fp string, doc_id long, n_chars long"
+    state = {"keepers": None}
+
+    def sink(delta, _bid):
+        cur = state["keepers"]
+        state["keepers"] = (
+            delta.collect()
+            if cur is None
+            else merge_content_keepers(
+                spark.createDataFrame(cur, keeper_schema), delta
+            ).collect()
+        )
+
+    q2 = content_keeper_maintenance_stream(stream(), sink)
+    q2.awaitTermination()
+    keepers = spark.createDataFrame(state["keepers"], keeper_schema)
+
+    compacted = sorted(
+        (r["exact_fp"], r["doc_id"], r["n_chars"])
+        for r in compact_content_survivors(survivors, keepers).collect()
+    )
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    batch_rule = sorted(
+        (r["exact_fp"], r["doc_id"], r["n_chars"])
+        for r in all_rows.withColumn("exact_fp", F.md5(normalized("text")))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .groupBy("exact_fp")
+        .agg(
+            F.min_by(F.struct("doc_id", "n_chars"), F.col("doc_id")).alias("s")
+        )
+        .select("exact_fp", "s.doc_id", "s.n_chars")
+        .collect()
+    )
+    assert compacted == batch_rule, (compacted, batch_rule)
+    kept = {d for _, d, _ in compacted}
+    assert 7 in kept and 10 not in kept and 30 not in kept  # within-batch fix
+    assert 2 in kept and 3 not in kept                      # cross-batch fix
