@@ -13,11 +13,20 @@ grayscale and 3-component YCbCr with 4:4:4 or 4:2:0 sampling, standard
 JFIF color transform, restart intervals (DRI/RSTn), AND the lossless
 process (SOF3, Annex H: Huffman DPCM with all seven predictors, point
 transform, modulo-2^16 differences incl. SSSS = 16, precisions 2..16
-— bit-exact round trip, the format DICOM archives ship).  Arithmetic
-coding and hierarchical modes raise — they fall to the quarantine path
-like every unsupported feature.  The encoder can emit both DCT scan
-styles, the 12-bit extended-sequential process with 16-bit tables, and
-lossless streams (how every decode path is round-trip-tested).
+— bit-exact round trip, the format DICOM archives ship), AND the
+hierarchical process (Annex J: DHP/EXP markers, resolution pyramids
+with differential sequential-DCT (SOF5) and differential lossless
+(SOF7) frames — the lossy-base + lossless-refinement shape, where the
+final stage is bit-exact).  Arithmetic coding (SOF9-11/13-15) and
+differential progressive (SOF6) raise — they fall to the quarantine
+path like every unsupported feature.  (The arithmetic QM-coder needs
+T.81 Table D.3's 113 empirical state-transition rows; shipping a
+possibly-misremembered table would decode external streams wrongly
+while self round-trips still pass, so the mode stays quarantined.)
+The encoder can emit both DCT scan styles, the 12-bit extended-
+sequential process with 16-bit tables, lossless streams, and closed-
+loop hierarchical pyramids (how every decode path is round-trip-
+tested).
 
 All constants are the public spec's: Annex K.1 quantization tables,
 Annex K.3 typical Huffman tables, the zigzag order, the IJG quality
@@ -280,12 +289,18 @@ def _encode_blocks(
     dc_codes: dict,
     ac_codes: dict,
     dc_pred: int,
+    differential: bool = False,
 ) -> int:
     """Entropy-encode one component's quantized blocks [n, 64] (zigzag
-    order), returning the updated DC predictor."""
+    order), returning the updated DC predictor.  `differential=True`
+    codes DC with zero prediction (T.81 F.1.1.5.1 — differential
+    frames carry difference coefficients, never predicted)."""
     for blk in coefs:
-        diff = int(blk[0]) - dc_pred
-        dc_pred = int(blk[0])
+        if differential:
+            diff = int(blk[0])
+        else:
+            diff = int(blk[0]) - dc_pred
+            dc_pred = int(blk[0])
         s = _category(diff)
         code, length = dc_codes[s]
         writer.write(code, length)
@@ -559,6 +574,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
     comps: list[dict] = []
     progressive = False
     lossless = False
+    differential = False
+    hier = None   # {"frame": (h,w,nc,prec), "refs": [int64 planes]|None}
     geom = None   # (hmax, vmax, mcus_x, mcus_y) once the frame is prepared
     scans = 0
     while pos + 2 <= len(data):
@@ -567,6 +584,17 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if hier is not None:
+                if hier["refs"] is None:
+                    raise ValueError("hierarchical stream with no frames")
+                fh, fw = hier["frame"][0], hier["frame"][1]
+                if any(p.shape != (fh, fw) for p in hier["refs"]):
+                    raise ValueError(
+                        "final hierarchical frame does not match DHP dims"
+                    )
+                return _finish_planes(
+                    hier["refs"], hier["frame"], {"hierarchical": True}
+                )
             if progressive and scans:
                 return _reconstruct(frame, comps, qts, geom[0], geom[1])
             raise ValueError("no scan data before EOI")
@@ -605,9 +633,27 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 (DCT), SOF3 (lossless)
+        elif marker == 0xDE:  # DHP (T.81 B.3.2): hierarchical progression
+            if hier is not None:
+                raise ValueError("multiple DHP segments")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if marker == 0xC3:
+            if h == 0 or w == 0 or nc == 0:
+                raise ValueError("invalid DHP dimensions")
+            hier = {"frame": (h, w, nc, prec), "refs": None}
+        elif marker == 0xDF:  # EXP (T.81 B.3.3): expand reference comps
+            if hier is None or hier["refs"] is None:
+                raise ValueError("EXP without reference components")
+            eh, ev = seg[0] >> 4, seg[0] & 0x0F
+            if eh not in (0, 1) or ev not in (0, 1):
+                raise ValueError(f"invalid EXP fields {eh}/{ev}")
+            hier["refs"] = [_exp_upsample(p, eh, ev) for p in hier["refs"]]
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3,  # SOF0/1/2 (DCT), SOF3 (lossless)
+                        0xC5, 0xC7):             # differential seq DCT / lossless
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            differential = marker in (0xC5, 0xC7)
+            if differential and hier is None:
+                raise ValueError("differential frame without DHP")
+            if marker in (0xC3, 0xC7):
                 # lossless process: any precision 2..16 (T.81 B.2.2)
                 if not 2 <= prec <= 16:
                     raise ValueError(f"invalid lossless precision {prec}")
@@ -624,9 +670,11 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 )
             frame = (h, w, nc, prec)
             progressive = marker == 0xC2
-            lossless = marker == 0xC3
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            lossless = marker in (0xC3, 0xC7)
+        elif marker in (0xC6, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
+            # differential progressive (C6) and every arithmetic-coded
+            # process (C9-CB, CD-CF) stay quarantined
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -636,6 +684,12 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 smap[cs] = (tdta >> 4, tdta & 0x0F)
+            if hier is not None:
+                pos = _decode_hier_frame(
+                    data, pos, seglen, seg, ns, hier, frame, comps, smap,
+                    qts, huff, restart, progressive, lossless, differential,
+                )
+                continue
             if lossless:
                 if len(seg) < 4 + 2 * ns:
                     raise ValueError("truncated lossless SOS header")
@@ -695,7 +749,13 @@ def _prepare_components(frame, comps, qts):
     return hmax, vmax, mcus_x, mcus_y
 
 
-def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
+def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart,
+                 hier_mode=False, differential=False):
+    """One sequential-DCT scan.  Default: decode + reconstruct to the
+    final image.  `hier_mode=True` (hierarchical driver) instead
+    returns (component planes, end offset); `differential=True` is the
+    SOF5 process — DC coded with zero prediction (T.81 F.1.1.5.1) and
+    no level shift on the IDCT output (J.2)."""
     h, w, nc, prec = frame
     hmax, vmax, mcus_x, mcus_y = _prepare_components(frame, comps, qts)
     for c in comps:
@@ -732,8 +792,14 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
                             diff = _extend(reader.read_bits(s), s)
                         else:
                             diff = 0
-                        preds[ci] += diff
-                        blk[0] = preds[ci]
+                        if differential:
+                            # differential frames: PRED is always zero
+                            # (T.81 F.1.1.5.1) — the coded value IS the
+                            # block's DC difference coefficient
+                            blk[0] = diff
+                        else:
+                            preds[ci] += diff
+                            blk[0] = preds[ci]
                         k = 1
                         while k < 64:
                             rs = reader.read_symbol(c["ac"])
@@ -750,13 +816,76 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart):
                             k += 1
             mcu_count += 1
 
+    if hier_mode:
+        planes = _component_planes(frame, comps, qts, hmax, vmax,
+                                   level_shift=not differential)
+        return [np.round(p).astype(np.int64) for p in planes], reader.pos
     return _reconstruct(frame, comps, qts, hmax, vmax)
 
 
-def _reconstruct(frame, comps, qts, hmax, vmax):
-    """Dequantize + IDCT + upsample + color transform — shared by the
-    sequential path and the progressive path (which accumulates
-    coefficients over several scans first)."""
+def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
+                       qts, huff, restart, progressive, lossless,
+                       differential):
+    """One frame of a hierarchical stream (T.81 Annex J, single-scan
+    frames): decode the scan to integer component planes, then install
+    them as the reference components (non-differential frame) or fold
+    them into the EXP-expanded references (differential frame).
+    Returns the offset of the marker following the scan's entropy
+    data."""
+    if progressive:
+        raise NotImplementedError("progressive frame in hierarchical stream")
+    if frame is None:
+        raise ValueError("SOS before SOF")
+    fh, fw, nc, prec = frame
+    dh, dw, dnc, dprec = hier["frame"]
+    if nc != dnc or prec != dprec:
+        raise ValueError("hierarchical frame component/precision mismatch")
+    if fh > dh or fw > dw:
+        raise ValueError("hierarchical frame larger than DHP dimensions")
+    if nc > 1 and any(c["sh"] != 1 or c["sv"] != 1 for c in comps):
+        raise NotImplementedError("subsampled hierarchical frame")
+    refs = None
+    if differential:
+        if hier["refs"] is None:
+            raise ValueError("differential frame with no reference")
+        if any(p.shape[0] < fh or p.shape[1] < fw for p in hier["refs"]):
+            raise ValueError("reference smaller than differential frame")
+        # EXP doubling can overshoot an odd target by one row/column
+        # (J.1.1.2) — the frame header's dimensions are authoritative
+        refs = [p[:fh, :fw] for p in hier["refs"]]
+    maxv = (1 << prec) - 1
+    if lossless:
+        if len(seg) < 4 + 2 * ns:
+            raise ValueError("truncated lossless SOS header")
+        pred_sel = seg[1 + 2 * ns]
+        pt = seg[3 + 2 * ns] & 0x0F
+        planes, end = _decode_lossless_scan(
+            data, pos + seglen, frame, comps, smap, huff, restart,
+            pred_sel, pt, hier_mode=True, hier_refs=refs,
+        )
+        # differential lossless already folded the reference in
+        # (modulo 2^16 — the sum rule that makes the stage bit-exact)
+        hier["refs"] = planes
+    else:
+        planes, end = _decode_scan(
+            data, pos + seglen, frame, comps, smap, qts, huff, restart,
+            hier_mode=True, differential=differential,
+        )
+        if differential:
+            # J.2: the decoded difference is added to the reference;
+            # DCT-process sums clamp to the sample range
+            planes = [np.clip(r + d, 0, maxv) for r, d in zip(refs, planes)]
+        else:
+            planes = [np.clip(p, 0, maxv) for p in planes]
+        hier["refs"] = planes
+    return _skip_to_marker(data, end)
+
+
+def _component_planes(frame, comps, qts, hmax, vmax, level_shift=True):
+    """Dequantize + IDCT + upsample-to-frame-grid + crop: one float
+    plane per component at the frame's (h, w).  `level_shift=False` is
+    the differential-frame path (T.81 J.2: difference signals carry no
+    2^(P-1) level shift)."""
     h, w, nc, prec = frame
     planes = []
     for c in comps:
@@ -767,8 +896,7 @@ def _reconstruct(frame, comps, qts, hmax, vmax):
         deq[:, ZIGZAG] = c["coefs"] * qt[ZIGZAG]
         blocks = deq.reshape(-1, 8, 8)
         # level shift = 2^(P-1), sample range [0, 2^P - 1] (T.81 A.3.1)
-        half = float(1 << (prec - 1))
-        maxv = float((1 << prec) - 1)
+        half = float(1 << (prec - 1)) if level_shift else 0.0
         pix = np.einsum("ji,njk,kl->nil", _A, blocks, _A) + half
         plane = (
             pix.reshape(c["bh"], c["bw"], 8, 8)
@@ -780,22 +908,66 @@ def _reconstruct(frame, comps, qts, hmax, vmax):
         if ry != (1, 1):
             plane = plane.repeat(ry[0], axis=0).repeat(ry[1], axis=1)
         planes.append(plane[:h, :w])
+    return planes
 
+
+def _finish_planes(planes, frame, extra_meta=None):
+    """Clamp to the sample range + JFIF color transform: the shared
+    output stage for every decode path (the hierarchical driver feeds
+    it integer reference planes after the last frame)."""
+    h, w, nc, prec = frame
+    half = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
     dtype = np.uint8 if prec == 8 else np.uint16
     meta = {
         "width": w, "height": h, "channels": nc, "format": "jpeg",
         "precision": prec,
     }
+    if extra_meta:
+        meta.update(extra_meta)
     if nc == 1:
-        return np.clip(np.round(planes[0]), 0, maxv).astype(dtype), meta
+        return np.clip(np.round(np.asarray(planes[0], dtype=np.float64)),
+                       0, maxv).astype(dtype), meta
     if nc != 3:
         raise NotImplementedError(f"{nc}-component JPEG")
-    y, cb, cr = planes
+    y, cb, cr = (np.asarray(p, dtype=np.float64) for p in planes)
     r = y + 1.402 * (cr - half)
     g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
     b = y + 1.772 * (cb - half)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, maxv).astype(dtype), meta
+
+
+def _reconstruct(frame, comps, qts, hmax, vmax):
+    """Dequantize + IDCT + upsample + color transform — shared by the
+    sequential path and the progressive path (which accumulates
+    coefficients over several scans first)."""
+    planes = _component_planes(frame, comps, qts, hmax, vmax)
+    return _finish_planes(planes, frame)
+
+
+def _exp_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """Reference-component expansion (T.81 J.1.1.2): doubling by the
+    specified interpolation — even outputs copy the input, odd outputs
+    are the rounded mean of the straddling inputs, the last output
+    replicates the edge.  Horizontal then vertical (the encoder mirrors
+    the same order, so closed-loop references agree exactly)."""
+    p = np.asarray(plane, dtype=np.int64)
+    if eh:
+        h, w = p.shape
+        out = np.empty((h, 2 * w), dtype=np.int64)
+        out[:, 0::2] = p
+        out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        h, w = p.shape
+        out = np.empty((2 * h, w), dtype=np.int64)
+        out[0::2, :] = p
+        out[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
 
 
 # --------------------------------------------------------------------------
@@ -1221,12 +1393,24 @@ def _ll_predict(plane, x, y, sel, default, first_y, first_x):
 
 
 def _decode_lossless_scan(
-    data, pos, frame, comps, smap, huff, restart, pred_sel, pt
+    data, pos, frame, comps, smap, huff, restart, pred_sel, pt,
+    hier_mode=False, hier_refs=None,
 ):
+    """One lossless (SOF3/SOF7) scan.  `hier_mode=True` returns
+    (int64 planes, end offset) for the hierarchical driver instead of
+    the finished image.  `hier_refs` (differential lossless, SOF7):
+    the prediction for EVERY sample is the co-sited reference-component
+    sample (T.81 J.1.1.5 — Ss is 0, the positional H.1.2 rules do not
+    apply), and the sum is taken modulo 2^16, which is what makes the
+    final hierarchical stage bit-exact."""
     h, w, nc, prec = frame
     if h == 0 or w == 0:
         raise ValueError("zero image dimension")
-    if not 1 <= pred_sel <= 7:
+    differential = hier_refs is not None
+    if differential:
+        if pred_sel != 0:
+            raise ValueError("differential lossless scan requires Ss=0")
+    elif not 1 <= pred_sel <= 7:
         raise ValueError(f"invalid lossless predictor {pred_sel}")
     if nc > 1 and any(c["sh"] != 1 or c["sv"] != 1 for c in comps):
         raise NotImplementedError("subsampled lossless JPEG")
@@ -1258,11 +1442,16 @@ def _decode_lossless_scan(
                     diff = _extend(reader.read_bits(s), s)
                 else:
                     diff = 0
-                pred = _ll_predict(
-                    planes[ci], x, y, pred_sel, default, first_y, first_x
-                )
+                if differential:
+                    pred = int(hier_refs[ci][y, x])
+                else:
+                    pred = _ll_predict(
+                        planes[ci], x, y, pred_sel, default, first_y, first_x
+                    )
                 planes[ci][y, x] = (pred + diff) & 0xFFFF
             mcu_count += 1
+    if hier_mode:
+        return [(p << pt).astype(np.int64) for p in planes], reader.pos
     dtype = np.uint8 if prec <= 8 else np.uint16
     out = [(p << pt).astype(dtype) for p in planes]
     meta = {
@@ -1353,4 +1542,231 @@ def jpeg_encode_lossless(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Hierarchical mode (T.81 Annex J): DHP, EXP, differential frames
+# --------------------------------------------------------------------------
+# A hierarchical stream is a resolution pyramid: one non-differential
+# base frame at reduced resolution, then EXP-expanded references
+# corrected by differential frames.  The classic use (and the encoder's
+# default) is a lossy DCT base plus a FINAL DIFFERENTIAL LOSSLESS frame
+# (SOF7) — the decoder output is then bit-exact, with the cheap frame
+# giving a decodable preview.  The encoder is closed-loop: it simulates
+# the decoder's integer reconstruction of every frame it emits, so the
+# differences it codes are against exactly the references the decoder
+# will hold.
+
+
+def _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential):
+    """The decoder's integer reconstruction of a just-encoded DCT
+    frame — same dequant/IDCT/round as `_component_planes`, so the
+    closed loop cannot drift from the real decoder."""
+    bh, bw = -(-h // 8), -(-w // 8)
+    comps = [
+        {"sh": 1, "sv": 1, "tq": 0 if ci == 0 else 1,
+         "coefs": cf, "bh": bh, "bw": bw}
+        for ci, cf in enumerate(coefs)
+    ]
+    qtd = {0: qts[0], 1: qts[1] if len(qts) > 1 else qts[0]}
+    planes = _component_planes(
+        (h, w, nc, prec), comps, qtd, 1, 1, level_shift=not differential
+    )
+    return [np.round(p).astype(np.int64) for p in planes]
+
+
+def _encode_dct_frame(planes, quality, prec, differential):
+    """DQT + SOF + DHT + SOS + entropy bytes for one all-(1,1) DCT
+    frame of a hierarchical stream.  `planes`: int64 [h, w] arrays —
+    samples (non-differential) or differences (differential, coded
+    with no level shift and zero DC prediction).  Returns
+    (bytes, decoder's integer reconstruction of this frame)."""
+    h, w = planes[0].shape
+    nc = len(planes)
+    qt_l, qt_c = _quality_tables(quality)
+    if prec == 12:
+        qt_l, qt_c = qt_l * 16, qt_c * 16
+    qts = [qt_l] + [qt_c] * (nc - 1)
+    half = 0.0 if differential else float(1 << (prec - 1))
+    coefs = [
+        _component_coefs(_pad_to(p.astype(np.float64), 8), qt, half)
+        for p, qt in zip(planes, qts)
+    ]
+    out = bytearray()
+    for tid, qt in enumerate(qts[: 2 if nc > 1 else 1]):
+        if prec == 12:
+            zz = qt.astype(">u2")[ZIGZAG]
+            out += (b"\xff\xdb" + struct.pack(">H", 131)
+                    + bytes([0x10 | tid]) + zz.tobytes())
+        else:
+            zz = qt.astype(np.uint8)[ZIGZAG]
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
+    if differential:
+        sof = b"\xff\xc5"
+    elif prec == 12:
+        sof = b"\xff\xc1"
+    else:
+        sof = b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w, nc)
+    for cid in range(nc):
+        out += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+    # the wide-category tables (DC SSSS 0..16, AC size 1..14) cover
+    # 12-bit samples AND difference signals (P+1-bit range)
+    dc_t, ac_t = _hufftables_12bit()
+    for tc_th, (bits, vals) in ((0x00, dc_t), (0x10, ac_t)):
+        out += (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                + bytes([tc_th]) + bytes(bits) + bytes(vals))
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(nc):
+        out += bytes([cid + 1, 0x00])
+    out += b"\x00\x3f\x00"
+    dc_codes = _canonical_codes(*dc_t)
+    ac_codes = _canonical_codes(*ac_t)
+    writer = _BitWriter()
+    preds = [0] * nc
+    for i in range(len(coefs[0])):  # interleaved: one block per component
+        for ci in range(nc):
+            preds[ci] = _encode_blocks(
+                writer, coefs[ci][i : i + 1], dc_codes, ac_codes,
+                preds[ci], differential=differential,
+            )
+    writer.flush()
+    out += writer.out
+    recon = _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential)
+    return bytes(out), recon
+
+
+def _encode_lossless_diff_frame(diffs, prec):
+    """SOF7 differential lossless frame: each sample's prediction is
+    the reference (Ss = 0, no positional rules — J.1.1.5), the coded
+    value is the modulo-2^16 difference with SSSS categories 0..16."""
+    h, w = diffs[0].shape
+    nc = len(diffs)
+    out = bytearray()
+    out += b"\xff\xc7" + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w, nc)
+    for cid in range(nc):
+        out += bytes([cid + 1, 0x11, 0])
+    dc_tab = _hufftables_12bit()[0]  # SSSS 0..16, length-6 codes
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(dc_tab[1])) + bytes([0x00])
+    out += bytes(dc_tab[0]) + bytes(dc_tab[1])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(nc):
+        out += bytes([cid + 1, 0x00])
+    out += bytes([0, 0, 0])  # Ss=0 (differential), Se=0, Ah/Al=0
+    codes = _canonical_codes(*dc_tab)
+    writer = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                diff = (int(diffs[ci][y, x]) + 32768) % 65536 - 32768
+                if diff == -32768:
+                    code, length = codes[16]
+                    writer.write(code, length)  # SSSS=16: no extra bits
+                    continue
+                s = _category(diff)
+                code, length = codes[s]
+                writer.write(code, length)
+                if s:
+                    writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    writer.flush()
+    out += writer.out
+    return bytes(out)
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """Encoder-side pyramid reduction: edge-pad to even dims, 2x2 mean
+    rounded half-up.  T.81 leaves the downsampling filter to the
+    encoder; only the EXP upsampling filter is normative."""
+    p = np.asarray(plane, dtype=np.int64)
+    h, w = p.shape
+    p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+    s = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+    return (s + 2) >> 2
+
+
+def jpeg_encode_hierarchical(
+    img: np.ndarray,
+    quality: int = 90,
+    precision: int = 8,
+    final_lossless: bool = True,
+    levels: int = 2,
+) -> bytes:
+    """Hierarchical JPEG (T.81 Annex J) encode of [h, w] grayscale or
+    [h, w, 3] RGB samples: DHP, a non-differential DCT base frame
+    (SOF0/1) at 1/2^(levels-1) resolution, then per level an EXP
+    expansion plus a differential frame — SOF5 differential DCT for
+    intermediate levels, and for the final level SOF7 differential
+    lossless by default (the decoder's grayscale output is then
+    bit-exact: the lossy pyramid is a decodable preview ladder, the
+    last frame restores every sample) or SOF5 with
+    `final_lossless=False` (lossy refinement).  Color streams code
+    YCbCr 4:4:4; the final color transform's rounding means RGB
+    round-trips are near-exact, not bit-exact — the bit-exactness
+    contract is per component plane."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if not 2 <= levels <= 5:
+        raise ValueError(f"levels must be in 2..5, got {levels}")
+    maxv = (1 << precision) - 1
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("jpeg_encode_hierarchical expects [h,w] or [h,w,3]")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if img.size and int(img.max()) > maxv:
+        raise ValueError(f"samples must be <= {maxv}")
+    half = float(1 << (precision - 1))
+    if gray:
+        planes = [img.astype(np.int64)]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
+        planes = [
+            np.clip(np.round(p), 0, maxv).astype(np.int64)
+            for p in (y, cb, cr)
+        ]
+    nc = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DHP: SOF syntax, final dimensions; Tq is 0 by definition (B.3.2)
+    out += b"\xff\xde" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for cid in range(nc):
+        out += bytes([cid + 1, 0x11, 0])
+    # pyramid: level 0 = full resolution, level levels-1 = the base
+    pyramid = [planes]
+    for _ in range(levels - 1):
+        pyramid.append([_downsample2(p) for p in pyramid[-1]])
+    frame_bytes, refs = _encode_dct_frame(
+        pyramid[-1], quality, precision, False
+    )
+    out += frame_bytes
+    refs = [np.clip(p, 0, maxv) for p in refs]
+    for lvl in range(levels - 2, -1, -1):
+        target = pyramid[lvl]
+        th, tw = target[0].shape
+        # EXP + the decoder's normative doubling, cropped to this
+        # level's dims; the running references stay the decoder's own
+        # integer reconstruction (closed loop at every stage)
+        out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+        refs = [_exp_upsample(p, 1, 1)[:th, :tw] for p in refs]
+        diffs = [p - r for p, r in zip(target, refs)]
+        if lvl == 0 and final_lossless:
+            out += _encode_lossless_diff_frame(diffs, precision)
+            refs = target  # exact by construction (mod-2^16 sums)
+        else:
+            frame_bytes, rec = _encode_dct_frame(
+                diffs, quality, precision, True
+            )
+            out += frame_bytes
+            refs = [
+                np.clip(r + d, 0, maxv) for r, d in zip(refs, rec)
+            ]
+    out += b"\xff\xd9"  # EOI
     return bytes(out)

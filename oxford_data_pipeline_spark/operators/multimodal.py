@@ -277,11 +277,14 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     from oxford_data_pipeline_spark.operators.codecs import decode
     from oxford_data_pipeline_spark.operators.jpeg import (
         jpeg_encode,
+        jpeg_encode_hierarchical,
         jpeg_encode_lossless,
     )
 
     for pdf in batches:
-        ids, hs, n_px, ok, prog_ok, p12_ok, ll_ok = ([] for _ in range(7))
+        ids, hs, n_px, ok, prog_ok, p12_ok, ll_ok, hier_ok = (
+            [] for _ in range(8)
+        )
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             h = max(-(-len(b) // _IMG_W), 1)
@@ -316,6 +319,16 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             dll, mll = decode(jpeg_encode_lossless(img, predictor=4))
             if not mll.get("lossless") or mll["width"] != _IMG_W:
                 raise ValueError(f"lossless jpeg mismatch for doc {doc_id}: {mll}")
+            # hierarchical leg (Annex J): lossy DCT base + EXP + SOF7
+            # differential lossless over the first <=4 rows of the same
+            # image — the pyramid's defining bit-exactness gate, cropped
+            # to bound the per-sample differential coding cost per row
+            sub = img[: min(4, img.shape[0])]
+            dhier, mhier = decode(jpeg_encode_hierarchical(sub, quality=75))
+            if not mhier.get("hierarchical") or mhier["width"] != _IMG_W:
+                raise ValueError(
+                    f"hierarchical jpeg mismatch for doc {doc_id}: {mhier}"
+                )
             ids.append(doc_id)
             hs.append(meta["height"])
             n_px.append(int(dec.size))
@@ -323,6 +336,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             prog_ok.append(bool(np.array_equal(pdec, dec)))
             p12_ok.append(err12 <= 32)
             ll_ok.append(bool(np.array_equal(dll, img)))
+            hier_ok.append(bool(np.array_equal(dhier, sub)))
         yield pd.DataFrame(
             {
                 "doc_id": np.array(ids, dtype=np.int64),
@@ -333,6 +347,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "prog_eq_seq": np.array(prog_ok, dtype=bool),
                 "p12_err_le_32": np.array(p12_ok, dtype=bool),
                 "lossless_exact": np.array(ll_ok, dtype=bool),
+                "hier_exact": np.array(hier_ok, dtype=bool),
             }
         )
 

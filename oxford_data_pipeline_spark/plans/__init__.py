@@ -43,7 +43,10 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # from dedup_paragraph by the same splice machinery, parity pinned
 # hash-green at both SFs) and `ret_hybrid_rrf_audit` (this round's
 # change is result-preserving memoization; its r9 driver row is
-# green and parity re-verified).  Only ORACLE-CHECKED queries go in
+# green and parity re-verified).  `mm_jpeg_decode` also rotates in at
+# r11: it gained a fifth per-row gate column (`hier_exact`, the
+# hierarchical-JPEG bit-exactness leg) after the r10 front was frozen
+# — parity re-pinned at both SFs this round.  Only ORACLE-CHECKED queries go in
 # the window — a rows-only query would burn a slot on an
 # err:"no_oracle" record.  Rotation reorders, never drops; the
 # suite's own oracle tests still cover the full set.

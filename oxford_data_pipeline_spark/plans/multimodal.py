@@ -274,7 +274,8 @@ SELECT doc_id,
        TRUE AS max_err_le_1,
        TRUE AS prog_eq_seq,
        TRUE AS p12_err_le_32,
-       TRUE AS lossless_exact
+       TRUE AS lossless_exact,
+       TRUE AS hier_exact
 FROM ascii_docs
 """
 
@@ -296,7 +297,12 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ±16 at the 12-bit grain, gated per row as `p12_err_le_32` (the
     same ×2 tail the 8-bit property tests pin).  A fourth leg encodes
     the image through the LOSSLESS process (SOF3, predictor 4) and
-    gates exact equality per row (`lossless_exact`)."""
+    gates exact equality per row (`lossless_exact`).  A fifth leg runs
+    the HIERARCHICAL process (Annex J: DHP, half-resolution DCT base,
+    EXP expansion, SOF7 differential lossless) over the image's first
+    ≤4 rows and gates the pyramid's defining bit-exactness per row
+    (`hier_exact`) — cropped so the per-sample differential coding
+    stays a bounded fraction of the kernel."""
     from oxford_data_pipeline_spark.operators.multimodal import (
         attach_binary_payload,
         jpeg_roundtrip_stats,
@@ -308,7 +314,8 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpeg_roundtrip_stats,
         schema="doc_id long, height int, width int, n_px long,"
                " max_err_le_1 boolean, prog_eq_seq boolean,"
-               " p12_err_le_32 boolean, lossless_exact boolean",
+               " p12_err_le_32 boolean, lossless_exact boolean,"
+               " hier_exact boolean",
     )
 
 

@@ -890,3 +890,246 @@ def test_jpeg_lossless_restart_spec_conformance():
     assert bytes(out) == jpeg_encode_lossless(
         samples, predictor=predictor, restart_interval=restart
     )
+
+
+def test_jpeg_exp_upsample_spec_vector():
+    """T.81 J.1.1.2 reference-expansion filter, hand-computed vector:
+    even outputs copy, odd outputs are the rounded mean of straddling
+    inputs, the final output replicates the edge sample."""
+    from oxford_data_pipeline_spark.operators.jpeg import _exp_upsample
+
+    row = np.array([[10, 20, 30]], dtype=np.int64)
+    assert np.array_equal(
+        _exp_upsample(row, 1, 0), [[10, 15, 20, 25, 30, 30]]
+    )
+    col = np.array([[1], [4]], dtype=np.int64)
+    assert np.array_equal(_exp_upsample(col, 0, 1), [[1], [3], [4], [4]])
+    both = _exp_upsample(np.array([[0, 2], [4, 6]], dtype=np.int64), 1, 1)
+    # horizontal first, then vertical (the encoder mirrors this order)
+    assert np.array_equal(
+        both,
+        [[0, 1, 2, 2], [2, 3, 4, 4], [4, 5, 6, 6], [4, 5, 6, 6]],
+    )
+
+
+def test_jpeg_hierarchical_gray_bit_exact():
+    """Annex J's flagship property: lossy DCT base frame + SOF7
+    differential lossless frame decodes BIT-EXACT, including odd
+    dimensions where the EXP doubling overshoots and the differential
+    frame header's dims crop the reference (J.1.1.2)."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(16, 16), (37, 23), (8, 9), (1, 5)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = jpeg_encode_hierarchical(img, quality=75)
+        dec, meta = jpeg_decode(payload)
+        assert meta["hierarchical"] and meta["precision"] == 8
+        assert dec.dtype == np.uint8
+        assert np.array_equal(dec, img), shape
+
+
+def test_jpeg_hierarchical_12bit_gray_bit_exact():
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 4096, size=(24, 17), dtype=np.uint16)
+    dec, meta = jpeg_decode(jpeg_encode_hierarchical(img, precision=12))
+    assert meta["precision"] == 12 and dec.dtype == np.uint16
+    assert np.array_equal(dec, img)
+
+
+def test_jpeg_hierarchical_color_near_exact():
+    """Color pyramids code YCbCr 4:4:4; the component planes are
+    restored bit-exact, so the only residual error is the final RGB
+    transform's rounding (<= 2 levels per channel)."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(20, 22, 3), dtype=np.uint8)
+    dec, meta = jpeg_decode(jpeg_encode_hierarchical(img, quality=50))
+    assert meta["hierarchical"] and dec.shape == img.shape
+    assert int(np.max(np.abs(dec.astype(np.int64) - img.astype(np.int64)))) <= 2
+
+
+def test_jpeg_hierarchical_lossy_refinement_and_structure():
+    """final_lossless=False emits a SOF5 differential-DCT refinement:
+    still a valid pyramid, high PSNR on smooth content.  Marker
+    structure is checked on the raw bytes (entropy data cannot contain
+    bare FF C5/C7 thanks to byte stuffing)."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    gx, gy = np.meshgrid(np.arange(33), np.arange(25))
+    img = ((gx * 5 + gy * 3) % 256).astype(np.uint8)
+    exact = jpeg_encode_hierarchical(img, quality=90, final_lossless=True)
+    lossy = jpeg_encode_hierarchical(img, quality=90, final_lossless=False)
+    for payload in (exact, lossy):
+        assert payload.find(b"\xff\xde") == 2          # DHP first
+        assert payload.find(b"\xff\xdf") > 0           # EXP present
+    assert b"\xff\xc7" in exact and b"\xff\xc5" not in exact
+    assert b"\xff\xc5" in lossy and b"\xff\xc7" not in lossy
+    dec, meta = jpeg_decode(lossy)
+    assert meta["hierarchical"]
+    assert _psnr(dec, img) >= 30.0
+    assert np.array_equal(jpeg_decode(exact)[0], img)
+
+
+def test_jpeg_hierarchical_guards():
+    """Typed contracts: differential frame without DHP, EXP without a
+    reference, DHP-dims mismatch at EOI, and the still-quarantined
+    differential-progressive (SOF6) / arithmetic (SOF13-15) modes."""
+    import struct as _struct
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_hierarchical,
+    )
+
+    img = np.full((12, 12), 200, dtype=np.uint8)
+    good = jpeg_encode_hierarchical(img)
+    base = jpeg_encode(img)
+
+    # a differential SOF with no DHP in the stream
+    nodhp = bytearray(base)
+    nodhp[nodhp.find(b"\xff\xc0") + 1] = 0xC5
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(nodhp))
+    # EXP before any reference frame exists
+    exp_first = good[:2] + b"\xff\xdf" + _struct.pack(">H", 3) + b"\x11" + good[2:]
+    with pytest.raises(ValueError):
+        jpeg_decode(exp_first)
+    # differential progressive and arithmetic differential: quarantined
+    for bad_sof in (0xC6, 0xCD):
+        quarantined = bytearray(good)
+        quarantined[quarantined.find(b"\xff\xc7") + 1] = bad_sof
+        with pytest.raises(NotImplementedError):
+            jpeg_decode(bytes(quarantined))
+    # truncating the stream after the base frame: the references never
+    # reach the DHP dims -> typed error, not a half-resolution image
+    eoi_after_base = good[: good.find(b"\xff\xdf")] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg_decode(eoi_after_base)
+
+
+def test_jpeg_hierarchical_multilevel():
+    """3- and 4-level pyramids: repeated EXP + intermediate SOF5
+    differential-DCT frames, final SOF7 — still bit-exact (gray), with
+    one EXP and one differential frame per level above the base."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(45, 31), dtype=np.uint8)
+    for levels in (3, 4):
+        payload = jpeg_encode_hierarchical(img, quality=80, levels=levels)
+        assert payload.count(b"\xff\xdf") == levels - 1   # EXP per level
+        assert payload.count(b"\xff\xc5") == levels - 2   # intermediate SOF5
+        assert payload.count(b"\xff\xc7") == 1            # final lossless
+        dec, meta = jpeg_decode(payload)
+        assert meta["hierarchical"]
+        assert np.array_equal(dec, img), levels
+    with pytest.raises(ValueError):
+        jpeg_encode_hierarchical(img, levels=1)
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from([25, 60, 90]),
+    st.sampled_from([2, 3]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_hierarchical_bit_exact_hypothesis(h, w, quality, levels, seed):
+    """Hypothesis sweep of the Annex-J bit-exactness contract over
+    dims x quality x depth: any EXP-crop / padding / closed-loop drift
+    bug surfaces as a pixel mismatch on some shape."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+    dec, meta = jpeg_decode(
+        jpeg_encode_hierarchical(img, quality=quality, levels=levels)
+    )
+    assert meta["hierarchical"]
+    assert np.array_equal(dec, img)
+
+
+def test_jpeg_hierarchical_differential_dc_zero_prediction():
+    """T.81 F.1.1.5.1: in differential frames the DC prediction is
+    ALWAYS zero — a hand-built SOF5 frame with two blocks of DC
+    diffs (+16, -8) over a flat base must decode to base+2 / base-1.
+    A decoder that (wrongly) ran the sequential running-prediction
+    rule would produce base+2 / base+1 on the second block.  The
+    entropy segment is built by hand from spec rules, independent of
+    the module's encoder."""
+    import struct as _struct
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        ZIGZAG,
+        _BitWriter,
+        _canonical_codes,
+        _category,
+        _hufftables_12bit,
+        jpeg_decode,
+    )
+
+    h, w = 8, 16
+    # DHP + a flat non-differential base frame (all-ones quant, flat
+    # 128 image => every coefficient 0 after level shift)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xde" + _struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    dc_t, ac_t = _hufftables_12bit()
+    for tc_th, (bits, vals) in ((0x00, dc_t), (0x10, ac_t)):
+        out += (b"\xff\xc4" + _struct.pack(">H", 19 + len(vals))
+                + bytes([tc_th]) + bytes(bits) + bytes(vals))
+    out += b"\xff\xc0" + _struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    dc_codes = _canonical_codes(*dc_t)
+    ac_codes = _canonical_codes(*ac_t)
+    wtr = _BitWriter()
+    for _ in range(2):  # two blocks, all-zero coefficients: flat 128
+        c, ln = dc_codes[0]
+        wtr.write(c, ln)
+        c, ln = ac_codes[0x00]  # EOB
+        wtr.write(c, ln)
+    wtr.flush()
+    out += wtr.out
+    # differential SOF5 frame at the SAME dims (no EXP needed): two
+    # blocks with DC diffs +16 then -8 (flat corrections +2 / -1)
+    out += b"\xff\xc5" + _struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    wtr = _BitWriter()
+    for dc in (16, -8):
+        s = _category(dc)
+        c, ln = dc_codes[s]
+        wtr.write(c, ln)
+        wtr.write(dc if dc >= 0 else dc + (1 << s) - 1, s)
+        c, ln = ac_codes[0x00]
+        wtr.write(c, ln)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    img, meta = jpeg_decode(bytes(out))
+    assert meta["hierarchical"] and img.shape == (h, w)
+    assert np.all(img[:, :8] == 130), img[0, :8]   # 128 + 16/8
+    assert np.all(img[:, 8:] == 127), img[0, 8:]   # 128 - 8/8
