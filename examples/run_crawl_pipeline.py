@@ -1,4 +1,5 @@
-"""Crawl-ingest curation end-to-end: WARC → URL tier → content tier.
+"""Crawl-ingest curation end-to-end: WARC → URL tier → paragraph
+tier → content tier.
 
     python examples/run_crawl_pipeline.py [work_dir]
 
@@ -17,10 +18,14 @@ registered operators in the order cc_net / RefinedWeb / Dolma run it:
    (`operators/urlops.py`), drop blocklisted hosts with a broadcast
    anti-join, keep-first per normalized URL (`dedup_url` semantics),
    and roll up the per-host counts domain mixing keys on.
-4. Content tier on the URL-level survivors: C4 heuristics + PII gate
-   (the same scan-local operators `cur_pipeline` composes), then
-   content-hash exact dedup as the second dedup pass.
-5. Reports land via the S6/S7 sinks.
+4. Paragraph tier on the URL-level survivors (cc_net's second pass):
+   content-defined segmentation + the `dedup_paragraph_survivors`
+   keep-rule splices the shared site boilerplate out of every page
+   but the globally-first occurrence.
+5. Content tier on the paragraph-cleaned survivors: C4 heuristics +
+   PII gate (the same scan-local operators `cur_pipeline` composes),
+   then content-hash exact dedup as the final dedup pass.
+6. Reports land via the S6/S7 sinks.
 
 Every stage asserts its contract; the composition is CI-driven by
 tests/test_codecs.py::test_crawl_pipeline_example_end_to_end.
@@ -56,17 +61,26 @@ def _rec(rectype: str, uri: str | None, payload: bytes) -> bytes:
 def _build_crawl(path: str) -> None:
     """One .warc.gz file: 7 good records + 1 malformed."""
     body = lambda s: _HTML % s  # noqa: E731
+    # shared site boilerplate (footer text on every news page) — the
+    # paragraph tier exists to splice exactly this out of all but the
+    # globally-first occurrence
+    boiler = (b" subscribe to our newsletter today for daily updates"
+              b" delivered straight to your inbox every single morning")
     recs = [
         # the same article captured three ways -> ONE normalized URL
         _rec("response", "HTTP://WWW.News.Example/story/42?utm_source=feed",
-             body(b"breaking story text one two three four five six")),
+             body(b"breaking story text one two three four five six"
+                  + boiler)),
         _rec("response", "https://news.example/story/42#comments",
-             body(b"breaking story text one two three four five six recrawl")),
+             body(b"breaking story text one two three four five six recrawl"
+                  + boiler)),
         _rec("response", "https://news.example/story/42/",
-             body(b"breaking story text one two three four five six again")),
+             body(b"breaking story text one two three four five six again"
+                  + boiler)),
         # distinct pages
         _rec("response", "https://news.example/story/43",
-             body(b"different story body with plenty of words to pass gates")),
+             body(b"different story body with plenty of words to pass gates"
+                  + boiler)),
         _rec("response", "https://blog.example/post?id=7", _CHUNKED),
         _rec("response", "https://blog.example/post-two", _LF_ONLY),
         # a host the blocklist will drop
@@ -129,23 +143,63 @@ def main(spark: SparkSession | None = None, work: str | None = None) -> dict:
     print(f"url tier: blocklist dropped 1 host, url dedup 6 -> {n_surv}; "
           f"hosts: {hosts}")
 
-    # ---- 4: content tier on the URL-level survivors ----
+    # ---- 4: paragraph tier (cc_net's second pass) on URL survivors ----
+    # the shared news-site footer repeats across pages; only its
+    # globally-first occurrence (min (doc_id, position)) survives
+    from oxford_data_pipeline_spark.operators.textops import normalized, tokens
+    from oxford_data_pipeline_spark.plans.dedup import (
+        paragraph_survivors_relation,
+    )
+
+    toks = (
+        survivors.withColumn("t", tokens(normalized(F.col("text"))))
+        .filter(F.size("t") > 0)
+        .select("doc_id", "t")
+    )
+    cleaned = paragraph_survivors_relation(toks)
+    stats = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+        for r in cleaned.collect()
+    }
+    n_paras = sum(s[0] for s in stats.values())
+    n_kept = sum(s[1] for s in stats.values())
+    assert n_kept < n_paras, (n_paras, n_kept)  # boilerplate was spliced
+    # marker: an INTERIOR footer token ("inbox") — content-defined
+    # boundaries put the footer's first words in the doc-unique
+    # boundary paragraph, so only interior paragraphs are cross-doc
+    # duplicates
+    boiler_docs = sorted(
+        d for d, r in {
+            r["doc_id"]: r for r in survivors.collect()
+        }.items() if "inbox" in r["text"]
+    )
+    assert len(boiler_docs) == 2  # story/42 keeper + story/43
+    keeps = {d: "inbox" in stats[d][2] for d in boiler_docs}
+    # exactly the smaller doc_id keeps the footer (the batch keep-rule)
+    assert keeps == {boiler_docs[0]: True, boiler_docs[1]: False}, keeps
+    print(f"paragraph tier: {n_paras} paragraphs -> {n_kept} kept; "
+          f"footer kept only on doc {boiler_docs[0]}")
+    docs_clean = survivors.select("doc_id", "source").join(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    )
+
+    # ---- 5: content tier on the paragraph-cleaned survivors ----
     gated = c4_heuristics(
-        pii_scrub(survivors.select("doc_id", "source", "text"))
+        pii_scrub(docs_clean)
         .filter(~F.col("has_pii"))
-        .join(survivors.select("doc_id", "source", "text"), ["doc_id", "source"])
+        .join(docs_clean, ["doc_id", "source"])
     ).filter("admitted")
     n_gated = gated.count()
     assert 1 <= n_gated <= n_surv
     # second dedup pass: exact content fingerprints among the gated
-    fp = survivors.join(gated.select("doc_id"), "doc_id").select(
+    fp = docs_clean.join(gated.select("doc_id"), "doc_id").select(
         "doc_id", F.md5("text").alias("fp")
     )
     n_distinct = fp.select("fp").distinct().count()
     assert n_distinct == n_gated  # survivors are content-distinct here
     print(f"content tier: {n_gated} admitted, {n_distinct} distinct")
 
-    # ---- 5: reports ----
+    # ---- 6: reports ----
     write_json_report(mix.orderBy("host"), os.path.join(work, "domain_mix.json"))
     write_text_summary(
         bad, os.path.join(work, "quarantine.txt"), "Quarantined records"
@@ -155,6 +209,8 @@ def main(spark: SparkSession | None = None, work: str | None = None) -> dict:
         "documents": n_docs,
         "quarantined": n_bad,
         "url_survivors": n_surv,
+        "paragraphs": n_paras,
+        "paragraphs_kept": n_kept,
         "admitted": n_gated,
         "hosts": hosts,
         "work": work,

@@ -1872,11 +1872,19 @@ def dedup_paragraph_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc reassembly aggregation.  Nothing pairwise; the only
     relations shuffled are paragraph-keyed (combinable) and
     doc-keyed."""
-    from oxford_data_pipeline_spark.operators.textops import paragraph_array
-
     t = tokens_relation(spark, sf_dir).select("doc_id", "t").filter(
         F.size("t") > 0
     )
+    return paragraph_survivors_relation(t)
+
+
+def paragraph_survivors_relation(t: DataFrame) -> DataFrame:
+    """`dedup_paragraph_survivors`' body over an arbitrary
+    (doc_id, t: array<string>) token relation — the relation form the
+    crawl-ingest composition reuses (same convention as
+    `url_survivors_relation`)."""
+    from oxford_data_pipeline_spark.operators.textops import paragraph_array
+
     p = t.select(
         "doc_id",
         F.posexplode(paragraph_array(F.col("t"))).alias("para_idx", "para"),

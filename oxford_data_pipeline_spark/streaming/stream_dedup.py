@@ -142,18 +142,26 @@ def url_keeper_delta(
 
 
 def merge_keepers(
-    maintained: DataFrame, delta: DataFrame, key_col: str, attr_cols: list[str]
+    maintained: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    order_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """Fold a keeper delta into a maintained keeper relation:
-    full-outer on `key_col`, smaller doc_id wins, `attr_cols` travel
-    with the winner.  Merge-equal to recomputing from scratch (min is
-    associative + commutative) — the shared core of the URL-tier and
-    content-tier keeper maintainers."""
+    full-outer on `key_col`, lexicographically-smallest `order_cols`
+    wins (default: smaller doc_id), `attr_cols` travel with the
+    winner.  Merge-equal to recomputing from scratch (min is
+    associative + commutative) — the shared core of the URL-tier,
+    content-tier and paragraph-tier keeper maintainers."""
     m = maintained.alias("m")
     d = delta.alias("d")
     take_m = F.col(f"d.{key_col}").isNull() | (
         F.col(f"m.{key_col}").isNotNull()
-        & (F.col("m.doc_id") <= F.col("d.doc_id"))
+        & (
+            F.struct(*[F.col(f"m.{c}") for c in order_cols])
+            <= F.struct(*[F.col(f"d.{c}") for c in order_cols])
+        )
     )
     pick = lambda c: F.when(take_m, F.col(f"m.{c}")).otherwise(F.col(f"d.{c}"))  # noqa: E731
     return m.join(
@@ -227,7 +235,11 @@ def paragraph_dedup_stream(
     row per first sighting: doc_id, para_idx, para, para_fp) that a
     continuous training-data assembly consumes; repeated boilerplate
     arriving later is suppressed while its state lives, evicted after
-    the horizon — bounded memory forever."""
+    the horizon — bounded memory forever.  The batch keep-rule (first
+    (doc_id, para_idx) occurrence) is re-resolved by
+    `compact_paragraph_survivors` below against the maintained keeper
+    relation — streamed-then-compacted equals
+    `dedup_paragraph_survivors`' keeper set (twin-tested)."""
     from oxford_data_pipeline_spark.operators.textops import (
         normalized,
         paragraph_array,
@@ -257,6 +269,92 @@ def paragraph_dedup_stream(
         .withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(["para_fp"])
     )
+
+
+def paragraph_keeper_delta(batch: DataFrame, min_tokens: int = 3) -> DataFrame:
+    """Per-micro-batch paragraph keeper delta: the lexicographically
+    first (doc_id, para_idx) occurrence per hashed paragraph
+    fingerprint — `dedup_paragraph_survivors`' keep-rule, computed on
+    the batch's own rows.  Associative (min over a struct), so deltas
+    merge in any order."""
+    from oxford_data_pipeline_spark.operators.textops import (
+        normalized,
+        paragraph_array,
+        tokens,
+    )
+
+    toks = batch.withColumn("t", tokens(normalized(F.col("text")))).filter(
+        F.size("t") > 0
+    )
+    paras = toks.select(
+        "doc_id",
+        F.posexplode(paragraph_array(F.col("t"))).alias("para_idx", "para"),
+    ).withColumn("n_toks", F.size(F.split(F.col("para"), " ")))
+    return (
+        paras.filter(F.col("n_toks") >= min_tokens)
+        .groupBy(F.md5("para").alias("_pfp"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "para_idx", "para"),
+                F.struct("doc_id", "para_idx"),
+            ).alias("s")
+        )
+        .select("_pfp", "s.*")
+    )
+
+
+def merge_paragraph_keepers(maintained: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a paragraph keeper delta into the maintained relation:
+    full-outer on the paragraph fingerprint, lexicographically-first
+    (doc_id, para_idx) wins — the composite keep-rule the batch
+    survivors query uses (a doc can repeat a paragraph internally, so
+    doc_id alone cannot break the tie)."""
+    return merge_keepers(
+        maintained, delta, "_pfp", ["para_idx", "para"],
+        order_cols=("doc_id", "para_idx"),
+    )
+
+
+def paragraph_keeper_maintenance_stream(stream: DataFrame, sink,
+                                        min_tokens: int = 3):
+    """foreachBatch maintainer for the paragraph keeper relation (the
+    host-count convention): each micro-batch becomes a keeper delta
+    handed to `sink(delta, batch_id)`, merged with
+    `merge_paragraph_keepers`."""
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sink(paragraph_keeper_delta(batch, min_tokens=min_tokens), batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_paragraph_survivors(
+    novel: DataFrame, keepers: DataFrame
+) -> DataFrame:
+    """THE compaction step for `paragraph_dedup_stream`: re-resolve the
+    streamed novel-paragraph set to the batch keep-rule (first
+    (doc_id, para_idx) occurrence) using the maintained keeper
+    relation.  The streamed set determines WHICH paragraph
+    fingerprints were admitted (state-store semantics: an arbitrary
+    within-horizon representative); the keeper relation supplies the
+    batch-canonical occurrence for each — so streamed-then-compacted
+    equals `dedup_paragraph_survivors`' keeper relation on the same
+    input.  Sub-threshold paragraphs (synthetic `#short#` keys, never
+    hashed or deduplicated) pass through 1:1.  One distinct + one
+    co-partitioned equi-join on the fingerprint."""
+    hashed = novel.filter(~F.col("para_fp").startswith("#short#"))
+    keys = hashed.select(F.col("para_fp").alias("_pfp")).distinct()
+    canonical = keepers.join(keys, "_pfp").select(
+        "doc_id", "para_idx", "para"
+    )
+    passthrough = novel.filter(
+        F.col("para_fp").startswith("#short#")
+    ).select("doc_id", "para_idx", "para")
+    return canonical.unionByName(passthrough)
 
 
 # Content-tier compaction — the same closure for `dedup_stream` /

@@ -1807,3 +1807,131 @@ def test_streaming_content_compaction_equals_batch_rule(spark, tmp_path):
     kept = {d for _, d, _ in compacted}
     assert 7 in kept and 10 not in kept and 30 not in kept  # within-batch fix
     assert 2 in kept and 3 not in kept                      # cross-batch fix
+
+
+def test_streaming_paragraph_compaction_equals_batch_rule(spark, tmp_path):
+    """The paragraph-tier closure of the URL-tier compaction contract:
+    streamed novel-paragraph set -> compaction against the maintained
+    keeper relation == `dedup_paragraph_survivors`' keep-rule (first
+    (doc_id, para_idx) occurrence per paragraph), transcribed
+    independently here.  The fixture forces the cross-batch failure
+    mode (a LATER batch carries the smallest doc_id for a shared
+    paragraph, so first-batch-wins keeps the wrong representative) and
+    includes a sub-threshold paragraph that must pass through 1:1."""
+    import datetime
+
+    from oxford_data_pipeline_spark.operators.textops import (
+        normalized,
+        paragraph_array,
+        tokens,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_dedup import (
+        compact_paragraph_survivors,
+        merge_paragraph_keepers,
+        paragraph_dedup_stream,
+        paragraph_keeper_maintenance_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rep = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strange potions under a pale winter moon near the river "
+        "and every boat drifts slowly past the old stone bridge tonight"
+    )
+    schema = "doc_id long, text string, event_ts timestamp"
+    batch1 = [
+        (10, rep + " unique tail alpha beta gamma", t0),
+        (7, rep + " different ending words here now", t0 + m),
+        (12, "hi", t0 + 2 * m),
+    ]
+    batch2 = [
+        (2, rep + " yet another continuation of text", t0 + 3 * m),
+    ]
+    src = str(tmp_path / "para_compaction_stream")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    q = (
+        paragraph_dedup_stream(reader())
+        .writeStream.format("memory")
+        .queryName("para_compact_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    novel = spark.sql("SELECT * FROM para_compact_t")
+
+    keeper_schema = "_pfp string, doc_id long, para_idx int, para string"
+    state = {"keepers": None}
+
+    def sink(delta, _bid):
+        cur = state["keepers"]
+        state["keepers"] = (
+            delta.collect()
+            if cur is None
+            else merge_paragraph_keepers(
+                spark.createDataFrame(cur, keeper_schema), delta
+            ).collect()
+        )
+
+    q2 = paragraph_keeper_maintenance_stream(reader(), sink)
+    q2.awaitTermination()
+    keepers = spark.createDataFrame(state["keepers"], keeper_schema)
+
+    compacted = sorted(
+        (r["doc_id"], r["para_idx"], r["para"])
+        for r in compact_paragraph_survivors(novel, keepers).collect()
+    )
+
+    # batch keep-rule, transcribed (NOT imported from plans/dedup.py):
+    # hashed paragraphs -> first (doc_id, para_idx) occurrence;
+    # sub-threshold paragraphs -> every occurrence
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    paras = (
+        all_rows.withColumn("t", tokens(normalized(F.col("text"))))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(paragraph_array(F.col("t"))).alias(
+                "para_idx", "para"
+            ),
+        )
+        .withColumn("n_toks", F.size(F.split(F.col("para"), " ")))
+    )
+    hashed = paras.filter(F.col("n_toks") >= 3).collect()
+    short = paras.filter(F.col("n_toks") < 3).collect()
+    first_occ = {}
+    for r in hashed:
+        k = r["para"]
+        v = (r["doc_id"], r["para_idx"])
+        if k not in first_occ or v < first_occ[k]:
+            first_occ[k] = v
+    batch_want = sorted(
+        [(d, i, p) for p, (d, i) in first_occ.items()]
+        + [(r["doc_id"], r["para_idx"], r["para"]) for r in short]
+    )
+    assert compacted == batch_want, (compacted, batch_want)
+    # fixture liveness: the shared run produced >= 1 cross-doc repeat,
+    # and its batch-canonical occurrence is doc 2 (later batch, smaller
+    # id) — the correction compaction exists to make
+    from collections import Counter
+
+    occs = Counter(r["para"] for r in hashed)
+    shared = [p for p, c in occs.items() if c >= 3]
+    assert shared, "fixture must produce a cross-doc repeated paragraph"
+    for p in shared:
+        assert first_occ[p][0] == 2, (p, first_occ[p])
+        assert (2, first_occ[p][1], p) in compacted
