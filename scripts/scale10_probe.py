@@ -204,6 +204,14 @@ X100_QUERIES = [
     "ret_mmr",
     "ret_snippets",
     "dedup_labels_incremental",
+    # round-10: paragraph dedup + served d-model are corpus scans
+    # (linear is correct); the quantizer retrain is the out-of-band
+    # BUILD op (train on a bounded sample + ONE O(corpus x k)
+    # assignment pass + fixed-budget recall audit) — linear like the
+    # build phases it replaces, never a per-query cost
+    "dedup_paragraph",
+    "cur_classifier_scored_full",
+    "sim_ivf_retrain",
 ]
 _MARK100 = "## Two-decade probe (sf0.1 -> 100x synthetic, fixed query budget)"
 
@@ -299,6 +307,16 @@ def main_x100() -> None:
         "the planted dup density (the same attribution as pagerank),",
         "while untouched components are never scanned.",
         "",
+        "Round-10 rows: `dedup_paragraph` (scan-local segmentation + one",
+        "hash aggregation) and `cur_classifier_scored_full` (literal-beta",
+        "zero-join scan) are corpus scans — linear IS the bound, there is",
+        "no index to probe.  `sim_ivf_retrain` is the out-of-band BUILD",
+        "operation the occupancy notes above end at, now measured at the",
+        "second decade: bounded-sample Lloyd training + ONE O(corpus x k)",
+        "assignment pass + the FIXED-budget recall audit — its ratio is",
+        "the assignment pass's data growth (same class as `build:ann`),",
+        "paid when the drift signal trips, never per query.",
+        "",
     ]
     section = "\n".join(lines)
     path = os.path.join(REPO, "SCALING.md")
@@ -371,6 +389,15 @@ def main() -> None:
         "definition; an evaluation artifact, not a serving path).",
         "Audits with a fixed-count query budget (`sim_matryoshka_recall`)",
         "hold ~flat per decade — the bound working as designed.",
+        "Round-10 rows: `dedup_paragraph` is scan-local segmentation +",
+        "one hash aggregation (~flat to scan growth, same family as",
+        "`dedup_url`); `cur_classifier_scored_full` is a literal-beta",
+        "zero-join scan (ratio = scan growth); `sim_ivf_retrain` is the",
+        "out-of-band BUILD operation — bounded-sample Lloyd training",
+        "plus ONE O(corpus x k) assignment pass plus the %-mod recall",
+        "audit, so its ratio tracks data growth times the query-count",
+        "growth of the audit leg, the same posture as `build:ann` (run",
+        "when the drift signal trips, never per query).",
         "",
     ]
     section = "\n".join(lines)
