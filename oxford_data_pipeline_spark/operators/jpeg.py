@@ -15,11 +15,12 @@ process (SOF3, Annex H: Huffman DPCM with all seven predictors, point
 transform, modulo-2^16 differences incl. SSSS = 16, precisions 2..16
 — bit-exact round trip, the format DICOM archives ship), AND the
 hierarchical process (Annex J: DHP/EXP markers, resolution pyramids
-with differential sequential-DCT (SOF5) and differential lossless
-(SOF7) frames — the lossy-base + lossless-refinement shape, where the
-final stage is bit-exact).  Arithmetic coding (SOF9-11/13-15) and
-differential progressive (SOF6) raise — they fall to the quarantine
-path like every unsupported feature.  (The arithmetic QM-coder needs
+with differential sequential-DCT (SOF5), differential progressive
+(SOF6, the Annex-G scan script over difference coefficients) and
+differential lossless (SOF7) frames — the lossy-base +
+lossless-refinement shape, where the final stage is bit-exact).
+Arithmetic coding (SOF9-11/13-15) raises — the one remaining
+quarantined entropy mode.  (The arithmetic QM-coder needs
 T.81 Table D.3's 113 empirical state-transition rows; shipping a
 possibly-misremembered table would decode external streams wrongly
 while self round-trips still pass, so the mode stays quarantined.)
@@ -576,6 +577,10 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
     lossless = False
     differential = False
     hier = None   # {"frame": (h,w,nc,prec), "refs": [int64 planes]|None}
+    # an in-progress multi-scan (progressive) hierarchical frame:
+    # {"frame","comps","geom","differential"} — finalized when the
+    # next frame header, EXP, or EOI arrives
+    hier_pend = None
     geom = None   # (hmax, vmax, mcus_x, mcus_y) once the frame is prepared
     scans = 0
     while pos + 2 <= len(data):
@@ -584,6 +589,9 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if hier_pend is not None:
+                _finalize_hier_frame(hier, qts, hier_pend)
+                hier_pend = None
             if hier is not None:
                 if hier["refs"] is None:
                     raise ValueError("hierarchical stream with no frames")
@@ -641,6 +649,9 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 raise ValueError("invalid DHP dimensions")
             hier = {"frame": (h, w, nc, prec), "refs": None}
         elif marker == 0xDF:  # EXP (T.81 B.3.3): expand reference comps
+            if hier_pend is not None:
+                _finalize_hier_frame(hier, qts, hier_pend)
+                hier_pend = None
             if hier is None or hier["refs"] is None:
                 raise ValueError("EXP without reference components")
             eh, ev = seg[0] >> 4, seg[0] & 0x0F
@@ -648,9 +659,13 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 raise ValueError(f"invalid EXP fields {eh}/{ev}")
             hier["refs"] = [_exp_upsample(p, eh, ev) for p in hier["refs"]]
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3,  # SOF0/1/2 (DCT), SOF3 (lossless)
-                        0xC5, 0xC7):             # differential seq DCT / lossless
+                        0xC5, 0xC6, 0xC7):       # differential seq/prog/lossless
+            if hier_pend is not None:
+                # a new frame header closes the multi-scan frame before it
+                _finalize_hier_frame(hier, qts, hier_pend)
+                hier_pend = None
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            differential = marker in (0xC5, 0xC7)
+            differential = marker in (0xC5, 0xC6, 0xC7)
             if differential and hier is None:
                 raise ValueError("differential frame without DHP")
             if marker in (0xC3, 0xC7):
@@ -669,12 +684,12 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     {"id": cid, "sh": hv >> 4, "sv": hv & 0x0F, "tq": tq}
                 )
             frame = (h, w, nc, prec)
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xC6)
             lossless = marker in (0xC3, 0xC7)
-        elif marker in (0xC6, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            # differential progressive (C6) and every arithmetic-coded
-            # process (C9-CB, CD-CF) stay quarantined
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # every arithmetic-coded process stays quarantined (the
+            # QM-coder needs Table D.3's empirical rows — see module
+            # docstring)
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -685,9 +700,29 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 smap[cs] = (tdta >> 4, tdta & 0x0F)
             if hier is not None:
+                if progressive:
+                    # multi-scan frame: accumulate coefficients scan by
+                    # scan; the next SOF/EXP/EOI finalizes into refs
+                    if len(seg) < 4 + 2 * ns:
+                        raise ValueError("truncated progressive SOS header")
+                    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                    ahal = seg[3 + 2 * ns]
+                    if hier_pend is None:
+                        _validate_hier_frame(hier, frame, comps, differential)
+                        hier_pend = {
+                            "frame": frame, "comps": comps,
+                            "differential": differential,
+                            "geom": _prepare_components(frame, comps, qts),
+                        }
+                    pos = _decode_progressive_scan(
+                        data, pos + seglen, frame, comps, smap, huff,
+                        restart, ss, se, ahal >> 4, ahal & 0x0F,
+                        *hier_pend["geom"], differential=differential,
+                    )
+                    continue
                 pos = _decode_hier_frame(
                     data, pos, seglen, seg, ns, hier, frame, comps, smap,
-                    qts, huff, restart, progressive, lossless, differential,
+                    qts, huff, restart, lossless, differential,
                 )
                 continue
             if lossless:
@@ -823,17 +858,10 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart,
     return _reconstruct(frame, comps, qts, hmax, vmax)
 
 
-def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
-                       qts, huff, restart, progressive, lossless,
-                       differential):
-    """One frame of a hierarchical stream (T.81 Annex J, single-scan
-    frames): decode the scan to integer component planes, then install
-    them as the reference components (non-differential frame) or fold
-    them into the EXP-expanded references (differential frame).
-    Returns the offset of the marker following the scan's entropy
-    data."""
-    if progressive:
-        raise NotImplementedError("progressive frame in hierarchical stream")
+def _validate_hier_frame(hier, frame, comps, differential):
+    """Frame-level contract checks shared by the single-scan and the
+    multi-scan (progressive) hierarchical paths.  Returns the cropped
+    references for a differential frame (None otherwise)."""
     if frame is None:
         raise ValueError("SOS before SOF")
     fh, fw, nc, prec = frame
@@ -844,7 +872,6 @@ def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
         raise ValueError("hierarchical frame larger than DHP dimensions")
     if nc > 1 and any(c["sh"] != 1 or c["sv"] != 1 for c in comps):
         raise NotImplementedError("subsampled hierarchical frame")
-    refs = None
     if differential:
         if hier["refs"] is None:
             raise ValueError("differential frame with no reference")
@@ -852,8 +879,47 @@ def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
             raise ValueError("reference smaller than differential frame")
         # EXP doubling can overshoot an odd target by one row/column
         # (J.1.1.2) — the frame header's dimensions are authoritative
-        refs = [p[:fh, :fw] for p in hier["refs"]]
-    maxv = (1 << prec) - 1
+        return [p[:fh, :fw] for p in hier["refs"]]
+    return None
+
+
+def _fold_hier_planes(hier, frame, planes, differential, refs):
+    """Install decoded integer planes as the references: overwrite for
+    a non-differential frame, clamp-add for a differential DCT frame
+    (J.2 — lossless differential sums wrap mod 2^16 inside the scan
+    decoder instead)."""
+    maxv = (1 << frame[3]) - 1
+    if differential:
+        planes = [np.clip(r + d, 0, maxv) for r, d in zip(refs, planes)]
+    else:
+        planes = [np.clip(p, 0, maxv) for p in planes]
+    hier["refs"] = planes
+
+
+def _finalize_hier_frame(hier, qts, pend):
+    """Close a multi-scan (progressive) hierarchical frame: reconstruct
+    its accumulated coefficients to integer planes and fold them into
+    the references.  Runs when the NEXT frame header, EXP, or EOI
+    arrives — the only markers that can legally end a frame's scan
+    sequence."""
+    frame, comps = pend["frame"], pend["comps"]
+    differential = pend["differential"]
+    refs = _validate_hier_frame(hier, frame, comps, differential)
+    hmax, vmax = pend["geom"][0], pend["geom"][1]
+    planes = _component_planes(frame, comps, qts, hmax, vmax,
+                               level_shift=not differential)
+    planes = [np.round(p).astype(np.int64) for p in planes]
+    _fold_hier_planes(hier, frame, planes, differential, refs)
+
+
+def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
+                       qts, huff, restart, lossless, differential):
+    """One single-scan frame of a hierarchical stream (T.81 Annex J):
+    decode the scan to integer component planes, then install them as
+    the reference components (non-differential frame) or fold them
+    into the EXP-expanded references (differential frame).  Returns
+    the offset of the marker following the scan's entropy data."""
+    refs = _validate_hier_frame(hier, frame, comps, differential)
     if lossless:
         if len(seg) < 4 + 2 * ns:
             raise ValueError("truncated lossless SOS header")
@@ -871,13 +937,8 @@ def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
             data, pos + seglen, frame, comps, smap, qts, huff, restart,
             hier_mode=True, differential=differential,
         )
-        if differential:
-            # J.2: the decoded difference is added to the reference;
-            # DCT-process sums clamp to the sample range
-            planes = [np.clip(r + d, 0, maxv) for r, d in zip(refs, planes)]
-        else:
-            planes = [np.clip(p, 0, maxv) for p in planes]
-        hier["refs"] = planes
+        # J.2: a differential DCT sum clamps to the sample range
+        _fold_hier_planes(hier, frame, planes, differential, refs)
     return _skip_to_marker(data, end)
 
 
@@ -993,9 +1054,11 @@ def _skip_to_marker(data, pos):
     raise ValueError("unterminated scan")
 
 
-def _dc_unit(reader, blk, dc_table, cid, preds, ah, al):
+def _dc_unit(reader, blk, dc_table, cid, preds, ah, al, differential=False):
     """One block's DC contribution: first pass decodes the Huffman
-    diff and places pred << Al; refinement appends bit Al."""
+    diff and places pred << Al; refinement appends bit Al.  In
+    differential frames (SOF6) the prediction is always zero
+    (T.81 F.1.1.5.1): the coded value IS the block's DC difference."""
     if ah == 0:
         s = reader.read_symbol(dc_table)
         if s == 16:
@@ -1005,8 +1068,11 @@ def _dc_unit(reader, blk, dc_table, cid, preds, ah, al):
             diff = _extend(reader.read_bits(s), s)
         else:
             diff = 0
-        preds[cid] += diff
-        blk[0] = preds[cid] << al
+        if differential:
+            blk[0] = diff << al
+        else:
+            preds[cid] += diff
+            blk[0] = preds[cid] << al
     elif reader.read_bit():
         blk[0] = int(blk[0]) | (1 << al)
 
@@ -1080,7 +1146,7 @@ def _ac_refine_unit(reader, blk, ac, ss, se, al, eobrun):
 
 def _decode_progressive_scan(
     data, pos, frame, comps, smap, huff, restart,
-    ss, se, ah, al, hmax, vmax, mcus_x, mcus_y,
+    ss, se, ah, al, hmax, vmax, mcus_x, mcus_y, differential=False,
 ):
     """One SOS of a progressive frame: DC scans run interleaved in MCU
     order (or over the component grid when single-component), AC scans
@@ -1128,7 +1194,7 @@ def _decode_progressive_scan(
                             ]
                             _dc_unit(
                                 reader, blk, c.get("dc"), c["id"], preds,
-                                ah, al,
+                                ah, al, differential,
                             )
                 count += 1
     else:
@@ -1144,7 +1210,8 @@ def _decode_progressive_scan(
                     eobrun = 0
                 blk = c["coefs"][by * c["bw"] + bx]
                 if dc_scan:
-                    _dc_unit(reader, blk, c.get("dc"), c["id"], preds, ah, al)
+                    _dc_unit(reader, blk, c.get("dc"), c["id"], preds, ah, al,
+                             differential)
                 elif ah == 0:
                     eobrun = _ac_first_unit(reader, blk, c["ac"], ss, se, al, eobrun)
                 else:
@@ -1241,17 +1308,26 @@ def _ac_refine_block(writer, blk, ss, se, al, ac_codes) -> None:
             writer.write(bit, 1)
 
 
-def _encode_progressive_scans(coefs, planes, samp, gray, h, w) -> bytes:
+def _encode_progressive_scans(coefs, planes, samp, gray, h, w,
+                              differential=False) -> bytes:
     """The scan script: interleaved DC first (Al=1) → per-component AC
     first bands (luma split 1-5/6-63 to exercise Ss>1) → interleaved
     DC refine → per-component AC refines.  AC scans walk the
     component's OWN block grid (can be narrower than the MCU-padded
-    plane for 4:2:0 luma), with the padded plane's row stride."""
+    plane for 4:2:0 luma), with the padded plane's row stride.
+    `differential=True` is the SOF6 frame body: DC coded with zero
+    prediction, all scans on the wide-category tables (difference
+    signals exceed the K.3 8-bit ranges at low quantization)."""
     ncomp = len(coefs)
-    dc_l = _canonical_codes(*_DC_LUM)
-    ac_l = _canonical_codes(*_AC_LUM)
-    dc_c = _canonical_codes(*_DC_CHROM)
-    ac_c = _canonical_codes(*_AC_CHROM)
+    if differential:
+        dc12, ac12 = _hufftables_12bit()
+        dc_l = dc_c = _canonical_codes(*dc12)
+        ac_l = ac_c = _canonical_codes(*ac12)
+    else:
+        dc_l = _canonical_codes(*_DC_LUM)
+        ac_l = _canonical_codes(*_AC_LUM)
+        dc_c = _canonical_codes(*_DC_CHROM)
+        ac_c = _canonical_codes(*_AC_CHROM)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
 
@@ -1288,8 +1364,11 @@ def _encode_progressive_scans(coefs, planes, samp, gray, h, w) -> bytes:
                 yield coefs[ci][by * stride + bx]
 
     out = bytearray()
-    scan_comps = [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
-                  for ci in range(ncomp)]
+    if differential:  # every component on the shared wide tables
+        scan_comps = [(ci + 1, 0, 0) for ci in range(ncomp)]
+    else:
+        scan_comps = [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+                      for ci in range(ncomp)]
     # 1: DC first, all components interleaved, Al=1
     out += _emit_sos([(cid, td, 0) for cid, td, _ in scan_comps], 0, 0, 0, 1)
     writer = _BitWriter()
@@ -1297,8 +1376,11 @@ def _encode_progressive_scans(coefs, planes, samp, gray, h, w) -> bytes:
     for units in mcu_dc_blocks():
         for ci, blk in units:
             v = int(blk[0]) >> 1  # arithmetic shift (DC point transform)
-            diff = v - preds[ci]
-            preds[ci] = v
+            if differential:
+                diff = v  # PRED is always zero (T.81 F.1.1.5.1)
+            else:
+                diff = v - preds[ci]
+                preds[ci] = v
             s = _category(diff)
             code, length = (dc_l if ci == 0 else dc_c)[s]
             writer.write(code, length)
@@ -1576,12 +1658,17 @@ def _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential):
     return [np.round(p).astype(np.int64) for p in planes]
 
 
-def _encode_dct_frame(planes, quality, prec, differential):
-    """DQT + SOF + DHT + SOS + entropy bytes for one all-(1,1) DCT
-    frame of a hierarchical stream.  `planes`: int64 [h, w] arrays —
-    samples (non-differential) or differences (differential, coded
-    with no level shift and zero DC prediction).  Returns
-    (bytes, decoder's integer reconstruction of this frame)."""
+def _encode_dct_frame(planes, quality, prec, differential, progressive=False):
+    """DQT + SOF + DHT + scan bytes for one all-(1,1) DCT frame of a
+    hierarchical stream.  `planes`: int64 [h, w] arrays — samples
+    (non-differential) or differences (differential, coded with no
+    level shift and zero DC prediction).  `progressive=True` emits the
+    SOF6 differential-progressive frame body (the Annex-G scan script
+    over difference coefficients).  Returns (bytes, decoder's integer
+    reconstruction of this frame) — identical for both scan styles,
+    since they carry the same quantized coefficients."""
+    if progressive and not differential:
+        raise ValueError("hierarchical progressive encode is SOF6-only")
     h, w = planes[0].shape
     nc = len(planes)
     qt_l, qt_c = _quality_tables(quality)
@@ -1589,9 +1676,9 @@ def _encode_dct_frame(planes, quality, prec, differential):
         qt_l, qt_c = qt_l * 16, qt_c * 16
     qts = [qt_l] + [qt_c] * (nc - 1)
     half = 0.0 if differential else float(1 << (prec - 1))
+    padded = [_pad_to(p.astype(np.float64), 8) for p in planes]
     coefs = [
-        _component_coefs(_pad_to(p.astype(np.float64), 8), qt, half)
-        for p, qt in zip(planes, qts)
+        _component_coefs(p, qt, half) for p, qt in zip(padded, qts)
     ]
     out = bytearray()
     for tid, qt in enumerate(qts[: 2 if nc > 1 else 1]):
@@ -1603,7 +1690,7 @@ def _encode_dct_frame(planes, quality, prec, differential):
             zz = qt.astype(np.uint8)[ZIGZAG]
             out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
     if differential:
-        sof = b"\xff\xc5"
+        sof = b"\xff\xc6" if progressive else b"\xff\xc5"
     elif prec == 12:
         sof = b"\xff\xc1"
     else:
@@ -1617,6 +1704,12 @@ def _encode_dct_frame(planes, quality, prec, differential):
     for tc_th, (bits, vals) in ((0x00, dc_t), (0x10, ac_t)):
         out += (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
                 + bytes([tc_th]) + bytes(bits) + bytes(vals))
+    recon = _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential)
+    if progressive:
+        out += _encode_progressive_scans(
+            coefs, padded, [(1, 1)] * nc, nc == 1, h, w, differential=True
+        )
+        return bytes(out), recon
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for cid in range(nc):
         out += bytes([cid + 1, 0x00])
@@ -1633,7 +1726,6 @@ def _encode_dct_frame(planes, quality, prec, differential):
             )
     writer.flush()
     out += writer.out
-    recon = _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential)
     return bytes(out), recon
 
 
@@ -1691,6 +1783,7 @@ def jpeg_encode_hierarchical(
     precision: int = 8,
     final_lossless: bool = True,
     levels: int = 2,
+    progressive_diff: bool = False,
 ) -> bytes:
     """Hierarchical JPEG (T.81 Annex J) encode of [h, w] grayscale or
     [h, w, 3] RGB samples: DHP, a non-differential DCT base frame
@@ -1700,7 +1793,11 @@ def jpeg_encode_hierarchical(
     lossless by default (the decoder's grayscale output is then
     bit-exact: the lossy pyramid is a decodable preview ladder, the
     last frame restores every sample) or SOF5 with
-    `final_lossless=False` (lossy refinement).  Color streams code
+    `final_lossless=False` (lossy refinement); `progressive_diff=True`
+    emits the differential DCT frames as SOF6 (differential
+    progressive — the Annex-G scan script over difference
+    coefficients, decoding identically to SOF5 of the same
+    coefficients).  Color streams code
     YCbCr 4:4:4; the final color transform's rounding means RGB
     round-trips are near-exact, not bit-exact — the bit-exactness
     contract is per component plane."""
@@ -1762,7 +1859,7 @@ def jpeg_encode_hierarchical(
             refs = target  # exact by construction (mod-2^16 sums)
         else:
             frame_bytes, rec = _encode_dct_frame(
-                diffs, quality, precision, True
+                diffs, quality, precision, True, progressive=progressive_diff
             )
             out += frame_bytes
             refs = [

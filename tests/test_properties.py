@@ -989,7 +989,7 @@ def test_jpeg_hierarchical_lossy_refinement_and_structure():
 def test_jpeg_hierarchical_guards():
     """Typed contracts: differential frame without DHP, EXP without a
     reference, DHP-dims mismatch at EOI, and the still-quarantined
-    differential-progressive (SOF6) / arithmetic (SOF13-15) modes."""
+    arithmetic modes (SOF9-11/13-15)."""
     import struct as _struct
 
     from oxford_data_pipeline_spark.operators.jpeg import (
@@ -1011,8 +1011,8 @@ def test_jpeg_hierarchical_guards():
     exp_first = good[:2] + b"\xff\xdf" + _struct.pack(">H", 3) + b"\x11" + good[2:]
     with pytest.raises(ValueError):
         jpeg_decode(exp_first)
-    # differential progressive and arithmetic differential: quarantined
-    for bad_sof in (0xC6, 0xCD):
+    # arithmetic (sequential and differential): quarantined
+    for bad_sof in (0xC9, 0xCD):
         quarantined = bytearray(good)
         quarantined[quarantined.find(b"\xff\xc7") + 1] = bad_sof
         with pytest.raises(NotImplementedError):
@@ -1133,3 +1133,58 @@ def test_jpeg_hierarchical_differential_dc_zero_prediction():
     assert meta["hierarchical"] and img.shape == (h, w)
     assert np.all(img[:, :8] == 130), img[0, :8]   # 128 + 16/8
     assert np.all(img[:, 8:] == 127), img[0, 8:]   # 128 - 8/8
+
+
+def test_jpeg_hierarchical_differential_progressive_sof6():
+    """SOF6 (differential progressive) leaves the quarantine: the
+    Annex-G scan script over difference coefficients.  Pins (a) the
+    SOF6 stream decodes BYTE-identically to the SOF5 stream of the
+    same pyramid (identical quantized coefficients, different scan
+    style), (b) a 3-level pyramid with SOF6 intermediates + final SOF7
+    stays bit-exact, (c) the marker structure is really multi-scan
+    SOF6."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(59)
+    img = rng.integers(0, 256, size=(29, 21), dtype=np.uint8)
+    seq = jpeg_encode_hierarchical(
+        img, quality=85, final_lossless=False, progressive_diff=False
+    )
+    prog = jpeg_encode_hierarchical(
+        img, quality=85, final_lossless=False, progressive_diff=True
+    )
+    assert b"\xff\xc5" in seq and b"\xff\xc6" not in seq
+    assert b"\xff\xc6" in prog and b"\xff\xc5" not in prog
+    assert prog.count(b"\xff\xda") > seq.count(b"\xff\xda")  # multi-scan
+    dseq, mseq = jpeg_decode(seq)
+    dprog, mprog = jpeg_decode(prog)
+    assert mprog["hierarchical"] and mseq["hierarchical"]
+    assert np.array_equal(dseq, dprog)  # same coefficients, same image
+    # (b) SOF6 intermediates under a lossless final stage: bit-exact
+    exact = jpeg_encode_hierarchical(
+        img, quality=85, levels=3, progressive_diff=True
+    )
+    assert b"\xff\xc6" in exact and b"\xff\xc7" in exact
+    dec, _ = jpeg_decode(exact)
+    assert np.array_equal(dec, img)
+    # 12-bit SOF6 as well
+    img12 = rng.integers(0, 4096, size=(10, 18), dtype=np.uint16)
+    p12 = jpeg_encode_hierarchical(
+        img12, precision=12, final_lossless=False, progressive_diff=True
+    )
+    s12 = jpeg_encode_hierarchical(
+        img12, precision=12, final_lossless=False, progressive_diff=False
+    )
+    assert np.array_equal(jpeg_decode(p12)[0], jpeg_decode(s12)[0])
+    # color: component planes identical across scan styles
+    imgc = rng.integers(0, 256, size=(12, 14, 3), dtype=np.uint8)
+    pc = jpeg_encode_hierarchical(
+        imgc, quality=60, final_lossless=False, progressive_diff=True
+    )
+    sc = jpeg_encode_hierarchical(
+        imgc, quality=60, final_lossless=False, progressive_diff=False
+    )
+    assert np.array_equal(jpeg_decode(pc)[0], jpeg_decode(sc)[0])
