@@ -637,6 +637,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
@@ -644,6 +646,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
         elif marker == 0xDE:  # DHP (T.81 B.3.2): hierarchical progression
             if hier is not None:
                 raise ValueError("multiple DHP segments")
+            if len(seg) < 6:
+                raise ValueError("truncated DHP header")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if h == 0 or w == 0 or nc == 0:
                 raise ValueError("invalid DHP dimensions")
@@ -657,6 +661,13 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             eh, ev = seg[0] >> 4, seg[0] & 0x0F
             if eh not in (0, 1) or ev not in (0, 1):
                 raise ValueError(f"invalid EXP fields {eh}/{ev}")
+            # expansion can never legally exceed the DHP dimensions
+            # (bounds a corrupt/malicious stream that repeats EXP —
+            # unguarded, each repeat DOUBLES the reference planes)
+            dh, dw = hier["frame"][0], hier["frame"][1]
+            if any((ev and p.shape[0] > dh) or (eh and p.shape[1] > dw)
+                   for p in hier["refs"]):
+                raise ValueError("EXP beyond DHP dimensions")
             hier["refs"] = [_exp_upsample(p, eh, ev) for p in hier["refs"]]
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3,  # SOF0/1/2 (DCT), SOF3 (lossless)
                         0xC5, 0xC6, 0xC7):       # differential seq/prog/lossless
@@ -664,7 +675,11 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 # a new frame header closes the multi-scan frame before it
                 _finalize_hier_frame(hier, qts, hier_pend)
                 hier_pend = None
+            if len(seg) < 6:
+                raise ValueError("truncated SOF header")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
             differential = marker in (0xC5, 0xC6, 0xC7)
             if differential and hier is None:
                 raise ValueError("differential frame without DHP")
@@ -695,6 +710,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated SOS header")
             smap = {}
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -819,6 +836,8 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart,
                             (my * c["sv"] + by) * c["bw"] + mx * c["sh"] + bx
                         ]
                         s = reader.read_symbol(c["dc"])
+                        if s > 16:
+                            raise ValueError(f"invalid DC category {s}")
                         if s == 16:
                             # T.81 F.1.2.1.2: SSSS=16 (12-bit frames)
                             # means diff=32768 with NO appended bits
@@ -1061,6 +1080,8 @@ def _dc_unit(reader, blk, dc_table, cid, preds, ah, al, differential=False):
     (T.81 F.1.1.5.1): the coded value IS the block's DC difference."""
     if ah == 0:
         s = reader.read_symbol(dc_table)
+        if s > 16:
+            raise ValueError(f"invalid DC category {s}")
         if s == 16:
             # T.81 F.1.2.1.2: SSSS=16 → diff=32768, no appended bits
             diff = 32768
@@ -1159,6 +1180,8 @@ def _decode_progressive_scan(
     dc_scan = ss == 0
     if dc_scan and se != 0:
         raise ValueError("DC scan with Se != 0")
+    if se > 63 or ss > se:
+        raise ValueError("spectral band out of range")
     if not dc_scan and len(scomps) != 1:
         raise ValueError("progressive AC scan must be single-component")
     if ah and al != ah - 1:
@@ -1518,6 +1541,8 @@ def _decode_lossless_scan(
                 first_y, first_x = y, x
             for ci in range(nc):
                 s = reader.read_symbol(tables[ci])
+                if s > 16:
+                    raise ValueError(f"invalid DC category {s}")
                 if s == 16:
                     diff = 32768
                 elif s:
