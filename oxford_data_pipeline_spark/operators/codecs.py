@@ -87,8 +87,10 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + clen]
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("PNG: truncated IHDR")
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
             if depth != 8:
                 raise ValueError(f"PNG: bit depth {depth} unsupported (8 only)")
@@ -104,7 +106,12 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
     if width is None:
         raise ValueError("PNG: missing IHDR")
     channels = _PNG_CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # corrupt IDAT must fall to the quarantine path as a typed
+        # error, never a raw zlib.error job failure
+        raise ValueError(f"PNG: corrupt IDAT stream ({exc})") from exc
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG: decompressed size mismatch")

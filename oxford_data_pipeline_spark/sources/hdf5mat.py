@@ -904,7 +904,23 @@ def read_mat73(payload: bytes) -> dict[str, np.ndarray]:
     | str (char variable) | object array (cell, via references) |
     dict (struct, via sub-group)}.  The `#refs#` bookkeeping group —
     where MATLAB stores cell-referenced objects — is not itself a
-    variable and is dropped from the result."""
+    variable and is dropped from the result.
+
+    Untrusted-bytes boundary: a corrupt file (bad offsets, lengths,
+    string payloads, compressed chunks) must quarantine as a typed
+    ValueError, never a raw struct/zlib/codec error or an int-width
+    overflow — the contract the decode tier's mapInPandas kernels
+    rely on to keep one bad blob from failing a 100 TB job."""
+    try:
+        return _read_mat73_inner(payload)
+    except (struct.error, OverflowError, UnicodeDecodeError,
+            zlib.error, IndexError) as exc:
+        raise ValueError(
+            f"malformed HDF5/MAT v7.3 payload ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _read_mat73_inner(payload: bytes) -> dict[str, np.ndarray]:
     base = _find_base(payload)
     if struct.unpack_from("<B", payload, base + 8)[0] != 0:
         raise NotImplementedError("only superblock version 0 supported")

@@ -166,12 +166,16 @@ def _read_subelement(buf: bytes, pos: int, bo: str = "<") -> tuple[int, bytes, i
     (≤4-byte payloads live inside the 8-byte tag itself).  The packing
     formula (count in the high 16 bits) holds in either byte order
     once the tag word is read in FILE order."""
+    if pos + 8 > len(buf):
+        raise ValueError("truncated MAT sub-element tag")
     (type_word,) = struct.unpack_from(f"{bo}I", buf, pos)
     small_n = type_word >> 16
     if small_n:
         data = buf[pos + 4 : pos + 4 + small_n]
         return type_word & 0xFFFF, data, pos + 8
     (nbytes,) = struct.unpack_from(f"{bo}I", buf, pos + 4)
+    if pos + 8 + nbytes > len(buf):
+        raise ValueError("MAT sub-element length past end of buffer")
     data = buf[pos + 8 : pos + 8 + nbytes]
     return type_word, data, pos + 8 + nbytes + _pad8(nbytes)
 
@@ -287,6 +291,8 @@ def read_mat5(payload: bytes) -> dict[str, np.ndarray]:
     pos = 128
     while pos + 8 <= len(payload):
         dtype_w, nbytes = struct.unpack_from(f"{bo}II", payload, pos)
+        if pos + 8 + nbytes > len(payload):
+            raise ValueError("MAT top-level element length past end of file")
         data = payload[pos + 8 : pos + 8 + nbytes]
         # miCOMPRESSED is exempt from the 8-byte alignment rule (the
         # spec pads every OTHER top-level element): MATLAB and scipy
@@ -294,14 +300,25 @@ def read_mat5(payload: bytes) -> dict[str, np.ndarray]:
         # misalign the second variable of a multi-variable file.
         pos += 8 + nbytes + (0 if dtype_w == miCOMPRESSED else _pad8(nbytes))
         if dtype_w == miCOMPRESSED:
-            sub = zlib.decompress(data)
+            try:
+                sub = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt MAT compressed element ({exc})") from exc
+            if len(sub) < 8:
+                raise ValueError("truncated MAT compressed element")
             sub_t, sub_n = struct.unpack_from(f"{bo}II", sub, 0)
             if sub_t != miMATRIX:
                 raise NotImplementedError(f"compressed element of type {sub_t}")
-            name, arr = _parse_matrix(sub[8 : 8 + sub_n], bo)
+            payload_parse = lambda: _parse_matrix(sub[8 : 8 + sub_n], bo)  # noqa: E731
         elif dtype_w == miMATRIX:
-            name, arr = _parse_matrix(data, bo)
+            payload_parse = lambda: _parse_matrix(data, bo)  # noqa: E731
         else:
             raise NotImplementedError(f"unsupported top-level element type {dtype_w}")
+        try:
+            name, arr = payload_parse()
+        except (struct.error, UnicodeDecodeError) as exc:
+            # untrusted-bytes boundary: malformed element internals must
+            # quarantine as typed errors, never raw struct/codec errors
+            raise ValueError(f"malformed MAT matrix element ({exc})") from exc
         out[name] = arr
     return out

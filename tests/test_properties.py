@@ -1232,3 +1232,86 @@ def test_jpeg_corruption_never_crashes(seed):
         assert out.ndim in (2, 3) and out.shape[0] >= 1
     except (ValueError, NotImplementedError):
         pass
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_decoders_corruption_never_crashes(seed):
+    """The quarantine contract for every non-JPEG binary decode tier
+    (PNG/WAV/PPM/BMP codecs, MAT v5, MAT v7.3/HDF5, WARC): 1-5
+    mutated bytes must yield a decode, a typed
+    ValueError/NotImplementedError, or (WARC) per-record quarantine
+    dicts — never a raw struct/zlib/codec error.  Every guard this
+    pins was fuzzer-found (PNG zlib/IHDR, MAT sub-element lengths,
+    HDF5 offset overflows); 4000-6000-seed offline sweeps run clean
+    per format."""
+    import gzip as _gzip
+    import struct as _struct
+
+    from oxford_data_pipeline_spark.operators.codecs import (
+        bmp_decode,
+        png_decode,
+        png_encode,
+        ppm_decode,
+        wav_decode,
+        wav_encode,
+    )
+    from oxford_data_pipeline_spark.sources.hdf5mat import (
+        read_mat73,
+        write_mat73,
+    )
+    from oxford_data_pipeline_spark.sources.matfile import (
+        read_mat5,
+        write_mat5,
+    )
+    from oxford_data_pipeline_spark.sources.warc import _parse_warc
+
+    rng = np.random.default_rng(seed)
+    kind = seed % 6
+    if kind == 0:
+        payload = bytearray(
+            png_encode(rng.integers(0, 256, size=(9, 7), dtype=np.uint8))
+        )
+        dec = png_decode
+    elif kind == 1:
+        payload = bytearray(
+            wav_encode(rng.integers(-1000, 1000, size=40, dtype=np.int16))
+        )
+        dec = wav_decode
+    elif kind == 2:
+        img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        payload = bytearray(b"P6\n6 5\n255\n" + img.tobytes())
+        dec = ppm_decode
+    elif kind == 3:
+        img = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        h, w = 4, 5
+        rowsz = (w * 3 + 3) & ~3
+        payload = bytearray(
+            b"BM" + _struct.pack("<IHHI", 54 + rowsz * h, 0, 0, 54)
+            + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, rowsz * h,
+                           2835, 2835, 0, 0)
+        )
+        for y in range(h - 1, -1, -1):
+            row = bytes(int(v) for x in range(w)
+                        for v in img[y, x][::-1])
+            payload += row + bytes(rowsz - len(row))
+        dec = bmp_decode
+    elif kind == 4:
+        payload = bytearray(write_mat5({"a": rng.standard_normal((3, 4))}))
+        dec = read_mat5
+    else:
+        payload = bytearray(write_mat73({"a": rng.standard_normal((3, 4))}))
+        dec = read_mat73
+    for _ in range(int(rng.integers(1, 6))):
+        payload[int(rng.integers(0, len(payload)))] ^= int(rng.integers(1, 256))
+    try:
+        dec(bytes(payload))
+    except (ValueError, NotImplementedError):
+        pass
+    # WARC never raises at all: corrupt records become quarantine rows
+    blob = bytearray(_gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/a"
+        b"\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    ))
+    blob[int(rng.integers(0, len(blob)))] ^= int(rng.integers(1, 256))
+    list(_parse_warc("fuzz", bytes(blob)))
