@@ -590,7 +590,7 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
         pos += 2
         if marker == 0xD9:  # EOI
             if hier_pend is not None:
-                _finalize_hier_frame(hier, qts, hier_pend)
+                _finalize_hier_frame(hier, hier_pend)
                 hier_pend = None
             if hier is not None:
                 if hier["refs"] is None:
@@ -642,6 +642,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 huff[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDE:  # DHP (T.81 B.3.2): hierarchical progression
             if hier is not None:
@@ -654,10 +656,12 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             hier = {"frame": (h, w, nc, prec), "refs": None}
         elif marker == 0xDF:  # EXP (T.81 B.3.3): expand reference comps
             if hier_pend is not None:
-                _finalize_hier_frame(hier, qts, hier_pend)
+                _finalize_hier_frame(hier, hier_pend)
                 hier_pend = None
             if hier is None or hier["refs"] is None:
                 raise ValueError("EXP without reference components")
+            if not seg:
+                raise ValueError("truncated EXP segment")
             eh, ev = seg[0] >> 4, seg[0] & 0x0F
             if eh not in (0, 1) or ev not in (0, 1):
                 raise ValueError(f"invalid EXP fields {eh}/{ev}")
@@ -673,7 +677,7 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                         0xC5, 0xC6, 0xC7):       # differential seq/prog/lossless
             if hier_pend is not None:
                 # a new frame header closes the multi-scan frame before it
-                _finalize_hier_frame(hier, qts, hier_pend)
+                _finalize_hier_frame(hier, hier_pend)
                 hier_pend = None
             if len(seg) < 6:
                 raise ValueError("truncated SOF header")
@@ -709,6 +713,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not seg:
+                raise ValueError("truncated SOS header")
             ns = seg[0]
             if len(seg) < 1 + 2 * ns:
                 raise ValueError("truncated SOS header")
@@ -726,10 +732,17 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     ahal = seg[3 + 2 * ns]
                     if hier_pend is None:
                         _validate_hier_frame(hier, frame, comps, differential)
+                        # snapshot the quantization tables at the frame's
+                        # first SOS: a conformant stream may install the
+                        # NEXT frame's DQT right after this frame's last
+                        # scan, and finalization (next SOF/EXP/EOI) must
+                        # dequantize with the tables in force DURING the
+                        # frame's scans (T.81 B.2.4.1), not the live dict
                         hier_pend = {
                             "frame": frame, "comps": comps,
                             "differential": differential,
                             "geom": _prepare_components(frame, comps, qts),
+                            "qts": {k: v.copy() for k, v in qts.items()},
                         }
                     pos = _decode_progressive_scan(
                         data, pos + seglen, frame, comps, smap, huff,
@@ -915,17 +928,20 @@ def _fold_hier_planes(hier, frame, planes, differential, refs):
     hier["refs"] = planes
 
 
-def _finalize_hier_frame(hier, qts, pend):
+def _finalize_hier_frame(hier, pend):
     """Close a multi-scan (progressive) hierarchical frame: reconstruct
     its accumulated coefficients to integer planes and fold them into
     the references.  Runs when the NEXT frame header, EXP, or EOI
     arrives — the only markers that can legally end a frame's scan
-    sequence."""
+    sequence.  Dequantizes with the table SNAPSHOT taken at the frame's
+    first SOS (``pend["qts"]``) so a DQT emitted between this frame's
+    last scan and the finalizing marker — legal, it belongs to the next
+    frame — cannot retroactively change this frame's reconstruction."""
     frame, comps = pend["frame"], pend["comps"]
     differential = pend["differential"]
     refs = _validate_hier_frame(hier, frame, comps, differential)
     hmax, vmax = pend["geom"][0], pend["geom"][1]
-    planes = _component_planes(frame, comps, qts, hmax, vmax,
+    planes = _component_planes(frame, comps, pend["qts"], hmax, vmax,
                                level_shift=not differential)
     planes = [np.round(p).astype(np.int64) for p in planes]
     _fold_hier_planes(hier, frame, planes, differential, refs)

@@ -222,3 +222,23 @@ def test_bucketed_postings_probe_prunes_buckets(spark):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
         spark.sql("DROP TABLE IF EXISTS postings_bucketed")
+
+
+def test_window_detector_selfcheck_current_spark(spark):
+    """Advisor round-10 (low): `plans_audit.count_single_partition_windows`
+    regex-parses the `Window [...]` physical-plan print format.  This
+    guard validates that assumption against the RUNNING Spark version —
+    one live empty-partition window must count 1, one partitioned
+    window must count 0 — so a Spark upgrade that changes the print
+    format fails here (and in plans_audit.py's own startup self-check)
+    instead of silently miscounting the audit."""
+    import plans_audit
+
+    plans_audit.selfcheck_window_detector(spark)
+    # the two synthetic-string regressions the regex must keep apart
+    assert plans_audit.count_single_partition_windows(
+        "Window [row_number() AS r], [id ASC NULLS FIRST]"
+    ) == 1
+    assert plans_audit.count_single_partition_windows(
+        "Window [row_number() AS r], [g], [id ASC NULLS FIRST]"
+    ) == 0

@@ -1315,3 +1315,76 @@ def test_decoders_corruption_never_crashes(seed):
     ))
     blob[int(rng.integers(0, len(blob)))] ^= int(rng.integers(1, 256))
     list(_parse_warc("fuzz", bytes(blob)))
+
+
+def test_jpeg_empty_marker_segments_typed():
+    """Advisor round-10 (medium): a marker segment with seglen==2 (an
+    EMPTY payload) must raise the typed ValueError of the quarantine
+    contract, never a raw IndexError/struct.error.  Verified failing
+    pre-fix: SOS (`ns = seg[0]`) and EXP (`seg[0]`) raised IndexError,
+    DRI (`seg[:2]` unpack) raised struct.error.  A single length-byte
+    mutation can produce each of these, so the corruption fuzzer
+    (test_jpeg_corruption_never_crashes) can reach every one."""
+    import struct
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 11), dtype=np.uint8)
+
+    def emptied(payload: bytes, marker: bytes) -> bytes:
+        s = bytearray(payload)
+        i = s.index(marker)
+        s[i + 2 : i + 4] = struct.pack(">H", 2)
+        return bytes(s)
+
+    # empty SOS
+    with pytest.raises(ValueError, match="SOS"):
+        jpeg_decode(emptied(jpeg_encode(img, quality=80), b"\xff\xda"))
+    # empty DRI
+    with pytest.raises(ValueError, match="DRI"):
+        jpeg_decode(
+            emptied(jpeg_encode(img, quality=80, restart_interval=2),
+                    b"\xff\xdd")
+        )
+    # empty EXP (hierarchical stream; first EXP follows the base frame)
+    with pytest.raises(ValueError, match="EXP"):
+        jpeg_decode(
+            emptied(jpeg_encode_hierarchical(img, quality=80, levels=2),
+                    b"\xff\xdf")
+        )
+
+
+def test_jpeg_hier_frame_dqt_snapshot():
+    """Advisor round-10 (low): a conformant stream may install the
+    NEXT frame's quantization tables right after a multi-scan
+    hierarchical frame's last scan — before the SOF/EXP/EOI that
+    finalizes the pending frame.  Dequantization must use the tables
+    in force DURING the frame's scans (snapshot at first SOS), not the
+    live dict at the finalizing marker.  Verified failing pre-fix: the
+    spliced hostile DQT changed the decoded pixels."""
+    import struct
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(21, 19), dtype=np.uint8)
+    # SOF6 multi-scan differential frame pending at EOI
+    base = jpeg_encode_hierarchical(
+        img, quality=85, final_lossless=False, progressive_diff=True
+    )
+    expect, meta = jpeg_decode(base)
+    assert meta["hierarchical"]
+    # splice a hostile DQT (table id 0, all-255 entries) between the
+    # last scan's entropy data and the finalizing EOI
+    i = base.rindex(b"\xff\xd9")
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([255]) * 64
+    got, _ = jpeg_decode(base[:i] + dqt + base[i:])
+    assert np.array_equal(got, expect)
