@@ -370,6 +370,33 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
         f"victims absent from all {len(by_q_after)} queries"
     )
 
+    # ---- phase 6: drift poll — the scheduled decision of WHEN to run
+    # the out-of-band quantizer retrain (`sim_ivf_retrain`).  One
+    # aggregation over the maintained live cells table (post-append,
+    # post-tombstone); no training, no probes.  Here a third of the
+    # live corpus arrived after the quantizer was trained (the %3
+    # delta split), so delta_frac > 0.2 and the trigger TRIPS — the
+    # documented handoff is: retrain_due=1 → schedule
+    # plans.similarity.sim_ivf_retrain out of band. ----
+    from oxford_data_pipeline_spark.plans.similarity import ivf_drift_metrics
+
+    drift = ivf_drift_metrics(
+        live_tables["cells"].select("vec_id", "cell"),
+        F.col("vec_id") % 3 == 0,
+    ).collect()[0]
+    assert drift["n_live"] == live_tables["cells"].count()
+    assert drift["delta_frac"] > 0.2, drift
+    assert drift["retrain_due"] == 1, drift
+    print(
+        "drift poll: n_live={n} cells={c} max_share={m} occ_skew={s}"
+        " delta_frac={d} retrain_due={r} -> schedule sim_ivf_retrain"
+        " out of band".format(
+            n=drift["n_live"], c=drift["cells_occupied"],
+            m=drift["max_share"], s=drift["occ_skew"],
+            d=drift["delta_frac"], r=drift["retrain_due"],
+        )
+    )
+
     return {
         "postings": p2,
         "cells": c2,
@@ -378,6 +405,7 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
         "fused_rows": len(results),
         "deleted": victims,
         "fused_rows_after_delete": len(results_after),
+        "drift": {k: drift[k] for k in drift.asDict()},
         "work": work,
     }
 

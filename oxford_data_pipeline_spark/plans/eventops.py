@@ -225,3 +225,213 @@ def e_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.avg(F.when(high, 1.0).otherwise(0.0))).alias("high_k_share"),
         round2(F.sum(F.when(high, F.col("value")))).alias("high_k_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# E-FUNNEL — ordered conversion funnel (signup -> view -> purchase)
+# --------------------------------------------------------------------------
+# The classic product-analytics funnel with the ORDERING constraint
+# (each stage must happen at-or-after the previous stage's first
+# completion), computed the same way as the as-of join: ONE window
+# pass per user carrying running first-completion timestamps — no
+# self-joins, no per-stage scans.  At 100 TB this is one exchange on
+# user_id plus a per-user flag aggregation; the output is 3 rows.
+_FUNNEL_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type
+    FROM events WHERE event_type IN ('signup', 'view', 'purchase')
+),
+carried AS (
+    SELECT user_id, event_type,
+           min(CASE WHEN event_type = 'signup' THEN ts_ns END) OVER w AS s_ts,
+           min(CASE WHEN event_type = 'view' THEN ts_ns END) OVER w AS raw_v_ts
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+staged AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS did_signup,
+           max(CASE WHEN event_type = 'view' AND s_ts IS NOT NULL
+                    THEN 1 ELSE 0 END) AS did_view,
+           max(CASE WHEN event_type = 'purchase' AND s_ts IS NOT NULL
+                        AND raw_v_ts IS NOT NULL AND raw_v_ts >= s_ts
+                    THEN 1 ELSE 0 END) AS did_purchase
+    FROM carried GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(did_signup) AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN did_signup = 1 AND did_view = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           CAST(sum(CASE WHEN did_signup = 1 AND did_view = 1
+                             AND did_purchase = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s3
+    FROM staged
+)
+SELECT 1 AS stage, 'signup' AS event_type, s1 AS n_users,
+       round(1.0 * 1000000 + 0.01, 0) / 1000000 + 0 AS conv_from_prev
+FROM tot
+UNION ALL
+SELECT 2, 'view', s2,
+       round(CAST(s2 AS DOUBLE) / s1 * 1000000 + 0.01, 0) / 1000000 + 0
+FROM tot WHERE s1 > 0
+UNION ALL
+SELECT 3, 'purchase', s3,
+       round(CAST(s3 AS DOUBLE) / s2 * 1000000 + 0.01, 0) / 1000000 + 0
+FROM tot WHERE s2 > 0
+"""
+
+
+@register("e_funnel", _FUNNEL_ORACLE)
+def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> purchase: a view
+    counts only at-or-after the user's first signup, a purchase only
+    at-or-after the first qualified view — the ordering carried by ONE
+    running-min window pass per user (the as-of-join discipline: one
+    exchange on user_id, no self-joins), then a per-user flag
+    aggregation and a 3-row stage report with conversion rates."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "user_id",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).over(w).alias("s_ts"),
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).over(w).alias("raw_v_ts"),
+    )
+    staged = carried.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "signup").cast("int")
+        ).alias("did_signup"),
+        F.max(
+            (
+                (F.col("event_type") == "view") & F.col("s_ts").isNotNull()
+            ).cast("int")
+        ).alias("did_view"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & F.col("s_ts").isNotNull()
+                & F.col("raw_v_ts").isNotNull()
+                & (F.col("raw_v_ts") >= F.col("s_ts"))
+            ).cast("int")
+        ).alias("did_purchase"),
+    )
+    tot = staged.agg(
+        F.sum("did_signup").alias("s1"),
+        F.sum(
+            ((F.col("did_signup") == 1) & (F.col("did_view") == 1)).cast("int")
+        ).alias("s2"),
+        F.sum(
+            (
+                (F.col("did_signup") == 1)
+                & (F.col("did_view") == 1)
+                & (F.col("did_purchase") == 1)
+            ).cast("int")
+        ).alias("s3"),
+    )
+    rows = tot.select(
+        F.expr(
+            "stack(3,"
+            " 1, 'signup', s1, CAST(NULL AS DOUBLE),"
+            " 2, 'view', s2, CAST(s2 AS DOUBLE) / s1,"
+            " 3, 'purchase', s3, CAST(s3 AS DOUBLE) / s2)"
+            " AS (stage, event_type, n_users, conv_raw)"
+        ),
+        F.col("s1"),
+        F.col("s2"),
+    )
+    return (
+        rows.filter(
+            (F.col("stage") == 1)
+            | ((F.col("stage") == 2) & (F.col("s1") > 0))
+            | ((F.col("stage") == 3) & (F.col("s2") > 0))
+        )
+        .select(
+            "stage",
+            "event_type",
+            "n_users",
+            round6(
+                F.when(F.col("stage") == 1, F.lit(1.0)).otherwise(
+                    F.col("conv_raw")
+                )
+            ).alias("conv_from_prev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E-RETENTION — weekly cohort retention matrix
+# --------------------------------------------------------------------------
+# Cohort analytics: users grouped by their first-activity week; each
+# (cohort_week, week_offset) cell counts the cohort's users active
+# that many weeks later, with the retention rate against the cohort
+# size.  Scale shape: one per-user min aggregation, one DISTINCT on
+# (user, week) — both map-side-combinable — and one equi-join back on
+# user_id (co-partitioned with the aggregation's exchange); the cell
+# matrix is bounded by weeks^2, so the rate join broadcasts.
+_RETENTION_ORACLE = """
+WITH weeks AS (
+    SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
+    FROM events
+),
+firstw AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1),
+active AS (SELECT DISTINCT user_id, week FROM weeks),
+cells AS (
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN firstw f USING (user_id)
+    GROUP BY 1, 2
+),
+base AS (
+    SELECT cohort_week, n_users AS cohort_size FROM cells WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_users,
+       round(CAST(c.n_users AS DOUBLE) / b.cohort_size * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS retention
+FROM cells c JOIN base b USING (cohort_week)
+"""
+
+
+@register("e_retention", _RETENTION_ORACLE)
+def e_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (see section comment): cohort =
+    first-activity week; each cell = distinct users active at that
+    week offset; retention = cell / cohort size (offset 0)."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    weeks = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 604800000000000").alias("week")
+    )
+    firstw = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = weeks.distinct()
+    cells = (
+        active.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        round6(
+            F.col("n_users").cast("double") / F.col("cohort_size")
+        ).alias("retention"),
+    )

@@ -275,7 +275,8 @@ SELECT doc_id,
        TRUE AS prog_eq_seq,
        TRUE AS p12_err_le_32,
        TRUE AS lossless_exact,
-       TRUE AS hier_exact
+       TRUE AS hier_exact,
+       TRUE AS arith_eq_seq
 FROM ascii_docs
 """
 
@@ -302,7 +303,13 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXP expansion, SOF7 differential lossless) over the image's first
     ≤4 rows and gates the pyramid's defining bit-exactness per row
     (`hier_exact`) — cropped so the per-sample differential coding
-    stays a bounded fraction of the kernel."""
+    stays a bounded fraction of the kernel.  A sixth leg (round 11)
+    encodes the same cropped image through the ARITHMETIC process
+    (SOF9, Annex D QM-coder — libjpeg-conformance-tested in
+    tests/test_properties.py::test_jpeg_arithmetic_*) and gates
+    byte-identity with the Huffman sequential decode per row
+    (`arith_eq_seq`): same quantized coefficients, independent
+    entropy coder."""
     from oxford_data_pipeline_spark.operators.multimodal import (
         attach_binary_payload,
         jpeg_roundtrip_stats,
@@ -315,7 +322,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, height int, width int, n_px long,"
                " max_err_le_1 boolean, prog_eq_seq boolean,"
                " p12_err_le_32 boolean, lossless_exact boolean,"
-               " hier_exact boolean",
+               " hier_exact boolean, arith_eq_seq boolean",
     )
 
 

@@ -1048,6 +1048,18 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         **_timed_audit(
             _hybrid_truth, spark, sf_dir, "ret_hybrid_rrf_truth"
         ),
+        # the quantizer RETRAIN is a build operation by definition —
+        # the FAISS re-train+re-add cycle run when the drift signal
+        # trips (see sim_ivf_drift), never per query.  Its Lloyd
+        # training and the O(corpus·k) reassignment pass are charged
+        # here (round-10 verdict item 6); the registered
+        # `sim_ivf_retrain` query then times what a reviewer of the
+        # retrain decision reads: the before/after occupancy-balance
+        # and recall AUDIT over the maintained assignments.
+        **_timed_audit(
+            lambda s, d: _retrain_parts(s, d)[2], spark, sf_dir,
+            "ivf_retrain_assignment",
+        ),
     }
 
 
@@ -2995,3 +3007,104 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_after",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Drift signal (the retrain trigger)
+# --------------------------------------------------------------------------
+# `sim_ivf_retrain` answers "what does a retrain buy"; production needs
+# the cheap poll that decides WHEN (round-10 verdict item 4).  This is
+# that poll: ONE aggregation over the maintained live cell-assignment
+# relation (post-append, post-tombstone — no training, no probes, no
+# ground truth), emitting the occupancy-skew and append-fraction
+# metrics every FAISS-operations guide watches, plus the thresholded
+# trigger itself.  At 100 TB the input is the maintained inverted-list
+# table; the poll is a map-side-combinable count per cell plus one
+# global row — schedulable every few minutes against a corpus of any
+# size.  Thresholds: max cell > _DRIFT_SKEW_MAX x the mean occupancy
+# (quantizer no longer balances the data), or more than
+# _DRIFT_DELTA_MAX of the live corpus appended since the quantizer was
+# trained (the training sample no longer represents the distribution).
+_DRIFT_SKEW_MAX = 2.0
+_DRIFT_DELTA_MAX = 0.2
+
+_IVF_DRIFT_ORACLE = f"""
+WITH {_IVF_INC_CHAIN},
+tomb AS (SELECT vec_id FROM norms_all WHERE {_CHURN_DEL_SQL}),
+live AS (
+    SELECT vec_id, cell FROM merged
+    WHERE vec_id NOT IN (SELECT vec_id FROM tomb)
+),
+occ AS (SELECT cell, count(*) AS n FROM live GROUP BY 1),
+stats AS (
+    SELECT (SELECT count(*) FROM live) AS n_live,
+           (SELECT count(*) FROM occ) AS cells_occupied,
+           (SELECT max(n) FROM occ) AS max_occ,
+           (SELECT sum(CASE WHEN {_INC_SPLIT_SQL} THEN 0 ELSE 1 END)
+            FROM live) AS n_delta
+)
+SELECT CAST(n_live AS BIGINT) AS n_live,
+       CAST(cells_occupied AS BIGINT) AS cells_occupied,
+       round(CAST(max_occ AS DOUBLE) / n_live * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS max_share,
+       round(CAST(max_occ AS DOUBLE) * cells_occupied / n_live
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS occ_skew,
+       round(CAST(n_delta AS DOUBLE) / n_live * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS delta_frac,
+       CAST(CASE WHEN round(CAST(max_occ AS DOUBLE) * cells_occupied / n_live
+                            * 1000000 + 0.01, 0) / 1000000 > {_DRIFT_SKEW_MAX}
+                   OR round(CAST(n_delta AS DOUBLE) / n_live
+                            * 1000000 + 0.01, 0) / 1000000 > {_DRIFT_DELTA_MAX}
+                 THEN 1 ELSE 0 END AS INTEGER) AS retrain_due
+FROM stats
+"""
+
+
+def ivf_drift_metrics(live: DataFrame, is_delta: F.Column) -> DataFrame:
+    """One-row drift poll over a live (vec_id, cell) assignment
+    relation: occupancy skew (max cell vs mean over occupied cells,
+    computed as max*cells/n_live so both engines stay in integer
+    arithmetic until one division) and the fraction of live vectors
+    appended since quantizer training (`is_delta`).  `retrain_due`
+    compares the ROUNDED metrics against the documented thresholds so
+    the trigger decision is bit-identical across engines.  Shared by
+    the registered `sim_ivf_drift` query and the streaming-ANN
+    example's drift-poll phase."""
+    occ = live.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    occ_stats = occ.agg(
+        F.count(F.lit(1)).cast("long").alias("cells_occupied"),
+        F.max("n").alias("_max_occ"),
+    )
+    tot = live.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(is_delta.cast("long")).alias("_n_delta"),
+    )
+    skew = round6(
+        F.col("_max_occ").cast("double") * F.col("cells_occupied")
+        / F.col("n_live")
+    )
+    dfrac = round6(F.col("_n_delta").cast("double") / F.col("n_live"))
+    return tot.crossJoin(F.broadcast(occ_stats)).select(
+        "n_live",
+        "cells_occupied",
+        round6(F.col("_max_occ").cast("double") / F.col("n_live")).alias(
+            "max_share"
+        ),
+        skew.alias("occ_skew"),
+        dfrac.alias("delta_frac"),
+        (
+            (skew > F.lit(_DRIFT_SKEW_MAX)) | (dfrac > F.lit(_DRIFT_DELTA_MAX))
+        ).cast("int").alias("retrain_due"),
+    )
+
+
+@register("sim_ivf_drift", _IVF_DRIFT_ORACLE)
+def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift poll that trips `sim_ivf_retrain` (see section
+    comment): one aggregation over the maintained live inverted list —
+    n_live, occupied cells, max cell share, occupancy skew, fraction
+    appended since train, and the thresholded `retrain_due` trigger.
+    No training, no recall probes: the cost a scheduler can afford."""
+    _long_all, _norms_all, _ranked, merged = _inc_index_parts(spark, sf_dir)
+    live = merged.filter(~_churn_del_pred())
+    return ivf_drift_metrics(live, ~_inc_base_pred())

@@ -330,3 +330,85 @@ def test_provenance_consistent_with_pipeline(spark):
         "admitted", "dedup_removed", "benchmark_member",
         "contaminated", "rejected_quality",
     }
+
+
+def test_funnel_ordering_semantics(spark, tmp_path):
+    """The funnel's ORDERING constraint on a crafted fixture: a user
+    whose purchase precedes every view, or whose view precedes signup,
+    must not convert at the later stage — the running-min window must
+    carry stage completion forward in time, not just test event
+    presence."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_funnel
+
+    rows = []
+    t0 = 1_700_000_000_000_000_000
+    h = 3_600_000_000_000
+
+    def ev(i, user, typ, hrs):
+        rows.append((i, t0 + hrs * h, user, typ, 1.0, "{}"))
+
+    # user 1: signup -> view -> purchase (full conversion)
+    ev(1, 1, "signup", 0); ev(2, 1, "view", 1); ev(3, 1, "purchase", 2)
+    # user 2: purchase BEFORE any view (stage 3 must not count)
+    ev(4, 2, "signup", 0); ev(5, 2, "purchase", 1); ev(6, 2, "view", 2)
+    # user 3: view BEFORE signup (stage 2 must not count)
+    ev(7, 3, "view", 0); ev(8, 3, "signup", 1)
+    # user 4: no signup at all (no stage counts)
+    ev(9, 4, "view", 0); ev(10, 4, "purchase", 1)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "funnel_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["stage"]: r for r in e_funnel(spark, d).collect()}
+    assert got[1]["n_users"] == 3          # users 1, 2, 3 signed up
+    assert got[2]["n_users"] == 2          # users 1, 2 viewed after signup
+    assert got[3]["n_users"] == 1          # only user 1 purchased in order
+    assert got[2]["conv_from_prev"] == round(2 / 3, 6)
+    assert got[3]["conv_from_prev"] == 0.5
+
+
+def test_retention_matrix_semantics(spark, tmp_path):
+    """Retention on a crafted two-cohort fixture: cohort = first-seen
+    week, cells count distinct returning users, rate is against the
+    cohort's own size."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_retention
+
+    wk = 604_800_000_000_000
+    rows = []
+    eid = 0
+
+    def ev(user, week):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, week * wk + 1, user, "click", 1.0, "{}"))
+
+    # cohort week 100: users 1, 2, 3; week 101: users 1, 2; week 102: user 1
+    for u in (1, 2, 3):
+        ev(u, 100)
+    for u in (1, 2):
+        ev(u, 101)
+    ev(1, 102)
+    # cohort week 101: user 4 only, returns week 102
+    ev(4, 101); ev(4, 102)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "retention_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {(r["cohort_week"], r["week_offset"]): r
+           for r in e_retention(spark, d).collect()}
+    assert got[(100, 0)]["n_users"] == 3 and got[(100, 0)]["retention"] == 1.0
+    assert got[(100, 1)]["n_users"] == 2
+    assert got[(100, 1)]["retention"] == round(2 / 3, 6)
+    assert got[(100, 2)]["n_users"] == 1
+    assert got[(101, 0)]["n_users"] == 1   # user 4's own cohort
+    assert got[(101, 1)]["n_users"] == 1 and got[(101, 1)]["retention"] == 1.0

@@ -242,3 +242,40 @@ def test_window_detector_selfcheck_current_spark(spark):
     assert plans_audit.count_single_partition_windows(
         "Window [row_number() AS r], [g], [id ASC NULLS FIRST]"
     ) == 0
+
+
+def test_paragraph_tier_shuffles_fingerprints_not_text(spark):
+    """Round-10 verdict item 3: the paragraph tier's keyed exchanges
+    must carry md5 fingerprints, never raw paragraph text — cc_net
+    ships 16-byte hashes through the shuffle, and on boilerplate-heavy
+    corpora a text-keyed exchange carries full paragraph bytes at
+    100 TB.  Pins: every hashpartitioning spec in both paragraph
+    queries' physical plans is keyed on `para_fp`/md5, with no
+    hashpartitioning(para...) exchange left."""
+    import re
+
+    from oxford_data_pipeline_spark.plans.dedup import (
+        dedup_paragraph,
+        dedup_paragraph_survivors,
+    )
+    from tests.conftest import SF_DIR
+
+    for fn in (dedup_paragraph, dedup_paragraph_survivors):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert specs, f"{fn.__name__}: no keyed exchange found"
+        # a text-keyed exchange would print the raw column directly:
+        # hashpartitioning(para#NN, ...)
+        text_keyed = [s for s in specs if re.match(r"para#", s.strip())]
+        assert not text_keyed, (
+            f"{fn.__name__}: text-keyed exchange(s) {text_keyed}"
+        )
+        # the fingerprint key appears either as the named para_fp
+        # column (the join/survivors path) or as a pre-exchange
+        # Project computing md5(para) AS _groupingexpression (the
+        # groupBy(md5(para)) path)
+        fp_keyed = any("para_fp" in s for s in specs) or (
+            any("_groupingexpression" in s for s in specs)
+            and re.search(r"md5\(cast\(para#\d+ as binary\)\)", plan)
+        )
+        assert fp_keyed, f"{fn.__name__}: no fingerprint-keyed exchange"

@@ -344,10 +344,12 @@ def test_jpeg_rejects_malformed_and_unsupported():
         jpeg_decode(good[:24])  # truncated in segments
     with pytest.raises(ValueError):
         jpeg_decode(good[:-6])  # truncated entropy-coded data
-    # arithmetic coding (SOF9) must fall to the quarantine path
+    # arithmetic LOSSLESS (SOF11) keeps the typed quarantine path
+    # (SOF9/SOF10 DCT arithmetic left quarantine in round 11 —
+    # conformance-tested in test_jpeg_arithmetic_*)
     arith = bytearray(good)
     sof = arith.find(b"\xff\xc0")
-    arith[sof + 1] = 0xC9
+    arith[sof + 1] = 0xCB
     with pytest.raises(NotImplementedError):
         jpeg_decode(bytes(arith))
     # a baseline stream RELABELED progressive has an invalid scan
@@ -1211,7 +1213,7 @@ def test_jpeg_corruption_never_crashes(seed):
     )
 
     rng = np.random.default_rng(seed)
-    kind = seed % 4
+    kind = seed % 5
     img = rng.integers(0, 256, size=(13, 11), dtype=np.uint8)
     if kind == 0:
         payload = bytearray(jpeg_encode_hierarchical(img, quality=70, levels=2))
@@ -1219,12 +1221,14 @@ def test_jpeg_corruption_never_crashes(seed):
         payload = bytearray(jpeg_encode(img, quality=80, progressive=True))
     elif kind == 2:
         payload = bytearray(jpeg_encode_lossless(img, predictor=5))
-    else:
+    elif kind == 3:
         payload = bytearray(
             jpeg_encode_hierarchical(img, quality=70, levels=3,
                                      final_lossless=False,
                                      progressive_diff=True)
         )
+    else:  # arithmetic SOF9 (round 11: the QM-coder leaves quarantine)
+        payload = bytearray(jpeg_encode(img, quality=80, arithmetic=True))
     for _ in range(int(rng.integers(1, 5))):
         payload[int(rng.integers(2, len(payload)))] ^= int(rng.integers(1, 256))
     try:
@@ -1388,3 +1392,132 @@ def test_jpeg_hier_frame_dqt_snapshot():
     dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([255]) * 64
     got, _ = jpeg_decode(base[:i] + dqt + base[i:])
     assert np.array_equal(got, expect)
+
+
+def test_jpeg_arithmetic_golden_conformance():
+    """T.81 arithmetic coding (SOF9 sequential + SOF10 progressive)
+    decode against EXTERNAL ground truth: the committed golden streams
+    were produced by libjpeg62-turbo's own arithmetic encoder
+    (scripts/jpeg_conformance.c transcodes the Huffman twin through
+    jpeg_read/write_coefficients, so coefficients are identical by
+    construction) — this decoder must reproduce the Huffman twin's
+    pixels BIT-IDENTICALLY.  This is the conformance evidence that
+    unblocked the long-carried arithmetic quarantine: self round-trips
+    cannot catch a wrong Table D.3 row or model bin, an independent
+    encoder can (and did: it caught the F.1.4.4.1.2 conditioning-on-
+    category-MSB subtlety during development)."""
+    import os
+
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_decode
+
+    gold = os.path.join(os.path.dirname(__file__), "golden", "jpeg_arith")
+    for name in ("gray", "color"):
+        dh, mh = jpeg_decode(
+            open(os.path.join(gold, f"{name}_huff.jpg"), "rb").read()
+        )
+        for variant in ("seq", "prog"):
+            da, ma = jpeg_decode(
+                open(os.path.join(gold, f"{name}_arith_{variant}.jpg"),
+                     "rb").read()
+            )
+            assert np.array_equal(dh, da), (name, variant)
+
+
+def test_jpeg_arithmetic_roundtrip_and_guards():
+    """SOF9 arithmetic encode: identical reconstruction to the Huffman
+    encode of the same image (same quantized coefficients, same IDCT)
+    across gray/color, 4:2:0/4:4:4, restart intervals and 12-bit; DAC
+    validation and the remaining SOF11/13-15 quarantine stay typed."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.default_rng(23)
+    cases = [
+        ((21, 17), 85, False, 0, 8),
+        ((33, 42, 3), 70, True, 0, 8),
+        ((16, 24, 3), 60, False, 3, 8),
+        ((40, 8), 92, False, 2, 8),
+        ((19, 22), 75, False, 0, 12),
+    ]
+    for shape, q, sub, rst, prec in cases:
+        hi = 4096 if prec == 12 else 256
+        img = rng.integers(0, hi, size=shape).astype(
+            np.uint16 if prec == 12 else np.uint8
+        )
+        a = jpeg_encode(img, quality=q, subsample=sub, restart_interval=rst,
+                        precision=prec, arithmetic=True)
+        hf = jpeg_encode(img, quality=q, subsample=sub, restart_interval=rst,
+                         precision=prec)
+        assert b"\xff\xc9" in a and b"\xff\xcc" in a and b"\xff\xc4" not in a
+        da, ma = jpeg_decode(a)
+        dh, _ = jpeg_decode(hf)
+        assert np.array_equal(da, dh), (shape, q, sub, rst, prec)
+    # arithmetic progressive encode is decode-only
+    with pytest.raises(NotImplementedError):
+        jpeg_encode(np.zeros((8, 8), np.uint8), progressive=True,
+                    arithmetic=True)
+    # remaining quarantine: arithmetic lossless / differential frames
+    base = jpeg_encode(np.zeros((8, 8), np.uint8), arithmetic=True)
+    i = base.index(b"\xff\xc9")
+    for m in (0xCB, 0xCD, 0xCE, 0xCF):
+        with pytest.raises(NotImplementedError):
+            jpeg_decode(base[:i] + bytes([0xFF, m]) + base[i + 2:])
+    # DAC validation is typed
+    j = base.index(b"\xff\xcc")
+    bad = bytearray(base)
+    bad[j + 4] = 0xF2  # DC conditioning with L > U
+    with pytest.raises(ValueError, match="DAC"):
+        jpeg_decode(bytes(bad))
+
+
+def test_jpeg_arithmetic_live_libjpeg_conformance():
+    """Bidirectional live conformance against the system libjpeg when
+    a C toolchain is present (skips otherwise; the committed golden
+    fixtures keep external evidence in CI regardless): (a) libjpeg
+    arithmetic transcodes of fresh random images decode bit-identically
+    to their Huffman twins, (b) THIS encoder's streams decode through
+    libjpeg to the same pixels as its decode of the Huffman twin."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    gcc = shutil.which("gcc")
+    if gcc is None or not os.path.exists("/usr/include/jpeglib.h"):
+        pytest.skip("no C toolchain / libjpeg headers")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "scripts", "jpeg_conformance.c")
+    with tempfile.TemporaryDirectory() as td:
+        harness = os.path.join(td, "jpeg_conformance")
+        r = subprocess.run([gcc, "-O2", "-o", harness, src, "-ljpeg"],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip(f"harness build failed: {r.stderr.decode()[:200]}")
+        rng = np.random.default_rng(31)
+        for seed in range(4):
+            color = seed % 2 == 1
+            shape = (29 + seed, 23 + seed, 3) if color else (29 + seed, 23 + seed)
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            hp, ap, mp = (os.path.join(td, n) for n in ("h.jpg", "a.jpg", "m.jpg"))
+            huff = jpeg_encode(img, quality=75 + seed)
+            open(hp, "wb").write(huff)
+            dh, _ = jpeg_decode(huff)
+            for mode in ("toarith", "toarithprog"):
+                subprocess.run([harness, mode, hp, ap], check=True)
+                da, _ = jpeg_decode(open(ap, "rb").read())
+                assert np.array_equal(dh, da), (seed, mode)
+            # my encoder through libjpeg's decoder
+            open(mp, "wb").write(
+                jpeg_encode(img, quality=75 + seed, arithmetic=True)
+            )
+            p1, p2 = os.path.join(td, "m.pnm"), os.path.join(td, "h.pnm")
+            subprocess.run([harness, "decode", mp, p1], check=True)
+            subprocess.run([harness, "decode", hp, p2], check=True)
+            assert open(p1, "rb").read() == open(p2, "rb").read(), seed

@@ -953,3 +953,36 @@ def test_dedup_paragraph_flags_real_repeats(spark):
         assert len(containing) >= r["n_docs"], r["para"]
         assert r["keep_id"] in containing
         assert min(containing) <= r["keep_id"]
+
+
+def test_bench_slow_rows_all_pinned():
+    """Round-10 verdict item 6: the bench grid's slowest rows must be
+    classified, never re-derived each round.  Every query whose
+    min-of-reps in the committed BENCH_DETAIL.json exceeds
+    bench.SLOW_MIN_SEC must carry a pinned reason in
+    bench.EXPLAINED_SLOW (build-shaped work belongs in a build_* index
+    phase instead — sim_ivf_retrain's training/reassignment are
+    charged to build_ann_index), and every pinned name must still be a
+    registered query."""
+    import json
+    import os
+
+    import bench
+    from oxford_data_pipeline_spark.plans import QUERIES
+
+    stale = [n for n in bench.EXPLAINED_SLOW if n not in QUERIES]
+    assert not stale, f"EXPLAINED_SLOW names unknown queries: {stale}"
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path) as fh:
+        detail = json.load(fh)
+    unpinned = sorted(
+        n for n, v in detail["queries_min"].items()
+        if v == v and v > bench.SLOW_MIN_SEC and n not in bench.EXPLAINED_SLOW
+    )
+    assert not unpinned, (
+        f"slow rows (min > {bench.SLOW_MIN_SEC}s) without a pinned reason:"
+        f" {unpinned} — add to bench.EXPLAINED_SLOW or charge the work to"
+        " a build phase"
+    )
