@@ -33,30 +33,33 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # front list rotates every round to keep each query's driver row <= 2
 # rounds old.  Round 11 front-loads (a) `dedup_paragraph_survivors` —
 # the only oracle query that has NEVER had a driver row (landed after
-# the r10 snapshot; round-10 verdict item 1) — plus `sim_ivf_drift`
-# (fully new this round: the retrain-trigger poll) and the two
-# queries that materially CHANGED this round: `dedup_paragraph`
-# (aggregation re-keyed from raw text to md5 fingerprints, verdict
-# item 3) and `mm_jpeg_decode` (gained the `hier_exact` gate column
-# after the r10 front froze, promised for r11); then (b) 46 of the 48
-# oracle queries whose newest driver row is r8.  That fills all 50
-# slots exactly.  Five candidates yield their slots and rotate in at
+# the r10 snapshot; round-10 verdict item 1) — plus the four queries
+# fully NEW this round (`sim_ivf_drift` the retrain-trigger poll,
+# `e_funnel`/`e_retention` event analytics, `sim_serving_ndcg` the
+# order-aware serving-quality audit) and the two that materially
+# CHANGED this round: `dedup_paragraph` (aggregation re-keyed from
+# raw text to md5 fingerprints, verdict item 3) and `mm_jpeg_decode`
+# (gained `hier_exact` after the r10 front froze — promised for r11 —
+# and this round's `arith_eq_seq` arithmetic-coding gate); then
+# (b) 43 of the 48 oracle queries whose newest driver row is r8.
+# That fills all 50 slots exactly.  Five candidates yield their slots and rotate in at
 # r12 with the r9-stale cohort: `ret_hybrid_rrf_audit` (r9 row green;
 # every change since was result-preserving memoization, parity
 # re-verified both SFs), `cur_classifier_train`/`cur_classifier_scored`
 # (their full chain is transitively exercised by
 # `cur_classifier_calibration`, IN this window, whose unrolled-CTE
 # oracle recomputes train->score->calibrate end to end), and
-# `text_bpe_merges`/`text_bpe_compression` (untouched since r5, green
-# r8 rows, re-verified in the regenerated parity at both SFs — the
-# least-risk pair to age one extra round).  Only ORACLE-CHECKED
+# `text_bpe_merges`/`text_bpe_compression` and `mm_frame_sample`
+# (untouched byte-level kernels since r5, green r8 rows, re-verified in
+# the regenerated parity at both SFs — the least-risk rows to age one
+# extra round).  Only ORACLE-CHECKED
 # queries go in the window — a rows-only query would burn a slot on
 # an err:"no_oracle" record.  Rotation reorders, never drops; the
 # suite's own oracle tests still cover the full set.
 _ROUND11_FRONT = [
     # (a) never-driver-checked + new/changed this round
     "dedup_paragraph_survivors", "sim_ivf_drift", "e_funnel",
-    "e_retention", "dedup_paragraph", "mm_jpeg_decode",
+    "e_retention", "sim_serving_ndcg", "dedup_paragraph", "mm_jpeg_decode",
     # (b) the r8-stale cohort (newest driver row = r8), minus the two
     # classifier constituents covered via calibration's chained oracle
     "cur_classifier_calibration", "cur_cluster_split", "cur_topic_balance",
@@ -65,7 +68,7 @@ _ROUND11_FRONT = [
     "dedup_ngram_jaccard_capped", "emb_knn_classify", "f5_having_admission",
     "f7_min_distinct", "f_predicate_stack", "j1_event_psth",
     "j2_dim_enrichment", "m12_sign_alignment", "m1_cca_closed_form",
-    "m4_pca_closed_form", "m6_glm_closed_form", "mm_frame_sample",
+    "m4_pca_closed_form", "m6_glm_closed_form",
     "mm_metadata_profile", "mm_phash", "mm_phash_neardup",
     "ret_hybrid_rrf", "ret_mmr", "ret_rm3_expansion", "ret_snippets",
     "sim_ivf_ann", "sim_ivf_delete", "sim_ivf_delete_recall",

@@ -10,6 +10,7 @@ when two cosines differ only in the last ulp.
 from __future__ import annotations
 
 import re
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -3108,3 +3109,81 @@ def sim_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     _long_all, _norms_all, _ranked, merged = _inc_index_parts(spark, sf_dir)
     live = merged.filter(~_churn_del_pred())
     return ivf_drift_metrics(live, ~_inc_base_pred())
+
+
+# --------------------------------------------------------------------------
+# Serving-quality metrics: graded nDCG@k + MRR of the serving tier
+# --------------------------------------------------------------------------
+# Recall@k (the audits above) treats the truth set as unordered; a
+# serving stack also needs ORDER-aware quality — the metrics an IR
+# evaluation reports.  `sim_serving_ndcg` scores the production dense
+# tier (IVF-PQ + exact re-rank) against the memoized exact truth with
+# graded relevance rel = k+1-truth_rank, plus MRR (reciprocal rank of
+# the first true neighbor served).  Determinism across engines: the
+# 1/log2(i+1) position discounts are precomputed ONCE here as INTEGER
+# micro-weights and injected into both the Spark plan and the oracle
+# SQL, so DCG is a pure integer sum (no libm in either engine) and the
+# only float ops are final IEEE divisions.  Cost: one broadcast join
+# of two k-row-per-query memoized relations — free at any corpus size.
+_NDCG_W = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _TOP_K + 1)]
+_IDCG_INT = sum((_TOP_K + 1 - i) * w for i, w in enumerate(_NDCG_W, start=1))
+
+_SERVING_NDCG_ORACLE = f"""
+WITH brute AS MATERIALIZED ({_BRUTE_ORACLE}),
+ann AS MATERIALIZED ({_IVFPQ_RERANK_ORACLE}),
+w(pos, w) AS (VALUES {", ".join(f"({i}, {w})" for i, w in enumerate(_NDCG_W, start=1))}),
+joined AS (
+    SELECT a.query_id, a.rnk,
+           CASE WHEN b.rnk IS NULL THEN 0 ELSE {_TOP_K} + 1 - b.rnk END AS rel
+    FROM ann a
+    LEFT JOIN brute b ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+)
+SELECT j.query_id,
+       CAST(sum(CASE WHEN j.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       round(CAST(sum(j.rel * w.w) AS DOUBLE) / {_IDCG_INT}
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS ndcg,
+       round(coalesce(1.0 / min(CASE WHEN j.rel > 0 THEN j.rnk END), 0.0)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS mrr
+FROM joined j JOIN w ON j.rnk = w.pos
+GROUP BY 1
+"""
+
+
+@register("sim_serving_ndcg", _SERVING_NDCG_ORACLE)
+def sim_serving_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware serving quality (see section comment): per query,
+    graded nDCG@{_TOP_K} and MRR of the IVF-PQ+rerank serving ranking
+    against the memoized exact truth — integer-weight DCG so both
+    engines agree bit-for-bit."""
+    brute = sim_cosine_topk(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("rnk").alias("trnk")
+    )
+    ann = sim_ivfpq_rerank(spark, sf_dir).select("query_id", "cand_id", "rnk")
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in range(1, _TOP_K + 1)]),
+        F.array(*[F.lit(w) for w in _NDCG_W]),
+    )
+    joined = (
+        ann.join(brute, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            "rnk",
+            F.when(
+                F.col("trnk").isNotNull(), F.lit(_TOP_K) + 1 - F.col("trnk")
+            ).otherwise(F.lit(0)).alias("rel"),
+        )
+        .withColumn("w", wmap[F.col("rnk")])
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum((F.col("rel") > 0).cast("int")).cast("long").alias("n_rel"),
+        round6(
+            F.sum(F.col("rel") * F.col("w")).cast("double") / F.lit(_IDCG_INT)
+        ).alias("ndcg"),
+        round6(
+            F.coalesce(
+                F.lit(1.0)
+                / F.min(F.when(F.col("rel") > 0, F.col("rnk"))),
+                F.lit(0.0),
+            )
+        ).alias("mrr"),
+    )

@@ -548,3 +548,56 @@ def test_mmr_score_definition_reproduced_independently(spark):
             best = (key, c, score)
     assert picks[1].cand_id == best[1]
     assert picks[1].mmr_score == pytest.approx(best[2], abs=2e-6)
+
+
+def test_serving_ndcg_matches_numpy_recomputation(spark):
+    """`sim_serving_ndcg` recomputed independently in numpy from the
+    two constituent relations (exact truth, served ranking): graded
+    rel = k+1-truth_rank, integer micro-weight DCG, MRR = 1/first true
+    neighbor's served position.  Also pins the boundary semantics:
+    ndcg == 1 exactly when the served order equals the truth order."""
+    import math
+
+    from oxford_data_pipeline_spark.plans.similarity import (
+        _NDCG_W,
+        _IDCG_INT,
+        _TOP_K,
+        sim_cosine_topk,
+        sim_ivfpq_rerank,
+        sim_serving_ndcg,
+    )
+    from tests.conftest import SF_DIR
+
+    truth = {}
+    for r in sim_cosine_topk(spark, SF_DIR).collect():
+        truth.setdefault(r["query_id"], {})[r["cand_id"]] = r["rnk"]
+    served = {}
+    for r in sim_ivfpq_rerank(spark, SF_DIR).collect():
+        served.setdefault(r["query_id"], {})[r["rnk"]] = r["cand_id"]
+    got = {r["query_id"]: r for r in sim_serving_ndcg(spark, SF_DIR).collect()}
+    assert set(got) == set(served)
+    # weight table really is round(1e6 / log2(i+1))
+    assert _NDCG_W == [
+        round(1_000_000 / math.log2(i + 1)) for i in range(1, _TOP_K + 1)
+    ]
+    for q, ranks in served.items():
+        dcg = 0
+        first = None
+        n_rel = 0
+        for pos in sorted(ranks):
+            trnk = truth[q].get(ranks[pos])
+            rel = (_TOP_K + 1 - trnk) if trnk is not None else 0
+            if rel > 0:
+                n_rel += 1
+                if first is None:
+                    first = pos
+            dcg += rel * _NDCG_W[pos - 1]
+        exp_ndcg = round(dcg / _IDCG_INT, 6)
+        exp_mrr = round(1.0 / first, 6) if first else 0.0
+        assert got[q]["n_rel"] == n_rel, q
+        assert abs(got[q]["ndcg"] - exp_ndcg) < 2e-6, (q, got[q]["ndcg"], exp_ndcg)
+        assert abs(got[q]["mrr"] - exp_mrr) < 2e-6, q
+        perfect = all(
+            truth[q].get(ranks[pos]) == pos for pos in sorted(ranks)
+        ) and n_rel == _TOP_K
+        assert (got[q]["ndcg"] == 1.0) == perfect, q
