@@ -41,9 +41,9 @@ import time
 SLOW_MIN_SEC = 2.5
 EXPLAINED_SLOW = {
     "mm_jpeg_decode": (
-        "five deliberate per-doc codec verification legs (baseline,"
-        " progressive, 12-bit, lossless, hierarchical) — the cost IS"
-        " the Arrow-batched codec work, not a plan defect"
+        "six deliberate per-doc codec verification legs (baseline,"
+        " progressive, 12-bit, lossless, hierarchical, arithmetic) —"
+        " the cost IS the Arrow-batched codec work, not a plan defect"
     ),
     "dedup_pagerank_canonical": (
         "PageRank over the dup-hostile replica graph by construction"

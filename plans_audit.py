@@ -103,8 +103,15 @@ HEADLINE = [
     "mm_jpeg_decode",
     # round 11: the drift poll that trips the retrain (one combinable
     # agg over the maintained inverted list — the plan must show a
-    # single count-per-cell aggregation, no training, no probes)
+    # single count-per-cell aggregation, no training, no probes), the
+    # order-aware serving audit (broadcast join of two k-row memoized
+    # relations), and the event-analytics pair (funnel = ONE window
+    # pass on user_id + flag agg; retention = two combinable aggs +
+    # one co-partitioned user join + broadcast rate join)
     "sim_ivf_drift",
+    "sim_serving_ndcg",
+    "e_funnel",
+    "e_retention",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -103,6 +103,15 @@ PROBE_QUERIES = [
     "dedup_paragraph",
     "cur_classifier_scored_full",
     "sim_ivf_retrain",
+    # round-11 additions: the drift poll (one combinable count-per-cell
+    # agg over the maintained live assignment — cost tracks the corpus
+    # scan, nothing else), the serving-quality audit (broadcast join of
+    # two k-row-per-query memoized relations — ~flat), and the event
+    # funnel (one window pass per user + per-user flag agg — linear in
+    # event mass, the as-of-join posture)
+    "sim_ivf_drift",
+    "sim_serving_ndcg",
+    "e_funnel",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"
@@ -121,8 +130,10 @@ def generate(spark, out: str = OUT, replicas: int = REPLICAS,
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    evs = spark.read.parquet(os.path.join(BASE, "events.parquet"))
     d_parts = []
     e_parts = []
+    v_parts = []
     for i in range(REPLICAS if replicas is None else replicas):
         if i > 0 and fixed_queries:
             did = F.col("doc_id") * 50 + 7 + F.lit(i * ID_STRIDE)
@@ -143,17 +154,36 @@ def generate(spark, out: str = OUT, replicas: int = REPLICAS,
         e_parts.append(
             embs.select(vid.alias("vec_id"), "embedding", "label")
         )
+        # events replicate as a fresh user population per replica
+        # (user_id offset), so the funnel/retention/sessionize rows
+        # grow linearly with the replica count like a real corpus
+        v_parts.append(
+            evs.select(
+                (F.col("event_id") + F.lit(i * ID_STRIDE)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * ID_STRIDE)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
     d_all = d_parts[0]
     e_all = e_parts[0]
+    v_all = v_parts[0]
     for p in d_parts[1:]:
         d_all = d_all.unionByName(p)
     for p in e_parts[1:]:
         e_all = e_all.unionByName(p)
+    for p in v_parts[1:]:
+        v_all = v_all.unionByName(p)
     d_all.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
     e_all.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
+    )
+    v_all.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
     )
 
 
@@ -212,6 +242,12 @@ X100_QUERIES = [
     "dedup_paragraph",
     "cur_classifier_scored_full",
     "sim_ivf_retrain",
+    # round-11: drift poll (corpus-linear scan of the maintained
+    # assignment — the poll price at two decades), ndcg audit
+    # (fixed-budget control row, ~flat), funnel (event-mass linear)
+    "sim_ivf_drift",
+    "sim_serving_ndcg",
+    "e_funnel",
 ]
 _MARK100 = "## Two-decade probe (sf0.1 -> 100x synthetic, fixed query budget)"
 
