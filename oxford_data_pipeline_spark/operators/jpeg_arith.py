@@ -43,7 +43,6 @@ count.
 
 from __future__ import annotations
 
-import numpy as np
 
 # --------------------------------------------------------------------------
 # ITU-T T.81 Table D.3 — the QM-coder probability estimation state

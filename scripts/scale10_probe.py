@@ -279,7 +279,8 @@ def main_x100() -> None:
     from oxford_data_pipeline_spark.session import get_spark
 
     spark = get_spark("scale100")
-    if not os.path.exists(os.path.join(OUT100, "documents.parquet")):
+    if not all(os.path.exists(os.path.join(OUT100, f"{t}.parquet"))
+               for t in ("documents", "embeddings", "events")):
         generate(spark, OUT100, 100, fixed_queries=True)
     n100 = spark.read.parquet(os.path.join(OUT100, "documents.parquet")).count()
     base = time_scale_subset(spark, BASE)
@@ -374,7 +375,8 @@ def main() -> None:
     from oxford_data_pipeline_spark.session import get_spark
 
     spark = get_spark("scale10")
-    if not os.path.exists(os.path.join(OUT, "documents.parquet")):
+    if not all(os.path.exists(os.path.join(OUT, f"{t}.parquet"))
+               for t in ("documents", "embeddings", "events")):
         generate(spark)
     n10 = spark.read.parquet(os.path.join(OUT, "documents.parquet")).count()
     base = time_scale(spark, BASE)
