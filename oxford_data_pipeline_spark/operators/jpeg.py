@@ -20,7 +20,7 @@ with differential sequential-DCT (SOF5), differential progressive
 differential lossless (SOF7) frames — the lossy-base +
 lossless-refinement shape, where the final stage is bit-exact).
 AND (round 11) ARITHMETIC entropy coding — SOF9 extended-sequential
-decode + encode and SOF10 progressive decode, the T.81 Annex D
+and SOF10 progressive, decode AND encode, the T.81 Annex D
 QM-coder with the Annex F/G statistical models and DAC conditioning,
 implemented in `operators/jpeg_arith.py`.  The long-carried
 quarantine rationale (a misremembered Table D.3 decodes external
@@ -384,19 +384,14 @@ def jpeg_encode(
     bands at Al=1 then their refinements — same reconstruction, bytes
     arrive coarse-to-fine.  The script uses the Annex K tables, so EOB
     runs are emitted per-block (EOBn>0 symbols aren't in K.3); the
-    decoder handles general EOB runs.  `arithmetic` emits the SOF9
-    extended-sequential ARITHMETIC process (T.81 Annex D/F QM-coder,
-    default conditioning, DAC emitted explicitly) — encoder output is
-    byte-conformance-tested against libjpeg; progressive arithmetic
-    (SOF10) is decode-only."""
+    decoder handles general EOB runs.  `arithmetic` emits the
+    ARITHMETIC processes (T.81 Annex D/F/G QM-coder, default
+    conditioning, DAC emitted explicitly): SOF9 extended-sequential,
+    or with `progressive` the SOF10 scan script — both
+    conformance-tested through libjpeg's decoder."""
     if progressive and restart_interval:
         raise ValueError("restart_interval unsupported with progressive "
                          "encode (decode supports both)")
-    if arithmetic and progressive:
-        raise NotImplementedError(
-            "arithmetic progressive (SOF10) encode unsupported"
-            " (decode is implemented + conformance-tested)"
-        )
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     if precision == 12 and progressive:
@@ -467,7 +462,7 @@ def jpeg_encode(
     # / SOF9 (arithmetic extended sequential)
     ncomp = len(planes)
     if arithmetic:
-        sof = b"\xff\xc9"
+        sof = b"\xff\xca" if progressive else b"\xff\xc9"
     elif progressive:
         sof = b"\xff\xc2"
     elif precision == 12:
@@ -482,6 +477,7 @@ def jpeg_encode(
         from oxford_data_pipeline_spark.operators.jpeg_arith import (
             DEFAULT_AC_KX,
             DEFAULT_DC_COND,
+            encode_arith_progressive_scans,
             encode_arith_scan,
         )
 
@@ -492,6 +488,12 @@ def jpeg_encode(
             dac += bytes([t, (DEFAULT_DC_COND[1] << 4) | DEFAULT_DC_COND[0]])
             dac += bytes([0x10 | t, DEFAULT_AC_KX])
         out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+        if progressive:  # SOF10: the Annex-G scan script, QM-coded
+            out += encode_arith_progressive_scans(
+                coefs, planes, samp, gray, h, w, _emit_sos, {}, {}
+            )
+            out += b"\xff\xd9"
+            return bytes(out)
         if restart_interval:
             out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)

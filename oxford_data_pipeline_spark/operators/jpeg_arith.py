@@ -26,9 +26,11 @@ encoder output must decode identically through libjpeg
 harness regenerates the fixtures when available).
 
 Coverage: sequential (SOF9) decode + encode, progressive (SOF10)
-decode — DC first/refine and AC first/refine scans, DAC conditioning
-(L/U bounds, Kx), restart intervals, grayscale + YCbCr 4:4:4/4:2:0,
-8-bit and 12-bit.  Arithmetic LOSSLESS (SOF11) and the differential
+decode + encode (DC first/refine and AC first/refine scans; the
+encoder emits the same 4-phase Annex-G scan script as the Huffman
+progressive emitter, QM-coded, libjpeg-decode-verified), DAC
+conditioning (L/U bounds, Kx), restart intervals, grayscale + YCbCr
+4:4:4/4:2:0, 8-bit and 12-bit.  Arithmetic LOSSLESS (SOF11) and the differential
 hierarchical arithmetic frames (SOF13-15) remain typed
 NotImplementedError — they would need the Annex-H/J drivers re-plumbed
 onto this coder and have no conformance source here.
@@ -442,8 +444,14 @@ def _decode_ac_band(dec, stats, blk, kx, ss, se, al) -> None:
 
 def _encode_ac_band(enc, stats, blk, kx, ss, se, al) -> None:
     """Mirror of `_decode_ac_band` (sequential encode uses ss=1, se=63,
-    al=0)."""
-    vals = [int(blk[k]) >> al for k in range(ss, se + 1)]
+    al=0; the progressive first pass uses the scan's Al).  The AC
+    point transform truncates the MAGNITUDE toward zero (G.1.2.2) —
+    a floor shift would round negatives away from zero."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        m = (-v if v < 0 else v) >> al
+        vals.append(-m if v < 0 else m)
     last_nz = 0
     for i, v in enumerate(vals):
         if v:
@@ -730,4 +738,145 @@ def encode_arith_scan(comps_coefs, samp, bws, mcus_x, mcus_y,
                         _encode_ac_band(enc, ac_s[ta], blk, kx, 1, 63, 0)
             mcu_count += 1
     out += enc.flush()
+    return bytes(out)
+
+
+def _encode_ac_refine(enc, stats, blk, ss, se, al) -> None:
+    """AC successive-approximation refinement encode (G.2 arithmetic
+    mirror of the decoder's refine loop): per k a correction bit at
+    st+2 for nonzero-history coefficients, a newly-nonzero decision at
+    st+1 with a fixed-bin sign, and the per-block EOB decision past
+    BOTH the history's last nonzero index and the last newly-nonzero
+    event (the decoder stops reading entirely after EOB = 1)."""
+    ah = al + 1
+
+    def mag(k):
+        v = int(blk[k])
+        return -v if v < 0 else v
+
+    kex = se
+    while kex >= ss and (mag(kex) >> ah) == 0:
+        kex -= 1
+    # the decoder decodes NOTHING after accepting EOB, so EOB may only
+    # be signalled once no newly-nonzero event remains either
+    klast = se
+    while klast >= ss and (mag(klast) >> al) == 0:
+        klast -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if k > klast:
+                enc.code(1, stats, st)  # EOB
+                return
+            enc.code(0, stats, st)
+        while True:
+            m = mag(k)
+            if (m >> ah) != 0:  # nonzero history: one correction bit
+                enc.code((m >> al) & 1, stats, st + 2)
+                break
+            if (m >> al) != 0:  # newly nonzero at this stage
+                enc.code(1, stats, st + 1)
+                enc.code_fixed(1 if int(blk[k]) < 0 else 0)
+                break
+            enc.code(0, stats, st + 1)
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refinement past band end")
+        k += 1
+
+
+def encode_arith_progressive_scans(
+    coefs, planes, samp, gray, h, w, emit_sos, dc_cond, ac_cond
+) -> bytes:
+    """The progressive ARITHMETIC scan script (SOF10) — the same
+    4-phase script as the Huffman emitter (interleaved DC first at
+    Al=1, per-component AC first bands with the luma 1-5/6-63 split,
+    interleaved DC refine, per-component AC refines), each scan a
+    fresh QM coder + statistics (T.81: every scan is an independent
+    entropy-coded segment).  `emit_sos` is the caller's SOS-header
+    builder (jpeg.py owns marker emission)."""
+    ncomp = len(coefs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    table_ids = [(0, 0)] + [(1, 1)] * (ncomp - 1)
+
+    def mcu_dc_blocks():
+        if gray:
+            for blk in coefs[0]:
+                yield [(0, blk)]
+            return
+        ywb = planes[0].shape[1] // 8
+        cwb = planes[1].shape[1] // 8
+        if samp[0] == (2, 2):
+            for my in range(planes[1].shape[0] // 8):
+                for mx in range(cwb):
+                    units = [
+                        (0, coefs[0][(2 * my + dy) * ywb + 2 * mx + dx])
+                        for dy in (0, 1) for dx in (0, 1)
+                    ]
+                    units.append((1, coefs[1][my * cwb + mx]))
+                    units.append((2, coefs[2][my * cwb + mx]))
+                    yield units
+        else:
+            for i in range(len(coefs[0])):
+                yield [(0, coefs[0][i]), (1, coefs[1][i]), (2, coefs[2][i])]
+
+    def comp_blocks(ci):
+        sh, sv = samp[ci]
+        stride = planes[ci].shape[1] // 8
+        bw_s = (-(-(w * sh) // hmax) + 7) // 8
+        bh_s = (-(-(h * sv) // vmax) + 7) // 8
+        for by in range(bh_s):
+            for bx in range(bw_s):
+                yield coefs[ci][by * stride + bx]
+
+    out = bytearray()
+    scan_comps = [(ci + 1, *table_ids[ci]) for ci in range(ncomp)]
+    # 1: DC first, interleaved, Al=1 (DC point transform = arithmetic
+    # shift per G.1.2.1)
+    out += emit_sos([(cid, td, 0) for cid, td, _ in scan_comps], 0, 0, 0, 1)
+    enc = ArithEncoder()
+    dc_s = {td: bytearray(DC_STAT_BINS) for td, _ in table_ids}
+    ctx = [0] * ncomp
+    pred = [0] * ncomp
+    for units in mcu_dc_blocks():
+        for ci, blk in units:
+            td = table_ids[ci][0]
+            lo, up = dc_cond.get(td, DEFAULT_DC_COND)
+            v = int(blk[0]) >> 1
+            diff = v - pred[ci]
+            pred[ci] = v
+            ctx[ci] = _encode_dc_diff(enc, dc_s[td], ctx[ci], diff, lo, up)
+    out += enc.flush()
+    # 2: AC first bands per component, Al=1 (luma split exercises Ss>1)
+    bands = {0: [(1, 5), (6, 63)]}
+    for ci in range(ncomp):
+        cid, _, ta = scan_comps[ci]
+        kx = ac_cond.get(ta, DEFAULT_AC_KX)
+        for ss, se in bands.get(ci, [(1, 63)]):
+            out += emit_sos([(cid, 0, ta)], ss, se, 0, 1)
+            enc = ArithEncoder()
+            ac_s = bytearray(AC_STAT_BINS)
+            for blk in comp_blocks(ci):
+                _encode_ac_band(enc, ac_s, blk, kx, ss, se, 1)
+            out += enc.flush()
+    # 3: DC refine, interleaved (fixed-bin bit Al=0 per block)
+    out += emit_sos([(cid, td, 0) for cid, td, _ in scan_comps], 0, 0, 1, 0)
+    enc = ArithEncoder()
+    for units in mcu_dc_blocks():
+        for _ci, blk in units:
+            enc.code_fixed(int(blk[0]) & 1)
+    out += enc.flush()
+    # 4: AC refine bands per component, Ah=1 -> Al=0
+    for ci in range(ncomp):
+        cid, _, ta = scan_comps[ci]
+        for ss, se in bands.get(ci, [(1, 63)]):
+            out += emit_sos([(cid, 0, ta)], ss, se, 1, 0)
+            enc = ArithEncoder()
+            ac_s = bytearray(AC_STAT_BINS)
+            for blk in comp_blocks(ci):
+                _encode_ac_refine(enc, ac_s, blk, ss, se, 0)
+            out += enc.flush()
     return bytes(out)

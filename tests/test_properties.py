@@ -1213,7 +1213,7 @@ def test_jpeg_corruption_never_crashes(seed):
     )
 
     rng = np.random.default_rng(seed)
-    kind = seed % 5
+    kind = seed % 6
     img = rng.integers(0, 256, size=(13, 11), dtype=np.uint8)
     if kind == 0:
         payload = bytearray(jpeg_encode_hierarchical(img, quality=70, levels=2))
@@ -1227,8 +1227,12 @@ def test_jpeg_corruption_never_crashes(seed):
                                      final_lossless=False,
                                      progressive_diff=True)
         )
-    else:  # arithmetic SOF9 (round 11: the QM-coder leaves quarantine)
+    elif kind == 4:  # arithmetic SOF9 (round 11: QM-coder leaves quarantine)
         payload = bytearray(jpeg_encode(img, quality=80, arithmetic=True))
+    else:  # arithmetic progressive SOF10
+        payload = bytearray(
+            jpeg_encode(img, quality=80, arithmetic=True, progressive=True)
+        )
     for _ in range(int(rng.integers(1, 5))):
         payload[int(rng.integers(2, len(payload)))] ^= int(rng.integers(1, 256))
     try:
@@ -1454,10 +1458,17 @@ def test_jpeg_arithmetic_roundtrip_and_guards():
         da, ma = jpeg_decode(a)
         dh, _ = jpeg_decode(hf)
         assert np.array_equal(da, dh), (shape, q, sub, rst, prec)
-    # arithmetic progressive encode is decode-only
-    with pytest.raises(NotImplementedError):
-        jpeg_encode(np.zeros((8, 8), np.uint8), progressive=True,
-                    arithmetic=True)
+    # arithmetic PROGRESSIVE (SOF10) encode: the Annex-G scan script
+    # QM-coded — decodes bit-identically to the sequential Huffman
+    # twin (same coefficients through scan-script + arithmetic coder)
+    rng2 = np.random.default_rng(29)
+    for shape, q in (((27, 19), 80), ((18, 25, 3), 65)):
+        img = rng2.integers(0, 256, size=shape, dtype=np.uint8)
+        ap = jpeg_encode(img, quality=q, arithmetic=True, progressive=True)
+        assert b"\xff\xca" in ap and ap.count(b"\xff\xda") > 1
+        da, meta = jpeg_decode(ap)
+        dh, _ = jpeg_decode(jpeg_encode(img, quality=q))
+        assert np.array_equal(da, dh), (shape, q)
     # remaining quarantine: arithmetic lossless / differential frames
     base = jpeg_encode(np.zeros((8, 8), np.uint8), arithmetic=True)
     i = base.index(b"\xff\xc9")
@@ -1513,11 +1524,16 @@ def test_jpeg_arithmetic_live_libjpeg_conformance():
                 subprocess.run([harness, mode, hp, ap], check=True)
                 da, _ = jpeg_decode(open(ap, "rb").read())
                 assert np.array_equal(dh, da), (seed, mode)
-            # my encoder through libjpeg's decoder
-            open(mp, "wb").write(
-                jpeg_encode(img, quality=75 + seed, arithmetic=True)
-            )
+            # my encoders (SOF9 sequential AND SOF10 progressive)
+            # through libjpeg's decoder
             p1, p2 = os.path.join(td, "m.pnm"), os.path.join(td, "h.pnm")
-            subprocess.run([harness, "decode", mp, p1], check=True)
             subprocess.run([harness, "decode", hp, p2], check=True)
-            assert open(p1, "rb").read() == open(p2, "rb").read(), seed
+            for prog in (False, True):
+                open(mp, "wb").write(
+                    jpeg_encode(img, quality=75 + seed, arithmetic=True,
+                                progressive=prog)
+                )
+                subprocess.run([harness, "decode", mp, p1], check=True)
+                assert open(p1, "rb").read() == open(p2, "rb").read(), (
+                    seed, prog,
+                )
