@@ -3163,8 +3163,12 @@ def sim_serving_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(i) for i in range(1, _TOP_K + 1)]),
         F.array(*[F.lit(w) for w in _NDCG_W]),
     )
+    # the truth side is (query budget x k) rows — bounded by the audit
+    # sample, never the corpus — so the hint holds at any scale (the
+    # memoized persisted relation carries no stats pre-AQE, which
+    # would otherwise plan a sort-merge for two tiny inputs)
     joined = (
-        ann.join(brute, ["query_id", "cand_id"], "left")
+        ann.join(F.broadcast(brute), ["query_id", "cand_id"], "left")
         .select(
             "query_id",
             "rnk",

@@ -279,3 +279,22 @@ def test_paragraph_tier_shuffles_fingerprints_not_text(spark):
             and re.search(r"md5\(cast\(para#\d+ as binary\)\)", plan)
         )
         assert fp_keyed, f"{fn.__name__}: no fingerprint-keyed exchange"
+
+
+def test_serving_ndcg_truth_join_broadcasts(spark):
+    """`sim_serving_ndcg`'s truth<->serving join must be a broadcast
+    hash join: the exact-truth side is (query budget x k) rows —
+    bounded by the audit sample, never the corpus — and a sort-merge
+    there would shuffle both k-row relations for nothing."""
+    from oxford_data_pipeline_spark.plans.similarity import sim_serving_ndcg
+    from tests.conftest import SF_DIR
+
+    plan = sim_serving_ndcg(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    # the outermost join (serving LEFT JOIN truth) is the LeftOuter one
+    left_outer = [
+        l for l in plan.splitlines() if "Join" in l and "LeftOuter" in l
+    ]
+    assert left_outer, "no truth join found"
+    assert all("BroadcastHashJoin" in l for l in left_outer), left_outer
