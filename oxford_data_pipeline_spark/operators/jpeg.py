@@ -20,9 +20,13 @@ with differential sequential-DCT (SOF5), differential progressive
 differential lossless (SOF7) frames — the lossy-base +
 lossless-refinement shape, where the final stage is bit-exact).
 AND (round 11) ARITHMETIC entropy coding — SOF9 extended-sequential
-and SOF10 progressive, decode AND encode, the T.81 Annex D
-QM-coder with the Annex F/G statistical models and DAC conditioning,
-implemented in `operators/jpeg_arith.py`.  The long-carried
+and SOF10 progressive, decode AND encode, PLUS the differential
+hierarchical arithmetic frames SOF13/SOF14 (decode + encode inside
+Annex-J pyramids, with an arithmetic SOF9 base; pinned by the
+cross-coder check that the QM-coded pyramid decodes BIT-identically
+to the Huffman SOF5/SOF6 pyramid of the same coefficients) — the
+T.81 Annex D QM-coder with the Annex F/G statistical models and DAC
+conditioning, implemented in `operators/jpeg_arith.py`.  The long-carried
 quarantine rationale (a misremembered Table D.3 decodes external
 streams wrongly while self round-trips pass) was dissolved by two
 things this environment provides: the authoritative table transcribed
@@ -31,9 +35,11 @@ conformance — committed golden streams produced by libjpeg's own
 arithmetic encoder must decode bit-identically to their Huffman
 twins, and this encoder's streams decode byte-exactly through
 libjpeg (tests/test_properties.py::test_jpeg_arithmetic_*).  Still
-quarantined with typed errors: arithmetic lossless (SOF11) and the
-differential arithmetic hierarchical frames (SOF13-15) — no
-conformance source for those here.  The encoder can emit both DCT
+quarantined with typed errors: the arithmetic LOSSLESS processes
+(SOF11/SOF15) — their statistical model (Annex H gradient
+conditioning) has its own bin layout with no conformance source
+here, exactly the risk class Table D.3 posed before libjpeg
+resolved it.  The encoder can emit both DCT
 scan styles, the 12-bit extended-sequential process with 16-bit
 tables, arithmetic sequential streams, lossless streams, and closed-
 loop hierarchical pyramids (how every decode path is round-trip-
@@ -757,7 +763,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             hier["refs"] = [_exp_upsample(p, eh, ev) for p in hier["refs"]]
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3,  # SOF0/1/2 (DCT), SOF3 (lossless)
                         0xC5, 0xC6, 0xC7,        # differential seq/prog/lossless
-                        0xC9, 0xCA):             # arithmetic seq/prog (Annex D/F)
+                        0xC9, 0xCA,              # arithmetic seq/prog (Annex D/F)
+                        0xCD, 0xCE):             # differential arithmetic seq/prog
             if hier_pend is not None:
                 # a new frame header closes the multi-scan frame before it
                 _finalize_hier_frame(hier, hier_pend)
@@ -767,16 +774,10 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("truncated SOF component list")
-            differential = marker in (0xC5, 0xC6, 0xC7)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE)
             if differential and hier is None:
                 raise ValueError("differential frame without DHP")
-            arith = marker in (0xC9, 0xCA)
-            if arith and hier is not None:
-                # arithmetic frames inside a hierarchical stream are
-                # the SOF13-15 differential territory — quarantined
-                raise NotImplementedError(
-                    "arithmetic frame in hierarchical stream"
-                )
+            arith = marker in (0xC9, 0xCA, 0xCD, 0xCE)
             if marker in (0xC3, 0xC7):
                 # lossless process: any precision 2..16 (T.81 B.2.2)
                 if not 2 <= prec <= 16:
@@ -793,15 +794,17 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     {"id": cid, "sh": hv >> 4, "sv": hv & 0x0F, "tq": tq}
                 )
             frame = (h, w, nc, prec)
-            progressive = marker in (0xC2, 0xC6, 0xCA)
+            progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
             lossless = marker in (0xC3, 0xC7)
-        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
-            # arithmetic LOSSLESS (SOF11) and the differential
-            # arithmetic hierarchical frames (SOF13-15) stay
-            # quarantined: they need the Annex-H/J drivers re-plumbed
-            # onto the QM-coder and no conformance source exists here
-            # (the DCT arithmetic processes SOF9/SOF10 are implemented
-            # in operators/jpeg_arith.py, libjpeg-conformance-tested)
+        elif marker in (0xCB, 0xCF):
+            # arithmetic LOSSLESS (SOF11/SOF15) stays quarantined: the
+            # lossless arithmetic process uses a DIFFERENT statistical
+            # model (Annex H conditioning on sample gradients, its own
+            # bin layout) with no conformance source in this
+            # environment — exactly the risk class Table D.3 posed
+            # before libjpeg resolved it.  The DCT arithmetic
+            # processes (SOF9/10 and the differential SOF13/14) are
+            # implemented in operators/jpeg_arith.py.
             raise NotImplementedError("non-baseline JPEG mode")
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -837,15 +840,29 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                             "geom": _prepare_components(frame, comps, qts),
                             "qts": {k: v.copy() for k, v in qts.items()},
                         }
-                    pos = _decode_progressive_scan(
-                        data, pos + seglen, frame, comps, smap, huff,
-                        restart, ss, se, ahal >> 4, ahal & 0x0F,
-                        *hier_pend["geom"], differential=differential,
-                    )
+                    if arith:  # SOF14 differential progressive
+                        from oxford_data_pipeline_spark.operators.jpeg_arith import (
+                            decode_arith_progressive_scan,
+                        )
+
+                        end = decode_arith_progressive_scan(
+                            data, pos + seglen, frame, comps, smap,
+                            restart, arith_dc_cond, arith_ac_cond,
+                            ss, se, ahal >> 4, ahal & 0x0F,
+                            *hier_pend["geom"], differential=differential,
+                        )
+                        pos = _skip_to_marker(data, end)
+                    else:
+                        pos = _decode_progressive_scan(
+                            data, pos + seglen, frame, comps, smap, huff,
+                            restart, ss, se, ahal >> 4, ahal & 0x0F,
+                            *hier_pend["geom"], differential=differential,
+                        )
                     continue
                 pos = _decode_hier_frame(
                     data, pos, seglen, seg, ns, hier, frame, comps, smap,
                     qts, huff, restart, lossless, differential,
+                    arith, arith_dc_cond, arith_ac_cond,
                 )
                 continue
             if lossless:
@@ -1064,13 +1081,32 @@ def _finalize_hier_frame(hier, pend):
 
 
 def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
-                       qts, huff, restart, lossless, differential):
+                       qts, huff, restart, lossless, differential,
+                       arith=False, arith_dc_cond=None, arith_ac_cond=None):
     """One single-scan frame of a hierarchical stream (T.81 Annex J):
     decode the scan to integer component planes, then install them as
     the reference components (non-differential frame) or fold them
-    into the EXP-expanded references (differential frame).  Returns
-    the offset of the marker following the scan's entropy data."""
+    into the EXP-expanded references (differential frame).  `arith`
+    is the SOF9 (non-differential base) / SOF13 (differential) path —
+    same folding, QM-coded scan.  Returns the offset of the marker
+    following the scan's entropy data."""
     refs = _validate_hier_frame(hier, frame, comps, differential)
+    if arith:
+        from oxford_data_pipeline_spark.operators.jpeg_arith import (
+            decode_arith_scan,
+        )
+
+        hmax, vmax, mcus_x, mcus_y = _prepare_components(frame, comps, qts)
+        end = decode_arith_scan(
+            data, pos + seglen, frame, comps, smap, restart,
+            arith_dc_cond or {}, arith_ac_cond or {}, mcus_x, mcus_y,
+            differential=differential,
+        )
+        planes = _component_planes(frame, comps, qts, hmax, vmax,
+                                   level_shift=not differential)
+        planes = [np.round(p).astype(np.int64) for p in planes]
+        _fold_hier_planes(hier, frame, planes, differential, refs)
+        return _skip_to_marker(data, end)
     if lossless:
         if len(seg) < 4 + 2 * ns:
             raise ValueError("truncated lossless SOS header")
@@ -1815,14 +1851,17 @@ def _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential):
     return [np.round(p).astype(np.int64) for p in planes]
 
 
-def _encode_dct_frame(planes, quality, prec, differential, progressive=False):
-    """DQT + SOF + DHT + scan bytes for one all-(1,1) DCT frame of a
-    hierarchical stream.  `planes`: int64 [h, w] arrays — samples
+def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
+                      arithmetic=False):
+    """DQT + SOF + DHT/DAC + scan bytes for one all-(1,1) DCT frame of
+    a hierarchical stream.  `planes`: int64 [h, w] arrays — samples
     (non-differential) or differences (differential, coded with no
     level shift and zero DC prediction).  `progressive=True` emits the
     SOF6 differential-progressive frame body (the Annex-G scan script
-    over difference coefficients).  Returns (bytes, decoder's integer
-    reconstruction of this frame) — identical for both scan styles,
+    over difference coefficients); `arithmetic=True` swaps the entropy
+    coder for the QM-coder (SOF9 base / SOF13 differential / SOF14
+    differential progressive).  Returns (bytes, decoder's integer
+    reconstruction of this frame) — identical for every scan style,
     since they carry the same quantized coefficients."""
     if progressive and not differential:
         raise ValueError("hierarchical progressive encode is SOF6-only")
@@ -1846,7 +1885,10 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False):
         else:
             zz = qt.astype(np.uint8)[ZIGZAG]
             out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
-    if differential:
+    if arithmetic:
+        sof = (b"\xff\xce" if progressive else b"\xff\xcd") if differential \
+            else b"\xff\xc9"
+    elif differential:
         sof = b"\xff\xc6" if progressive else b"\xff\xc5"
     elif prec == 12:
         sof = b"\xff\xc1"
@@ -1855,13 +1897,44 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False):
     out += sof + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w, nc)
     for cid in range(nc):
         out += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+    recon = _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential)
+    if arithmetic:
+        from oxford_data_pipeline_spark.operators.jpeg_arith import (
+            DEFAULT_AC_KX,
+            DEFAULT_DC_COND,
+            encode_arith_progressive_scans,
+            encode_arith_scan,
+        )
+
+        ntab = 1 if nc == 1 else 2
+        dac = bytearray()
+        for t in range(ntab):
+            dac += bytes([t, (DEFAULT_DC_COND[1] << 4) | DEFAULT_DC_COND[0]])
+            dac += bytes([0x10 | t, DEFAULT_AC_KX])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+        table_ids = [(0, 0)] + [(1, 1)] * (nc - 1)
+        if progressive:
+            out += encode_arith_progressive_scans(
+                coefs, padded, [(1, 1)] * nc, nc == 1, h, w, _emit_sos,
+                {}, {}, differential=differential,
+            )
+            return bytes(out), recon
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for cid in range(nc):
+            out += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+        out += b"\x00\x3f\x00"
+        bws = [p.shape[1] // 8 for p in padded]
+        out += encode_arith_scan(
+            coefs, [(1, 1)] * nc, bws, bws[0], len(coefs[0]) // bws[0],
+            0, {}, {}, table_ids, differential=differential,
+        )
+        return bytes(out), recon
     # the wide-category tables (DC SSSS 0..16, AC size 1..14) cover
     # 12-bit samples AND difference signals (P+1-bit range)
     dc_t, ac_t = _hufftables_12bit()
     for tc_th, (bits, vals) in ((0x00, dc_t), (0x10, ac_t)):
         out += (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
                 + bytes([tc_th]) + bytes(bits) + bytes(vals))
-    recon = _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential)
     if progressive:
         out += _encode_progressive_scans(
             coefs, padded, [(1, 1)] * nc, nc == 1, h, w, differential=True
@@ -1941,6 +2014,7 @@ def jpeg_encode_hierarchical(
     final_lossless: bool = True,
     levels: int = 2,
     progressive_diff: bool = False,
+    arithmetic: bool = False,
 ) -> bytes:
     """Hierarchical JPEG (T.81 Annex J) encode of [h, w] grayscale or
     [h, w, 3] RGB samples: DHP, a non-differential DCT base frame
@@ -1998,7 +2072,7 @@ def jpeg_encode_hierarchical(
     for _ in range(levels - 1):
         pyramid.append([_downsample2(p) for p in pyramid[-1]])
     frame_bytes, refs = _encode_dct_frame(
-        pyramid[-1], quality, precision, False
+        pyramid[-1], quality, precision, False, arithmetic=arithmetic
     )
     out += frame_bytes
     refs = [np.clip(p, 0, maxv) for p in refs]
@@ -2016,7 +2090,8 @@ def jpeg_encode_hierarchical(
             refs = target  # exact by construction (mod-2^16 sums)
         else:
             frame_bytes, rec = _encode_dct_frame(
-                diffs, quality, precision, True, progressive=progressive_diff
+                diffs, quality, precision, True,
+                progressive=progressive_diff, arithmetic=arithmetic,
             )
             out += frame_bytes
             refs = [

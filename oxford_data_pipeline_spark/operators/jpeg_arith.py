@@ -534,9 +534,15 @@ def _expect_rst(data, pos, n) -> int:
 
 
 def decode_arith_scan(data, pos, frame, comps, smap, restart,
-                      dc_cond, ac_cond, mcus_x, mcus_y) -> int:
-    """One interleaved sequential SOF9 scan: fills each component's
-    `coefs` rows, returns the offset of the terminating marker."""
+                      dc_cond, ac_cond, mcus_x, mcus_y,
+                      differential=False) -> int:
+    """One interleaved sequential SOF9/SOF13 scan: fills each
+    component's `coefs` rows, returns the offset of the terminating
+    marker.  `differential=True` is the SOF13 process (T.81
+    F.1.1.5.1): the coded DC value IS the block's difference
+    coefficient — prediction stays zero; the conditioning contexts
+    update from the coded value exactly as in the non-differential
+    case."""
     h, w, nc, prec = frame
     dec = ArithDecoder(data, pos)
     dc_stats, ac_stats, ctx, pred = _fresh_stats(comps, smap, dc_cond)
@@ -567,8 +573,11 @@ def decode_arith_scan(data, pos, frame, comps, smap, restart,
                         diff, ctx[cid] = _decode_dc_diff(
                             dec, dc_stats[td], ctx[cid], lo, up
                         )
-                        pred[cid] += diff
-                        blk[0] = pred[cid]
+                        if differential:
+                            blk[0] = diff
+                        else:
+                            pred[cid] += diff
+                            blk[0] = pred[cid]
                         _decode_ac_band(dec, ac_stats[ta], blk, kx, 1, 63, 0)
             mcu_count += 1
     return dec.scan_end()
@@ -576,7 +585,7 @@ def decode_arith_scan(data, pos, frame, comps, smap, restart,
 
 def decode_arith_progressive_scan(
     data, pos, frame, comps, smap, restart, dc_cond, ac_cond,
-    ss, se, ah, al, hmax, vmax, mcus_x, mcus_y,
+    ss, se, ah, al, hmax, vmax, mcus_x, mcus_y, differential=False,
 ) -> int:
     """One SOS of a progressive SOF10 frame (Annex G with arithmetic
     coding): DC scans interleaved in MCU order, AC scans
@@ -628,8 +637,11 @@ def decode_arith_progressive_scan(
                                 diff, ctx[cid] = _decode_dc_diff(
                                     dec, dc_stats[td], ctx[cid], lo, up
                                 )
-                                pred[cid] += diff
-                                blk[0] = pred[cid] << al
+                                if differential:
+                                    blk[0] = diff << al
+                                else:
+                                    pred[cid] += diff
+                                    blk[0] = pred[cid] << al
                             elif dec.decode_fixed():
                                 blk[0] = int(blk[0]) | (1 << al)
                 count += 1
@@ -652,8 +664,11 @@ def decode_arith_progressive_scan(
                     diff, ctx[cid] = _decode_dc_diff(
                         dec, dc_stats[td], ctx[cid], lo, up
                     )
-                    pred[cid] += diff
-                    blk[0] = pred[cid] << al
+                    if differential:
+                        blk[0] = diff << al
+                    else:
+                        pred[cid] += diff
+                        blk[0] = pred[cid] << al
                 elif dec.decode_fixed():
                     blk[0] = int(blk[0]) | (1 << al)
             elif ah == 0:
@@ -694,7 +709,7 @@ def decode_arith_progressive_scan(
 
 def encode_arith_scan(comps_coefs, samp, bws, mcus_x, mcus_y,
                       restart_interval, dc_cond, ac_cond,
-                      table_ids) -> bytes:
+                      table_ids, differential=False) -> bytes:
     """Entropy-encode one interleaved sequential scan arithmetically:
     `comps_coefs` = per-component [n_blocks, 64] zigzag coefficients in
     raster block order, `samp` = per-component (sh, sv), `bws` =
@@ -730,8 +745,11 @@ def encode_arith_scan(comps_coefs, samp, bws, mcus_x, mcus_y,
                         blk = comps_coefs[ci][
                             (my * sv + by) * bws[ci] + mx * sh + bx
                         ]
-                        diff = int(blk[0]) - pred[ci]
-                        pred[ci] = int(blk[0])
+                        if differential:
+                            diff = int(blk[0])  # zero prediction
+                        else:
+                            diff = int(blk[0]) - pred[ci]
+                            pred[ci] = int(blk[0])
                         ctx[ci] = _encode_dc_diff(
                             enc, dc_s[td], ctx[ci], diff, lo, up
                         )
@@ -788,7 +806,8 @@ def _encode_ac_refine(enc, stats, blk, ss, se, al) -> None:
 
 
 def encode_arith_progressive_scans(
-    coefs, planes, samp, gray, h, w, emit_sos, dc_cond, ac_cond
+    coefs, planes, samp, gray, h, w, emit_sos, dc_cond, ac_cond,
+    differential=False,
 ) -> bytes:
     """The progressive ARITHMETIC scan script (SOF10) — the same
     4-phase script as the Huffman emitter (interleaved DC first at
@@ -846,8 +865,11 @@ def encode_arith_progressive_scans(
             td = table_ids[ci][0]
             lo, up = dc_cond.get(td, DEFAULT_DC_COND)
             v = int(blk[0]) >> 1
-            diff = v - pred[ci]
-            pred[ci] = v
+            if differential:
+                diff = v  # zero prediction (T.81 F.1.1.5.1)
+            else:
+                diff = v - pred[ci]
+                pred[ci] = v
             ctx[ci] = _encode_dc_diff(enc, dc_s[td], ctx[ci], diff, lo, up)
     out += enc.flush()
     # 2: AC first bands per component, Al=1 (luma split exercises Ss>1)

@@ -1013,8 +1013,9 @@ def test_jpeg_hierarchical_guards():
     exp_first = good[:2] + b"\xff\xdf" + _struct.pack(">H", 3) + b"\x11" + good[2:]
     with pytest.raises(ValueError):
         jpeg_decode(exp_first)
-    # arithmetic (sequential and differential): quarantined
-    for bad_sof in (0xC9, 0xCD):
+    # arithmetic LOSSLESS (SOF15) stays quarantined (SOF9/SOF13 left
+    # quarantine in round 11 — test_jpeg_hierarchical_arithmetic_frames)
+    for bad_sof in (0xCF,):
         quarantined = bytearray(good)
         quarantined[quarantined.find(b"\xff\xc7") + 1] = bad_sof
         with pytest.raises(NotImplementedError):
@@ -1213,7 +1214,7 @@ def test_jpeg_corruption_never_crashes(seed):
     )
 
     rng = np.random.default_rng(seed)
-    kind = seed % 6
+    kind = seed % 7
     img = rng.integers(0, 256, size=(13, 11), dtype=np.uint8)
     if kind == 0:
         payload = bytearray(jpeg_encode_hierarchical(img, quality=70, levels=2))
@@ -1229,9 +1230,14 @@ def test_jpeg_corruption_never_crashes(seed):
         )
     elif kind == 4:  # arithmetic SOF9 (round 11: QM-coder leaves quarantine)
         payload = bytearray(jpeg_encode(img, quality=80, arithmetic=True))
-    else:  # arithmetic progressive SOF10
+    elif kind == 5:  # arithmetic progressive SOF10
         payload = bytearray(
             jpeg_encode(img, quality=80, arithmetic=True, progressive=True)
+        )
+    else:  # arithmetic hierarchical: SOF9 base + SOF13 stages
+        payload = bytearray(
+            jpeg_encode_hierarchical(img, quality=70, levels=3,
+                                     final_lossless=False, arithmetic=True)
         )
     for _ in range(int(rng.integers(1, 5))):
         payload[int(rng.integers(2, len(payload)))] ^= int(rng.integers(1, 256))
@@ -1469,11 +1475,17 @@ def test_jpeg_arithmetic_roundtrip_and_guards():
         da, meta = jpeg_decode(ap)
         dh, _ = jpeg_decode(jpeg_encode(img, quality=q))
         assert np.array_equal(da, dh), (shape, q)
-    # remaining quarantine: arithmetic lossless / differential frames
+    # remaining quarantine: the arithmetic LOSSLESS processes
     base = jpeg_encode(np.zeros((8, 8), np.uint8), arithmetic=True)
     i = base.index(b"\xff\xc9")
-    for m in (0xCB, 0xCD, 0xCE, 0xCF):
+    for m in (0xCB, 0xCF):
         with pytest.raises(NotImplementedError):
+            jpeg_decode(base[:i] + bytes([0xFF, m]) + base[i + 2:])
+    # SOF13/14 are implemented but differential: typed rejection
+    # without a DHP (round 11: they left quarantine inside
+    # hierarchical streams — test_jpeg_hierarchical_arithmetic_frames)
+    for m in (0xCD, 0xCE):
+        with pytest.raises(ValueError, match="DHP"):
             jpeg_decode(base[:i] + bytes([0xFF, m]) + base[i + 2:])
     # DAC validation is typed
     j = base.index(b"\xff\xcc")
@@ -1537,3 +1549,59 @@ def test_jpeg_arithmetic_live_libjpeg_conformance():
                 assert open(p1, "rb").read() == open(p2, "rb").read(), (
                     seed, prog,
                 )
+
+
+def test_jpeg_hierarchical_arithmetic_frames():
+    """SOF13/SOF14 (differential arithmetic seq/prog) + an arithmetic
+    SOF9 base inside a hierarchical stream: the QM-coded pyramid must
+    decode BIT-identically to the Huffman pyramid (SOF0 base +
+    SOF5/SOF6 stages) of the same quantized coefficients — two fully
+    independent entropy paths, one libjpeg-conformance-tested
+    (non-differential) and one spec-pinned since round 10, agreeing on
+    every pixel.  A final_lossless stage stays Huffman SOF7 (mixed
+    per-frame entropy coders are legal; the arithmetic lossless model
+    is quarantined), so the bit-exactness contract also holds."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(67)
+    cases = [
+        ((29, 21), 8, 3, False, False),   # SOF13 stages, lossy
+        ((24, 18), 8, 3, True, False),    # SOF14 stages, lossy
+        ((19, 22), 8, 3, False, True),    # SOF13 + Huffman SOF7 final
+        ((14, 17), 12, 3, True, False),   # 12-bit SOF14
+        ((16, 12, 3), 8, 3, False, False),  # color SOF13
+    ]
+    for shape, prec, lv, prog, fl in cases:
+        hi = 4096 if prec == 12 else 256
+        img = rng.integers(0, hi, size=shape).astype(
+            np.uint16 if prec == 12 else np.uint8
+        )
+        a = jpeg_encode_hierarchical(
+            img, quality=80, levels=lv, final_lossless=fl,
+            progressive_diff=prog, precision=prec, arithmetic=True,
+        )
+        hh = jpeg_encode_hierarchical(
+            img, quality=80, levels=lv, final_lossless=fl,
+            progressive_diff=prog, precision=prec,
+        )
+        want = 0xCE if prog else 0xCD
+        assert any(a[i] == 0xFF and a[i + 1] == want
+                   for i in range(len(a) - 1)), (shape, prog)
+        assert any(a[i] == 0xFF and a[i + 1] == 0xC9
+                   for i in range(len(a) - 1)), shape  # arith base
+        da, ma = jpeg_decode(a)
+        dh, _ = jpeg_decode(hh)
+        assert ma.get("hierarchical"), shape
+        assert np.array_equal(da, dh), (shape, prec, lv, prog, fl)
+        if fl:
+            assert np.array_equal(da, img), shape  # bit-exact contract
+    # SOF15 (differential arithmetic lossless) stays typed quarantine
+    from oxford_data_pipeline_spark.operators.jpeg import jpeg_encode
+
+    base = jpeg_encode(np.zeros((8, 8), np.uint8), arithmetic=True)
+    i = base.index(b"\xff\xc9")
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(base[:i] + b"\xff\xcf" + base[i + 2:])
