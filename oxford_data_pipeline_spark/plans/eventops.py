@@ -435,3 +435,68 @@ def e_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").cast("double") / F.col("cohort_size")
         ).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# E-MARKOV — next-event transition matrix (path analysis)
+# --------------------------------------------------------------------------
+# The classic clickstream path model (reference analogue: the
+# cross-session transition summaries of Cross_section_level/
+# session_transitions; LLM-pipeline analogue: user-journey features):
+# for every consecutive (event, next event) pair within a user's
+# timeline, the transition count and the row-normalized probability.
+# Scale shape: ONE exchange on user_id for the lead() window (the
+# sessionize/as-of discipline — no self-join), then a hash aggregation
+# on the tiny (from, to) state domain (map-side combinable to
+# |states|^2 rows per task) and a broadcast join against the
+# per-from-state totals.  Nothing here grows with corpus size except
+# the single user_id exchange.
+_MARKOV_ORACLE = """
+WITH ordered AS (
+    SELECT event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+           ) AS nxt
+    FROM events
+),
+counts AS (
+    SELECT event_type AS from_state, coalesce(nxt, 'END') AS to_state,
+           count(*) AS n
+    FROM ordered GROUP BY 1, 2
+),
+totals AS (SELECT from_state, sum(n) AS n_from FROM counts GROUP BY 1)
+SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.n_from * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS p
+FROM counts c JOIN totals t USING (from_state)
+"""
+
+
+@register("e_markov_transitions", _MARKOV_ORACLE)
+def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition matrix (see section comment):
+    lead() inside the user timeline, terminal transitions kept as
+    'END', probabilities row-normalized per from-state."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.select(
+            F.col("event_type").alias("from_state"),
+            F.coalesce(
+                F.lead("event_type").over(w), F.lit("END")
+            ).alias("to_state"),
+        )
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("n_from"))
+    return counts.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        round6(F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )

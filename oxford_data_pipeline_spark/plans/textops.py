@@ -582,3 +582,97 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Collocations — PMI-scored adjacent bigrams (corpus phrase mining)
+# --------------------------------------------------------------------------
+# Pointwise mutual information over adjacent token pairs: the standard
+# phrase-mining signal (Mikolov et al.'s word2phrase gate, spaCy's
+# collocation surfacing) a training-data pipeline uses to find
+# multi-word terms worth protecting from tokenization.  Scale shape:
+# bigram construction is pure array algebra inside whole-stage codegen
+# (slice + arrays_zip on the memoized tokens relation — no UDF, no
+# window); unigram and bigram counts are each ONE map-side-combinable
+# hash aggregation; the two vocabulary joins are co-partitioned
+# shuffles on the word key (vocab ~ 100M rows at 100 TB — never
+# broadcast); the single-row totals ARE broadcast; top-k is
+# TakeOrderedAndProject (no single-partition window).  Ranking uses
+# the 6-decimal-rounded PMI with (w1, w2) tie-breaks so the top-100
+# cut is stable across engines' last-ulp ln() differences.
+_COLLOCATIONS_ORACLE = f"""
+WITH {_TOKENS_CTE},
+uni AS (SELECT unnest(t) AS w FROM toks),
+unic AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+nuni AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM unic),
+big AS (
+    SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+    FROM toks WHERE len(t) >= 2
+),
+bigc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+nbig AS (SELECT CAST(sum(c12) AS DOUBLE) AS m FROM bigc),
+scored AS (
+    SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+           round(ln((b.c12 / nb.m) / ((u1.c / nu.n) * (u2.c / nu.n)))
+                 * 1000000 + 0.01, 0) / 1000000 + 0 AS pmi
+    FROM bigc b, nbig nb, nuni nu
+    JOIN unic u1 ON b.w1 = u1.w
+    JOIN unic u2 ON b.w2 = u2.w
+    WHERE b.c12 >= 5
+)
+SELECT w1, w2, c12, pmi
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+      FROM scored)
+WHERE rk <= 100
+"""
+
+
+@register("text_collocations", _COLLOCATIONS_ORACLE)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI-scored adjacent bigram collocations with min count 5
+    (see section comment for the scale shape)."""
+    toks = tokens_relation(spark, sf_dir).select("t").filter(F.size("t") >= 1)
+    unic = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    nuni = unic.agg(F.sum("c").cast("double").alias("n"))
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+            )
+        ).alias("bg")
+    )
+    bigc = (
+        pairs.select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    nbig = (
+        pairs.groupBy()
+        .agg(F.count("*").cast("double").alias("m"))
+    )
+    u1 = unic.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = unic.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bigc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nbig))
+        .crossJoin(F.broadcast(nuni))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            round6(
+                F.log(
+                    (F.col("c12") / F.col("m"))
+                    / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(100)

@@ -412,3 +412,50 @@ def test_retention_matrix_semantics(spark, tmp_path):
     assert got[(100, 2)]["n_users"] == 1
     assert got[(101, 0)]["n_users"] == 1   # user 4's own cohort
     assert got[(101, 1)]["n_users"] == 1 and got[(101, 1)]["retention"] == 1.0
+
+
+def test_markov_transitions_semantics(spark, tmp_path):
+    """Transition matrix on a crafted two-user fixture: counts follow
+    each user's OWN timeline (no cross-user transitions), terminal
+    events transition to 'END', and probabilities row-normalize per
+    from-state."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_markov_transitions
+
+    rows = []
+    t0 = 1_700_000_000_000_000_000
+    h = 3_600_000_000_000
+
+    def ev(i, user, typ, hrs):
+        rows.append((i, t0 + hrs * h, user, typ, 1.0, "{}"))
+
+    # user 1: view -> view -> purchase
+    ev(1, 1, "view", 0); ev(2, 1, "view", 1); ev(3, 1, "purchase", 2)
+    # user 2: view -> purchase (its view must NOT chain to user 1's)
+    ev(4, 2, "view", 0); ev(5, 2, "purchase", 1)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "markov_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["from_state"], r["to_state"]): r
+        for r in e_markov_transitions(spark, d).collect()
+    }
+    assert got[("view", "view")]["n"] == 1
+    assert got[("view", "purchase")]["n"] == 2
+    assert got[("purchase", "END")]["n"] == 2
+    assert ("purchase", "view") not in got      # no cross-user chaining
+    assert got[("view", "view")]["p"] == round(1 / 3, 6)
+    assert got[("view", "purchase")]["p"] == round(2 / 3, 6)
+    assert got[("purchase", "END")]["p"] == 1.0
+    # every from-state's probabilities sum to 1
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (frm, _to), r in got.items():
+        sums[frm] += r["p"]
+    for frm, s in sums.items():
+        assert abs(s - 1.0) < 1e-9, (frm, s)

@@ -1039,3 +1039,41 @@ def test_domain_blocklist_semantics_and_plan(spark):
     assert admitted < all_hosts
     blocked = {h for h, _, _ in all_hosts - admitted}
     assert all(hashlib.md5(h.encode()).hexdigest()[0] < "2" for h in blocked)
+
+
+def test_collocations_pmi_semantics(spark, tmp_path):
+    """PMI collocations on a crafted corpus: an always-adjacent pair
+    scores higher than a sometimes-adjacent pair of equally frequent
+    words; counts are adjacency counts, not co-occurrence-in-doc."""
+    import math
+    import os
+
+    from oxford_data_pipeline_spark.plans.textops import text_collocations
+
+    # 'alpha beta' always adjacent (x6); 'gamma delta' adjacent 5 of 6
+    # times, once separated by filler.  All four words appear 6 times.
+    docs = ["alpha beta gamma delta"] * 5 + ["alpha beta gamma zz delta"]
+    rows = [
+        (i, t, "en", "fixture", len(t)) for i, t in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"
+    )
+    d = str(tmp_path / "colloc_docs")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["w1"], r["w2"]): r for r in text_collocations(spark, d).collect()
+    }
+    assert got[("alpha", "beta")]["c12"] == 6
+    assert got[("gamma", "delta")]["c12"] == 5
+    # 19 bigram tokens total (5*3 + 1*4), 25 unigram tokens
+    m, n = 19.0, 25.0
+    exp_ab = math.log((6 / m) / ((6 / n) * (6 / n)))
+    exp_gd = math.log((5 / m) / ((6 / n) * (6 / n)))
+    assert got[("alpha", "beta")]["pmi"] == round(exp_ab, 6)
+    assert got[("gamma", "delta")]["pmi"] == round(exp_gd, 6)
+    assert got[("alpha", "beta")]["pmi"] > got[("gamma", "delta")]["pmi"]
+    # below the min-count gate: the one-off 'zz delta' bigram is absent
+    assert ("zz", "delta") not in got
