@@ -39,11 +39,16 @@ quarantined with typed errors: the arithmetic LOSSLESS processes
 (SOF11/SOF15) — their statistical model (Annex H gradient
 conditioning) has its own bin layout with no conformance source
 here, exactly the risk class Table D.3 posed before libjpeg
-resolved it.  The encoder can emit both DCT
+resolved it; and subsampled HIERARCHICAL frames (per-component
+reference pyramids are a different Annex-J driver).  Subsampled
+LOSSLESS is implemented (round 11): interleaved T.81 H.2 MCUs on
+each component's own sample grid, integer downsampling ratios
+(4:2:0/4:2:2/4:1:1/4:4:0), restart-reset first positions, round-trip
+pinned against pre-subsampled planes.  The encoder can emit both DCT
 scan styles, the 12-bit extended-sequential process with 16-bit
-tables, arithmetic sequential streams, lossless streams, and closed-
-loop hierarchical pyramids (how every decode path is round-trip-
-tested).
+tables, arithmetic sequential streams, lossless streams (uniform or
+pre-subsampled planes), and closed-loop hierarchical pyramids (how
+every decode path is round-trip-tested).
 
 All constants are the public spec's: Annex K.1 quantization tables,
 Annex K.3 typical Huffman tables, the zigzag order, the IJG quality
@@ -790,6 +795,10 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                # B.2.2: Hi and Vi are 1..4 — a zero factor would
+                # divide-by-zero the MCU grids (fuzzer-found)
+                if not 1 <= hv >> 4 <= 4 or not 1 <= (hv & 0x0F) <= 4:
+                    raise ValueError(f"invalid sampling factors {hv:#04x}")
                 comps.append(
                     {"id": cid, "sh": hv >> 4, "sv": hv & 0x0F, "tq": tq}
                 )
@@ -1685,8 +1694,10 @@ def _decode_lossless_scan(
             raise ValueError("differential lossless scan requires Ss=0")
     elif not 1 <= pred_sel <= 7:
         raise ValueError(f"invalid lossless predictor {pred_sel}")
-    if nc > 1 and any(c["sh"] != 1 or c["sv"] != 1 for c in comps):
-        raise NotImplementedError("subsampled lossless JPEG")
+    subsampled = nc > 1 and any(c["sh"] != 1 or c["sv"] != 1 for c in comps)
+    if subsampled and (hier_mode or differential):
+        # per-component reference pyramids are a different driver
+        raise NotImplementedError("subsampled hierarchical lossless frame")
     tables = []
     for c in comps:
         if c["id"] not in smap:
@@ -1695,6 +1706,10 @@ def _decode_lossless_scan(
         if (0, td) not in huff:
             raise ValueError("missing Huffman table")
         tables.append(huff[(0, td)])
+    if subsampled:
+        return _decode_lossless_interleaved(
+            data, pos, frame, comps, tables, restart, pred_sel, pt
+        )
     planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
     default = 1 << (prec - 1 - pt)
     reader = _BitReader(data, pos)
@@ -1735,6 +1750,94 @@ def _decode_lossless_scan(
     }
     if nc == 1:
         return out[0], meta
+    return np.stack(out, axis=-1), meta
+
+
+def _lossless_mcu_grid(frame, comps):
+    """MCU grid + per-component true dims for an interleaved lossless
+    scan (T.81 A.1.1 + A.2.3 with 1-sample data units): component i is
+    ceil(w*sh/hmax) x ceil(h*sv/vmax) samples, padded to the sh x sv
+    block grid of ceil(w/hmax) x ceil(h/vmax) MCUs.  Integer
+    downsampling ratios only (every real sampling layout: 4:2:0,
+    4:2:2, 4:1:1, 4:4:0); a 3:2-style ratio raises typed."""
+    h, w, _nc, _prec = frame
+    hmax = max(c["sh"] for c in comps)
+    vmax = max(c["sv"] for c in comps)
+    for c in comps:
+        if hmax % c["sh"] or vmax % c["sv"]:
+            raise NotImplementedError("non-integer lossless subsampling ratio")
+    mcus_x, mcus_y = -(-w // hmax), -(-h // vmax)
+    dims = [
+        (-(-h * c["sv"] // vmax), -(-w * c["sh"] // hmax)) for c in comps
+    ]
+    return hmax, vmax, mcus_x, mcus_y, dims
+
+
+def _decode_lossless_interleaved(
+    data, pos, frame, comps, tables, restart, pred_sel, pt
+):
+    """Interleaved lossless scan with sampling factors (T.81 H.2):
+    one MCU carries an sh x sv sample block per component (scan order;
+    raster within the block).  Prediction runs on each component's OWN
+    sample grid with the H.1.2.1 positional rules; a restart resets
+    every component's first-position to its next block origin, so the
+    interval's first block row takes the Ra rule and its first sample
+    the 2^(P-Pt-1) default — the same semantics the non-interleaved
+    path pins with spec-transcribed conformance tests.  Output is
+    sample-replication upsampled to frame size (the lossless process
+    defines no color transform), so co-sited samples are bit-exact —
+    which is what the round-trip tests check against the
+    pre-subsampled planes."""
+    h, w, nc, prec = frame
+    hmax, vmax, mcus_x, mcus_y, dims = _lossless_mcu_grid(frame, comps)
+    planes = [
+        np.zeros((mcus_y * c["sv"], mcus_x * c["sh"]), dtype=np.int64)
+        for c in comps
+    ]
+    default = 1 << (prec - 1 - pt)
+    firsts = [(0, 0)] * nc
+    reader = _BitReader(data, pos)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) % 8
+                firsts = [(my * c["sv"], mx * c["sh"]) for c in comps]
+            for ci, c in enumerate(comps):
+                fy, fx = firsts[ci]
+                for by in range(c["sv"]):
+                    for bx in range(c["sh"]):
+                        y, x = my * c["sv"] + by, mx * c["sh"] + bx
+                        s = reader.read_symbol(tables[ci])
+                        if s > 16:
+                            raise ValueError(f"invalid DC category {s}")
+                        if s == 16:
+                            diff = 32768
+                        elif s:
+                            diff = _extend(reader.read_bits(s), s)
+                        else:
+                            diff = 0
+                        pred = _ll_predict(
+                            planes[ci], x, y, pred_sel, default, fy, fx
+                        )
+                        planes[ci][y, x] = (pred + diff) & 0xFFFF
+            mcu_count += 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = []
+    for ci, c in enumerate(comps):
+        ch, cw = dims[ci]
+        p = (planes[ci][:ch, :cw] << pt).astype(dtype)
+        p = np.repeat(
+            np.repeat(p, vmax // c["sv"], axis=0), hmax // c["sh"], axis=1
+        )
+        out.append(p[:h, :w])
+    meta = {
+        "width": w, "height": h, "channels": nc, "format": "jpeg",
+        "precision": prec, "lossless": True, "predictor": int(pred_sel),
+        "sampling": [[c["sh"], c["sv"]] for c in comps],
+    }
     return np.stack(out, axis=-1), meta
 
 
@@ -1813,6 +1916,120 @@ def jpeg_encode_lossless(
                 writer.write(code, length)
                 if s:
                     writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            mcu_count += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_lossless_planes(
+    planes: list,
+    sampling: list,
+    frame_size: tuple[int, int],
+    predictor: int = 4,
+    precision: int | None = None,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless JPEG (SOF3) encode of PRE-SUBSAMPLED component planes
+    with explicit sampling factors — the interleaved T.81 H.2 stream
+    shape (a source that already carries reduced-resolution components
+    codes them at their own grid; the lossless process defines no
+    resampling or color transform).  Plane i must be
+    ceil(h*sv_i/vmax) x ceil(w*sh_i/hmax) for frame_size (h, w); the
+    encoder pads to the MCU block grid by edge replication (decoder
+    crops the padding away).  decode(encode(planes)) recovers each
+    plane bit-exactly at its co-sited upsampled positions when
+    point_transform == 0."""
+    h, w = int(frame_size[0]), int(frame_size[1])
+    if h <= 0 or w <= 0:
+        raise ValueError("empty image")
+    nc = len(planes)
+    if nc == 0 or nc != len(sampling):
+        raise ValueError("planes/sampling length mismatch")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    comps = [{"sh": int(sh), "sv": int(sv)} for sh, sv in sampling]
+    if any(not 1 <= c["sh"] <= 4 or not 1 <= c["sv"] <= 4 for c in comps):
+        raise ValueError("sampling factors must be 1..4")
+    hmax, vmax, mcus_x, mcus_y, dims = _lossless_mcu_grid(
+        (h, w, nc, 0), comps
+    )
+    arrs = [np.asarray(p) for p in planes]
+    for ci, (a, (ch, cw)) in enumerate(zip(arrs, dims)):
+        if a.ndim != 2 or a.shape != (ch, cw):
+            raise ValueError(
+                f"plane {ci} must be {(ch, cw)} for sampling "
+                f"{sampling[ci]}, got {a.shape}"
+            )
+    if precision is None:
+        precision = 8 if all(a.dtype == np.uint8 for a in arrs) else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"invalid lossless precision {precision}")
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError(f"invalid point transform {pt}")
+    padded = []
+    for ci, (a, c) in enumerate(zip(arrs, comps)):
+        s = a.astype(np.int64) >> pt
+        if int(s.max()) >= (1 << (precision - pt)) or int(s.min()) < 0:
+            raise ValueError("samples exceed the declared precision")
+        ph, pw = mcus_y * c["sv"], mcus_x * c["sh"]
+        padded.append(
+            np.pad(s, ((0, ph - s.shape[0]), (0, pw - s.shape[1])),
+                   mode="edge")
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for cid, c in enumerate(comps):
+        out += bytes([cid + 1, (c["sh"] << 4) | c["sv"], 0])
+    dc_tab = _hufftables_12bit()[0]
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(dc_tab[1])) + bytes([0x00])
+    out += bytes(dc_tab[0]) + bytes(dc_tab[1])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(nc):
+        out += bytes([cid + 1, 0x00])
+    out += bytes([predictor, 0, pt])
+
+    codes = _canonical_codes(*dc_tab)
+    writer = _BitWriter()
+    default = 1 << (precision - 1 - pt)
+    firsts = [(0, 0)] * nc
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                firsts = [(my * c["sv"], mx * c["sh"]) for c in comps]
+            for ci, c in enumerate(comps):
+                fy, fx = firsts[ci]
+                for by in range(c["sv"]):
+                    for bx in range(c["sh"]):
+                        y, x = my * c["sv"] + by, mx * c["sh"] + bx
+                        pred = _ll_predict(
+                            padded[ci], x, y, predictor, default, fy, fx
+                        )
+                        diff = (int(padded[ci][y, x]) - pred + 32768) \
+                            % 65536 - 32768
+                        if diff == -32768:
+                            code, length = codes[16]
+                            writer.write(code, length)
+                            continue
+                        s = _category(diff)
+                        code, length = codes[s]
+                        writer.write(code, length)
+                        if s:
+                            writer.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
             mcu_count += 1
     writer.flush()
     out += writer.out

@@ -740,12 +740,19 @@ def test_jpeg_lossless_modes_and_guards():
         jpeg_encode_lossless(g8, predictor=0)
     with pytest.raises(ValueError):
         jpeg_encode_lossless(np.full((4, 4), 300, np.uint16), precision=8)
-    # subsampled lossless quarantines with a typed error
+    # subsampled lossless is IMPLEMENTED since round 11 (interleaved
+    # H.2 MCUs) — splicing Hv=2x2 into a 1x1-coded stream now yields a
+    # normal decode of reinterpreted (damaged) data or a typed error,
+    # never a crash; the round-trip tests pin the correct-path
+    # semantics
     data = bytearray(jpeg_encode_lossless(rgb, predictor=1))
     sof = data.find(b"\xff\xc3")
     data[sof + 11] = 0x22  # first component Hv = 2x2
-    with pytest.raises(NotImplementedError):
-        jpeg_decode(bytes(data))
+    try:
+        out, _ = jpeg_decode(bytes(data))
+        assert out.ndim == 3
+    except (ValueError, NotImplementedError):
+        pass
 
 
 def _build_12bit_dc_ssss16_stream(progressive: bool) -> bytes:
@@ -1213,8 +1220,12 @@ def test_jpeg_corruption_never_crashes(seed):
         jpeg_encode_lossless,
     )
 
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_encode_lossless_planes,
+    )
+
     rng = np.random.default_rng(seed)
-    kind = seed % 7
+    kind = seed % 8
     img = rng.integers(0, 256, size=(13, 11), dtype=np.uint8)
     if kind == 0:
         payload = bytearray(jpeg_encode_hierarchical(img, quality=70, levels=2))
@@ -1234,11 +1245,17 @@ def test_jpeg_corruption_never_crashes(seed):
         payload = bytearray(
             jpeg_encode(img, quality=80, arithmetic=True, progressive=True)
         )
-    else:  # arithmetic hierarchical: SOF9 base + SOF13 stages
+    elif kind == 6:  # arithmetic hierarchical: SOF9 base + SOF13 stages
         payload = bytearray(
             jpeg_encode_hierarchical(img, quality=70, levels=3,
                                      final_lossless=False, arithmetic=True)
         )
+    else:  # interleaved subsampled lossless (round 11)
+        payload = bytearray(jpeg_encode_lossless_planes(
+            [img, img[:7, :6], img[:7, :6]],
+            [(2, 2), (1, 1), (1, 1)], (13, 11), predictor=3,
+            restart_interval=2,
+        ))
     for _ in range(int(rng.integers(1, 5))):
         payload[int(rng.integers(2, len(payload)))] ^= int(rng.integers(1, 256))
     try:
@@ -1605,3 +1622,104 @@ def test_jpeg_hierarchical_arithmetic_frames():
     i = base.index(b"\xff\xc9")
     with pytest.raises(NotImplementedError):
         jpeg_decode(base[:i] + b"\xff\xcf" + base[i + 2:])
+
+
+@given(
+    st.integers(1, 7),
+    st.sampled_from([((2, 2), (1, 1), (1, 1)),      # 4:2:0
+                     ((2, 1), (1, 1), (1, 1)),      # 4:2:2
+                     ((4, 1), (2, 1), (1, 1)),      # 4:1:1-ish mixed
+                     ((1, 2), (1, 1), (1, 2))]),    # 4:4:0 + odd mix
+    st.integers(5, 21),
+    st.integers(5, 21),
+    st.integers(0, 5),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_lossless_subsampled_roundtrip(pred, sampling, h, w, rst, seed):
+    """Interleaved subsampled lossless (T.81 H.2): pre-subsampled
+    component planes at their own grids survive encode -> decode
+    bit-exactly at the co-sited upsampled positions, across every
+    predictor, real-world sampling layout, and restart interval."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_lossless_planes,
+    )
+
+    rng = np.random.default_rng(seed)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    planes = [
+        rng.integers(
+            0, 256,
+            size=(-(-h * sv // vmax), -(-w * sh // hmax)),
+            dtype=np.uint8,
+        )
+        for sh, sv in sampling
+    ]
+    data = jpeg_encode_lossless_planes(
+        planes, list(sampling), (h, w), predictor=pred,
+        restart_interval=rst,
+    )
+    out, meta = jpeg_decode(data)
+    assert out.shape == (h, w, len(sampling))
+    assert meta["lossless"] and meta["sampling"] == [list(s) for s in sampling]
+    for ci, (sh, sv) in enumerate(sampling):
+        ch, cw = planes[ci].shape
+        got = out[:: vmax // sv, :: hmax // sh, ci][:ch, :cw]
+        assert np.array_equal(got, planes[ci]), f"component {ci}"
+
+
+def test_jpeg_lossless_subsampled_modes_and_guards():
+    """Subsampled-lossless edges: 16-bit precision, point transform,
+    plane-shape validation, the non-integer-ratio typed quarantine,
+    and equivalence with the uniform-sampling encoder."""
+    import pytest
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+        jpeg_encode_lossless_planes,
+    )
+
+    rng = np.random.default_rng(7)
+    # 16-bit 4:2:0 with point transform: lossless on x >> pt
+    planes = [
+        rng.integers(0, 65536, size=(8, 8), dtype=np.uint16),
+        rng.integers(0, 65536, size=(4, 4), dtype=np.uint16),
+        rng.integers(0, 65536, size=(4, 4), dtype=np.uint16),
+    ]
+    data = jpeg_encode_lossless_planes(
+        planes, [(2, 2), (1, 1), (1, 1)], (8, 8),
+        predictor=4, precision=16, point_transform=3,
+    )
+    out, meta = jpeg_decode(data)
+    assert meta["precision"] == 16
+    for ci, step in ((0, 1), (1, 2), (2, 2)):
+        got = out[::step, ::step, ci]
+        assert np.array_equal(
+            got, (planes[ci].astype(np.int64) >> 3 << 3).astype(np.uint16)
+        )
+    # wrong plane shape -> typed ValueError
+    with pytest.raises(ValueError, match="plane 1"):
+        jpeg_encode_lossless_planes(
+            [planes[0], planes[1][:3], planes[2]],
+            [(2, 2), (1, 1), (1, 1)], (8, 8),
+        )
+    # non-integer ratio (3:2) -> typed NotImplementedError
+    with pytest.raises(NotImplementedError, match="non-integer"):
+        jpeg_encode_lossless_planes(
+            [np.zeros((6, 6), np.uint8), np.zeros((4, 4), np.uint8)],
+            [(3, 3), (2, 2)], (6, 6),
+        )
+    # all-1x1 planes encode must decode identically to the uniform
+    # array encoder (same process, two entry points)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    a = jpeg_decode(
+        jpeg_encode_lossless_planes(
+            [rgb[:, :, c] for c in range(3)],
+            [(1, 1)] * 3, (9, 7), predictor=5,
+        )
+    )[0]
+    b = jpeg_decode(jpeg_encode_lossless(rgb, predictor=5))[0]
+    assert np.array_equal(a, b)
