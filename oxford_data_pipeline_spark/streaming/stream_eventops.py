@@ -1,0 +1,164 @@
+"""Streaming twins for the event-analytics queries: per-user NEXT-EVENT
+transitions (`e_markov_transitions`) and ordered funnel stage
+completion (`e_funnel`) as stateful operators.
+
+Both are `applyInPandasWithState` state machines keyed on user_id —
+the sessionize discipline: the only shuffle is the state exchange on
+the user key; per-user state is O(1) (a last-event carry, three
+funnel timestamps), so state size grows with |users|, never with
+event volume.  Contract: per-user in-order event-time replay (the
+same contract every maintenance twin in this package documents); the
+batch-equality tests replay the driver tables through the stream and
+require the aggregated outputs to match the batch plans exactly.
+
+Output shape is DELTAS, not finished reports:
+
+- `transition_stream` emits one (from_state, to_state) row per
+  consecutive pair — including the pair that spans a batch boundary,
+  carried by the state.  Terminal 'END' transitions are a property of
+  stream CLOSE, not of any batch; the compaction
+  (`markov_matrix_from`) folds them in from the last-event-per-user
+  relation, mirroring how the keeper compactions in `stream_dedup`
+  finalize survivors.
+- `funnel_stage_stream` emits one (user_id, stage) row the FIRST time
+  a user completes each funnel stage (1 = signup, 2 = qualified view,
+  3 = ordered purchase), with exactly the ordering semantics of the
+  batch `e_funnel` running-min window (a purchase only counts when
+  the user's FIRST view sits at-or-after their first signup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRANSITION_SCHEMA = "from_state string, to_state string"
+_TRANS_STATE = "last_ts long, last_id long, last_type string"
+
+FUNNEL_SCHEMA = "user_id long, stage int"
+# -1 sentinels for unset timestamps; flag bits for emitted stages
+_FUNNEL_STATE = (
+    "s_ts long, v_any long, v_q int, p_q int, emitted1 int,"
+    " emitted2 int, emitted3 int"
+)
+
+
+def _transitions(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    events = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    if state.exists:
+        last_ts, last_id, last_type = state.get
+    else:
+        last_ts, last_id, last_type = -1, -1, None
+    rows = []
+    for ts, eid, typ in zip(
+        events["ts"].astype("int64"),
+        events["event_id"].astype("int64"),
+        events["event_type"],
+    ):
+        if last_type is not None:
+            rows.append((last_type, typ))
+        last_ts, last_id, last_type = int(ts), int(eid), str(typ)
+    state.update((last_ts, last_id, last_type))
+    if rows:
+        yield pd.DataFrame(rows, columns=["from_state", "to_state"])
+
+
+def transition_stream(stream: DataFrame) -> DataFrame:
+    """Per-user consecutive-pair transition deltas from a
+    (user_id, ts, event_id, event_type) stream (ts = epoch ns)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _transitions,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=_TRANS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def markov_matrix_from(trans: DataFrame, last_events: DataFrame) -> DataFrame:
+    """Compaction: fold streamed transition deltas plus the
+    last-event-per-user relation (the stream-close 'END' transitions)
+    into the batch `e_markov_transitions` output shape."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ends = last_events.select(
+        F.col("event_type").alias("from_state"),
+        F.lit("END").alias("to_state"),
+    )
+    counts = (
+        trans.select("from_state", "to_state")
+        .unionByName(ends)
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("n_from"))
+    return counts.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        round6(F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )
+
+
+def _funnel_stages(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    events = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    if state.exists:
+        s_ts, v_any, v_q, p_q, em1, em2, em3 = state.get
+    else:
+        s_ts, v_any, v_q, p_q, em1, em2, em3 = -1, -1, 0, 0, 0, 0, 0
+    out = []
+    for ts, typ in zip(events["ts"].astype("int64"), events["event_type"]):
+        ts = int(ts)
+        if typ == "signup":
+            if s_ts < 0:
+                s_ts = ts
+                if not em1:
+                    em1 = 1
+                    out.append((user_id, 1))
+        elif typ == "view":
+            if v_any < 0:
+                v_any = ts
+            if s_ts >= 0 and not v_q:
+                v_q = 1
+                if not em2:
+                    em2 = 1
+                    out.append((user_id, 2))
+        elif typ == "purchase":
+            if s_ts >= 0 and v_any >= 0 and v_any >= s_ts:
+                p_q = 1
+        # stage 3 requires ALL THREE batch flags (did_signup AND
+        # did_view AND did_purchase) — p_q can precede v_q when the
+        # first view ties the first signup's timestamp but follows it
+        # in event_id order, so re-check after every event
+        if p_q and v_q and not em3:
+            em3 = 1
+            out.append((user_id, 3))
+    state.update((s_ts, v_any, v_q, p_q, em1, em2, em3))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "stage"])
+
+
+def funnel_stage_stream(stream: DataFrame) -> DataFrame:
+    """First-completion funnel stage rows from a
+    (user_id, ts, event_id, event_type) stream (ts = epoch ns)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_stages,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

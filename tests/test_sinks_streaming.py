@@ -1939,3 +1939,77 @@ def test_streaming_paragraph_compaction_equals_batch_rule(spark, tmp_path):
     for p in shared:
         assert first_occ[p][0] == 2, (p, first_occ[p])
         assert (2, first_occ[p][1], p) in compacted
+
+
+def test_streaming_event_analytics_match_batch(spark, tmp_path):
+    """The event-analytics twins: events replayed in two checkpointed
+    runs (state carried across a restart boundary) must reproduce the
+    batch plans exactly — streamed transition deltas + the
+    last-event-per-user END fold == `e_markov_transitions`, and
+    first-completion funnel stage rows == `e_funnel` stage counts."""
+    from oxford_data_pipeline_spark.plans.eventops import (
+        e_funnel,
+        e_markov_transitions,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_eventops import (
+        funnel_stage_stream,
+        markov_matrix_from,
+        transition_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"])
+    half = len(pdf) // 2
+    src = tmp_path / "ev_stream"
+    src.mkdir()
+    schema = "user_id long, ts long, event_id long, event_type string"
+    plans = {
+        "trans": transition_stream,
+        "funnel": funnel_stage_stream,
+    }
+
+    def run_all():
+        for name, plan in plans.items():
+            _restart_run(
+                spark,
+                {"schema": schema, "plan": plan},
+                src,
+                tmp_path / f"{name}_ck",
+                tmp_path / f"{name}_out",
+            )
+
+    # run 1: first half; run 2: second half (per-user in-order replay,
+    # state restored from the checkpoint across the restart)
+    pdf.iloc[:half].to_parquet(src / "part1.parquet")
+    run_all()
+    pdf.iloc[half:].to_parquet(src / "part2.parquet")
+    run_all()
+
+    trans = spark.read.parquet(str(tmp_path / "trans_out"))
+    last_events = ev.groupBy("user_id").agg(
+        F.max_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("event_type")
+    )
+    got = sorted(
+        map(tuple, markov_matrix_from(trans, last_events).collect())
+    )
+    want = sorted(map(tuple, e_markov_transitions(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
+
+    stages = spark.read.parquet(str(tmp_path / "funnel_out"))
+    got_counts = {
+        r["stage"]: r["n"]
+        for r in stages.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    want_counts = {
+        r["stage"]: r["n_users"] for r in e_funnel(spark, SF_DIR).collect()
+    }
+    assert got_counts == want_counts and want_counts[1] > 0
+    # first-completion rows are per-user unique
+    n_dupes = (
+        stages.groupBy("user_id", "stage").count().filter("count > 1").count()
+    )
+    assert n_dupes == 0
