@@ -1517,6 +1517,137 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Margin-based bitext mining (LASER / CCMatrix): aligned-pair mining
+# --------------------------------------------------------------------------
+# The parallel-corpus mining op of Artetxe & Schwenk ("Margin-based
+# Parallel Corpus Mining with Multilingual Sentence Embeddings", ACL
+# 2019) and the CCMatrix pipeline: two sides of an embedding corpus
+# (here the deterministic vec_id parity split standing in for the two
+# languages), candidate pairs scored by the RATIO margin
+# cos(x,y) / ((avgk(x) + avgk(y)) / 2), where avgk is the mean cosine
+# of each side's k nearest cross-side neighbors — the normalization
+# that suppresses hubness false positives a raw cosine threshold
+# admits.  Candidates additionally require cosine > 0 (a
+# negative-similarity pair is never a translation pair; the ratio of
+# two negatives would otherwise admit it with a large sign-flipped
+# margin).  Emitted: each source's best-margin target with margin > 1
+# (better than its neighborhood average).
+#
+# Scale shape: the dense cross-scoring below is the EXACTNESS leg,
+# same posture as `sim_cosine_topk` (the memoized ground truth the
+# recall audits compare against).  At 100 TB the candidate generation
+# swaps to the IVF tier exactly the way `emb_hard_negatives` consumes
+# `_ivf_candidates` — the margin needs only each side's top-k list
+# and its average, which are precisely what the ANN tier serves; the
+# window exchanges stay keyed on src/tgt id and the avg joins are
+# co-partitioned with them.  Determinism: ranks and averages use the
+# ROUNDED cosine (module-header discipline).
+_BITEXT_K = 4
+
+_BITEXT_ORACLE = f"""
+WITH long AS ({_EMB_LONG_SQL}),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM long GROUP BY 1),
+dots AS (
+    SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, sum(s.val * t.val) AS dot
+    FROM long s JOIN long t ON s.dim = t.dim
+    WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.src_id, d.tgt_id,
+           round(d.dot / (ns.nrm * nt.nrm) * 1000000 + 0.01, 0) / 1000000 + 0
+               AS cosine
+    FROM dots d
+    JOIN norms ns ON d.src_id = ns.vec_id
+    JOIN norms nt ON d.tgt_id = nt.vec_id
+),
+fwd AS (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+                                 ORDER BY cosine DESC, tgt_id) AS rnk
+    FROM scored
+),
+bwd AS (
+    SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                 ORDER BY cosine DESC, src_id) AS rnk
+    FROM scored
+),
+avgs AS (SELECT src_id, avg(cosine) AS avg_s FROM fwd
+         WHERE rnk <= {_BITEXT_K} GROUP BY 1),
+avgt AS (SELECT tgt_id, avg(cosine) AS avg_t FROM bwd
+         WHERE rnk <= {_BITEXT_K} GROUP BY 1),
+margins AS (
+    SELECT f.src_id, f.tgt_id, f.cosine,
+           round(f.cosine / ((a.avg_s + b.avg_t) / 2) * 1000000 + 0.01, 0)
+               / 1000000 + 0 AS margin
+    FROM fwd f
+    JOIN avgs a USING (src_id)
+    JOIN avgt b USING (tgt_id)
+    WHERE f.rnk <= {_BITEXT_K} AND f.cosine > 0
+),
+best AS (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+                                 ORDER BY margin DESC, tgt_id) AS mrnk
+    FROM margins
+)
+SELECT src_id, tgt_id, cosine, margin
+FROM best WHERE mrnk = 1 AND margin > 1.0
+"""
+
+
+@register("emb_bitext_margin", _BITEXT_ORACLE)
+def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (see section comment): each source
+    vector's best ratio-margin cross-side pair, margin > 1."""
+    from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
+
+    vecs = embeddings_vec(spark, sf_dir)
+    vs = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("vec").alias("ws"),
+        F.col("nrm").alias("ns"),
+    )
+    vt = vecs.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("vec").alias("wt"),
+        F.col("nrm").alias("nt"),
+    )
+    scored = vt.join(F.broadcast(vs)).select(
+        "src_id",
+        "tgt_id",
+        round6(pair_dot("ws", "wt") / (F.col("ns") * F.col("nt"))).alias(
+            "cosine"
+        ),
+    )
+    wf = W.partitionBy("src_id").orderBy(F.col("cosine").desc(), "tgt_id")
+    wb = W.partitionBy("tgt_id").orderBy(F.col("cosine").desc(), "src_id")
+    fwd = scored.withColumn("rnk", F.row_number().over(wf)).filter(
+        F.col("rnk") <= _BITEXT_K
+    )
+    bwd = scored.withColumn("rnk", F.row_number().over(wb)).filter(
+        F.col("rnk") <= _BITEXT_K
+    )
+    avgs = fwd.groupBy("src_id").agg(F.avg("cosine").alias("avg_s"))
+    avgt = bwd.groupBy("tgt_id").agg(F.avg("cosine").alias("avg_t"))
+    margins = (
+        fwd.filter(F.col("cosine") > 0)
+        .join(avgs, "src_id")
+        .join(avgt, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            round6(
+                F.col("cosine") / ((F.col("avg_s") + F.col("avg_t")) / 2)
+            ).alias("margin"),
+        )
+    )
+    wm = W.partitionBy("src_id").orderBy(F.col("margin").desc(), "tgt_id")
+    return (
+        margins.withColumn("mrnk", F.row_number().over(wm))
+        .filter((F.col("mrnk") == 1) & (F.col("margin") > 1.0))
+        .drop("mrnk")
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental IVF index maintenance: append a delta batch without retrain
 # --------------------------------------------------------------------------
 # The similarity twin of `dedup_incremental`: in continuous ingest you

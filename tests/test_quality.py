@@ -1077,3 +1077,41 @@ def test_collocations_pmi_semantics(spark, tmp_path):
     assert got[("alpha", "beta")]["pmi"] > got[("gamma", "delta")]["pmi"]
     # below the min-count gate: the one-off 'zz delta' bigram is absent
     assert ("zz", "delta") not in got
+
+
+def test_bitext_margin_semantics(spark, tmp_path):
+    """Margin mining on a planted fixture: the aligned cross-side pair
+    wins with margin > 1, and a uniformly-similar 'hub' source (high
+    cosine to EVERYTHING) is exactly what the ratio margin suppresses
+    relative to its neighborhood average."""
+    import os
+
+    import numpy as np
+
+    from oxford_data_pipeline_spark.plans.similarity import emb_bitext_margin
+
+    rng = np.random.default_rng(11)
+    d = 64
+    base = rng.normal(size=(4, d))
+    aligned = base[0] + 0.05 * rng.normal(size=d)     # tgt twin of src 0
+    # src side: vec_id 0 (planted), 2 (noise), 4 (hub: sum direction)
+    # tgt side: vec_id 1 (aligned with 0), 3, 5 (noise)
+    hub = base.sum(axis=0)
+    vecs = {0: base[0], 2: base[1], 4: hub, 1: aligned, 3: base[2], 5: base[3]}
+    rows = [
+        (int(vid), [float(x) for x in v], int(vid % 3))
+        for vid, v in sorted(vecs.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    dirp = str(tmp_path / "bitext_emb")
+    os.makedirs(dirp)
+    df.write.parquet(os.path.join(dirp, "embeddings.parquet"))
+    got = {r["src_id"]: r for r in emb_bitext_margin(spark, dirp).collect()}
+    assert got[0]["tgt_id"] == 1 and got[0]["margin"] > 1.0
+    assert got[0]["cosine"] > 0.9
+    # the planted pair's margin beats every other mined pair's
+    assert all(got[0]["margin"] >= r["margin"] for r in got.values())
+    # at most one emitted pair per source
+    assert len(got) <= 3
