@@ -1125,3 +1125,151 @@ def cur_classifier_calibration_full(
             F.avg(F.when(F.col("weak_label"), 1.0).otherwise(0.0))
         ).alias("obs_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication: window profile + unbounded longest match
+# --------------------------------------------------------------------------
+# The exact-substring dedup family of Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" (ACL 2022): their
+# suffix-array pass finds duplicated substrings of UNBOUNDED length,
+# where the fixed-n shingle ops (`text_dup_spans`) only see one window
+# size.  Spark-first re-expression: a suffix array's global sort is
+# the wrong primitive on a shared-nothing engine; what the dedup
+# decision needs is (a) the duplication mass at each scale and (b) the
+# maximum duplicated length — and both reduce to the question "does
+# any length-L window repeat", which is ONE map-side-combinable hash
+# aggregation per L.  `text_dup_window_profile` answers (a) over a
+# geometric L grid in a single pass union; `text_longest_dup_substring`
+# answers (b) by BISECTING on L (duplication is monotone: a repeated
+# L-window contains repeated shorter windows), ~log2(max_doc_len)
+# rounds of one aggregation each — the same O(corpus) exchange volume
+# per round as a suffix-array bucket sort, with no global sort and a
+# bounded driver scalar per round.  Exchanges are keyed on md5(window)
+# fingerprints, never window text (the paragraph-tier discipline);
+# the final answer is re-verified on exact text.
+_DUP_WINDOW_GRID = (8, 16, 32, 64, 128, 256, 512)
+
+
+def _dup_window_branch_sql(L: int) -> str:
+    return f"""
+SELECT CAST({L} AS BIGINT) AS win_len,
+       CAST(count(*) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_positions
+FROM (
+    SELECT md5(substr(text, CAST(i AS INTEGER), {L})) AS w, count(*) AS c
+    FROM documents,
+         unnest(range(1, greatest(length(text) - {L} + 2, 1))) AS t(i)
+    GROUP BY 1 HAVING count(*) >= 2
+)"""
+
+
+_DUP_WINDOW_ORACLE = "\nUNION ALL\n".join(
+    _dup_window_branch_sql(L) for L in _DUP_WINDOW_GRID
+)
+
+
+def _dup_windows_at(docs: DataFrame, L: int, fingerprint: bool = True):
+    """(window-key, count) for length-L windows occurring >= 2 times.
+    Windows are generated scan-locally (sequence + substring, pure JVM
+    array algebra) and hash-aggregated with map-side combine, so the
+    exchange carries one row per DISTINCT window key — md5 fingerprints
+    by default, exact text for the final verification pass."""
+    pos = docs.select(
+        "text",
+        F.explode(
+            F.expr(f"sequence(1, greatest(length(text) - {L} + 1, 1))")
+        ).alias("pos"),
+    ).filter(F.length("text") >= L)
+    key = F.expr(f"substring(text, pos, {L})")
+    if fingerprint:
+        key = F.md5(key.cast("binary"))
+    return (
+        pos.select(key.alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+
+
+@register("text_dup_window_profile", _DUP_WINDOW_ORACLE)
+def text_dup_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication mass per window scale (see section comment): for
+    each L in the geometric grid, how many distinct length-L windows
+    repeat and how many positions they cover."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    branches = []
+    for L in _DUP_WINDOW_GRID:
+        grp = _dup_windows_at(docs, L)
+        branches.append(
+            grp.agg(
+                F.count("*").alias("n_dup_windows"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n_dup_positions"),
+            ).select(
+                F.lit(L).cast("long").alias("win_len"),
+                F.col("n_dup_windows"),
+                F.col("n_dup_positions"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+@register("text_longest_dup_substring", None)
+def text_longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The longest substring occurring >= 2 times anywhere in the
+    corpus (within or across documents), by bisection on window length
+    (see section comment).  Rows-only by design: the bisection is
+    iterative driver-side control flow over bounded scalars (one
+    has-duplicate boolean per round), like the cross-validated ML
+    loops.  The reported maximum is re-verified on EXACT window text
+    (fingerprint probes could in principle collide); on a collision
+    the search resumes below the refuted length.  Returns one row:
+    (max_dup_len, n_dup_windows, n_dup_positions, sample_window)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs = docs.persist()
+    try:
+        max_len = docs.agg(
+            F.coalesce(F.max(F.length("text")), F.lit(0))
+        ).first()[0]
+
+        def has_dup(L: int) -> bool:
+            return bool(_dup_windows_at(docs, L).limit(1).count())
+
+        hi = int(max_len)
+        while hi >= 1:
+            # invariant: every length > hi is duplicate-free
+            if not has_dup(1):
+                break
+            lo = 1  # longest length KNOWN duplicated
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if has_dup(mid):
+                    lo = mid
+                else:
+                    hi = mid - 1
+            exact = (
+                _dup_windows_at(docs, lo, fingerprint=False)
+                .orderBy(F.col("c").desc(), F.col("w"))
+                .limit(1)
+                .collect()
+            )
+            if exact:
+                stats = _dup_windows_at(docs, lo, fingerprint=False).agg(
+                    F.count("*").alias("nw"), F.sum("c").alias("np")
+                ).first()
+                return spark.createDataFrame(
+                    [(lo, stats["nw"], stats["np"], exact[0]["w"])],
+                    "max_dup_len long, n_dup_windows long,"
+                    " n_dup_positions long, sample_window string",
+                )
+            hi = lo - 1  # fingerprint collision refuted lo: resume below
+        return spark.createDataFrame(
+            [(0, 0, 0, "")],
+            "max_dup_len long, n_dup_windows long, n_dup_positions long,"
+            " sample_window string",
+        )
+    finally:
+        docs.unpersist()

@@ -1115,3 +1115,79 @@ def test_bitext_margin_semantics(spark, tmp_path):
     assert all(got[0]["margin"] >= r["margin"] for r in got.values())
     # at most one emitted pair per source
     assert len(got) <= 3
+
+
+def test_longest_dup_substring_matches_python_reference(spark):
+    """The bisection answer at sf0.001 must equal an INDEPENDENT exact
+    reference: Python set-of-substrings bisection over the collected
+    corpus (exact text, no fingerprints)."""
+    from oxford_data_pipeline_spark.plans.quality import (
+        text_longest_dup_substring,
+    )
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(SF_DIR + "/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+
+    def n_dups_at(L):
+        seen, dups = set(), {}
+        for t in texts:
+            for i in range(len(t) - L + 1):
+                w = t[i : i + L]
+                if w in seen:
+                    dups[w] = dups.get(w, 1) + 1
+                else:
+                    seen.add(w)
+        return dups
+
+    lo, hi = 1, max(len(t) for t in texts)
+    assert n_dups_at(1)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if n_dups_at(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    want = n_dups_at(lo)
+    got = text_longest_dup_substring(spark, SF_DIR).collect()[0]
+    assert got["max_dup_len"] == lo
+    assert got["n_dup_windows"] == len(want)
+    assert got["n_dup_positions"] == sum(want.values())
+    assert got["sample_window"] in want
+
+
+def test_longest_dup_substring_planted_fixture(spark, tmp_path):
+    """A planted cross-document duplicate of KNOWN length on an
+    otherwise duplicate-free corpus (all other characters globally
+    unique codepoints): the bisection must find exactly the plant."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.quality import (
+        text_longest_dup_substring,
+    )
+
+    plant = "".join(chr(0x4E00 + i) for i in range(100))  # 100 chars
+    uniq = iter(chr(0x1000 + i) for i in range(4000))
+
+    def fill(n):
+        return "".join(next(uniq) for _ in range(n))
+
+    rows = [
+        (1, fill(50) + plant + fill(37), "en", "s", 187),
+        (2, fill(20) + plant + fill(61), "en", "s", 181),
+        (3, fill(200), "en", "s", 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"
+    )
+    d = str(tmp_path / "plant_docs")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    got = text_longest_dup_substring(spark, d).collect()[0]
+    assert got["max_dup_len"] == 100
+    assert got["sample_window"] == plant
+    assert got["n_dup_windows"] == 1 and got["n_dup_positions"] == 2
