@@ -183,6 +183,29 @@ def main(spark: SparkSession | None = None, work: str | None = None) -> dict:
         cleaned.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
     )
 
+    # ---- 4b: exact-substring audit (unbounded length) ----
+    # the bisection audit quantifies what the paragraph tier removed:
+    # before cleaning, the shared footer makes the longest duplicated
+    # substring at least footer-sized; after cleaning it survives on
+    # ONE document only, so the maximum collapses
+    from oxford_data_pipeline_spark.plans.quality import (
+        longest_dup_substring_relation,
+    )
+
+    pre_audit = longest_dup_substring_relation(
+        spark, survivors.select("text")
+    ).first()
+    post_audit = longest_dup_substring_relation(
+        spark, cleaned.select(F.col("clean_text").alias("text"))
+    ).first()
+    footer_len = len(" subscribe to our newsletter today for daily updates"
+                     " delivered straight to your inbox every single morning")
+    assert pre_audit["max_dup_len"] >= footer_len - 1
+    assert post_audit["max_dup_len"] < footer_len - 1
+    assert post_audit["max_dup_len"] <= pre_audit["max_dup_len"]
+    print(f"substring audit: longest dup {pre_audit['max_dup_len']} -> "
+          f"{post_audit['max_dup_len']} chars after paragraph tier")
+
     # ---- 5: content tier on the paragraph-cleaned survivors ----
     gated = c4_heuristics(
         pii_scrub(docs_clean)

@@ -1229,7 +1229,17 @@ def text_longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the search resumes below the refuted length.  Returns one row:
     (max_dup_len, n_dup_windows, n_dup_positions, sample_window)."""
     docs = load_table(spark, sf_dir, "documents").select("text")
-    docs = docs.persist()
+    return longest_dup_substring_relation(spark, docs)
+
+
+def longest_dup_substring_relation(
+    spark: SparkSession, docs: DataFrame
+) -> DataFrame:
+    """Relation-form core of `text_longest_dup_substring` over any
+    (text) relation — reused by the crawl example to quantify what the
+    paragraph tier removed (the audit's max length shrinks when the
+    repeated boilerplate is spliced out)."""
+    docs = docs.select("text").persist()
     try:
         max_len = docs.agg(
             F.coalesce(F.max(F.length("text")), F.lit(0))

@@ -112,6 +112,22 @@ PROBE_QUERIES = [
     "sim_ivf_drift",
     "sim_serving_ndcg",
     "e_funnel",
+    # round-11 second wave: collocations (two hash aggs + co-partitioned
+    # vocab joins — corpus-linear), the window-duplication profile
+    # (7 per-L scan-local window aggs keyed on md5 fingerprints —
+    # corpus-linear with dup-hostile amplification of duplicate GROUPS),
+    # the unbounded longest-duplicate bisection (~log2(max_doc_len)
+    # rounds of one agg over a persisted corpus — linear per round),
+    # and the markov transition matrix (one lead-window exchange on
+    # user_id + a |states|^2 agg — event-mass linear).
+    # `emb_bitext_margin` is EXCLUDED like `dedup_ngram_jaccard`:
+    # its dense cross-scoring is the documented exactness leg (both
+    # sides grow with the corpus -> quadratic by construction); the
+    # production path swaps candidates to the IVF tier.
+    "text_collocations",
+    "text_dup_window_profile",
+    "text_longest_dup_substring",
+    "e_markov_transitions",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"
@@ -248,6 +264,10 @@ X100_QUERIES = [
     "sim_ivf_drift",
     "sim_serving_ndcg",
     "e_funnel",
+    # round-11 second wave (see PROBE_QUERIES note): two corpus scans
+    # — linear is correct at two decades too
+    "text_collocations",
+    "text_dup_window_profile",
 ]
 _MARK100 = "## Two-decade probe (sf0.1 -> 100x synthetic, fixed query budget)"
 
