@@ -298,3 +298,80 @@ def test_serving_ndcg_truth_join_broadcasts(spark):
     ]
     assert left_outer, "no truth join found"
     assert all("BroadcastHashJoin" in l for l in left_outer), left_outer
+
+
+def _executed_plan(spark, name):
+    from oxford_data_pipeline_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    return (
+        QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_markov_plan_single_user_exchange_and_broadcast_totals(spark):
+    """e_markov_transitions: the lead() window must be the sessionize
+    shape (ONE hash exchange on user_id, never a single-partition
+    window), the state-domain totals join must broadcast, and nothing
+    falls back to Python evaluation."""
+    plan = _executed_plan(spark, "e_markov_transitions")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert node not in plan
+    assert "BroadcastHashJoin" in plan          # totals join
+    assert "SortMergeJoin" not in plan
+    # the window partitions by user_id (no empty partitionBy window)
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "user_id" in m.group(1), plan
+
+
+def test_collocations_plan_shape(spark):
+    """text_collocations: bigram construction must stay JVM-side (no
+    Python eval), the top-k must compile to TakeOrderedAndProject (no
+    single-partition window), the single-row totals must broadcast,
+    and the vocabulary joins must be shuffle joins on the word key
+    (broadcasting a 100M-row vocab would be the 100 TB mistake — at
+    test SF Spark may still pick broadcast by size, so assert only
+    that the PLAN never turned the vocab join into a nested loop)."""
+    plan = _executed_plan(spark, "text_collocations")
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window") == 0
+    # only the two single-row totals ride nested-loop broadcasts
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_dup_window_profile_plan_scan_local_windows(spark):
+    """text_dup_window_profile: per-L windows must be generated
+    scan-locally (explode inside the scan stage, no join, no Python),
+    with ONE hash aggregation per grid length — the exchange carries
+    md5 fingerprints."""
+    plan = _executed_plan(spark, "text_dup_window_profile")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert node not in plan
+    assert "Union" in plan
+    assert "md5" in plan  # fingerprint-keyed aggregation
+    # partial + final pairs per branch; no more exchanges than branches
+    from oxford_data_pipeline_spark.plans.quality import _DUP_WINDOW_GRID
+
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= len(_DUP_WINDOW_GRID), plan
+
+
+def test_bitext_plan_no_python_and_partitioned_windows(spark):
+    """emb_bitext_margin: scoring folds arrays JVM-side; every window
+    partitions by a key (src/tgt), never a single partition."""
+    plan = _executed_plan(spark, "emb_bitext_margin")
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+    import re
+
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins, "expected window nodes"
+    for grp in wins:
+        assert ("src_id" in grp) or ("tgt_id" in grp), grp
