@@ -500,3 +500,160 @@ def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         round6(F.col("n").cast("double") / F.col("n_from")).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# E-DAU-HLL — time-partitioned distinct sketches with register merge
+# --------------------------------------------------------------------------
+# The sketch-mergeability story every 100 TB metrics pipeline relies
+# on: per-DAY HyperLogLog register relations for distinct users
+# (constant 256-bucket size per day, map-side-combinable max-agg
+# maintenance — the `cur_vocab_hll` machinery keyed by time), then
+# WEEKLY cardinalities obtained by MERGING the daily registers
+# (bucket-wise max — associative, so merged registers are provably
+# IDENTICAL to sketching the week directly; the query emits the
+# full-outer mismatch count, 0 by construction, as the audited
+# invariant).  The estimate uses the standard HLL formula with the
+# small-range LinearCounting correction; the correction branch is
+# taken on the ROUNDED raw estimate and the INTEGER zero-register
+# count so both engines take the same branch.  Nothing here retains
+# per-user state beyond the day's 256 registers: the merge means
+# history can be kept as sketches, never raw IDs.
+_DAU_ALPHA = "(0.7213 / (1 + 1.079 / 256))"
+
+_DAU_HLL_ORACLE = f"""
+WITH ev AS (
+    SELECT epoch_ns(ts) // 604800000000000 AS week,
+           epoch_ns(ts) // 86400000000000 AS day,
+           user_id,
+           md5(CAST(user_id AS VARCHAR)) AS h
+    FROM events
+),
+rhos AS (
+    SELECT week, day, user_id,
+        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+        CASE WHEN length(regexp_extract(substr(h, 3, 12), '^0*')) = 12
+             THEN 49
+             ELSE length(regexp_extract(substr(h, 3, 12), '^0*')) * 4
+                + (4 - CASE WHEN strpos('0123456789abcdef',
+                                 substr(h, 3 + length(regexp_extract(
+                                     substr(h, 3, 12), '^0*')), 1)) - 1 >= 8
+                            THEN 4
+                            WHEN strpos('0123456789abcdef',
+                                 substr(h, 3 + length(regexp_extract(
+                                     substr(h, 3, 12), '^0*')), 1)) - 1 >= 4
+                            THEN 3
+                            WHEN strpos('0123456789abcdef',
+                                 substr(h, 3 + length(regexp_extract(
+                                     substr(h, 3, 12), '^0*')), 1)) - 1 >= 2
+                            THEN 2
+                            ELSE 1 END) + 1 END AS rho
+    FROM ev
+),
+daily AS (SELECT week, day, bucket, max(rho) AS mreg FROM rhos GROUP BY 1, 2, 3),
+merged AS (SELECT week, bucket, max(mreg) AS mreg FROM daily GROUP BY 1, 2),
+direct AS (SELECT week, bucket, max(rho) AS mreg FROM rhos GROUP BY 1, 2),
+mm AS (
+    SELECT coalesce(m.week, d.week) AS week,
+           CAST(sum(CASE WHEN m.mreg IS DISTINCT FROM d.mreg
+                         THEN 1 ELSE 0 END) AS BIGINT) AS merge_mismatches
+    FROM merged m
+    FULL OUTER JOIN direct d ON m.week = d.week AND m.bucket = d.bucket
+    GROUP BY 1
+),
+est AS (
+    SELECT week, count(*) AS occupied,
+           sum(pow(2.0, -mreg)) AS sumpow
+    FROM direct GROUP BY 1
+),
+ex AS (
+    SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_dau
+    FROM ev GROUP BY 1
+),
+calc AS (
+    SELECT e.week, x.exact_dau, mm.merge_mismatches,
+           256 - e.occupied AS zeros,
+           round({_DAU_ALPHA} * 256 * 256 / (e.sumpow + (256 - e.occupied))
+                 * 1000000 + 0.01, 0) / 1000000 + 0 AS raw_r
+    FROM est e
+    JOIN ex x ON e.week = x.week
+    JOIN mm ON e.week = mm.week
+)
+SELECT week, exact_dau,
+       round(CASE WHEN raw_r <= 640 AND zeros > 0
+                  THEN 256 * ln(CAST(256 AS DOUBLE) / zeros)
+                  ELSE raw_r END * 1000000 + 0.01, 0) / 1000000 + 0 AS est_dau,
+       merge_mismatches
+FROM calc
+"""
+
+
+@register("e_dau_hll", _DAU_HLL_ORACLE)
+def e_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users from MERGED daily HLL sketches (see
+    section comment): bucket-wise max merge, audited register-exact
+    against the direct weekly sketch, LinearCounting small-range
+    correction on deterministic branch inputs."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts DIV 604800000000000").alias("week"),
+        F.expr("ts DIV 86400000000000").alias("day"),
+        "user_id",
+    )
+    h = F.md5(F.col("user_id").cast("string").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    tail = F.substring(h, 3, 12)
+    v = F.conv(tail, 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.conv(tail, 16, 2))
+    )
+    rhos = ev.select(
+        "week", "day", "user_id", bucket.alias("bucket"), rho.alias("rho")
+    )
+    daily = rhos.groupBy("week", "day", "bucket").agg(
+        F.max("rho").alias("mreg")
+    )
+    merged = daily.groupBy("week", "bucket").agg(F.max("mreg").alias("mreg"))
+    direct = rhos.groupBy("week", "bucket").agg(F.max("rho").alias("mreg"))
+    mm = (
+        merged.select("week", "bucket", F.col("mreg").alias("m_mreg"))
+        .join(
+            direct.select("week", "bucket", F.col("mreg").alias("d_mreg")),
+            ["week", "bucket"],
+            "full_outer",
+        )
+        .groupBy("week")
+        .agg(
+            F.sum(
+                (~F.col("m_mreg").eqNullSafe(F.col("d_mreg"))).cast("int")
+            ).alias("merge_mismatches")
+        )
+    )
+    est = direct.groupBy("week").agg(
+        F.count("*").alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("sumpow"),
+    )
+    ex = ev.groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact_dau")
+    )
+    zeros = F.lit(256) - F.col("occupied")
+    raw_r = round6(
+        F.expr(_DAU_ALPHA) * 256 * 256 / (F.col("sumpow") + zeros)
+    )
+    return (
+        est.join(ex, "week")
+        .join(mm, "week")
+        .select(
+            "week",
+            "exact_dau",
+            round6(
+                F.when(
+                    (raw_r <= 640) & (zeros > 0),
+                    F.lit(256) * F.log(F.lit(256.0) / zeros),
+                ).otherwise(raw_r)
+            ).alias("est_dau"),
+            "merge_mismatches",
+        )
+    )

@@ -459,3 +459,42 @@ def test_markov_transitions_semantics(spark, tmp_path):
         sums[frm] += r["p"]
     for frm, s in sums.items():
         assert abs(s - 1.0) < 1e-9, (frm, s)
+
+
+def test_dau_hll_merge_invariant_and_accuracy(spark, tmp_path):
+    """Daily->weekly HLL merge on a crafted corpus: users split across
+    different DAYS of one week must be estimated once (merged
+    registers == direct weekly registers, mismatches 0), and the
+    LinearCounting estimate lands within 15% of truth at n=120,
+    m=256."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_dau_hll
+
+    rows = []
+    day_ns = 86_400_000_000_000
+    week0 = 2_900 * 7 * day_ns
+    # week A: 120 users spread over 5 days (24 each, disjoint)
+    for u in range(120):
+        rows.append((len(rows), week0 + (u % 5) * day_ns, 1000 + u,
+                     "view", 1.0, "{}"))
+    # week B: 10 users, each active EVERY day (merge must not
+    # double-count repeat appearances)
+    for d in range(7):
+        for u in range(10):
+            rows.append((len(rows), week0 + 7 * day_ns + d * day_ns,
+                         2000 + u, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "dau_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["week"]: r for r in e_dau_hll(spark, d).collect()}
+    assert len(got) == 2
+    wa, wb = sorted(got)
+    assert got[wa]["exact_dau"] == 120 and got[wb]["exact_dau"] == 10
+    for r in got.values():
+        assert r["merge_mismatches"] == 0
+        assert abs(r["est_dau"] - r["exact_dau"]) / r["exact_dau"] < 0.15
