@@ -128,6 +128,7 @@ PROBE_QUERIES = [
     "text_dup_window_profile",
     "text_longest_dup_substring",
     "e_markov_transitions",
+    "e_dau_hll",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"
