@@ -58,6 +58,12 @@ EXPLAINED_SLOW = {
         "two postings probes by definition: pass-1 feedback ranking"
         " plus the expanded pass-2 query"
     ),
+    "text_longest_dup_substring": (
+        "~log2(max_doc_len) bisection rounds of ONE window aggregation"
+        " each, by design — the price of the unbounded-length answer;"
+        " every round is O(corpus) map-side-combinable over a persisted"
+        " input, never pairwise"
+    ),
 }
 
 
