@@ -1197,7 +1197,7 @@ def text_dup_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication mass per window scale (see section comment): for
     each L in the geometric grid, how many distinct length-L windows
     repeat and how many positions they cover."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("text"))
     branches = []
     for L in _DUP_WINDOW_GRID:
         grp = _dup_windows_at(docs, L)
@@ -1228,7 +1228,7 @@ def text_longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fingerprint probes could in principle collide); on a collision
     the search resumes below the refuted length.  Returns one row:
     (max_dup_len, n_dup_windows, n_dup_positions, sample_window)."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("text"))
     return longest_dup_substring_relation(spark, docs)
 
 
