@@ -112,6 +112,20 @@ HEADLINE = [
     "sim_serving_ndcg",
     "e_funnel",
     "e_retention",
+    # round 11 second wave: markov (ONE user_id window exchange +
+    # broadcast totals), collocations (TakeOrderedAndProject top-k,
+    # co-partitioned vocab joins, single-row broadcast totals), bitext
+    # margin (src/tgt-partitioned windows over the dense exactness
+    # leg), the fingerprint-keyed window-duplication profile (union of
+    # scan-local per-L aggregations, no joins), and the HLL merge
+    # (register max-aggs + full-outer invariant join, all combinable).
+    # text_longest_dup_substring is EXCLUDED: iterative bisection has
+    # no single plan — its per-round plan is the profile's branch.
+    "e_markov_transitions",
+    "text_collocations",
+    "emb_bitext_margin",
+    "text_dup_window_profile",
+    "e_dau_hll",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
