@@ -7,11 +7,14 @@ decode stub into a real path: payloads are sniffed by magic bytes and
 decoded to numpy arrays plus typed metadata.  Coverage is the subset a
 training-data pipeline actually hits for *validation* decode — PNG
 8-bit gray/RGB/RGBA (all five scanline filters, non-interlaced), BMP
-24-bit uncompressed, binary PPM (P6), RIFF/WAVE PCM 8/16-bit, and
+24-bit uncompressed, binary PPM (P6), RIFF/WAVE PCM 8/16-bit,
+GIF87a/89a (variable-width LSB-first LZW with dictionary resets,
+interlaced row order, local color tables, sub-screen frame
+compositing, multi-frame counting, transparency metadata), and
 baseline sequential JPEG (SOF0: gray + YCbCr 4:4:4/4:2:0, restart
 intervals; progressive/arithmetic/12-bit quarantine) — with matching
-PNG/WAV/JPEG *encoders* so every decode path is round-trip testable
-without binary fixtures.
+PNG/WAV/GIF/JPEG *encoders* so every decode path is round-trip
+testable without binary fixtures.
 
 Reference parity: the reference pipeline has no media codecs at all
 (MATLAB `.mat` only); this module serves the engine's multimodal-
@@ -290,6 +293,266 @@ def wav_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# GIF (87a/89a) — LZW, the remaining pre-web-era container crawls hit
+# --------------------------------------------------------------------------
+def _lzw_decode(data: bytes, min_code: int, expected: int) -> bytearray:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR=2^min,
+    EOI=CLEAR+1, dictionary grows to 4096 then waits for CLEAR.
+    Stops after `expected` pixels (defensive against trailing junk)."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"invalid LZW minimum code size {min_code}")
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    # dictionary as bytes entries; rebuilt on CLEAR
+    base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW first code not in dictionary")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            out += entry
+            prev = entry
+            if len(out) >= expected:
+                return out
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    raise ValueError("LZW stream ended before EOI/expected pixels")
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Matching encoder: emits CLEAR up front, resets at table 4096,
+    ends with EOI — decodes through `_lzw_decode` and any conformant
+    reader."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    nxt = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+            if nxt > (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            nxt = eoi + 1
+            width = min_code + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """First frame of a GIF87a/89a to [h, w, 3] uint8 RGB + metadata
+    (frame count, version, transparency index if any).  Interlaced
+    images are de-interlaced; frames smaller than the logical screen
+    composite onto the background color.  Unsupported spec corners
+    quarantine with typed errors per the module contract."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    version = data[3:6].decode("ascii")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    if sw == 0 or sh == 0:
+        raise ValueError("zero logical screen dimension")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if len(data) < pos + 3 * n:
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    def subblocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if p >= len(data):
+                raise ValueError("unterminated sub-block chain")
+            ln = data[p]
+            p += 1
+            if ln == 0:
+                return b"".join(chunks), p
+            if p + ln > len(data):
+                raise ValueError("truncated sub-block")
+            chunks.append(data[p:p + ln])
+            p += ln
+
+    frames = 0
+    first = None
+    transparent = None
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated extension")
+            label = data[pos]
+            pos += 1
+            raw, pos = subblocks(pos)
+            if label == 0xF9 and frames == 0 and len(raw) >= 4:
+                if raw[0] & 0x01:  # transparency flag
+                    transparent = raw[3]
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block {b0:#04x}")
+        if len(data) < pos + 9:
+            raise ValueError("truncated image descriptor")
+        ix, iy, iw, ih, ipack = struct.unpack("<HHHHB", data[pos:pos + 9])
+        pos += 9
+        if iw == 0 or ih == 0:
+            raise ValueError("zero image dimension")
+        if ix + iw > sw or iy + ih > sh:
+            raise ValueError("frame exceeds logical screen")
+        pal = gct
+        if ipack & 0x80:
+            n = 2 << (ipack & 0x07)
+            if len(data) < pos + 3 * n:
+                raise ValueError("truncated local color table")
+            pal = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("no color table for frame")
+        if pos >= len(data):
+            raise ValueError("truncated LZW header")
+        min_code = data[pos]
+        pos += 1
+        raw, pos = subblocks(pos)
+        frames += 1
+        if first is not None:
+            continue  # count remaining frames without decoding
+        idx = _lzw_decode(raw, min_code, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("LZW data shorter than frame")
+        arr = np.frombuffer(bytes(idx[: iw * ih]), np.uint8).reshape(ih, iw)
+        if int(arr.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        if ipack & 0x40:  # interlaced: reorder rows
+            de = np.empty_like(arr)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, ih, step):
+                    de[y] = arr[src]
+                    src += 1
+            arr = de
+        screen = np.zeros((sh, sw), np.uint8)
+        if gct is not None and bg < len(gct):
+            screen[:] = bg
+        screen[iy:iy + ih, ix:ix + iw] = arr
+        spal = pal if pal is not None else gct
+        first = (screen, spal)
+    if first is None:
+        raise ValueError("GIF contains no image data")
+    screen, pal = first
+    rgb = pal[screen]
+    meta = {
+        "width": int(sw), "height": int(sh), "channels": 3,
+        "format": "gif", "version": version, "n_frames": frames,
+    }
+    if transparent is not None:
+        meta["transparent_index"] = int(transparent)
+    return rgb, meta
+
+
+def gif_encode(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Single-frame GIF89a from an index array [h, w] and an [n, 3]
+    palette (n a power of two, 2..256) — the round-trip twin of
+    `gif_decode`."""
+    idx = np.asarray(indices, np.uint8)
+    pal = np.asarray(palette, np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("gif_encode expects [h,w] indices and [n,3] palette")
+    n = pal.shape[0]
+    if n not in (2, 4, 8, 16, 32, 64, 128, 256):
+        raise ValueError("palette size must be a power of two in 2..256")
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("invalid dimensions")
+    depth = max(1, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                  0x40 if interlace else 0)
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE:
+            rows.extend(range(start, h, step))
+        body = idx[rows].tobytes()
+    else:
+        body = idx.tobytes()
+    min_code = max(2, depth)
+    out.append(min_code)
+    lzw = _lzw_encode(body, min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
 def _jpeg_decode(data: bytes):
@@ -300,7 +563,7 @@ def _jpeg_decode(data: bytes):
 
 _DECODERS = {
     "png": png_decode, "bmp": bmp_decode, "ppm": ppm_decode, "wav": wav_decode,
-    "jpeg": _jpeg_decode,
+    "jpeg": _jpeg_decode, "gif": gif_decode,
 }
 
 
@@ -316,6 +579,8 @@ def sniff(data: bytes) -> str | None:
         return "wav"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:4] == b"GIF8" and data[4:6] in (b"7a", b"9a"):
+        return "gif"
     return None
 
 

