@@ -187,23 +187,41 @@ def image_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     — a value-level gate on the codec itself, not just the plumbing.
     Per-payload Python is inherent to codecs (zlib is per-blob); the
     kernel stays Arrow-batched and partition-parallel."""
-    from oxford_data_pipeline_spark.operators.codecs import decode, png_encode
+    from oxford_data_pipeline_spark.operators.codecs import (
+        decode,
+        gif_decode,
+        gif_encode,
+        png_encode,
+    )
 
+    gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
     for pdf in batches:
-        ids, hs, n_px, s_px, mx_px = [], [], [], [], []
+        ids, hs, n_px, s_px, mx_px, gif_eq = [], [], [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             h = max(-(-len(b) // _IMG_W), 1)
             img = np.zeros(h * _IMG_W, dtype=np.uint8)
             img[: len(b)] = b
-            dec, meta = decode(png_encode(img.reshape(h, _IMG_W)))
+            plane = img.reshape(h, _IMG_W)
+            dec, meta = decode(png_encode(plane))
             if meta["format"] != "png" or meta["width"] != _IMG_W:
                 raise ValueError(f"png codec mismatch for doc {doc_id}: {meta}")
+            # GIF leg: the same plane through the LZW codec via an
+            # identity gray palette must decode bit-exactly
+            grgb, gmeta = gif_decode(
+                gif_encode(plane, gray_pal, interlace=bool(doc_id & 1))
+            )
+            ok = (
+                gmeta["format"] == "gif"
+                and bool((grgb[:, :, 0] == plane).all())
+                and bool((grgb[:, :, 1] == plane).all())
+            )
             ids.append(doc_id)
             hs.append(meta["height"])
             n_px.append(int(dec.size))
             s_px.append(int(dec.sum()))
             mx_px.append(int(dec.max()))
+            gif_eq.append(1 if ok else 0)
         yield pd.DataFrame(
             {
                 "doc_id": np.array(ids, dtype=np.int64),
@@ -212,6 +230,7 @@ def image_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 "n_px": np.array(n_px, dtype=np.int64),
                 "sum_px": np.array(s_px, dtype=np.int64),
                 "max_px": np.array(mx_px, dtype=np.int32),
+                "gif_eq": np.array(gif_eq, dtype=np.int32),
             }
         )
 

@@ -183,7 +183,8 @@ SELECT m.doc_id,
        16 AS width,
        CAST(m.h * 16 AS BIGINT) AS n_px,
        CAST(coalesce(sum(b.byte), 0) AS BIGINT) AS sum_px,
-       CAST(coalesce(max(b.byte), 0) AS INTEGER) AS max_px
+       CAST(coalesce(max(b.byte), 0) AS INTEGER) AS max_px,
+       1 AS gif_eq
 FROM m LEFT JOIN b ON m.doc_id = b.doc_id
 GROUP BY 1, 2
 """
@@ -196,7 +197,10 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cycling all five scanline filters, decoded back with the stdlib
     codec, and reduced to decoded-pixel stats.  Padding bytes are 0,
     so sum/max over the decoded array equal sum/max over the raw text
-    bytes — exactly what the oracle computes without any codec."""
+    bytes — exactly what the oracle computes without any codec.
+    Round 11 adds the GIF leg: the same image round-trips through the
+    LZW codec via an identity gray palette and `gif_eq` gates
+    bit-exactness per document (oracle predicts 1 everywhere)."""
     from oxford_data_pipeline_spark.operators.multimodal import (
         attach_binary_payload,
         image_roundtrip_stats,
@@ -207,7 +211,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(
         image_roundtrip_stats,
         schema="doc_id long, height int, width int, n_px long,"
-               " sum_px long, max_px int",
+               " sum_px long, max_px int, gif_eq int",
     )
 
 
