@@ -498,3 +498,24 @@ def test_dau_hll_merge_invariant_and_accuracy(spark, tmp_path):
     for r in got.values():
         assert r["merge_mismatches"] == 0
         assert abs(r["est_dau"] - r["exact_dau"]) / r["exact_dau"] < 0.15
+
+
+def test_event_analytics_example_end_to_end(spark, tmp_path):
+    """examples/run_event_analytics.py composes the event family
+    (sessionize, as-of, funnel, retention, markov, HLL-DAU) plus the
+    streaming twins across a restart; its internal asserts are the
+    contract — this drives it and checks the summary shape."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "run_event_analytics",
+        os.path.join(repo, "examples", "run_event_analytics.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(spark=spark, work=str(tmp_path / "ev"))
+    assert out["sessions"] > 0 and out["attributed"] > 0
+    assert out["funnel"][0] >= out["funnel"][1] >= out["funnel"][2]
+    assert out["transitions"] > 0 and out["weeks"] > 0
