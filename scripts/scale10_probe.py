@@ -457,6 +457,22 @@ def main() -> None:
         "audit, so its ratio tracks data growth times the query-count",
         "growth of the audit leg, the same posture as `build:ann` (run",
         "when the drift signal trips, never per query).",
+        "Round-11 rows: `sim_ivf_drift` is one combinable count-per-cell",
+        "aggregation over the maintained assignment (~flat at this scale,",
+        "scan-bound at real scale); `sim_serving_ndcg` joins two %-mod",
+        "memoized k-row relations (ratio = the query-count growth, same",
+        "family as the recall audits); the event rows (`e_funnel`,",
+        "`e_markov_transitions`, `e_dau_hll`) are CONTROL rows here —",
+        "events are not replicated in the x10 corpus, so ~flat confirms",
+        "the probe measures data growth, not round-to-round noise.",
+        "Second-wave text rows: `text_collocations` is two hash aggs +",
+        "co-partitioned vocab joins (overhead-dominated at this corpus",
+        "size — the linear term is still below the fixed job cost);",
+        "`text_dup_window_profile` is 7 scan-local window aggregations",
+        "(sublinear wall at 10x = the 32 cores absorbing the scan);",
+        "`text_longest_dup_substring` adds ~log2(max_doc_len) rounds over",
+        "a persisted corpus — its ratio tracks the per-round scan, not",
+        "the round count, exactly the bisection design.",
         "",
     ]
     section = "\n".join(lines)
