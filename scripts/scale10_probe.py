@@ -375,6 +375,25 @@ def main_x100() -> None:
         "the assignment pass's data growth (same class as `build:ann`),",
         "paid when the drift signal trips, never per query.",
         "",
+        'Round-11 rows: `sim_ivf_drift` — 1.6x over TWO DECADES (1.3x',
+        'per decade) — is the headline: the retrain-trigger poll costs',
+        'near-nothing against a 100x corpus because it is one',
+        'map-side-combinable count-per-cell pass over 16-byte rows; this',
+        'is the measured number behind "a scheduler can poll it".',
+        '`sim_serving_ndcg` (fixed 40-query budget) grows only with its',
+        "input tier's probed-cell occupancy (bracketed by",
+        '`sim_ivfpq_rerank` — the metric join itself is k-row',
+        'bounded and adds nothing).  `e_funnel` over 100x event',
+        'mass: one window pass per user with partial aggregation',
+        'absorbing the fan-in — the as-of-join posture holding at the',
+        'second decade.  Second wave: `text_collocations` ~2x at 100x',
+        '(the two hash aggs + word-keyed joins absorb the corpus on 32',
+        'cores; the linear term stays below fixed job cost until well',
+        'past this scale) and `text_dup_window_profile` ~3x per decade',
+        '— seven scan-local fingerprint-keyed window aggregations',
+        'staying strongly sublinear, the measured basis for the',
+        'bisection query per-round cost.',
+        "",
     ]
     section = "\n".join(lines)
     path = os.path.join(REPO, "SCALING.md")
