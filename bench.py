@@ -58,6 +58,27 @@ EXPLAINED_SLOW = {
         "two postings probes by definition: pass-1 feedback ranking"
         " plus the expanded pass-2 query"
     ),
+    "emb_bitext_margin": (
+        "the dense cross-scoring EXACTNESS leg by construction (both"
+        " sides are corpus-sized) — the IVF tier is the documented scale"
+        " path, and production materializes the mined-pairs table once"
+    ),
+    "cur_bloom_prefilter": (
+        "two-stage decontamination by design: the Bloom-probe scan plus"
+        " the exact-verify join for Bloom-POSITIVE shingles — two passes"
+        " is the false-positive contract being enforced"
+    ),
+    "cur_classifier_train_full": (
+        "d=6 IRLS TRAINING: fixed-round normal-equation aggregations +"
+        " 1-row solves — a train operation (~flat at 10x/100x in"
+        " SCALING.md), not a serving query"
+    ),
+    "text_dup_window_profile": (
+        "seven deliberate per-L scan+aggregate passes (the geometric"
+        " window grid), each one map-side-combinable fingerprint-keyed"
+        " aggregation — the duplication-mass-per-scale answer costs one"
+        " pass per scale by definition"
+    ),
     "text_longest_dup_substring": (
         "~log2(max_doc_len) bisection rounds of ONE window aggregation"
         " each, by design — the price of the unbounded-length answer;"

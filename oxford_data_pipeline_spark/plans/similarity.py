@@ -1609,13 +1609,15 @@ def emb_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("tgt_id"), F.col("vec").alias("wt"),
         F.col("nrm").alias("nt"),
     )
+    # four consumers (fwd/bwd ranks, margin join) reference the dense
+    # cross-scored relation — persist so one job materializes it once
     scored = vt.join(F.broadcast(vs)).select(
         "src_id",
         "tgt_id",
         round6(pair_dot("ws", "wt") / (F.col("ns") * F.col("nt"))).alias(
             "cosine"
         ),
-    )
+    ).persist()
     wf = W.partitionBy("src_id").orderBy(F.col("cosine").desc(), "tgt_id")
     wb = W.partitionBy("tgt_id").orderBy(F.col("cosine").desc(), "src_id")
     fwd = scored.withColumn("rnk", F.row_number().over(wf)).filter(
