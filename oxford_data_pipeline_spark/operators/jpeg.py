@@ -39,12 +39,20 @@ quarantined with typed errors: the arithmetic LOSSLESS processes
 (SOF11/SOF15) — their statistical model (Annex H gradient
 conditioning) has its own bin layout with no conformance source
 here, exactly the risk class Table D.3 posed before libjpeg
-resolved it; and subsampled HIERARCHICAL frames (per-component
-reference pyramids are a different Annex-J driver).  Subsampled
-LOSSLESS is implemented (round 11): interleaved T.81 H.2 MCUs on
-each component's own sample grid, integer downsampling ratios
-(4:2:0/4:2:2/4:1:1/4:4:0), restart-reset first positions, round-trip
-pinned against pre-subsampled planes.  The encoder can emit both DCT
+resolved it; and, on subsampled hierarchical grids, the LOSSLESS /
+PROGRESSIVE / arithmetic differential stage drivers.  Subsampled
+LOSSLESS (non-hierarchical) is implemented (round 11): interleaved
+T.81 H.2 MCUs on each component's own sample grid, integer
+downsampling ratios (4:2:0/4:2:2/4:1:1/4:4:0), restart-reset first
+positions, round-trip pinned against pre-subsampled planes.
+Subsampled HIERARCHICAL pyramids are implemented for the
+sequential-DCT shape (round 11): DHP carries the sampling structure,
+references live on per-COMPONENT grids (A.1.1 dims), EXP doubles
+each component's own plane, differential SOF5 stages code
+MCU-interleaved difference blocks — pinned by the per-component
+equivalence property (at unity tables the 4:2:0 color pyramid
+decodes EXACTLY as three independent 1-component pyramids plus the
+output color transform).  The encoder can emit both DCT
 scan styles, the 12-bit extended-sequential process with 16-bit
 tables, arithmetic sequential streams, lossless streams (uniform or
 pre-subsampled planes), and closed-loop hierarchical pyramids (how
@@ -669,14 +677,23 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             if hier is not None:
                 if hier["refs"] is None:
                     raise ValueError("hierarchical stream with no frames")
-                fh, fw = hier["frame"][0], hier["frame"][1]
-                if any(p.shape != (fh, fw) for p in hier["refs"]):
+                if any(p.shape != cd
+                       for p, cd in zip(hier["refs"], hier["cdims"])):
                     raise ValueError(
                         "final hierarchical frame does not match DHP dims"
                     )
-                return _finish_planes(
-                    hier["refs"], hier["frame"], {"hierarchical": True}
-                )
+                fh, fw = hier["frame"][0], hier["frame"][1]
+                smax = hier["smax"]
+                out_planes = []
+                for plane, (sh, sv) in zip(hier["refs"], hier["samp"]):
+                    ry, rx = smax[1] // sv, smax[0] // sh
+                    if (ry, rx) != (1, 1):
+                        plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+                    out_planes.append(plane[:fh, :fw])
+                extra = {"hierarchical": True}
+                if any(sp != (1, 1) for sp in hier["samp"]):
+                    extra["sampling"] = [list(sp) for sp in hier["samp"]]
+                return _finish_planes(out_planes, hier["frame"], extra)
             if progressive and scans:
                 return _reconstruct(frame, comps, qts, geom[0], geom[1])
             raise ValueError("no scan data before EOI")
@@ -746,7 +763,30 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if h == 0 or w == 0 or nc == 0:
                 raise ValueError("invalid DHP dimensions")
-            hier = {"frame": (h, w, nc, prec), "refs": None}
+            # DHP carries the same component structure as a frame
+            # header (B.3.2 = B.2.2 syntax) — its sampling factors
+            # define the per-component reference grids
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated DHP component specs")
+            dhp_samp = []
+            for i in range(nc):
+                hv = seg[7 + 3 * i]
+                if not 1 <= hv >> 4 <= 4 or not 1 <= (hv & 0x0F) <= 4:
+                    raise ValueError(f"invalid DHP sampling {hv:#04x}")
+                dhp_samp.append((hv >> 4, hv & 0x0F))
+            smax = (max(sh for sh, _ in dhp_samp),
+                    max(sv for _, sv in dhp_samp))
+            for sh, sv in dhp_samp:
+                if smax[0] % sh or smax[1] % sv:
+                    raise NotImplementedError(
+                        "non-integer hierarchical subsampling ratio"
+                    )
+            hier = {
+                "frame": (h, w, nc, prec), "refs": None,
+                "samp": dhp_samp, "smax": smax,
+                "cdims": [(-(-h * sv // smax[1]), -(-w * sh // smax[0]))
+                          for sh, sv in dhp_samp],
+            }
         elif marker == 0xDF:  # EXP (T.81 B.3.3): expand reference comps
             if hier_pend is not None:
                 _finalize_hier_frame(hier, hier_pend)
@@ -760,10 +800,10 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 raise ValueError(f"invalid EXP fields {eh}/{ev}")
             # expansion can never legally exceed the DHP dimensions
             # (bounds a corrupt/malicious stream that repeats EXP —
-            # unguarded, each repeat DOUBLES the reference planes)
-            dh, dw = hier["frame"][0], hier["frame"][1]
-            if any((ev and p.shape[0] > dh) or (eh and p.shape[1] > dw)
-                   for p in hier["refs"]):
+            # unguarded, each repeat DOUBLES the reference planes);
+            # per-component: each reference is bounded by ITS final grid
+            if any((ev and p.shape[0] > ch) or (eh and p.shape[1] > cw)
+                   for p, (ch, cw) in zip(hier["refs"], hier["cdims"])):
                 raise ValueError("EXP beyond DHP dimensions")
             hier["refs"] = [_exp_upsample(p, eh, ev) for p in hier["refs"]]
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3,  # SOF0/1/2 (DCT), SOF3 (lossless)
@@ -837,6 +877,10 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     ahal = seg[3 + 2 * ns]
                     if hier_pend is None:
                         _validate_hier_frame(hier, frame, comps, differential)
+                        if any(sp != (1, 1) for sp in hier["samp"]):
+                            raise NotImplementedError(
+                                "subsampled hierarchical progressive frame"
+                            )
                         # snapshot the quantization tables at the frame's
                         # first SOS: a conformant stream may install the
                         # NEXT frame's DQT right after this frame's last
@@ -1027,15 +1071,27 @@ def _decode_scan(data, pos, frame, comps, smap, qts, huff, restart,
 
     if hier_mode:
         planes = _component_planes(frame, comps, qts, hmax, vmax,
-                                   level_shift=not differential)
+                                   level_shift=not differential,
+                                   component_res=True)
         return [np.round(p).astype(np.int64) for p in planes], reader.pos
     return _reconstruct(frame, comps, qts, hmax, vmax)
+
+
+def _hier_comp_dims(hier, fh, fw):
+    """Per-component sample dims of a pyramid frame sized (fh, fw)
+    under the DHP's sampling structure (A.1.1)."""
+    smax = hier["smax"]
+    return [(-(-fh * sv // smax[1]), -(-fw * sh // smax[0]))
+            for sh, sv in hier["samp"]]
 
 
 def _validate_hier_frame(hier, frame, comps, differential):
     """Frame-level contract checks shared by the single-scan and the
     multi-scan (progressive) hierarchical paths.  Returns the cropped
-    references for a differential frame (None otherwise)."""
+    references for a differential frame (None otherwise).  Every frame
+    of a pyramid must declare the SAME sampling structure as the DHP —
+    the reference grids are per-component, and a frame that re-shaped
+    them mid-pyramid would have no well-defined co-sited references."""
     if frame is None:
         raise ValueError("SOS before SOF")
     fh, fw, nc, prec = frame
@@ -1044,16 +1100,21 @@ def _validate_hier_frame(hier, frame, comps, differential):
         raise ValueError("hierarchical frame component/precision mismatch")
     if fh > dh or fw > dw:
         raise ValueError("hierarchical frame larger than DHP dimensions")
-    if nc > 1 and any(c["sh"] != 1 or c["sv"] != 1 for c in comps):
-        raise NotImplementedError("subsampled hierarchical frame")
+    if [(c["sh"], c["sv"]) for c in comps] != hier["samp"]:
+        raise NotImplementedError(
+            "hierarchical frame sampling differs from DHP"
+        )
     if differential:
         if hier["refs"] is None:
             raise ValueError("differential frame with no reference")
-        if any(p.shape[0] < fh or p.shape[1] < fw for p in hier["refs"]):
+        cdims = _hier_comp_dims(hier, fh, fw)
+        if any(p.shape[0] < ch or p.shape[1] < cw
+               for p, (ch, cw) in zip(hier["refs"], cdims)):
             raise ValueError("reference smaller than differential frame")
         # EXP doubling can overshoot an odd target by one row/column
         # (J.1.1.2) — the frame header's dimensions are authoritative
-        return [p[:fh, :fw] for p in hier["refs"]]
+        return [p[:ch, :cw]
+                for p, (ch, cw) in zip(hier["refs"], cdims)]
     return None
 
 
@@ -1084,7 +1145,8 @@ def _finalize_hier_frame(hier, pend):
     refs = _validate_hier_frame(hier, frame, comps, differential)
     hmax, vmax = pend["geom"][0], pend["geom"][1]
     planes = _component_planes(frame, comps, pend["qts"], hmax, vmax,
-                               level_shift=not differential)
+                               level_shift=not differential,
+                               component_res=True)
     planes = [np.round(p).astype(np.int64) for p in planes]
     _fold_hier_planes(hier, frame, planes, differential, refs)
 
@@ -1100,6 +1162,14 @@ def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
     same folding, QM-coded scan.  Returns the offset of the marker
     following the scan's entropy data."""
     refs = _validate_hier_frame(hier, frame, comps, differential)
+    subsampled = any(sp != (1, 1) for sp in hier["samp"])
+    if subsampled and (lossless or arith):
+        # sequential-DCT pyramids are the supported subsampled shape;
+        # the lossless and QM-coded stage drivers on per-component
+        # grids remain typed quarantines
+        raise NotImplementedError(
+            "subsampled hierarchical lossless/arithmetic stage"
+        )
     if arith:
         from oxford_data_pipeline_spark.operators.jpeg_arith import (
             decode_arith_scan,
@@ -1112,7 +1182,8 @@ def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
             differential=differential,
         )
         planes = _component_planes(frame, comps, qts, hmax, vmax,
-                                   level_shift=not differential)
+                                   level_shift=not differential,
+                                   component_res=True)
         planes = [np.round(p).astype(np.int64) for p in planes]
         _fold_hier_planes(hier, frame, planes, differential, refs)
         return _skip_to_marker(data, end)
@@ -1138,11 +1209,15 @@ def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
     return _skip_to_marker(data, end)
 
 
-def _component_planes(frame, comps, qts, hmax, vmax, level_shift=True):
+def _component_planes(frame, comps, qts, hmax, vmax, level_shift=True,
+                      component_res=False):
     """Dequantize + IDCT + upsample-to-frame-grid + crop: one float
     plane per component at the frame's (h, w).  `level_shift=False` is
     the differential-frame path (T.81 J.2: difference signals carry no
-    2^(P-1) level shift)."""
+    2^(P-1) level shift).  `component_res=True` (the hierarchical
+    driver) skips the cross-component upsample and crops each plane to
+    the COMPONENT's own sample dims (A.1.1: ceil(dim*si/smax)) — the
+    grid Annex-J references live on."""
     h, w, nc, prec = frame
     planes = []
     for c in comps:
@@ -1160,6 +1235,10 @@ def _component_planes(frame, comps, qts, hmax, vmax, level_shift=True):
             .transpose(0, 2, 1, 3)
             .reshape(c["bh"] * 8, c["bw"] * 8)
         )
+        if component_res:
+            ch, cw = -(-h * c["sv"] // vmax), -(-w * c["sh"] // hmax)
+            planes.append(plane[:ch, :cw])
+            continue
         # upsample to full MCU grid resolution
         ry = (vmax // c["sv"], hmax // c["sh"])
         if ry != (1, 1):
@@ -2051,25 +2130,32 @@ def jpeg_encode_lossless_planes(
 # will hold.
 
 
-def _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential):
+def _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential,
+                          sampling=None):
     """The decoder's integer reconstruction of a just-encoded DCT
     frame — same dequant/IDCT/round as `_component_planes`, so the
-    closed loop cannot drift from the real decoder."""
-    bh, bw = -(-h // 8), -(-w // 8)
+    closed loop cannot drift from the real decoder.  With `sampling`,
+    planes come back at COMPONENT resolution (the Annex-J reference
+    grids)."""
+    sampling = sampling or [(1, 1)] * nc
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     comps = [
-        {"sh": 1, "sv": 1, "tq": 0 if ci == 0 else 1,
-         "coefs": cf, "bh": bh, "bw": bw}
-        for ci, cf in enumerate(coefs)
+        {"sh": sh, "sv": sv, "tq": 0 if ci == 0 else 1,
+         "coefs": cf, "bh": mcus_y * sv, "bw": mcus_x * sh}
+        for ci, (cf, (sh, sv)) in enumerate(zip(coefs, sampling))
     ]
     qtd = {0: qts[0], 1: qts[1] if len(qts) > 1 else qts[0]}
     planes = _component_planes(
-        (h, w, nc, prec), comps, qtd, 1, 1, level_shift=not differential
+        (h, w, nc, prec), comps, qtd, hmax, vmax,
+        level_shift=not differential, component_res=True,
     )
     return [np.round(p).astype(np.int64) for p in planes]
 
 
 def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
-                      arithmetic=False):
+                      arithmetic=False, sampling=None, frame_size=None):
     """DQT + SOF + DHT/DAC + scan bytes for one all-(1,1) DCT frame of
     a hierarchical stream.  `planes`: int64 [h, w] arrays — samples
     (non-differential) or differences (differential, coded with no
@@ -2082,14 +2168,32 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
     since they carry the same quantized coefficients."""
     if progressive and not differential:
         raise ValueError("hierarchical progressive encode is SOF6-only")
-    h, w = planes[0].shape
     nc = len(planes)
+    subsampled = sampling is not None and any(
+        sp != (1, 1) for sp in sampling
+    )
+    if subsampled and (progressive or arithmetic):
+        raise ValueError(
+            "subsampled hierarchical stages are sequential-DCT only"
+        )
+    sampling = sampling or [(1, 1)] * nc
+    h, w = frame_size if frame_size is not None else planes[0].shape
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     qt_l, qt_c = _quality_tables(quality)
     if prec == 12:
         qt_l, qt_c = qt_l * 16, qt_c * 16
     qts = [qt_l] + [qt_c] * (nc - 1)
     half = 0.0 if differential else float(1 << (prec - 1))
-    padded = [_pad_to(p.astype(np.float64), 8) for p in planes]
+    padded = []
+    for pl, (sh, sv) in zip(planes, sampling):
+        a = pl.astype(np.float64)
+        ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
+        padded.append(
+            np.pad(a, ((0, ph - a.shape[0]), (0, pw - a.shape[1])),
+                   mode="edge")
+        )
     coefs = [
         _component_coefs(p, qt, half) for p, qt in zip(padded, qts)
     ]
@@ -2112,9 +2216,10 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
     else:
         sof = b"\xff\xc0"
     out += sof + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w, nc)
-    for cid in range(nc):
-        out += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
-    recon = _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential)
+    for cid, (sh, sv) in enumerate(sampling):
+        out += bytes([cid + 1, (sh << 4) | sv, 0 if cid == 0 else 1])
+    recon = _sim_decode_dct_frame(coefs, qts, h, w, nc, prec, differential,
+                                  sampling=sampling)
     if arithmetic:
         from oxford_data_pipeline_spark.operators.jpeg_arith import (
             DEFAULT_AC_KX,
@@ -2165,12 +2270,28 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
     ac_codes = _canonical_codes(*ac_t)
     writer = _BitWriter()
     preds = [0] * nc
-    for i in range(len(coefs[0])):  # interleaved: one block per component
-        for ci in range(nc):
-            preds[ci] = _encode_blocks(
-                writer, coefs[ci][i : i + 1], dc_codes, ac_codes,
-                preds[ci], differential=differential,
-            )
+    if subsampled:
+        # A.2.3 MCU interleave: sh x sv blocks per component, raster
+        # within the block group — mirrors the decoder's scan loop
+        bws = [mcus_x * sh for sh, _ in sampling]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(sampling):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bi = (my * sv + by) * bws[ci] + mx * sh + bx
+                            preds[ci] = _encode_blocks(
+                                writer, coefs[ci][bi : bi + 1], dc_codes,
+                                ac_codes, preds[ci],
+                                differential=differential,
+                            )
+    else:
+        for i in range(len(coefs[0])):  # interleaved: one block per comp
+            for ci in range(nc):
+                preds[ci] = _encode_blocks(
+                    writer, coefs[ci][i : i + 1], dc_codes, ac_codes,
+                    preds[ci], differential=differential,
+                )
     writer.flush()
     out += writer.out
     return bytes(out), recon
@@ -2232,6 +2353,7 @@ def jpeg_encode_hierarchical(
     levels: int = 2,
     progressive_diff: bool = False,
     arithmetic: bool = False,
+    chroma_subsample: bool = False,
 ) -> bytes:
     """Hierarchical JPEG (T.81 Annex J) encode of [h, w] grayscale or
     [h, w, 3] RGB samples: DHP, a non-differential DCT base frame
@@ -2248,11 +2370,22 @@ def jpeg_encode_hierarchical(
     coefficients).  Color streams code
     YCbCr 4:4:4; the final color transform's rounding means RGB
     round-trips are near-exact, not bit-exact — the bit-exactness
-    contract is per component plane."""
+    contract is per component plane.  `chroma_subsample=True` (color,
+    round 11) codes a 4:2:0 pyramid: every frame declares luma (2,2) /
+    chroma (1,1), references live on per-COMPONENT grids, EXP doubles
+    each component's own plane — the subsampled Annex-J shape; it is
+    sequential-DCT only (SOF5 differential stages), so it requires
+    final_lossless=False and excludes progressive_diff/arithmetic."""
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     if not 2 <= levels <= 5:
         raise ValueError(f"levels must be in 2..5, got {levels}")
+    if chroma_subsample and (final_lossless or progressive_diff
+                             or arithmetic):
+        raise ValueError(
+            "chroma_subsample pyramids are sequential-DCT only"
+            " (final_lossless=False, no progressive_diff/arithmetic)"
+        )
     maxv = (1 << precision) - 1
     img = np.asarray(img)
     gray = img.ndim == 2
@@ -2278,29 +2411,52 @@ def jpeg_encode_hierarchical(
             for p in (y, cb, cr)
         ]
     nc = len(planes)
+    if chroma_subsample:
+        if gray:
+            raise ValueError("chroma_subsample requires a color image")
+        sampling = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0]] + [_downsample2(p) for p in planes[1:]]
+    else:
+        sampling = [(1, 1)] * nc
+
+    hmax_s = max(sh for sh, _ in sampling)
+    vmax_s = max(sv for _, sv in sampling)
+
+    def comp_dims(th, tw):
+        # A.1.1: component sample dims of a frame sized (th, tw)
+        return [(-(-th * sv // vmax_s), -(-tw * sh // hmax_s))
+                for sh, sv in sampling]
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DHP: SOF syntax, final dimensions; Tq is 0 by definition (B.3.2)
     out += b"\xff\xde" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
-    for cid in range(nc):
-        out += bytes([cid + 1, 0x11, 0])
+    for cid, (ssh, ssv) in enumerate(sampling):
+        out += bytes([cid + 1, (ssh << 4) | ssv, 0])
     # pyramid: level 0 = full resolution, level levels-1 = the base
     pyramid = [planes]
+    frame_dims = [(h, w)]
     for _ in range(levels - 1):
         pyramid.append([_downsample2(p) for p in pyramid[-1]])
+        fh, fw = frame_dims[-1]
+        frame_dims.append((-(-fh // 2), -(-fw // 2)))
     frame_bytes, refs = _encode_dct_frame(
-        pyramid[-1], quality, precision, False, arithmetic=arithmetic
+        pyramid[-1], quality, precision, False, arithmetic=arithmetic,
+        sampling=sampling, frame_size=frame_dims[-1],
     )
     out += frame_bytes
     refs = [np.clip(p, 0, maxv) for p in refs]
     for lvl in range(levels - 2, -1, -1):
         target = pyramid[lvl]
-        th, tw = target[0].shape
+        th, tw = frame_dims[lvl]
         # EXP + the decoder's normative doubling, cropped to this
-        # level's dims; the running references stay the decoder's own
-        # integer reconstruction (closed loop at every stage)
+        # level's PER-COMPONENT dims; the running references stay the
+        # decoder's own integer reconstruction (closed loop per stage)
         out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
-        refs = [_exp_upsample(p, 1, 1)[:th, :tw] for p in refs]
+        cdims = comp_dims(th, tw)
+        refs = [
+            _exp_upsample(p, 1, 1)[:ch, :cw]
+            for p, (ch, cw) in zip(refs, cdims)
+        ]
         diffs = [p - r for p, r in zip(target, refs)]
         if lvl == 0 and final_lossless:
             out += _encode_lossless_diff_frame(diffs, precision)
@@ -2309,6 +2465,7 @@ def jpeg_encode_hierarchical(
             frame_bytes, rec = _encode_dct_frame(
                 diffs, quality, precision, True,
                 progressive=progressive_diff, arithmetic=arithmetic,
+                sampling=sampling, frame_size=(th, tw),
             )
             out += frame_bytes
             refs = [

@@ -1225,7 +1225,7 @@ def test_jpeg_corruption_never_crashes(seed):
     )
 
     rng = np.random.default_rng(seed)
-    kind = seed % 8
+    kind = seed % 9
     img = rng.integers(0, 256, size=(13, 11), dtype=np.uint8)
     if kind == 0:
         payload = bytearray(jpeg_encode_hierarchical(img, quality=70, levels=2))
@@ -1250,11 +1250,17 @@ def test_jpeg_corruption_never_crashes(seed):
             jpeg_encode_hierarchical(img, quality=70, levels=3,
                                      final_lossless=False, arithmetic=True)
         )
-    else:  # interleaved subsampled lossless (round 11)
+    elif kind == 7:  # interleaved subsampled lossless (round 11)
         payload = bytearray(jpeg_encode_lossless_planes(
             [img, img[:7, :6], img[:7, :6]],
             [(2, 2), (1, 1), (1, 1)], (13, 11), predictor=3,
             restart_interval=2,
+        ))
+    else:  # subsampled 4:2:0 hierarchical pyramid (round 11)
+        rgb = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+        payload = bytearray(jpeg_encode_hierarchical(
+            rgb, quality=80, levels=2, final_lossless=False,
+            chroma_subsample=True,
         ))
     for _ in range(int(rng.integers(1, 5))):
         payload[int(rng.integers(2, len(payload)))] ^= int(rng.integers(1, 256))
@@ -1732,3 +1738,121 @@ def test_jpeg_lossless_subsampled_modes_and_guards():
     )[0]
     b = jpeg_decode(jpeg_encode_lossless(rgb, predictor=5))[0]
     assert np.array_equal(a, b)
+
+
+@given(
+    st.sampled_from([(16, 16), (13, 11), (24, 18), (9, 7)]),
+    st.integers(2, 3),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_hierarchical_subsampled_per_component_equivalence(
+    dims, levels, seed
+):
+    """The subsampled (4:2:0) Annex-J pyramid must process each
+    component EXACTLY like a 1-component pyramid of the same plane:
+    at quality 100 (luma and chroma tables both unity, so the
+    independent streams carry identical coefficients), decoding the
+    color 4:2:0 hierarchical stream must equal replication-upsampling
+    the three GRAY pyramids' decodes and applying the output color
+    transform — pinning the per-component reference grids, the
+    per-component EXP crops, and the MCU-interleaved differential
+    entropy coding against an independently-computable result."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        _downsample2,
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    color = jpeg_decode(
+        jpeg_encode_hierarchical(
+            rgb, quality=100, levels=levels, final_lossless=False,
+            chroma_subsample=True,
+        )
+    )[0]
+
+    # the encoder's own YCbCr split + chroma decimation
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    comps = [np.clip(np.round(p), 0, 255).astype(np.int64) for p in (y, cb, cr)]
+    comps = [comps[0], _downsample2(comps[1]), _downsample2(comps[2])]
+
+    planes = []
+    for plane in comps:
+        gdec = jpeg_decode(
+            jpeg_encode_hierarchical(
+                plane.astype(np.uint8), quality=100, levels=levels,
+                final_lossless=False,
+            )
+        )[0]
+        planes.append(gdec.astype(np.float64))
+    yd = planes[0]
+    cbd = np.repeat(np.repeat(planes[1], 2, axis=0), 2, axis=1)[:h, :w]
+    crd = np.repeat(np.repeat(planes[2], 2, axis=0), 2, axis=1)[:h, :w]
+    rr = yd + 1.402 * (crd - 128.0)
+    gg = yd - 0.344136 * (cbd - 128.0) - 0.714136 * (crd - 128.0)
+    bb = yd + 1.772 * (cbd - 128.0)
+    want = np.clip(
+        np.round(np.stack([rr, gg, bb], axis=-1)), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(color, want)
+
+
+def test_jpeg_hierarchical_subsampled_guards():
+    """Typed-error contract around the subsampled Annex-J support:
+    quarantined stage types (lossless / progressive / arithmetic
+    differential stages on subsampled grids), a frame whose sampling
+    differs from the DHP's, truncated DHP component specs, and the
+    encoder's parameter gates."""
+    import pytest
+
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    # encoder gates: subsampled pyramids are sequential-DCT only
+    for kw in ({"final_lossless": True}, {"progressive_diff": True},
+               {"arithmetic": True}):
+        with pytest.raises(ValueError, match="sequential-DCT only"):
+            jpeg_encode_hierarchical(
+                rgb, levels=2, chroma_subsample=True,
+                **{"final_lossless": False, **kw},
+            )
+    with pytest.raises(ValueError, match="color"):
+        jpeg_encode_hierarchical(
+            rgb[:, :, 0], levels=2, final_lossless=False,
+            chroma_subsample=True,
+        )
+    base = jpeg_encode_hierarchical(
+        rgb, quality=85, levels=2, final_lossless=False,
+        chroma_subsample=True,
+    )
+    # a frame whose sampling differs from the DHP quarantines typed:
+    # flip the FRAME's luma sampling byte (first SOF5/SOF0 after DHP)
+    data = bytearray(base)
+    sof = data.find(b"\xff\xc0", data.find(b"\xff\xde"))
+    assert sof > 0
+    assert data[sof + 11] == 0x22  # luma Hv in the frame header
+    data[sof + 11] = 0x11
+    with pytest.raises(NotImplementedError, match="differs from DHP"):
+        jpeg_decode(bytes(data))
+    # truncated DHP component specs -> typed ValueError
+    dhp = base.find(b"\xff\xde")
+    cut = bytearray(base[: dhp + 2])
+    cut += (8).to_bytes(2, "big") + base[dhp + 4 : dhp + 10]
+    cut += base[base.find(b"\xff\xc0", dhp):]
+    with pytest.raises(ValueError, match="DHP component"):
+        jpeg_decode(bytes(cut))
+    # intact stream still decodes
+    out, meta = jpeg_decode(base)
+    assert out.shape == (12, 10, 3) and meta["sampling"] == [[2, 2], [1, 1], [1, 1]]
