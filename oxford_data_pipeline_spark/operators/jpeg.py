@@ -39,20 +39,23 @@ quarantined with typed errors: the arithmetic LOSSLESS processes
 (SOF11/SOF15) — their statistical model (Annex H gradient
 conditioning) has its own bin layout with no conformance source
 here, exactly the risk class Table D.3 posed before libjpeg
-resolved it; and, on subsampled hierarchical grids, the LOSSLESS /
-PROGRESSIVE / arithmetic differential stage drivers.  Subsampled
-LOSSLESS (non-hierarchical) is implemented (round 11): interleaved
-T.81 H.2 MCUs on each component's own sample grid, integer
-downsampling ratios (4:2:0/4:2:2/4:1:1/4:4:0), restart-reset first
-positions, round-trip pinned against pre-subsampled planes.
-Subsampled HIERARCHICAL pyramids are implemented for the
-sequential-DCT shape (round 11): DHP carries the sampling structure,
-references live on per-COMPONENT grids (A.1.1 dims), EXP doubles
-each component's own plane, differential SOF5 stages code
-MCU-interleaved difference blocks — pinned by the per-component
-equivalence property (at unity tables the 4:2:0 color pyramid
-decodes EXACTLY as three independent 1-component pyramids plus the
-output color transform).  The encoder can emit both DCT
+resolved it — the ONLY remaining quarantined process.  Subsampled
+LOSSLESS is implemented (round 11): interleaved T.81 H.2 MCUs on
+each component's own sample grid, integer downsampling ratios
+(4:2:0/4:2:2/4:1:1/4:4:0), restart-reset first positions, round-trip
+pinned against pre-subsampled planes.  Subsampled HIERARCHICAL
+pyramids are implemented for EVERY stage type (round 11): DHP
+carries the sampling structure, references live on per-COMPONENT
+grids (A.1.1 dims), EXP doubles each component's own plane,
+differential SOF5/SOF6/SOF13/SOF14 stages code MCU-interleaved or
+Annex-G difference scans at component resolution (cross-stage-style
+decodes are bit-identical), and the differential-lossless SOF7 final
+stage predicts from edge-clamped co-sited references summed mod
+2^16 — final_lossless 4:2:0 pyramids restore every component sample
+BIT-EXACTLY (pinned against the pre-subsampled planes through the
+output color transform; the per-component equivalence property
+additionally pins the lossy stages against three independent
+1-component pyramids at unity tables).  The encoder can emit both DCT
 scan styles, the 12-bit extended-sequential process with 16-bit
 tables, arithmetic sequential streams, lossless streams (uniform or
 pre-subsampled planes), and closed-loop hierarchical pyramids (how
@@ -877,10 +880,6 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     ahal = seg[3 + 2 * ns]
                     if hier_pend is None:
                         _validate_hier_frame(hier, frame, comps, differential)
-                        if any(sp != (1, 1) for sp in hier["samp"]):
-                            raise NotImplementedError(
-                                "subsampled hierarchical progressive frame"
-                            )
                         # snapshot the quantization tables at the frame's
                         # first SOS: a conformant stream may install the
                         # NEXT frame's DQT right after this frame's last
@@ -1162,14 +1161,6 @@ def _decode_hier_frame(data, pos, seglen, seg, ns, hier, frame, comps, smap,
     same folding, QM-coded scan.  Returns the offset of the marker
     following the scan's entropy data."""
     refs = _validate_hier_frame(hier, frame, comps, differential)
-    subsampled = any(sp != (1, 1) for sp in hier["samp"])
-    if subsampled and (lossless or arith):
-        # sequential-DCT pyramids are the supported subsampled shape;
-        # the lossless and QM-coded stage drivers on per-component
-        # grids remain typed quarantines
-        raise NotImplementedError(
-            "subsampled hierarchical lossless/arithmetic stage"
-        )
     if arith:
         from oxford_data_pipeline_spark.operators.jpeg_arith import (
             decode_arith_scan,
@@ -1774,9 +1765,6 @@ def _decode_lossless_scan(
     elif not 1 <= pred_sel <= 7:
         raise ValueError(f"invalid lossless predictor {pred_sel}")
     subsampled = nc > 1 and any(c["sh"] != 1 or c["sv"] != 1 for c in comps)
-    if subsampled and (hier_mode or differential):
-        # per-component reference pyramids are a different driver
-        raise NotImplementedError("subsampled hierarchical lossless frame")
     tables = []
     for c in comps:
         if c["id"] not in smap:
@@ -1787,7 +1775,8 @@ def _decode_lossless_scan(
         tables.append(huff[(0, td)])
     if subsampled:
         return _decode_lossless_interleaved(
-            data, pos, frame, comps, tables, restart, pred_sel, pt
+            data, pos, frame, comps, tables, restart, pred_sel, pt,
+            hier_mode=hier_mode, hier_refs=hier_refs,
         )
     planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
     default = 1 << (prec - 1 - pt)
@@ -1853,7 +1842,8 @@ def _lossless_mcu_grid(frame, comps):
 
 
 def _decode_lossless_interleaved(
-    data, pos, frame, comps, tables, restart, pred_sel, pt
+    data, pos, frame, comps, tables, restart, pred_sel, pt,
+    hier_mode=False, hier_refs=None,
 ):
     """Interleaved lossless scan with sampling factors (T.81 H.2):
     one MCU carries an sh x sv sample block per component (scan order;
@@ -1866,9 +1856,27 @@ def _decode_lossless_interleaved(
     sample-replication upsampled to frame size (the lossless process
     defines no color transform), so co-sited samples are bit-exact —
     which is what the round-trip tests check against the
-    pre-subsampled planes."""
+    pre-subsampled planes.  `hier_refs` (differential SOF7 stage of a
+    subsampled pyramid): the prediction for every sample is the
+    edge-clamped co-sited reference sample on the component's own grid
+    (J.1.1.5; edge clamping covers the MCU padding, mirroring the
+    encoder's edge-pad rule), summed modulo 2^16; `hier_mode=True`
+    returns (int64 component planes, end offset) for the Annex-J
+    driver instead of the finished image."""
     h, w, nc, prec = frame
     hmax, vmax, mcus_x, mcus_y, dims = _lossless_mcu_grid(frame, comps)
+    differential = hier_refs is not None
+    refs_pad = None
+    if differential:
+        refs_pad = [
+            np.pad(
+                np.asarray(r, dtype=np.int64),
+                ((0, mcus_y * c["sv"] - r.shape[0]),
+                 (0, mcus_x * c["sh"] - r.shape[1])),
+                mode="edge",
+            )
+            for r, c in zip(hier_refs, comps)
+        ]
     planes = [
         np.zeros((mcus_y * c["sv"], mcus_x * c["sh"]), dtype=np.int64)
         for c in comps
@@ -1898,11 +1906,20 @@ def _decode_lossless_interleaved(
                             diff = _extend(reader.read_bits(s), s)
                         else:
                             diff = 0
-                        pred = _ll_predict(
-                            planes[ci], x, y, pred_sel, default, fy, fx
-                        )
+                        if differential:
+                            pred = int(refs_pad[ci][y, x])
+                        else:
+                            pred = _ll_predict(
+                                planes[ci], x, y, pred_sel, default, fy, fx
+                            )
                         planes[ci][y, x] = (pred + diff) & 0xFFFF
             mcu_count += 1
+    if hier_mode:
+        out = [
+            (p[:ch, :cw] << pt).astype(np.int64)
+            for p, (ch, cw) in zip(planes, dims)
+        ]
+        return out, reader.pos
     dtype = np.uint8 if prec <= 8 else np.uint16
     out = []
     for ci, c in enumerate(comps):
@@ -2172,10 +2189,6 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
     subsampled = sampling is not None and any(
         sp != (1, 1) for sp in sampling
     )
-    if subsampled and (progressive or arithmetic):
-        raise ValueError(
-            "subsampled hierarchical stages are sequential-DCT only"
-        )
     sampling = sampling or [(1, 1)] * nc
     h, w = frame_size if frame_size is not None else planes[0].shape
     hmax = max(sh for sh, _ in sampling)
@@ -2237,7 +2250,7 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
         table_ids = [(0, 0)] + [(1, 1)] * (nc - 1)
         if progressive:
             out += encode_arith_progressive_scans(
-                coefs, padded, [(1, 1)] * nc, nc == 1, h, w, _emit_sos,
+                coefs, padded, sampling, nc == 1, h, w, _emit_sos,
                 {}, {}, differential=differential,
             )
             return bytes(out), recon
@@ -2247,7 +2260,7 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
         out += b"\x00\x3f\x00"
         bws = [p.shape[1] // 8 for p in padded]
         out += encode_arith_scan(
-            coefs, [(1, 1)] * nc, bws, bws[0], len(coefs[0]) // bws[0],
+            coefs, sampling, bws, mcus_x, mcus_y,
             0, {}, {}, table_ids, differential=differential,
         )
         return bytes(out), recon
@@ -2259,7 +2272,7 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
                 + bytes([tc_th]) + bytes(bits) + bytes(vals))
     if progressive:
         out += _encode_progressive_scans(
-            coefs, padded, [(1, 1)] * nc, nc == 1, h, w, differential=True
+            coefs, padded, sampling, nc == 1, h, w, differential=True
         )
         return bytes(out), recon
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
@@ -2297,16 +2310,33 @@ def _encode_dct_frame(planes, quality, prec, differential, progressive=False,
     return bytes(out), recon
 
 
-def _encode_lossless_diff_frame(diffs, prec):
+def _encode_lossless_diff_frame(diffs, prec, sampling=None, frame_size=None):
     """SOF7 differential lossless frame: each sample's prediction is
     the reference (Ss = 0, no positional rules — J.1.1.5), the coded
-    value is the modulo-2^16 difference with SSSS categories 0..16."""
-    h, w = diffs[0].shape
+    value is the modulo-2^16 difference with SSSS categories 0..16.
+    With `sampling`, diffs come at per-component grids and the scan is
+    MCU-interleaved (sh x sv samples per component per MCU, edge
+    padding to the block grid — edge-pad(target) - edge-pad(ref) ==
+    edge-pad(diff), so padded positions round-trip consistently with
+    the decoder's edge-clamped reference rule)."""
     nc = len(diffs)
+    sampling = sampling or [(1, 1)] * nc
+    h, w = frame_size if frame_size is not None else diffs[0].shape
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    mcus_x, mcus_y = -(-w // hmax), -(-h // vmax)
+    padded = []
+    for d, (sh, sv) in zip(diffs, sampling):
+        a = np.asarray(d, dtype=np.int64)
+        ph, pw = mcus_y * sv, mcus_x * sh
+        padded.append(
+            np.pad(a, ((0, ph - a.shape[0]), (0, pw - a.shape[1])),
+                   mode="edge")
+        )
     out = bytearray()
     out += b"\xff\xc7" + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w, nc)
-    for cid in range(nc):
-        out += bytes([cid + 1, 0x11, 0])
+    for cid, (sh, sv) in enumerate(sampling):
+        out += bytes([cid + 1, (sh << 4) | sv, 0])
     dc_tab = _hufftables_12bit()[0]  # SSSS 0..16, length-6 codes
     out += b"\xff\xc4" + struct.pack(">H", 19 + len(dc_tab[1])) + bytes([0x00])
     out += bytes(dc_tab[0]) + bytes(dc_tab[1])
@@ -2316,19 +2346,25 @@ def _encode_lossless_diff_frame(diffs, prec):
     out += bytes([0, 0, 0])  # Ss=0 (differential), Se=0, Ah/Al=0
     codes = _canonical_codes(*dc_tab)
     writer = _BitWriter()
-    for y in range(h):
-        for x in range(w):
-            for ci in range(nc):
-                diff = (int(diffs[ci][y, x]) + 32768) % 65536 - 32768
-                if diff == -32768:
-                    code, length = codes[16]
-                    writer.write(code, length)  # SSSS=16: no extra bits
-                    continue
-                s = _category(diff)
-                code, length = codes[s]
-                writer.write(code, length)
-                if s:
-                    writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def put(diff):
+        diff = (int(diff) + 32768) % 65536 - 32768
+        if diff == -32768:
+            code, length = codes[16]
+            writer.write(code, length)  # SSSS=16: no extra bits
+            return
+        sc = _category(diff)
+        code, length = codes[sc]
+        writer.write(code, length)
+        if sc:
+            writer.write(diff if diff >= 0 else diff + (1 << sc) - 1, sc)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(sampling):
+                for by in range(sv):
+                    for bx in range(sh):
+                        put(padded[ci][my * sv + by, mx * sh + bx])
     writer.flush()
     out += writer.out
     return bytes(out)
@@ -2380,12 +2416,7 @@ def jpeg_encode_hierarchical(
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     if not 2 <= levels <= 5:
         raise ValueError(f"levels must be in 2..5, got {levels}")
-    if chroma_subsample and (final_lossless or progressive_diff
-                             or arithmetic):
-        raise ValueError(
-            "chroma_subsample pyramids are sequential-DCT only"
-            " (final_lossless=False, no progressive_diff/arithmetic)"
-        )
+
     maxv = (1 << precision) - 1
     img = np.asarray(img)
     gray = img.ndim == 2
@@ -2459,7 +2490,9 @@ def jpeg_encode_hierarchical(
         ]
         diffs = [p - r for p, r in zip(target, refs)]
         if lvl == 0 and final_lossless:
-            out += _encode_lossless_diff_frame(diffs, precision)
+            out += _encode_lossless_diff_frame(
+                diffs, precision, sampling=sampling, frame_size=(th, tw)
+            )
             refs = target  # exact by construction (mod-2^16 sums)
         else:
             frame_bytes, rec = _encode_dct_frame(

@@ -1259,7 +1259,8 @@ def test_jpeg_corruption_never_crashes(seed):
     else:  # subsampled 4:2:0 hierarchical pyramid (round 11)
         rgb = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
         payload = bytearray(jpeg_encode_hierarchical(
-            rgb, quality=80, levels=2, final_lossless=False,
+            rgb, quality=80, levels=2,
+            final_lossless=bool(seed & 16),
             chroma_subsample=True,
         ))
     for _ in range(int(rng.integers(1, 5))):
@@ -1806,11 +1807,12 @@ def test_jpeg_hierarchical_subsampled_per_component_equivalence(
 
 
 def test_jpeg_hierarchical_subsampled_guards():
-    """Typed-error contract around the subsampled Annex-J support:
-    quarantined stage types (lossless / progressive / arithmetic
-    differential stages on subsampled grids), a frame whose sampling
-    differs from the DHP's, truncated DHP component specs, and the
-    encoder's parameter gates."""
+    """Typed-error contract around the subsampled Annex-J support
+    (now covering every stage type): a frame whose sampling differs
+    from the DHP's quarantines typed, truncated DHP component specs
+    raise ValueError, and the full 4:2:0 stack — lossy SOF5 stages
+    plus the FINAL differential-lossless SOF7 stage — decodes with
+    correct shape and sampling metadata for every stage style."""
     import pytest
 
     from oxford_data_pipeline_spark.operators.jpeg import (
@@ -1820,14 +1822,6 @@ def test_jpeg_hierarchical_subsampled_guards():
 
     rng = np.random.default_rng(2)
     rgb = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
-    # encoder gates: subsampled pyramids are sequential-DCT only
-    for kw in ({"final_lossless": True}, {"progressive_diff": True},
-               {"arithmetic": True}):
-        with pytest.raises(ValueError, match="sequential-DCT only"):
-            jpeg_encode_hierarchical(
-                rgb, levels=2, chroma_subsample=True,
-                **{"final_lossless": False, **kw},
-            )
     with pytest.raises(ValueError, match="color"):
         jpeg_encode_hierarchical(
             rgb[:, :, 0], levels=2, final_lossless=False,
@@ -1837,8 +1831,19 @@ def test_jpeg_hierarchical_subsampled_guards():
         rgb, quality=85, levels=2, final_lossless=False,
         chroma_subsample=True,
     )
+    # every stage style decodes BIT-identically to the SOF5 pyramid of
+    # the same coefficients (cross-coder/cross-scan-script check)
+    want = jpeg_decode(base)[0]
+    for kw in (dict(progressive_diff=True), dict(arithmetic=True),
+               dict(arithmetic=True, progressive_diff=True)):
+        got, meta = jpeg_decode(jpeg_encode_hierarchical(
+            rgb, quality=85, levels=2, final_lossless=False,
+            chroma_subsample=True, **kw,
+        ))
+        assert np.array_equal(got, want), kw
+        assert meta["sampling"] == [[2, 2], [1, 1], [1, 1]]
     # a frame whose sampling differs from the DHP quarantines typed:
-    # flip the FRAME's luma sampling byte (first SOF5/SOF0 after DHP)
+    # flip the FRAME's luma sampling byte (first SOF0 after DHP)
     data = bytearray(base)
     sof = data.find(b"\xff\xc0", data.find(b"\xff\xde"))
     assert sof > 0
@@ -1856,3 +1861,50 @@ def test_jpeg_hierarchical_subsampled_guards():
     # intact stream still decodes
     out, meta = jpeg_decode(base)
     assert out.shape == (12, 10, 3) and meta["sampling"] == [[2, 2], [1, 1], [1, 1]]
+
+
+def test_jpeg_hierarchical_subsampled_final_lossless_exact(  # round 11
+):
+    """The completed subsampled pyramid: with final_lossless=True the
+    SOF7 differential-lossless stage restores every COMPONENT sample
+    bit-exactly — the decoded RGB equals the pre-subsampled YCbCr
+    planes pushed through the output color transform, with the lossy
+    DCT stages reduced to decodable previews."""
+    from oxford_data_pipeline_spark.operators.jpeg import (
+        _downsample2,
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(21)
+    for h, w, lv in [(16, 16, 2), (13, 11, 3), (9, 7, 2)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out, meta = jpeg_decode(jpeg_encode_hierarchical(
+            rgb, quality=85, levels=lv, final_lossless=True,
+            chroma_subsample=True,
+        ))
+        r = rgb[..., 0].astype(float)
+        g = rgb[..., 1].astype(float)
+        b = rgb[..., 2].astype(float)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [
+            np.clip(np.round(p), 0, 255).astype(np.int64)
+            for p in (y, cb, cr)
+        ]
+        comps = [comps[0], _downsample2(comps[1]), _downsample2(comps[2])]
+        cbu = np.repeat(
+            np.repeat(comps[1], 2, axis=0), 2, axis=1
+        )[:h, :w].astype(float)
+        cru = np.repeat(
+            np.repeat(comps[2], 2, axis=0), 2, axis=1
+        )[:h, :w].astype(float)
+        yf = comps[0].astype(float)
+        want = np.clip(np.round(np.stack([
+            yf + 1.402 * (cru - 128.0),
+            yf - 0.344136 * (cbu - 128.0) - 0.714136 * (cru - 128.0),
+            yf + 1.772 * (cbu - 128.0),
+        ], axis=-1)), 0, 255).astype(np.uint8)
+        assert np.array_equal(out, want), (h, w, lv)
+        assert meta["hierarchical"] and meta["sampling"] == [[2, 2], [1, 1], [1, 1]]
