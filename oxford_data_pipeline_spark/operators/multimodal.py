@@ -295,6 +295,8 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     property-tested in tests/test_codecs.py."""
     from oxford_data_pipeline_spark.operators.codecs import decode
     from oxford_data_pipeline_spark.operators.jpeg import (
+        _downsample2,
+        jpeg_decode,
         jpeg_encode,
         jpeg_encode_hierarchical,
         jpeg_encode_lossless,
@@ -302,7 +304,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
     for pdf in batches:
         (ids, hs, n_px, ok, prog_ok, p12_ok, ll_ok, hier_ok,
-         arith_ok) = ([] for _ in range(9))
+         arith_ok, h420_ok) = ([] for _ in range(10))
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             h = max(-(-len(b) // _IMG_W), 1)
@@ -359,6 +361,42 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 raise ValueError(
                     f"arithmetic jpeg mismatch for doc {doc_id}: {marith}"
                 )
+            # subsampled-pyramid leg (round 11): a 4:2:0 hierarchical
+            # stream with the SOF7 differential-lossless final stage
+            # over a color stack of the same crop — every COMPONENT
+            # sample must restore bit-exactly (verified through the
+            # output color transform, the strongest per-doc gate the
+            # subsampled Annex-J driver admits)
+            rgbc = np.stack([sub, np.roll(sub, 1, axis=1),
+                             np.roll(sub, 2, axis=1)], axis=-1)
+            d420, m420 = jpeg_decode(jpeg_encode_hierarchical(
+                rgbc, quality=75, final_lossless=True,
+                chroma_subsample=True,
+            ))
+            if m420.get("sampling") != [[2, 2], [1, 1], [1, 1]]:
+                raise ValueError(
+                    f"subsampled pyramid mismatch for doc {doc_id}: {m420}"
+                )
+            rr = rgbc[..., 0].astype(np.float64)
+            gg = rgbc[..., 1].astype(np.float64)
+            bb = rgbc[..., 2].astype(np.float64)
+            yy = 0.299 * rr + 0.587 * gg + 0.114 * bb
+            ycb = -0.168736 * rr - 0.331264 * gg + 0.5 * bb + 128.0
+            ycr = 0.5 * rr - 0.418688 * gg - 0.081312 * bb + 128.0
+            cps = [np.clip(np.round(v), 0, 255).astype(np.int64)
+                   for v in (yy, ycb, ycr)]
+            cps = [cps[0], _downsample2(cps[1]), _downsample2(cps[2])]
+            sh_, sw_ = rgbc.shape[:2]
+            cbu = np.repeat(np.repeat(cps[1], 2, axis=0), 2,
+                            axis=1)[:sh_, :sw_].astype(np.float64)
+            cru = np.repeat(np.repeat(cps[2], 2, axis=0), 2,
+                            axis=1)[:sh_, :sw_].astype(np.float64)
+            yf = cps[0].astype(np.float64)
+            want420 = np.clip(np.round(np.stack([
+                yf + 1.402 * (cru - 128.0),
+                yf - 0.344136 * (cbu - 128.0) - 0.714136 * (cru - 128.0),
+                yf + 1.772 * (cbu - 128.0),
+            ], axis=-1)), 0, 255).astype(np.uint8)
             ids.append(doc_id)
             hs.append(meta["height"])
             n_px.append(int(dec.size))
@@ -368,6 +406,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             ll_ok.append(bool(np.array_equal(dll, img)))
             hier_ok.append(bool(np.array_equal(dhier, sub)))
             arith_ok.append(bool(np.array_equal(darith, dseq_sub)))
+            h420_ok.append(bool(np.array_equal(d420, want420)))
         yield pd.DataFrame(
             {
                 "doc_id": np.array(ids, dtype=np.int64),
@@ -380,6 +419,7 @@ def jpeg_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "lossless_exact": np.array(ll_ok, dtype=bool),
                 "hier_exact": np.array(hier_ok, dtype=bool),
                 "arith_eq_seq": np.array(arith_ok, dtype=bool),
+                "hier420_exact": np.array(h420_ok, dtype=bool),
             }
         )
 

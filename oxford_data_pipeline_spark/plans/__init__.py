@@ -96,8 +96,10 @@ _rotate(_ROUND11_FRONT)
 # registered AFTER the r11 snapshot window froze, i.e. never
 # driver-checked — `e_markov_transitions`, `text_collocations`,
 # `emb_bitext_margin`, `text_dup_window_profile`, `e_dau_hll` — plus
-# `mm_image_decode`, which materially CHANGED after its r10 row (round
-# 11 second wave added the `gif_eq` LZW round-trip gate column) — then the r9-stale
+# `mm_image_decode` and `mm_jpeg_decode`, which materially CHANGED
+# after their newest rows (round-11 second wave added `gif_eq` to the
+# former and the `hier420_exact` subsampled-pyramid gate to the
+# latter) — then the r9-stale
 # cohort (the five slot-yielders named above: `ret_hybrid_rrf_audit`,
 # `cur_classifier_train`, `cur_classifier_scored`, `text_bpe_merges`,
 # `text_bpe_compression`, `mm_frame_sample`) and the r9 rotation

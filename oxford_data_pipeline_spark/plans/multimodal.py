@@ -280,7 +280,8 @@ SELECT doc_id,
        TRUE AS p12_err_le_32,
        TRUE AS lossless_exact,
        TRUE AS hier_exact,
-       TRUE AS arith_eq_seq
+       TRUE AS arith_eq_seq,
+       TRUE AS hier420_exact
 FROM ascii_docs
 """
 
@@ -326,7 +327,8 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, height int, width int, n_px long,"
                " max_err_le_1 boolean, prog_eq_seq boolean,"
                " p12_err_le_32 boolean, lossless_exact boolean,"
-               " hier_exact boolean, arith_eq_seq boolean",
+               " hier_exact boolean, arith_eq_seq boolean,"
+               " hier420_exact boolean",
     )
 
 
