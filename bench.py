@@ -41,9 +41,10 @@ import time
 SLOW_MIN_SEC = 2.5
 EXPLAINED_SLOW = {
     "mm_jpeg_decode": (
-        "six deliberate per-doc codec verification legs (baseline,"
-        " progressive, 12-bit, lossless, hierarchical, arithmetic) —"
-        " the cost IS the Arrow-batched codec work, not a plan defect"
+        "seven deliberate per-doc codec verification legs (baseline,"
+        " progressive, 12-bit, lossless, hierarchical, arithmetic,"
+        " subsampled-pyramid) — the cost IS the Arrow-batched codec"
+        " work, not a plan defect"
     ),
     "dedup_pagerank_canonical": (
         "PageRank over the dup-hostile replica graph by construction"
