@@ -589,6 +589,26 @@ FROM calc
 """
 
 
+def user_hll_registers(ev: DataFrame, keys: list[str]) -> DataFrame:
+    """(…keys, user_id) → the keyed (…keys, bucket, mreg) HLL register
+    relation — the `cur_vocab_hll` rho machinery on user ids, shared
+    by `e_dau_hll` (daily + direct-weekly sketches) and the streaming
+    maintainer (`streaming/stream_eventops.py`), so online and offline
+    registers can never drift."""
+    h = F.md5(F.col("user_id").cast("string").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    tail = F.substring(h, 3, 12)
+    v = F.conv(tail, 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.conv(tail, 16, 2))
+    )
+    return (
+        ev.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").cast("int").alias("mreg"))
+    )
+
+
 @register("e_dau_hll", _DAU_HLL_ORACLE)
 def e_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly distinct users from MERGED daily HLL sketches (see
@@ -602,21 +622,9 @@ def e_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts DIV 86400000000000").alias("day"),
         "user_id",
     )
-    h = F.md5(F.col("user_id").cast("string").cast("binary"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    tail = F.substring(h, 3, 12)
-    v = F.conv(tail, 16, 10).cast("long")
-    rho = F.when(v == 0, F.lit(49)).otherwise(
-        F.lit(49) - F.length(F.conv(tail, 16, 2))
-    )
-    rhos = ev.select(
-        "week", "day", "user_id", bucket.alias("bucket"), rho.alias("rho")
-    )
-    daily = rhos.groupBy("week", "day", "bucket").agg(
-        F.max("rho").alias("mreg")
-    )
+    daily = user_hll_registers(ev, ["week", "day"])
     merged = daily.groupBy("week", "bucket").agg(F.max("mreg").alias("mreg"))
-    direct = rhos.groupBy("week", "bucket").agg(F.max("rho").alias("mreg"))
+    direct = user_hll_registers(ev, ["week"])
     mm = (
         merged.select("week", "bucket", F.col("mreg").alias("m_mreg"))
         .join(

@@ -162,3 +162,45 @@ def funnel_stage_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming DAU register maintenance (the e_dau_hll online half)
+# --------------------------------------------------------------------------
+# Register maintenance is the HLL's defining algebraic property: a
+# micro-batch's (week, day, bucket, mreg) delta merges into the
+# maintained table by bucket-wise MAX (associative + commutative, so
+# shard and batch order never matter — same contract as
+# stream_profile's vocab sketch, keyed by time).  The maintained
+# relation is |days| x 256 rows regardless of event volume; weekly
+# cardinalities derive at read time exactly as the batch query's
+# merge leg.
+
+
+def dau_register_deltas(events: DataFrame) -> DataFrame:
+    """Micro-batch (user_id, ts) events → (week, day, bucket, mreg)
+    register deltas via the SAME builder as the batch query."""
+    from oxford_data_pipeline_spark.plans.eventops import user_hll_registers
+
+    ev = events.select(
+        F.expr("ts DIV 604800000000000").alias("week"),
+        F.expr("ts DIV 86400000000000").alias("day"),
+        "user_id",
+    )
+    return user_hll_registers(ev, ["week", "day"])
+
+
+def merge_dau_registers(maintained: DataFrame, delta: DataFrame) -> DataFrame:
+    """registers ⊕ registers: full-outer on (week, day, bucket),
+    bucket-wise max — the sketch merge operator."""
+    m = maintained.withColumnRenamed("mreg", "mreg_a")
+    d = delta.withColumnRenamed("mreg", "mreg_b")
+    return m.join(d, ["week", "day", "bucket"], "full_outer").select(
+        "week",
+        "day",
+        "bucket",
+        F.greatest(
+            F.coalesce(F.col("mreg_a"), F.lit(0)),
+            F.coalesce(F.col("mreg_b"), F.lit(0)),
+        ).cast("int").alias("mreg"),
+    )

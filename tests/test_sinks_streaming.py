@@ -2013,3 +2013,69 @@ def test_streaming_event_analytics_match_batch(spark, tmp_path):
         stages.groupBy("user_id", "stage").count().filter("count > 1").count()
     )
     assert n_dupes == 0
+
+
+def test_streaming_dau_registers_match_batch(spark, tmp_path):
+    """DAU register maintenance: events replayed as a stream
+    (foreachBatch, two micro-batches) and merged bucket-wise must
+    equal the batch daily registers EXACTLY, and their weekly
+    roll-up must equal the batch direct-weekly sketch — the
+    merge-don't-recount contract at the register level."""
+    from pyspark.sql import functions as F2
+
+    from oxford_data_pipeline_spark.plans.eventops import user_hll_registers
+    from oxford_data_pipeline_spark.streaming.stream_eventops import (
+        dau_register_deltas,
+        merge_dau_registers,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+    pdf = ev.toPandas().sort_values("ts")
+    d = tmp_path / "dau_stream"
+    d.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(d / "b1.parquet")
+    pdf.iloc[half:].to_parquet(d / "b2.parquet")
+
+    maintained = {"df": None}
+
+    def fold(batch, _bid):
+        delta = dau_register_deltas(batch)
+        if maintained["df"] is None:
+            maintained["df"] = delta.localCheckpoint()
+        else:
+            maintained["df"] = merge_dau_registers(
+                maintained["df"], delta
+            ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    keyed = ev.select(
+        F2.expr("ts DIV 604800000000000").alias("week"),
+        F2.expr("ts DIV 86400000000000").alias("day"),
+        "user_id",
+    )
+    batch_daily = sorted(
+        map(tuple, user_hll_registers(keyed, ["week", "day"]).collect())
+    )
+    streamed = sorted(map(tuple, maintained["df"].collect()))
+    assert streamed == batch_daily and len(streamed) > 0
+
+    weekly_from_stream = sorted(map(tuple, (
+        maintained["df"]
+        .groupBy("week", "bucket")
+        .agg(F2.max("mreg").cast("int").alias("mreg"))
+        .collect()
+    )))
+    batch_weekly = sorted(
+        map(tuple, user_hll_registers(keyed, ["week"]).collect())
+    )
+    assert weekly_from_stream == batch_weekly
