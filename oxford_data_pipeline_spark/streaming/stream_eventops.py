@@ -204,3 +204,81 @@ def merge_dau_registers(maintained: DataFrame, delta: DataFrame) -> DataFrame:
             F.coalesce(F.col("mreg_b"), F.lit(0)),
         ).cast("int").alias("mreg"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming cohort-retention maintenance (the e_retention online half)
+# --------------------------------------------------------------------------
+# The retention matrix derives from two maintainable relations, both
+# with associative merges: the per-user FIRST-ACTIVITY week (merge =
+# bucket-wise MIN — first-seen-wins, the keeper discipline) and the
+# distinct (user, week) activity set (merge = union-distinct).  Each
+# micro-batch folds into both; the matrix itself is a read-time
+# derivation over the maintained relations, identical to the batch
+# plan's cells/base arithmetic.
+
+
+def retention_deltas(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Micro-batch (user_id, ts) events → (firstw delta, active delta):
+    this batch's per-user min week and distinct (user, week) rows."""
+    weeks = events.select(
+        "user_id", F.expr("ts DIV 604800000000000").alias("week")
+    )
+    firstw = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    active = weeks.distinct()
+    return firstw, active
+
+
+def merge_retention_state(
+    maintained: tuple[DataFrame, DataFrame] | None,
+    delta: tuple[DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """State ⊕ delta: first-week keeper merge (full-outer MIN on
+    user_id) and activity-set union-distinct."""
+    if maintained is None:
+        return delta
+    mf, ma = maintained
+    df_, da = delta
+    m = mf.withColumnRenamed("cohort_week", "cw_a")
+    d = df_.withColumnRenamed("cohort_week", "cw_b")
+    firstw = m.join(d, "user_id", "full_outer").select(
+        "user_id",
+        F.least(
+            F.coalesce(F.col("cw_a"), F.col("cw_b")),
+            F.coalesce(F.col("cw_b"), F.col("cw_a")),
+        ).alias("cohort_week"),
+    )
+    active = ma.unionByName(da).distinct()
+    return firstw, active
+
+
+def retention_matrix_from(
+    state: tuple[DataFrame, DataFrame]
+) -> DataFrame:
+    """Read-time derivation: the batch `e_retention` matrix from the
+    maintained (firstw, active) relations — same cells/base arithmetic
+    (co-partitioned user join, broadcast base rates)."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    firstw, active = state
+    cells = (
+        active.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        round6(
+            F.col("n_users").cast("double") / F.col("cohort_size")
+        ).alias("retention"),
+    )

@@ -2079,3 +2079,57 @@ def test_streaming_dau_registers_match_batch(spark, tmp_path):
         map(tuple, user_hll_registers(keyed, ["week"]).collect())
     )
     assert weekly_from_stream == batch_weekly
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    """Cohort-retention maintenance: events replayed as a stream (two
+    micro-batches, foreachBatch) folding into the (first-week keeper,
+    activity-set) relations must derive EXACTLY the batch e_retention
+    matrix — including a user whose first activity arrives in batch 2
+    of a week EARLIER than their batch-1 rows (the min-merge corner)."""
+    from pyspark.sql import functions as F2
+
+    from oxford_data_pipeline_spark.plans.eventops import e_retention
+    from oxford_data_pipeline_spark.streaming.stream_eventops import (
+        merge_retention_state,
+        retention_deltas,
+        retention_matrix_from,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+    pdf = ev.toPandas()
+    # adversarial split: REVERSE time order between the halves, so
+    # batch 2 carries EARLIER weeks for many users and the naive
+    # "first batch wins" rule would be wrong — only min-merge survives
+    pdf = pdf.sort_values("ts", ascending=False)
+    half = len(pdf) // 2
+    d = tmp_path / "ret_stream"
+    d.mkdir()
+    pdf.iloc[:half].to_parquet(d / "b1.parquet")
+    pdf.iloc[half:].to_parquet(d / "b2.parquet")
+
+    state = {"v": None}
+
+    def fold(batch, _bid):
+        fw, ac = retention_deltas(batch)
+        merged = merge_retention_state(
+            state["v"], (fw.localCheckpoint(), ac.localCheckpoint())
+        )
+        state["v"] = (
+            merged[0].localCheckpoint(),
+            merged[1].localCheckpoint(),
+        )
+
+    q = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, retention_matrix_from(state["v"]).collect()))
+    want = sorted(map(tuple, e_retention(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
