@@ -491,16 +491,20 @@ def gif_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     de[y] = arr[src]
                     src += 1
             arr = de
-        screen = np.zeros((sh, sw), np.uint8)
+        # composite in RGB space: the background pixel is the GLOBAL
+        # table's bg entry while the frame region renders through the
+        # palette the frame actually declares — an index from one table
+        # must never be looked up through the other (a local table
+        # smaller than bg would IndexError on a spec-valid stream, and
+        # a differing local table would recolor the background)
+        rgb = np.zeros((sh, sw, 3), np.uint8)
         if gct is not None and bg < len(gct):
-            screen[:] = bg
-        screen[iy:iy + ih, ix:ix + iw] = arr
-        spal = pal if pal is not None else gct
-        first = (screen, spal)
+            rgb[:] = gct[bg]
+        rgb[iy:iy + ih, ix:ix + iw] = pal[arr]
+        first = rgb
     if first is None:
         raise ValueError("GIF contains no image data")
-    screen, pal = first
-    rgb = pal[screen]
+    rgb = first
     meta = {
         "width": int(sw), "height": int(sh), "channels": 3,
         "format": "gif", "version": version, "n_frames": frames,

@@ -2406,12 +2406,14 @@ def jpeg_encode_hierarchical(
     coefficients).  Color streams code
     YCbCr 4:4:4; the final color transform's rounding means RGB
     round-trips are near-exact, not bit-exact — the bit-exactness
-    contract is per component plane.  `chroma_subsample=True` (color,
-    round 11) codes a 4:2:0 pyramid: every frame declares luma (2,2) /
-    chroma (1,1), references live on per-COMPONENT grids, EXP doubles
-    each component's own plane — the subsampled Annex-J shape; it is
-    sequential-DCT only (SOF5 differential stages), so it requires
-    final_lossless=False and excludes progressive_diff/arithmetic."""
+    contract is per component plane.  `chroma_subsample=True`
+    (color-only) codes a 4:2:0 pyramid: every frame declares luma
+    (2,2) / chroma (1,1), references live on per-COMPONENT grids, EXP
+    doubles each component's own plane — the subsampled Annex-J
+    shape.  It composes with every stage type: `final_lossless`
+    (differential-lossless final frame), `progressive_diff` (SOF6/14
+    differential stages), and `arithmetic` (QM-coded entropy
+    stages)."""
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     if not 2 <= levels <= 5:

@@ -213,8 +213,7 @@ def image_roundtrip_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             )
             ok = (
                 gmeta["format"] == "gif"
-                and bool((grgb[:, :, 0] == plane).all())
-                and bool((grgb[:, :, 1] == plane).all())
+                and bool((grgb == plane[:, :, None]).all())
             )
             ids.append(doc_id)
             hs.append(meta["height"])

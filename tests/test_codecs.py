@@ -501,3 +501,77 @@ def test_gif_roundtrip_and_features():
     with pytest.raises(ValueError):
         gif_encode(np.zeros((2, 2), np.uint8),
                    rng.integers(0, 255, (5, 3), dtype=np.uint8))
+
+
+def test_gif_local_palette_background_composites_in_rgb():
+    """Round-12 advisor guard (medium): a spec-valid GIF whose frame
+    declares a LOCAL color table smaller than the global background
+    index must decode — background pixels render through the GLOBAL
+    table's bg entry and frame pixels through the LOCAL table, never
+    one table's index looked up through the other (pre-fix this
+    raised IndexError, and with a big-enough local table it silently
+    recolored the background)."""
+    import struct
+
+    import numpy as np
+
+    from oxford_data_pipeline_spark.operators.codecs import gif_decode, gif_encode
+
+    rng = np.random.default_rng(12)
+    pal4 = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    frame_idx = np.array([[1, 2], [3, 0]], np.uint8)
+    # lift the LZW body from an encoder-produced single-frame GIF
+    small = bytes(gif_encode(frame_idx, pal4))
+    img_at = small.find(b"\x2c", 13)
+    lzw_tail = small[img_at + 10:-1]  # min_code byte + sub-blocks + 0x00
+    # assemble: 6x4 screen, 256-entry gray GLOBAL table, bg=200, then a
+    # 2x2 frame at (1,1) with a 4-entry LOCAL table (0x81 => LCT, n=4)
+    gct = np.repeat(np.arange(256, dtype=np.uint8), 3).tobytes()
+    data = (
+        b"GIF89a" + struct.pack("<HHBBB", 6, 4, 0x87, 200, 0) + gct
+        + b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0x81)
+        + pal4.tobytes() + lzw_tail + b"\x3b"
+    )
+    rgb, meta = gif_decode(data)
+    assert meta["n_frames"] == 1 and rgb.shape == (4, 6, 3)
+    expect = np.full((4, 6, 3), 200, np.uint8)  # gct[200] == (200,)*3
+    expect[1:3, 1:3] = pal4[frame_idx]
+    assert np.array_equal(rgb, expect)
+    # bg index beyond the GLOBAL table stays the lenient zero fill
+    data2 = (
+        b"GIF89a" + struct.pack("<HHBBB", 6, 4, 0x81, 200, 0)
+        + pal4.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0x81)
+        + pal4.tobytes() + lzw_tail + b"\x3b"
+    )
+    rgb2, _ = gif_decode(data2)
+    assert (rgb2[0] == 0).all() and np.array_equal(
+        rgb2[1:3, 1:3], pal4[frame_idx]
+    )
+
+
+def test_gif_eq_gate_covers_all_three_channels(monkeypatch):
+    """Round-12 advisor guard (low): the mm_image_decode gif_eq
+    round-trip gate must compare ALL THREE decoded RGB channels — a
+    decode wrong only in channel 2 has to fail the gate (pre-fix only
+    channels 0 and 1 were checked)."""
+    import numpy as np
+    import pandas as pd
+
+    from oxford_data_pipeline_spark.operators import codecs
+    from oxford_data_pipeline_spark.operators.multimodal import (
+        image_roundtrip_stats,
+    )
+
+    real = codecs.gif_decode
+
+    def wrong_ch2(data):
+        rgb, meta = real(data)
+        bad = rgb.copy()
+        bad[..., 2] ^= 0xFF
+        return bad, meta
+
+    monkeypatch.setattr(codecs, "gif_decode", wrong_ch2)
+    batch = pd.DataFrame({"doc_id": [2], "payload": [b"hello gif gate"]})
+    out = pd.concat(list(image_roundtrip_stats(iter([batch]))))
+    assert int(out["gif_eq"].iloc[0]) == 0
