@@ -61,8 +61,11 @@ EXPLAINED_SLOW = {
     ),
     "emb_bitext_margin": (
         "the dense cross-scoring EXACTNESS leg by construction (both"
-        " sides are corpus-sized) — the IVF tier is the documented scale"
-        " path, and production materializes the mined-pairs table once"
+        " sides are corpus-sized) — the TRUTH table the tier-agreement"
+        " audit compares against; the REGISTERED scale path is"
+        " emb_bitext_margin_ivf (cell-bounded candidates off the shared"
+        " IVF index), and the dense scored relation is charged to"
+        " build_ann_index like brute_topk"
     ),
     "cur_bloom_prefilter": (
         "two-stage decontamination by design: the Bloom-probe scan plus"

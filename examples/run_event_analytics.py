@@ -10,12 +10,18 @@ Phases:
    (`a14_sessionize`), as-of view→purchase attribution
    (`j9_asof_join`), the ordered conversion funnel (`e_funnel`),
    weekly cohort retention (`e_retention`), the next-event Markov
-   transition matrix (`e_markov_transitions`), and weekly distinct
-   users from MERGED daily HLL sketches (`e_dau_hll`).  Cross-plan
-   invariants are asserted, not just printed: funnel stages are
-   monotone; every Markov row-distribution sums to 1; the as-of gap
-   is non-negative; the HLL merge is register-exact (mismatches 0)
-   and its estimate brackets the exact count within 25%.
+   transition matrix (`e_markov_transitions`), weekly distinct
+   users from MERGED daily HLL sketches (`e_dau_hll`), and the
+   round-12 trio — multi-touch attribution (`e_attribution`),
+   trailing-window anomaly flags (`e_rolling_anomaly`), and weekly
+   quantiles off merged daily value histograms (`e_value_histogram`).
+   Cross-plan invariants are asserted, not just printed: funnel
+   stages are monotone; every Markov row-distribution sums to 1; the
+   as-of gap is non-negative; the HLL merge is register-exact
+   (mismatches 0) and its estimate brackets the exact count within
+   25%; linear attribution credit conserves the attributed-conversion
+   count; anomaly flags agree with their z-scores; the histogram
+   merge is bucket-exact with ordered quantile estimates.
 2. STREAMING TWINS — the same events replayed through the stateful
    operators in two checkpointed runs (a restart boundary in the
    middle): `transition_stream` deltas + the END-fold compaction must
@@ -53,10 +59,13 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
 
     from oxford_data_pipeline_spark.plans.eventops import (
         a14_sessionize,
+        e_attribution,
         e_dau_hll,
         e_funnel,
         e_markov_transitions,
         e_retention,
+        e_rolling_anomaly,
+        e_value_histogram,
         j9_asof_join,
     )
     from oxford_data_pipeline_spark.sources.catalog import load_table
@@ -88,10 +97,32 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
         assert r["merge_mismatches"] == 0
         assert abs(r["est_dau"] - r["exact_dau"]) <= 0.25 * r["exact_dau"]
 
+    # round-12 trio: multi-touch attribution conserves linear credit
+    # (sums to the attributed-conversion count up to rounding), the
+    # anomaly pass only scores days with a >= 3-day baseline, and the
+    # weekly value-histogram merge is bucket-exact with quantile
+    # estimates inside the value range
+    attr = e_attribution(spark, sf_dir).collect()
+    n_linear = sum(r["linear_credit"] for r in attr)
+    assert abs(n_linear - round(n_linear)) < 1e-3
+    assert all(r["n_first"] <= r["n_touches"] for r in attr)
+
+    anomalies = e_rolling_anomaly(spark, sf_dir).collect()
+    assert all(
+        (r["is_anomaly"] == 1) == (abs(r["z"]) > 2) for r in anomalies
+    )
+
+    hist = e_value_histogram(spark, sf_dir).collect()
+    for r in hist:
+        assert r["merge_mismatches"] == 0
+        assert 0 <= r["p50_est"] <= r["p90_est"]
+
     print(f"batch: {n_sessions} sessions, {n_attr} attributed purchases,"
           f" funnel {funnel[1]['n_users']}->{funnel[2]['n_users']}->"
           f"{funnel[3]['n_users']}, {len(markov)} transitions,"
-          f" {len(dau)} weekly DAU rows (merge exact)")
+          f" {len(dau)} weekly DAU rows (merge exact),"
+          f" {len(attr)} attribution models, {len(anomalies)} scored"
+          f" days, {len(hist)} weekly histograms (merge exact)")
 
     # ---- 2: streaming twins across a restart boundary ----
     from oxford_data_pipeline_spark.streaming.stream_eventops import (

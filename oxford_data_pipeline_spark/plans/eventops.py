@@ -665,3 +665,334 @@ def e_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_mismatches",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# E-ATTRIBUTION — multi-touch conversion attribution (first/last/linear)
+# --------------------------------------------------------------------------
+# The marketing-analytics / user-journey crediting op (LLM-pipeline
+# analogue: provenance crediting of a kept document to the pipeline
+# touches that preceded it): for each 'purchase', the 'view'/'click'
+# touches by the same user within a 3-day lookback get credit under
+# the three standard models — first-touch (earliest in window),
+# last-touch (latest), and linear (1/k each across the k touches).
+# Scale shape: the touch-conversion pairing is the J1 interval-join
+# discipline — conversions explode to the two lookback-sized time bins
+# an in-window touch can live in, the join is an EQUI-join on
+# (user_id, bin) with the exact range as a post-filter (bounded
+# candidates, co-partitioned), never a range-predicate theta-join; the
+# per-conversion rank windows partition on conversion id (bounded by
+# the lookback's touch count); the final rollup is a tiny
+# per-touch-type aggregation.
+_ATTR_LOOKBACK_NS = 3 * 86_400_000_000_000
+
+_ATTRIBUTION_ORACLE = f"""
+WITH conv AS (
+    SELECT event_id AS conv_id, user_id, epoch_ns(ts) AS conv_ts
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+           epoch_ns(ts) AS touch_ts
+    FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+    SELECT c.conv_id, t.touch_id, t.touch_type, t.touch_ts
+    FROM conv c JOIN touch t USING (user_id)
+    WHERE t.touch_ts <= c.conv_ts
+      AND t.touch_ts > c.conv_ts - {_ATTR_LOOKBACK_NS}
+),
+ranked AS (
+    SELECT conv_id, touch_id, touch_type,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY touch_ts, touch_id) AS rn_first,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY touch_ts DESC, touch_id DESC) AS rn_last,
+           count(*) OVER (PARTITION BY conv_id) AS k
+    FROM pairs
+)
+SELECT touch_type,
+       count(*) AS n_touches,
+       CAST(coalesce(sum(CASE WHEN rn_first = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_first,
+       CAST(coalesce(sum(CASE WHEN rn_last = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_last,
+       round(sum(1.0 / k) * 1000000 + 0.01, 0) / 1000000 + 0 AS linear_credit
+FROM ranked
+GROUP BY 1
+"""
+
+
+@register("e_attribution", _ATTRIBUTION_ORACLE)
+def e_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (see section comment): per touch type,
+    the first-touch / last-touch conversion counts and the linear
+    fractional credit over in-lookback touches, paired via the binned
+    interval-join discipline (equi-join on (user_id, time bin), exact
+    range as a post-filter)."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+        F.expr(f"ts DIV {_ATTR_LOOKBACK_NS}").alias("bin"),
+    )
+    # a touch in (conv_ts - L, conv_ts] lives in the conversion's bin
+    # or the one before it — explode conversions to those two bins and
+    # equi-join (the J1 event-window discipline; no theta-join)
+    conv_bins = conv.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.expr(f"conv_ts DIV {_ATTR_LOOKBACK_NS}"),
+                F.expr(f"conv_ts DIV {_ATTR_LOOKBACK_NS} - 1"),
+            )
+        ),
+    )
+    pairs = (
+        conv_bins.join(touch, ["user_id", "bin"])
+        .filter(
+            (F.col("touch_ts") <= F.col("conv_ts"))
+            & (F.col("touch_ts") > F.col("conv_ts") - _ATTR_LOOKBACK_NS)
+        )
+        .select("conv_id", "touch_id", "touch_type", "touch_ts")
+    )
+    wf = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    wl = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    wk = Window.partitionBy("conv_id")
+    ranked = pairs.select(
+        "touch_type",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count("*").over(wk).alias("k"),
+    )
+    return ranked.groupBy("touch_type").agg(
+        F.count("*").alias("n_touches"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn_first") == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("n_first"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn_last") == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("n_last"),
+        round6(F.sum(F.lit(1.0) / F.col("k"))).alias("linear_credit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E-ROLLING-ANOMALY — trailing-window z-score over the daily rollup
+# --------------------------------------------------------------------------
+# Operational anomaly detection the way a metrics pipeline actually
+# runs it at 100 TB: the raw stream collapses FIRST to the tiny
+# (event_type, day) count grain (one map-side-combinable aggregation —
+# the only corpus-sized step), and the trailing-baseline z-score runs
+# as a window over that bounded relation (|types| x |days| rows), so
+# the anomaly pass costs nothing at any corpus size.  Baseline = the
+# previous 7 observed days (rows frame, >= 3 required); z is emitted
+# on the rounded grid and the flag thresholds |z| > 2.
+_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, day, n,
+           avg(n) OVER w AS mean7,
+           stddev_samp(n) OVER w AS sd7,
+           count(*) OVER w AS n_base
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       round(mean7 * 1000000 + 0.01, 0) / 1000000 + 0 AS mean7,
+       round((n - mean7) / sd7 * 1000000 + 0.01, 0) / 1000000 + 0 AS z,
+       CAST(abs((n - mean7) / sd7) > 2 AS INT) AS is_anomaly
+FROM stats
+WHERE n_base >= 3 AND sd7 > 0
+"""
+
+
+@register("e_rolling_anomaly", _ANOMALY_ORACLE)
+def e_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags on the per-type daily
+    count series (see section comment): aggregate to day grain first,
+    then one bounded window per event type."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.expr("ts DIV 86400000000000").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mean7"),
+        F.stddev_samp("n").over(w).alias("sd7"),
+        F.count("*").over(w).alias("n_base"),
+    )
+    z = (F.col("n") - F.col("mean7")) / F.col("sd7")
+    return stats.filter((F.col("n_base") >= 3) & (F.col("sd7") > 0)).select(
+        "event_type",
+        "day",
+        "n",
+        round6(F.col("mean7")).alias("mean7"),
+        round6(z).alias("z"),
+        (F.abs(z) > 2).cast("int").alias("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E-VALUE-HISTOGRAM — mergeable fixed-boundary histograms + quantiles
+# --------------------------------------------------------------------------
+# The quantile-monitoring twin of e_dau_hll's mergeability story:
+# per-DAY fixed-boundary histograms of the event `value` (20 buckets
+# of width 25, top bucket clamped — constant size per day, maintained
+# by one map-side-combinable count aggregation), merged into WEEKS by
+# bucket-wise SUM (associative and EXACT — unlike quantile digests,
+# fixed-boundary counts lose nothing in the merge; the full-outer
+# mismatch count against sketching the week directly is emitted as
+# the audited invariant, 0 by construction).  Weekly p50/p90 are then
+# estimated from the merged counts by linear interpolation inside the
+# holding bucket — the error bound is the bucket width, chosen at
+# write time, and history travels as 20-row relations, never raw
+# values.
+_HIST_W = 25.0
+_HIST_TOP = 19
+
+_VALUE_HIST_ORACLE = f"""
+WITH base AS (
+    SELECT epoch_ns(ts) // 86400000000000 AS day,
+           (epoch_ns(ts) // 86400000000000) // 7 AS week,
+           least({_HIST_TOP}, CAST(floor(value / {_HIST_W}) AS INT)) AS bucket
+    FROM events
+),
+daily AS (
+    SELECT day, week, bucket, count(*) AS n FROM base GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT week, bucket, sum(n) AS n FROM daily GROUP BY 1, 2
+),
+direct AS (
+    SELECT week, bucket, count(*) AS n FROM base GROUP BY 1, 2
+),
+mm AS (
+    SELECT coalesce(m.week, d.week) AS week,
+           CAST(coalesce(sum(CASE WHEN m.n IS DISTINCT FROM d.n
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS merge_mismatches
+    FROM merged m FULL OUTER JOIN direct d
+      ON m.week = d.week AND m.bucket = d.bucket
+    GROUP BY 1
+),
+tot AS (SELECT week, sum(n) AS n_total FROM merged GROUP BY 1),
+cum AS (
+    SELECT m.week, m.bucket, m.n,
+           sum(m.n) OVER (PARTITION BY m.week ORDER BY m.bucket) AS c,
+           t.n_total
+    FROM merged m JOIN tot t USING (week)
+),
+est AS (
+    -- the holding bucket is the ONE where the cumulative count
+    -- crosses the target (c >= target and the cumulative before the
+    -- bucket is still below it); interpolate linearly inside it
+    SELECT week, n_total,
+           min(CASE WHEN c >= 0.5 * n_total AND c - n < 0.5 * n_total THEN
+               bucket * {_HIST_W} + {_HIST_W} * (0.5 * n_total - (c - n)) / n
+               END) AS p50_est,
+           min(CASE WHEN c >= 0.9 * n_total AND c - n < 0.9 * n_total THEN
+               bucket * {_HIST_W} + {_HIST_W} * (0.9 * n_total - (c - n)) / n
+               END) AS p90_est
+    FROM cum GROUP BY 1, 2
+)
+SELECT e.week, CAST(e.n_total AS BIGINT) AS n_total,
+       round(e.p50_est * 1000000 + 0.01, 0) / 1000000 + 0 AS p50_est,
+       round(e.p90_est * 1000000 + 0.01, 0) / 1000000 + 0 AS p90_est,
+       mm.merge_mismatches
+FROM est e JOIN mm USING (week)
+"""
+
+
+@register("e_value_histogram", _VALUE_HIST_ORACLE)
+def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly quantile estimates off merged per-day fixed-boundary
+    histograms, with the bucket-wise merge-exactness invariant emitted
+    as an audited column (see section comment)."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    base = load_table(spark, sf_dir, "events").select(
+        F.expr("ts DIV 86400000000000").alias("day"),
+        F.expr("(ts DIV 86400000000000) DIV 7").alias("week"),
+        F.least(
+            F.lit(_HIST_TOP),
+            F.floor(F.col("value") / _HIST_W).cast("int"),
+        ).alias("bucket"),
+    )
+    daily = base.groupBy("day", "week", "bucket").agg(F.count("*").alias("n"))
+    merged = daily.groupBy("week", "bucket").agg(F.sum("n").alias("n"))
+    direct = base.groupBy("week", "bucket").agg(F.count("*").alias("n"))
+    mm = (
+        merged.withColumnRenamed("n", "m_n")
+        .join(
+            direct.withColumnRenamed("n", "d_n"),
+            ["week", "bucket"],
+            "full_outer",
+        )
+        .groupBy("week")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (~F.col("m_n").eqNullSafe(F.col("d_n"))).cast("int")
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("merge_mismatches")
+        )
+    )
+    tot = merged.groupBy("week").agg(F.sum("n").alias("n_total"))
+    wc = Window.partitionBy("week").orderBy("bucket")
+    cum = (
+        merged.join(F.broadcast(tot), "week")
+        .withColumn("c", F.sum("n").over(wc))
+    )
+
+    def interp(q: float):
+        # the holding bucket: cumulative crosses the target exactly here
+        target = F.lit(q) * F.col("n_total")
+        return F.min(
+            F.when(
+                (F.col("c") >= target)
+                & (F.col("c") - F.col("n") < target),
+                F.col("bucket") * _HIST_W
+                + _HIST_W * (target - (F.col("c") - F.col("n"))) / F.col("n"),
+            )
+        )
+
+    est = cum.groupBy("week", "n_total").agg(
+        interp(0.5).alias("p50_est"), interp(0.9).alias("p90_est")
+    )
+    return est.join(F.broadcast(mm), "week").select(
+        "week",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        round6(F.col("p50_est")).alias("p50_est"),
+        round6(F.col("p90_est")).alias("p90_est"),
+        "merge_mismatches",
+    )

@@ -124,6 +124,9 @@ HEADLINE = [
     "e_markov_transitions",
     "text_collocations",
     "emb_bitext_margin",
+    # round 12: ANN-tier bitext (the scale leg) + its agreement audit
+    "emb_bitext_margin_ivf",
+    "emb_bitext_margin_audit",
     "text_dup_window_profile",
     "e_dau_hll",
 ]

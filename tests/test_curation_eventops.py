@@ -519,3 +519,123 @@ def test_event_analytics_example_end_to_end(spark, tmp_path):
     assert out["sessions"] > 0 and out["attributed"] > 0
     assert out["funnel"][0] >= out["funnel"][1] >= out["funnel"][2]
     assert out["transitions"] > 0 and out["weeks"] > 0
+
+
+def test_attribution_models_semantics(spark, tmp_path):
+    """Multi-touch attribution on a crafted fixture: first/last/linear
+    credit per touch type, the 3-day lookback boundary STRICT at the
+    far edge and inclusive at the conversion instant, and conversions
+    with no in-window touches dropped."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_attribution
+
+    rows = []
+    h = 3_600_000_000_000
+    t0 = 1_700_000_000_000_000_000
+
+    def ev(i, user, typ, hrs):
+        rows.append((i, t0 + int(hrs * h), user, typ, 1.0, "{}"))
+
+    # user 1: view@0, click@1, purchase@2 -> first=view, last=click,
+    # linear 0.5 each
+    ev(1, 1, "view", 0); ev(2, 1, "click", 1); ev(3, 1, "purchase", 2)
+    # user 2: click 100h before purchase (outside 72h) -> dropped
+    ev(4, 2, "click", 0); ev(5, 2, "purchase", 100)
+    # user 3: single view 1h before purchase -> first=last=view, 1.0
+    ev(6, 3, "view", 10); ev(7, 3, "purchase", 11)
+    # user 4: view EXACTLY 72h before purchase -> excluded (strict >)
+    ev(8, 4, "view", 0); ev(9, 4, "purchase", 72)
+    # user 5: view exactly AT the purchase instant -> included (<=)
+    ev(10, 5, "view", 5); ev(11, 5, "purchase", 5)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "attr_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["touch_type"]: r for r in e_attribution(spark, d).collect()}
+    assert got["view"]["n_touches"] == 3          # users 1, 3, 5
+    assert got["view"]["n_first"] == 3
+    assert got["view"]["n_last"] == 2             # users 3, 5
+    assert got["view"]["linear_credit"] == 2.5    # 0.5 + 1.0 + 1.0
+    assert got["click"]["n_touches"] == 1         # user 1 only
+    assert got["click"]["n_first"] == 0
+    assert got["click"]["n_last"] == 1
+    assert got["click"]["linear_credit"] == 0.5
+    # linear credit sums to the number of ATTRIBUTED conversions (3:
+    # users 1, 3, 5 — users 2 and 4 have no in-window touch)
+    assert got["view"]["linear_credit"] + got["click"]["linear_credit"] == 3.0
+
+
+def test_rolling_anomaly_flags_spike(spark, tmp_path):
+    """The trailing-window z-score flags a planted 10x single-day
+    spike and leaves ordinary days unflagged; days without >= 3
+    baseline days (or zero variance) are not scored."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_rolling_anomaly
+
+    rows = []
+    day_ns = 86_400_000_000_000
+    i = 0
+    # days 0-9: alternating 10/12 events (sd > 0); day 10: 100 (spike)
+    for day in range(11):
+        n = 100 if day == 10 else (10 if day % 2 == 0 else 12)
+        for k in range(n):
+            rows.append(
+                (i, day * day_ns + k * 1_000_000_000, k % 5, "click",
+                 1.0, "{}")
+            )
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "anomaly_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["day"]: r for r in e_rolling_anomaly(spark, d).collect()}
+    assert 0 not in got and 2 not in got       # < 3 baseline days
+    assert got[10]["is_anomaly"] == 1 and got[10]["z"] > 2
+    for day in range(3, 10):
+        assert got[day]["is_anomaly"] == 0
+
+
+def test_value_histogram_exact_interpolation(spark, tmp_path):
+    """Histogram quantiles on a crafted uniform week: with values
+    0.5..99.5 evenly spread, linear interpolation inside the holding
+    bucket recovers p50=50 and p90=90 EXACTLY; a clamped-top-bucket
+    week interpolates inside bucket 19; the day->week merge invariant
+    is 0."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_value_histogram
+
+    rows = []
+    day_ns = 86_400_000_000_000
+    i = 0
+    for day in range(7):                       # week 0: uniform 0.5..99.5
+        for k in range(100):
+            rows.append((i, day * day_ns + k * 1_000_000_000, k % 7,
+                         "view", k + 0.5, "{}"))
+            i += 1
+    for day in range(7, 14):                   # week 1: all clamp to 19
+        for k in range(10):
+            rows.append((i, day * day_ns + k * 1_000_000_000, k % 7,
+                         "view", 500.0 + k, "{}"))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "hist_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["week"]: r for r in e_value_histogram(spark, d).collect()}
+    assert got[0]["n_total"] == 700
+    assert got[0]["p50_est"] == 50.0 and got[0]["p90_est"] == 90.0
+    assert got[1]["n_total"] == 70
+    assert got[1]["p50_est"] == 487.5          # inside clamped bucket 19
+    assert all(r["merge_mismatches"] == 0 for r in got.values())
