@@ -179,11 +179,24 @@ def main() -> None:
     # rep-1 attribution report (round-6 verdict item 3): queries whose
     # first run cost >2x their min are carrying first-touch work that
     # belongs to a named build phase — surfaced here so a regression is
-    # a diff in this list, not an anonymous rep-1 spike.
+    # a diff in this list, not an anonymous rep-1 spike.  Rows whose
+    # rep-1 delta is SMALL in absolute terms (< FIRST_TOUCH_ABS_SEC)
+    # are reported separately (round-11 verdict item 6): sub-second
+    # Arrow/JIT/scan warmup on an otherwise-fast query is inherent
+    # first-touch noise, not unattributed build work — the actionable
+    # list is the one where real seconds hide in rep-1.
     ratio_flags = {
         n: round(timings[n] / qmin[n], 2)
         for n in timings
         if qmin[n] == qmin[n] and qmin[n] > 0 and timings[n] / qmin[n] > 2.0
+    }
+    FIRST_TOUCH_ABS_SEC = 1.0
+    first_touch_small = {
+        n: r for n, r in ratio_flags.items()
+        if timings[n] - qmin[n] < FIRST_TOUCH_ABS_SEC
+    }
+    ratio_flags = {
+        n: r for n, r in ratio_flags.items() if n not in first_touch_small
     }
     unpinned_slow = sorted(
         n for n, v in qmin.items()
@@ -201,6 +214,9 @@ def main() -> None:
         "reps": reps,
         "rep1_over_min_gt2": dict(
             sorted(ratio_flags.items(), key=lambda kv: -kv[1])
+        ),
+        "rep1_first_touch_small": dict(
+            sorted(first_touch_small.items(), key=lambda kv: -kv[1])
         ),
         "explained_slow": EXPLAINED_SLOW,
         "unpinned_slow": unpinned_slow,

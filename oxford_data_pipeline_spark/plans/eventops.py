@@ -823,20 +823,12 @@ WHERE n_base >= 3 AND sd7 > 0
 """
 
 
-@register("e_rolling_anomaly", _ANOMALY_ORACLE)
-def e_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-window z-score anomaly flags on the per-type daily
-    count series (see section comment): aggregate to day grain first,
-    then one bounded window per event type."""
+def anomaly_scores_from(daily: DataFrame) -> DataFrame:
+    """Read-time z-score derivation over a maintained (event_type,
+    day, n) count relation — shared by the batch query and the
+    streaming count-maintainer twin (`stream_eventops`)."""
     from oxford_data_pipeline_spark.functions.compat import round6
 
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            "event_type", F.expr("ts DIV 86400000000000").alias("day")
-        )
-        .agg(F.count("*").alias("n"))
-    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -859,6 +851,21 @@ def e_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(z).alias("z"),
         (F.abs(z) > 2).cast("int").alias("is_anomaly"),
     )
+
+
+@register("e_rolling_anomaly", _ANOMALY_ORACLE)
+def e_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags on the per-type daily
+    count series (see section comment): aggregate to day grain first,
+    then one bounded window per event type."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.expr("ts DIV 86400000000000").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return anomaly_scores_from(daily)
 
 
 # --------------------------------------------------------------------------
@@ -932,14 +939,11 @@ FROM est e JOIN mm USING (week)
 """
 
 
-@register("e_value_histogram", _VALUE_HIST_ORACLE)
-def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly quantile estimates off merged per-day fixed-boundary
-    histograms, with the bucket-wise merge-exactness invariant emitted
-    as an audited column (see section comment)."""
-    from oxford_data_pipeline_spark.functions.compat import round6
-
-    base = load_table(spark, sf_dir, "events").select(
+def value_hist_buckets(events: DataFrame) -> DataFrame:
+    """(day, week, bucket) rows for the fixed-boundary histogram —
+    the shared bucketing of the batch query and the streaming
+    histogram maintainer."""
+    return events.select(
         F.expr("ts DIV 86400000000000").alias("day"),
         F.expr("(ts DIV 86400000000000) DIV 7").alias("week"),
         F.least(
@@ -947,6 +951,45 @@ def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") / _HIST_W).cast("int"),
         ).alias("bucket"),
     )
+
+
+def weekly_quantiles_from(merged: DataFrame) -> DataFrame:
+    """Read-time weekly (n_total, p50_est, p90_est) derivation over a
+    merged (week, bucket, n) histogram relation — linear interpolation
+    inside the holding bucket (the one where the cumulative count
+    crosses the target).  Shared by the batch query and the streaming
+    maintainer twin; estimates left unrounded for the caller."""
+    tot = merged.groupBy("week").agg(F.sum("n").alias("n_total"))
+    wc = Window.partitionBy("week").orderBy("bucket")
+    cum = (
+        merged.join(F.broadcast(tot), "week")
+        .withColumn("c", F.sum("n").over(wc))
+    )
+
+    def interp(q: float):
+        target = F.lit(q) * F.col("n_total")
+        return F.min(
+            F.when(
+                (F.col("c") >= target)
+                & (F.col("c") - F.col("n") < target),
+                F.col("bucket") * _HIST_W
+                + _HIST_W * (target - (F.col("c") - F.col("n"))) / F.col("n"),
+            )
+        )
+
+    return cum.groupBy("week", "n_total").agg(
+        interp(0.5).alias("p50_est"), interp(0.9).alias("p90_est")
+    )
+
+
+@register("e_value_histogram", _VALUE_HIST_ORACLE)
+def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly quantile estimates off merged per-day fixed-boundary
+    histograms, with the bucket-wise merge-exactness invariant emitted
+    as an audited column (see section comment)."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    base = value_hist_buckets(load_table(spark, sf_dir, "events"))
     daily = base.groupBy("day", "week", "bucket").agg(F.count("*").alias("n"))
     merged = daily.groupBy("week", "bucket").agg(F.sum("n").alias("n"))
     direct = base.groupBy("week", "bucket").agg(F.count("*").alias("n"))
@@ -967,28 +1010,7 @@ def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("merge_mismatches")
         )
     )
-    tot = merged.groupBy("week").agg(F.sum("n").alias("n_total"))
-    wc = Window.partitionBy("week").orderBy("bucket")
-    cum = (
-        merged.join(F.broadcast(tot), "week")
-        .withColumn("c", F.sum("n").over(wc))
-    )
-
-    def interp(q: float):
-        # the holding bucket: cumulative crosses the target exactly here
-        target = F.lit(q) * F.col("n_total")
-        return F.min(
-            F.when(
-                (F.col("c") >= target)
-                & (F.col("c") - F.col("n") < target),
-                F.col("bucket") * _HIST_W
-                + _HIST_W * (target - (F.col("c") - F.col("n"))) / F.col("n"),
-            )
-        )
-
-    est = cum.groupBy("week", "n_total").agg(
-        interp(0.5).alias("p50_est"), interp(0.9).alias("p90_est")
-    )
+    est = weekly_quantiles_from(merged)
     return est.join(F.broadcast(mm), "week").select(
         "week",
         F.col("n_total").cast("bigint").alias("n_total"),

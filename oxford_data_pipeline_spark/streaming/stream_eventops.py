@@ -282,3 +282,92 @@ def retention_matrix_from(
             F.col("n_users").cast("double") / F.col("cohort_size")
         ).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming daily-count maintenance (the e_rolling_anomaly online half)
+# --------------------------------------------------------------------------
+# The anomaly query's only corpus-sized step is the (event_type, day)
+# count rollup — a trivially mergeable relation (merge = sum,
+# associative + commutative), so the online half maintains exactly
+# that: micro-batch count deltas folded in by full-outer ADD.  The
+# maintained relation is |types| x |days| rows whatever the event
+# volume; the z-score pass derives at read time via the SAME
+# `anomaly_scores_from` tail as the batch plan.
+
+
+def daily_count_deltas(events: DataFrame) -> DataFrame:
+    """Micro-batch events → (event_type, day, n) count deltas via the
+    same day bucketing as the batch query."""
+    return events.groupBy(
+        "event_type", F.expr("ts DIV 86400000000000").alias("day")
+    ).agg(F.count("*").alias("n"))
+
+
+def merge_daily_counts(maintained: DataFrame, delta: DataFrame) -> DataFrame:
+    """counts ⊕ counts: full-outer on (event_type, day), additive
+    merge — late/out-of-order events simply add to their day."""
+    m = maintained.withColumnRenamed("n", "n_a")
+    d = delta.withColumnRenamed("n", "n_b")
+    return m.join(d, ["event_type", "day"], "full_outer").select(
+        "event_type",
+        "day",
+        (
+            F.coalesce(F.col("n_a"), F.lit(0))
+            + F.coalesce(F.col("n_b"), F.lit(0))
+        ).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming value-histogram maintenance (the e_value_histogram online half)
+# --------------------------------------------------------------------------
+# Fixed-boundary histograms are the mergeable-quantile contract: the
+# micro-batch delta is a (day, week, bucket, n) count relation built
+# by the SAME bucketing as the batch query, and the merge is additive
+# — so the maintained daily relation equals the batch daily histogram
+# EXACTLY (no sketch error in the merge; the only approximation is
+# the write-time bucket width, identical online and offline).  Weekly
+# quantiles derive at read time via the shared
+# `weekly_quantiles_from` interpolation.
+
+
+def value_hist_deltas(events: DataFrame) -> DataFrame:
+    """Micro-batch events → (day, week, bucket, n) histogram deltas."""
+    from oxford_data_pipeline_spark.plans.eventops import value_hist_buckets
+
+    return value_hist_buckets(events).groupBy(
+        "day", "week", "bucket"
+    ).agg(F.count("*").alias("n"))
+
+
+def merge_value_hists(maintained: DataFrame, delta: DataFrame) -> DataFrame:
+    """histogram ⊕ histogram: full-outer on (day, week, bucket),
+    additive merge."""
+    m = maintained.withColumnRenamed("n", "n_a")
+    d = delta.withColumnRenamed("n", "n_b")
+    return m.join(d, ["day", "week", "bucket"], "full_outer").select(
+        "day",
+        "week",
+        "bucket",
+        (
+            F.coalesce(F.col("n_a"), F.lit(0))
+            + F.coalesce(F.col("n_b"), F.lit(0))
+        ).alias("n"),
+    )
+
+
+def weekly_hist_report_from(daily: DataFrame) -> DataFrame:
+    """Read-time weekly quantile report from the maintained daily
+    histogram relation — the batch query's merge + interpolation tail
+    over the online state (rounded like the batch output)."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+    from oxford_data_pipeline_spark.plans.eventops import weekly_quantiles_from
+
+    merged = daily.groupBy("week", "bucket").agg(F.sum("n").alias("n"))
+    return weekly_quantiles_from(merged).select(
+        "week",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        round6(F.col("p50_est")).alias("p50_est"),
+        round6(F.col("p90_est")).alias("p90_est"),
+    )

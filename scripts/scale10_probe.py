@@ -416,6 +416,16 @@ def main_x100() -> None:
         '— seven scan-local fingerprint-keyed window aggregations',
         'staying strongly sublinear, the measured basis for the',
         'bisection query per-round cost.',
+        'Round-12 rows: `emb_bitext_margin_ivf` reads the maintained',
+        'mined-pairs table (~flat — the serving read; construction is',
+        'attributed inside build:ann, where the bitext DENSE truth is',
+        'the same (n/2)^2 evaluation-artifact class as brute top-k);',
+        '`e_rolling_anomaly` stays ~flat at 100x event mass (the',
+        'day-grain rollup is the only corpus-sized step; the z-window',
+        'input is |types| x |days| rows at ANY volume);',
+        '`e_value_histogram` tracks the event scan with constant',
+        '20-row/day state — the fixed-boundary mergeability contract',
+        'at two decades.',
         "",
     ]
     section = "\n".join(lines)
@@ -663,9 +673,11 @@ def main() -> None:
         "scan-bound at real scale); `sim_serving_ndcg` joins two %-mod",
         "memoized k-row relations (ratio = the query-count growth, same",
         "family as the recall audits); the event rows (`e_funnel`,",
-        "`e_markov_transitions`, `e_dau_hll`) are CONTROL rows here —",
-        "events are not replicated in the x10 corpus, so ~flat confirms",
-        "the probe measures data growth, not round-to-round noise.",
+        "`e_markov_transitions`, `e_dau_hll`) run against 10x REPLICATED",
+        "events (1M rows, fresh user population per replica) — near-flat",
+        "wall means one user_id exchange plus partial aggregation absorbs",
+        "the decade on 32 cores (the linear term is below fixed job",
+        "cost), the as-of-join posture working.",
         "Second-wave text rows: `text_collocations` is two hash aggs +",
         "co-partitioned vocab joins (overhead-dominated at this corpus",
         "size — the linear term is still below the fixed job cost);",
@@ -674,6 +686,20 @@ def main() -> None:
         "`text_longest_dup_substring` adds ~log2(max_doc_len) rounds over",
         "a persisted corpus — its ratio tracks the per-round scan, not",
         "the round count, exactly the bisection design.",
+        "Round-12 rows: `emb_bitext_margin_ivf` times a read of the",
+        "maintained mined-pairs table (~flat by design — production",
+        "serves from the materialized table); its CONSTRUCTION is",
+        "attributed inside `build:ann` (`audit:bitext_mined_ivf_sec`,",
+        "cell-bounded candidate joins), and `build:ann`'s own jump also",
+        "carries the bitext DENSE-truth table — (n/2)^2 cross-scoring,",
+        "an evaluation artifact of exactly the same class as the brute",
+        "top-k ground truth noted above (run on a bounded audit sample",
+        "at real scale, never the serving path).  `e_attribution` grows",
+        "with event mass (binned interval join, candidates bounded by",
+        "the lookback); `e_rolling_anomaly` is ~flat (the day-grain",
+        "rollup is the only corpus-sized step, the z-window runs over",
+        "|types| x |days| rows); `e_value_histogram` tracks the scan",
+        "with constant 20-row/day state (the mergeability contract).",
         "",
     ]
     section = "\n".join(lines)

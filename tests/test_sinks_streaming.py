@@ -2133,3 +2133,132 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, retention_matrix_from(state["v"]).collect()))
     want = sorted(map(tuple, e_retention(spark, SF_DIR).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_daily_counts_match_batch(spark, tmp_path):
+    """Daily-count maintenance (the e_rolling_anomaly online half):
+    events replayed as two micro-batches and additively merged must
+    equal the batch day-grain counts EXACTLY, and the read-time
+    z-score derivation over the maintained relation must equal the
+    batch anomaly report."""
+    from pyspark.sql import functions as F2
+
+    from oxford_data_pipeline_spark.plans.eventops import (
+        anomaly_scores_from,
+        e_rolling_anomaly,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_eventops import (
+        daily_count_deltas,
+        merge_daily_counts,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "ts")
+    pdf = ev.toPandas().sort_values("ts")
+    d = tmp_path / "cnt_stream"
+    d.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(d / "b1.parquet")
+    pdf.iloc[half:].to_parquet(d / "b2.parquet")
+
+    maintained = {"df": None}
+
+    def fold(batch, _bid):
+        delta = daily_count_deltas(batch)
+        if maintained["df"] is None:
+            maintained["df"] = delta.localCheckpoint()
+        else:
+            maintained["df"] = merge_daily_counts(
+                maintained["df"], delta
+            ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema("event_type string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_daily = sorted(map(tuple, (
+        ev.groupBy(
+            "event_type", F2.expr("ts DIV 86400000000000").alias("day")
+        ).agg(F2.count("*").alias("n")).collect()
+    )))
+    streamed = sorted(map(tuple, maintained["df"].collect()))
+    assert streamed == batch_daily and len(streamed) > 0
+    derived = sorted(
+        map(tuple, anomaly_scores_from(maintained["df"]).collect())
+    )
+    batch_report = sorted(
+        map(tuple, e_rolling_anomaly(spark, SF_DIR).collect())
+    )
+    assert derived == batch_report and len(derived) > 0
+
+
+def test_streaming_value_hists_match_batch(spark, tmp_path):
+    """Value-histogram maintenance (the e_value_histogram online
+    half): two additively-merged micro-batch deltas must equal the
+    batch daily histograms EXACTLY (fixed boundaries lose nothing in
+    the merge), and the read-time weekly quantile report over the
+    maintained relation must equal the batch query's (minus the
+    read-side merge invariant column)."""
+    from pyspark.sql import functions as F2
+
+    from oxford_data_pipeline_spark.plans.eventops import (
+        e_value_histogram,
+        value_hist_buckets,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_eventops import (
+        merge_value_hists,
+        value_hist_deltas,
+        weekly_hist_report_from,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("ts", "value")
+    pdf = ev.toPandas().sort_values("ts")
+    d = tmp_path / "hist_stream"
+    d.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(d / "b1.parquet")
+    pdf.iloc[half:].to_parquet(d / "b2.parquet")
+
+    maintained = {"df": None}
+
+    def fold(batch, _bid):
+        delta = value_hist_deltas(batch)
+        if maintained["df"] is None:
+            maintained["df"] = delta.localCheckpoint()
+        else:
+            maintained["df"] = merge_value_hists(
+                maintained["df"], delta
+            ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema("ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_daily = sorted(map(tuple, (
+        value_hist_buckets(ev)
+        .groupBy("day", "week", "bucket")
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    )))
+    streamed = sorted(map(tuple, maintained["df"].collect()))
+    assert streamed == batch_daily and len(streamed) > 0
+    derived = sorted(
+        map(tuple, weekly_hist_report_from(maintained["df"]).collect())
+    )
+    batch_report = sorted(map(tuple, (
+        e_value_histogram(spark, SF_DIR)
+        .select("week", "n_total", "p50_est", "p90_est")
+        .collect()
+    )))
+    assert derived == batch_report and len(derived) > 0
