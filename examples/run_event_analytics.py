@@ -60,6 +60,7 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
     from oxford_data_pipeline_spark.plans.eventops import (
         a14_sessionize,
         e_attribution,
+        e_audience_overlap,
         e_dau_hll,
         e_funnel,
         e_markov_transitions,
@@ -116,6 +117,12 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
     for r in hist:
         assert r["merge_mismatches"] == 0
         assert 0 <= r["p50_est"] <= r["p90_est"]
+
+    # HLL set algebra: the union-sketch identity holds register-exact
+    # for every type pair, and the estimates obey union subadditivity
+    overlap = e_audience_overlap(spark, sf_dir).collect()
+    assert all(r["merge_mismatches"] == 0 for r in overlap)
+    assert all(r["est_union"] <= r["est_a"] + r["est_b"] for r in overlap)
 
     print(f"batch: {n_sessions} sessions, {n_attr} attributed purchases,"
           f" funnel {funnel[1]['n_users']}->{funnel[2]['n_users']}->"

@@ -31,22 +31,23 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # driver records correctness rows for roughly the FIRST 50 registry
 # entries only, so registration order is driver exposure, and the
 # front list rotates every round to keep each query's driver row <= 2
-# rounds old.  Round 12 front-loads (a) the five queries NEW this
+# rounds old.  Round 12 front-loads (a) the six queries NEW this
 # round (`emb_bitext_margin_ivf` — the ANN-tier bitext scale leg,
 # round-11 verdict item 1 — with `emb_bitext_margin_audit`, its
 # tier-agreement gate, and the event-family wave `e_attribution` /
-# `e_rolling_anomaly` / `e_value_histogram`) plus the two that
+# `e_rolling_anomaly` / `e_value_histogram` / `e_audience_overlap`)
+# plus the two that
 # materially CHANGED: `emb_bitext_margin` (dense scored relation
 # re-routed through memoized(), oracle recomposed from shared CTEs —
 # result-identical, re-proven here) and `mm_image_decode` (gif_decode
 # now composites background vs frame in RGB space, r12 advisor medium
 # item); then (b) the 11 queries whose newest driver row is r8
-# (round-11 verdict item 2, listed there); then (c) 32 of the 48
-# r9-stale queries.  That fills all 50 slots.  The 16 r9 rows that
+# (round-11 verdict item 2, listed there); then (c) 31 of the 48
+# r9-stale queries.  That fills all 50 slots.  The 17 r9 rows that
 # defer to r13 are the least-risk ones: untouched single-shuffle
 # stat/relational/window kernels (`m3/m5/m9/m10/m11/m13/m16`,
 # `sc_scalar_functions`, `o1/o3/o4`, `e_set_ops`,
-# `f9_significance_filter`, `w5/w6/w7`), all green in the regenerated
+# `f9_significance_filter`, `w4/w5/w6/w7`), all green in the regenerated
 # ORACLE_PARITY.json at both SFs every round and exercised by the
 # suite.  Only ORACLE-CHECKED queries go in the window — a rows-only
 # query would burn a slot on an err:"no_oracle" record.  Rotation
@@ -56,6 +57,7 @@ _ROUND12_FRONT = [
     # (a) new + materially changed this round
     "emb_bitext_margin_ivf", "emb_bitext_margin_audit",
     "e_attribution", "e_rolling_anomaly", "e_value_histogram",
+    "e_audience_overlap",
     "emb_bitext_margin", "mm_image_decode",
     # (b) the r8-stale cohort (newest driver row = r8)
     "cur_classifier_scored", "cur_classifier_train", "mm_frame_sample",
@@ -73,7 +75,7 @@ _ROUND12_FRONT = [
     "j8_fold_train_split", "mm_audio_decode", "ret_hybrid_rrf_audit",
     "sim_ivf_churn_recall", "text_chunk_dedup", "text_chunking",
     "text_langid", "text_langid_confusion", "text_quality",
-    "w2_removal_schedule", "w3_restricted_peak", "w4_peak_amplitude",
+    "w2_removal_schedule", "w3_restricted_peak",
 ]
 
 
@@ -89,12 +91,12 @@ def _rotate(front: list[str]) -> None:
 
 _rotate(_ROUND12_FRONT)
 
-# r13 FRONT-LOAD LIST: the 16 r9-stale rows deferred above
+# r13 FRONT-LOAD LIST: the 17 r9-stale rows deferred above
 # (`e_set_ops`, `f9_significance_filter`, `m10_wilcoxon_stat`,
 # `m11_cohens_d`, `m13_effective_dim`, `m16_spearman`,
 # `m3_weight_minmax_norm`, `m5_relational_matmul`, `m9_pearson_corr`,
 # `o1_anatomical_order`, `o3_seeded_sample`, `o4_truncate_min_length`,
-# `sc_scalar_functions`, `w5_percentile_threshold`,
+# `sc_scalar_functions`, `w4_peak_amplitude`, `w5_percentile_threshold`,
 # `w6_contiguous_folds`, `w7_first_match_baseline`), then the
 # r10-stale cohort.
 # (`text_longest_dup_substring` is rows-only by design — it never

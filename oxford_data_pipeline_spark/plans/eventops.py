@@ -521,17 +521,10 @@ def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # history can be kept as sketches, never raw IDs.
 _DAU_ALPHA = "(0.7213 / (1 + 1.079 / 256))"
 
-_DAU_HLL_ORACLE = f"""
-WITH ev AS (
-    SELECT epoch_ns(ts) // 604800000000000 AS week,
-           epoch_ns(ts) // 86400000000000 AS day,
-           user_id,
-           md5(CAST(user_id AS VARCHAR)) AS h
-    FROM events
-),
-rhos AS (
-    SELECT week, day, user_id,
-        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+# shared SQL fragment: (bucket, rho) from an md5 hex column `h` —
+# the oracle mirror of `user_hll_registers`, reused by the DAU and
+# audience-overlap sketches
+_RHO_SQL = """(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
         CASE WHEN length(regexp_extract(substr(h, 3, 12), '^0*')) = 12
              THEN 49
@@ -548,7 +541,19 @@ rhos AS (
                                  substr(h, 3 + length(regexp_extract(
                                      substr(h, 3, 12), '^0*')), 1)) - 1 >= 2
                             THEN 2
-                            ELSE 1 END) + 1 END AS rho
+                            ELSE 1 END) + 1 END AS rho"""
+
+_DAU_HLL_ORACLE = f"""
+WITH ev AS (
+    SELECT epoch_ns(ts) // 604800000000000 AS week,
+           epoch_ns(ts) // 86400000000000 AS day,
+           user_id,
+           md5(CAST(user_id AS VARCHAR)) AS h
+    FROM events
+),
+rhos AS (
+    SELECT week, day, user_id,
+        {_RHO_SQL}
     FROM ev
 ),
 daily AS (SELECT week, day, bucket, max(rho) AS mreg FROM rhos GROUP BY 1, 2, 3),
@@ -609,14 +614,39 @@ def user_hll_registers(ev: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def hll_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """keys + `est` from a (…keys, bucket, mreg) register relation —
+    the standard 256-register HLL estimate with the LinearCounting
+    small-range branch taken on the ROUNDED raw estimate and the
+    INTEGER zero count (cross-engine-deterministic), shared by
+    `e_dau_hll` and `e_audience_overlap`."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    est = regs.groupBy(*keys).agg(
+        F.count("*").alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("sumpow"),
+    )
+    zeros = F.lit(256) - F.col("occupied")
+    raw_r = round6(
+        F.expr(_DAU_ALPHA) * 256 * 256 / (F.col("sumpow") + zeros)
+    )
+    return est.select(
+        *keys,
+        round6(
+            F.when(
+                (raw_r <= 640) & (zeros > 0),
+                F.lit(256) * F.log(F.lit(256.0) / zeros),
+            ).otherwise(raw_r)
+        ).alias("est"),
+    )
+
+
 @register("e_dau_hll", _DAU_HLL_ORACLE)
 def e_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly distinct users from MERGED daily HLL sketches (see
     section comment): bucket-wise max merge, audited register-exact
     against the direct weekly sketch, LinearCounting small-range
     correction on deterministic branch inputs."""
-    from oxford_data_pipeline_spark.functions.compat import round6
-
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("ts DIV 604800000000000").alias("week"),
         F.expr("ts DIV 86400000000000").alias("day"),
@@ -639,16 +669,9 @@ def e_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_mismatches")
         )
     )
-    est = direct.groupBy("week").agg(
-        F.count("*").alias("occupied"),
-        F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("sumpow"),
-    )
+    est = hll_estimate(direct, ["week"])
     ex = ev.groupBy("week").agg(
         F.countDistinct("user_id").alias("exact_dau")
-    )
-    zeros = F.lit(256) - F.col("occupied")
-    raw_r = round6(
-        F.expr(_DAU_ALPHA) * 256 * 256 / (F.col("sumpow") + zeros)
     )
     return (
         est.join(ex, "week")
@@ -656,12 +679,7 @@ def e_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "week",
             "exact_dau",
-            round6(
-                F.when(
-                    (raw_r <= 640) & (zeros > 0),
-                    F.lit(256) * F.log(F.lit(256.0) / zeros),
-                ).otherwise(raw_r)
-            ).alias("est_dau"),
+            F.col("est").alias("est_dau"),
             "merge_mismatches",
         )
     )
@@ -1017,4 +1035,224 @@ def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.col("p50_est")).alias("p50_est"),
         round6(F.col("p90_est")).alias("p90_est"),
         "merge_mismatches",
+    )
+
+
+# --------------------------------------------------------------------------
+# E-AUDIENCE-OVERLAP — HLL set algebra (inclusion-exclusion intersection)
+# --------------------------------------------------------------------------
+# The second half of the sketch-mergeability story: HLL registers
+# support UNION exactly (bucket-wise max), so the intersection of two
+# audiences estimates by inclusion-exclusion —
+# |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) — without ever joining user
+# sets.  Per event-type pair: the three estimates (shared
+# `hll_estimate` with its deterministic LinearCounting branch over
+# the shared `user_hll_registers` builder), the clamped-at-zero
+# overlap estimate, the EXACT overlap as the audit column, and the
+# union-sketch identity as the audited invariant — registers merged
+# max-wise from the two per-type sketches must equal sketching the
+# union of raw events directly (0 mismatches by associativity,
+# computed from both paths for real).  At 100 TB audiences travel as
+# 256-register relations; the pair table is |types|² rows.
+_OVERLAP_ORACLE = f"""
+WITH ev AS (
+    SELECT DISTINCT event_type, user_id,
+           md5(CAST(user_id AS VARCHAR)) AS h
+    FROM events
+),
+rhos AS (
+    SELECT event_type, user_id,
+        {_RHO_SQL}
+    FROM ev
+),
+tregs AS (
+    SELECT event_type, bucket, max(rho) AS mreg FROM rhos GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM ev),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM types a JOIN types b ON a.event_type < b.event_type
+),
+uregs AS (
+    SELECT p.type_a, p.type_b, r.bucket, max(r.mreg) AS mreg
+    FROM pairs p JOIN tregs r ON r.event_type IN (p.type_a, p.type_b)
+    GROUP BY 1, 2, 3
+),
+udirect AS (
+    SELECT p.type_a, p.type_b, r.bucket, max(r.rho) AS mreg
+    FROM pairs p JOIN rhos r ON r.event_type IN (p.type_a, p.type_b)
+    GROUP BY 1, 2, 3
+),
+mm AS (
+    SELECT coalesce(u.type_a, d.type_a) AS type_a,
+           coalesce(u.type_b, d.type_b) AS type_b,
+           CAST(sum(CASE WHEN u.mreg IS DISTINCT FROM d.mreg
+                         THEN 1 ELSE 0 END) AS BIGINT) AS merge_mismatches
+    FROM uregs u
+    FULL OUTER JOIN udirect d
+      ON u.type_a = d.type_a AND u.type_b = d.type_b AND u.bucket = d.bucket
+    GROUP BY 1, 2
+),
+sides AS (
+    SELECT p.type_a, p.type_b, 'a' AS side, r.bucket, r.mreg
+    FROM pairs p JOIN tregs r ON r.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, 'b' AS side, r.bucket, r.mreg
+    FROM pairs p JOIN tregs r ON r.event_type = p.type_b
+    UNION ALL
+    SELECT type_a, type_b, 'u' AS side, bucket, mreg FROM uregs
+),
+calc AS (
+    SELECT type_a, type_b, side, count(*) AS occupied,
+           sum(pow(2.0, -mreg)) AS sumpow
+    FROM sides GROUP BY 1, 2, 3
+),
+ests AS (
+    SELECT type_a, type_b, side,
+           round(CASE WHEN round({_DAU_ALPHA} * 256 * 256
+                            / (sumpow + (256 - occupied))
+                            * 1000000 + 0.01, 0) / 1000000 + 0 <= 640
+                       AND 256 - occupied > 0
+                  THEN 256 * ln(CAST(256 AS DOUBLE) / (256 - occupied))
+                  ELSE round({_DAU_ALPHA} * 256 * 256
+                             / (sumpow + (256 - occupied))
+                             * 1000000 + 0.01, 0) / 1000000 + 0 END
+                 * 1000000 + 0.01, 0) / 1000000 + 0 AS est
+    FROM calc
+),
+wide AS (
+    SELECT type_a, type_b,
+           max(CASE WHEN side = 'a' THEN est END) AS est_a,
+           max(CASE WHEN side = 'b' THEN est END) AS est_b,
+           max(CASE WHEN side = 'u' THEN est END) AS est_union
+    FROM ests GROUP BY 1, 2
+),
+exact AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS exact_overlap
+    FROM (SELECT DISTINCT event_type, user_id FROM events) a
+    JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT w.type_a, w.type_b, w.est_a, w.est_b, w.est_union,
+       round(greatest(0.0, w.est_a + w.est_b - w.est_union)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS est_overlap,
+       coalesce(x.exact_overlap, 0) AS exact_overlap,
+       mm.merge_mismatches
+FROM wide w
+JOIN mm ON w.type_a = mm.type_a AND w.type_b = mm.type_b
+LEFT JOIN exact x ON w.type_a = x.type_a AND w.type_b = x.type_b
+"""
+
+
+@register("e_audience_overlap", _OVERLAP_ORACLE)
+def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience intersection per event-type pair by HLL
+    inclusion-exclusion (see section comment): union registers merge
+    max-wise from the per-type sketches (identity vs the direct union
+    sketch emitted as the audited invariant), estimates share the
+    deterministic `hll_estimate` branch, exact overlap rides along as
+    the audit column."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    tregs = user_hll_registers(ev, ["event_type"])
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    pa = F.broadcast(pairs)
+    uregs = (
+        pa.join(
+            tregs,
+            F.col("event_type").isin_collection
+            if False else (
+                (F.col("event_type") == F.col("type_a"))
+                | (F.col("event_type") == F.col("type_b"))
+            ),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    # direct union sketch recomputed from the raw (type, user) rows —
+    # the independent second path of the audited identity
+    udirect = (
+        pa.join(
+            ev,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "user_id")
+    )
+    udregs = user_hll_registers(udirect, ["type_a", "type_b"])
+    mm = (
+        uregs.select("type_a", "type_b", "bucket", F.col("mreg").alias("m_mreg"))
+        .join(
+            udregs.select(
+                "type_a", "type_b", "bucket", F.col("mreg").alias("d_mreg")
+            ),
+            ["type_a", "type_b", "bucket"],
+            "full_outer",
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                (~F.col("m_mreg").eqNullSafe(F.col("d_mreg"))).cast("int")
+            ).cast("bigint").alias("merge_mismatches")
+        )
+    )
+    est_a = (
+        hll_estimate(
+            pa.join(tregs, F.col("event_type") == F.col("type_a")),
+            ["type_a", "type_b"],
+        ).withColumnRenamed("est", "est_a")
+    )
+    est_b = (
+        hll_estimate(
+            pa.join(tregs, F.col("event_type") == F.col("type_b")),
+            ["type_a", "type_b"],
+        ).withColumnRenamed("est", "est_b")
+    )
+    est_u = hll_estimate(uregs, ["type_a", "type_b"]).withColumnRenamed(
+        "est", "est_union"
+    )
+    exact = (
+        ev.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            ev.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    keys = ["type_a", "type_b"]
+    return (
+        est_a.join(est_b, keys)
+        .join(est_u, keys)
+        .join(mm, keys)
+        .join(exact, keys, "left")
+        .select(
+            *keys,
+            "est_a",
+            "est_b",
+            "est_union",
+            round6(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                )
+            ).alias("est_overlap"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0)).alias("exact_overlap"),
+            "merge_mismatches",
+        )
     )

@@ -1007,7 +1007,9 @@ def _pq_codes_for(
     )
 
 
-def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+def build_ann_index(
+    spark: SparkSession, sf_dir: str, include_bitext: bool = True
+) -> dict[str, int]:
     """Materialize every memoized ANN index artifact for (session,
     sf_dir): coarse centroids, the ranked cell-affinity relation (the
     inverted list), the PQ codebooks, and the PQ-encoded corpus.
@@ -1015,7 +1017,15 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     This is the production "index build" step separated from query
     time: `bench.py` calls it in a named warmup phase so per-query
     timings measure search work, not one-off index construction
-    (round-3 verdict item 4).  Returns row counts per artifact."""
+    (round-3 verdict item 4).  Returns row counts per artifact.
+
+    ``include_bitext=False`` skips the bitext truth/mined tables: the
+    dense cross-scored truth is O(N^2) BY DEFINITION (an evaluation
+    artifact run on a bounded audit sample at real scale), and
+    corpus-wide IVF mining at the FIXED test-scale cell count (k=8)
+    is O(N^2/k) — the two-decade probe excludes both (the scale knob
+    there is cell count via retrain, measured by the drift/retrain
+    and occupancy rows)."""
     from oxford_data_pipeline_spark.plans.registry import QUERIES as _audit_reg
     from oxford_data_pipeline_spark.plans.retrieval import (
         hybrid_truth_fused as _hybrid_truth,
@@ -1086,14 +1096,22 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         # and the mined-pairs tables of BOTH legs are the maintained
         # relations production serves from (the leg queries and the
         # agreement audit all read them)
-        **_timed_audit(_bitext_scored_for, spark, sf_dir, "bitext_dense_scored"),
-        **_timed_audit(
-            lambda s, d: _bitext_mined_for(s, d, "dense"), spark, sf_dir,
-            "bitext_mined_dense",
-        ),
-        **_timed_audit(
-            lambda s, d: _bitext_mined_for(s, d, "ivf"), spark, sf_dir,
-            "bitext_mined_ivf",
+        **(
+            {
+                **_timed_audit(
+                    _bitext_scored_for, spark, sf_dir, "bitext_dense_scored"
+                ),
+                **_timed_audit(
+                    lambda s, d: _bitext_mined_for(s, d, "dense"), spark,
+                    sf_dir, "bitext_mined_dense",
+                ),
+                **_timed_audit(
+                    lambda s, d: _bitext_mined_for(s, d, "ivf"), spark,
+                    sf_dir, "bitext_mined_ivf",
+                ),
+            }
+            if include_bitext
+            else {}
         ),
     }
 

@@ -284,12 +284,17 @@ X100_QUERIES = [
     # — linear is correct at two decades too
     "text_collocations",
     "text_dup_window_profile",
-    # round-12: the ANN-tier bitext leg at the second decade (cell
-    # occupancy grows with corpus/k — the same retrain knob as
-    # sim_ivfpq_rerank) and the two constant-state rollups (day-grain
-    # aggregation = the scan; the window/interpolation tails are
-    # bounded) — e_value_histogram doubles as a fixed-state control
-    "emb_bitext_margin_ivf",
+    # round-12: the two constant-state rollups (day-grain aggregation
+    # = the scan; the window/interpolation tails are bounded) —
+    # e_value_histogram doubles as a fixed-state control.
+    # `emb_bitext_margin_ivf` is EXCLUDED at the second decade along
+    # with its build legs (build:ann runs include_bitext=False here):
+    # the dense truth is O(N^2) by definition, and corpus-wide mining
+    # at the FIXED toy cell count (k=8) is O(N^2/k) — measured to
+    # exhaust spill disk at 100x.  The production dial is cell count
+    # (k grows with the corpus via retrain, holding occupancy flat),
+    # which is exactly what the drift/retrain/occupancy rows measure;
+    # the x10 grid keeps the full bitext build+read measurement.
     "e_rolling_anomaly",
     "e_value_histogram",
 ]
@@ -303,7 +308,10 @@ def time_scale_subset(spark, sf_dir: str) -> dict:
     from oxford_data_pipeline_spark.plans.similarity import build_ann_index
 
     builds = {
-        "build:ann": build_ann_index,
+        # include_bitext=False: the dense-truth / corpus-wide-mining
+        # tables are excluded at the second decade (see X100_QUERIES
+        # note) — they are O(N^2) / O(N^2/k) evaluation artifacts
+        "build:ann": lambda s, d: build_ann_index(s, d, include_bitext=False),
         "build:retrieval": build_retrieval_index,
         "build:curation": build_curation_index,
     }
@@ -416,16 +424,20 @@ def main_x100() -> None:
         '— seven scan-local fingerprint-keyed window aggregations',
         'staying strongly sublinear, the measured basis for the',
         'bisection query per-round cost.',
-        'Round-12 rows: `emb_bitext_margin_ivf` reads the maintained',
-        'mined-pairs table (~flat — the serving read; construction is',
-        'attributed inside build:ann, where the bitext DENSE truth is',
-        'the same (n/2)^2 evaluation-artifact class as brute top-k);',
-        '`e_rolling_anomaly` stays ~flat at 100x event mass (the',
-        'day-grain rollup is the only corpus-sized step; the z-window',
-        'input is |types| x |days| rows at ANY volume);',
+        'Round-12 rows: `e_rolling_anomaly` stays ~flat at 100x event',
+        'mass (the day-grain rollup is the only corpus-sized step; the',
+        'z-window input is |types| x |days| rows at ANY volume);',
         '`e_value_histogram` tracks the event scan with constant',
         '20-row/day state — the fixed-boundary mergeability contract',
-        'at two decades.',
+        'at two decades.  The bitext legs are deliberately ABSENT here',
+        '(build:ann runs include_bitext=False): the dense truth is',
+        'O(N^2) by definition and corpus-wide mining at the FIXED toy',
+        'cell count (k=8) is O(N^2/k) — measured to exhaust spill disk',
+        'at 100x before this exclusion.  The production dial is cell',
+        'count (k grows with the corpus via retrain, holding occupancy',
+        'flat) — the drift/retrain/occupancy rows above are that',
+        "dial's measurement; the x10 grid keeps the full bitext",
+        'build+read numbers.',
         "",
     ]
     section = "\n".join(lines)

@@ -639,3 +639,56 @@ def test_value_histogram_exact_interpolation(spark, tmp_path):
     assert got[1]["n_total"] == 70
     assert got[1]["p50_est"] == 487.5          # inside clamped bucket 19
     assert all(r["merge_mismatches"] == 0 for r in got.values())
+
+
+def test_audience_overlap_inclusion_exclusion(spark, tmp_path):
+    """HLL audience intersection on a planted two-type fixture: the
+    union-sketch identity holds register-exactly, the exact overlap is
+    the planted 40 users, and the inclusion-exclusion estimate lands
+    within LinearCounting tolerance of it."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_audience_overlap
+
+    rows = []
+    i = 0
+    for u in range(1, 101):          # users 1..100 view
+        rows.append((i, 1_000_000_000 * i, u, "view", 1.0, "{}")); i += 1
+    for u in range(61, 161):         # users 61..160 click (overlap 40)
+        rows.append((i, 1_000_000_000 * i, u, "click", 1.0, "{}")); i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "overlap_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = e_audience_overlap(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["type_a"], r["type_b"]) == ("click", "view")
+    assert r["exact_overlap"] == 40
+    assert r["merge_mismatches"] == 0
+    # all three estimates in the LinearCounting regime; the
+    # inclusion-exclusion difference inherits their (small) errors
+    assert abs(r["est_a"] - 100) <= 20 and abs(r["est_b"] - 100) <= 20
+    assert abs(r["est_union"] - 160) <= 30
+    assert abs(r["est_overlap"] - 40) <= 25
+    # estimate algebra sanity: union never exceeds the sum of sides
+    assert r["est_union"] <= r["est_a"] + r["est_b"]
+
+
+def test_audience_overlap_real_data_invariants(spark):
+    """On the driver testdata: every type pair present, the union
+    identity register-exact for all pairs, estimates within HLL
+    tolerance of the exact overlaps."""
+    from oxford_data_pipeline_spark.plans.eventops import e_audience_overlap
+
+    rows = e_audience_overlap(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r["merge_mismatches"] == 0
+        assert r["est_overlap"] >= 0
+        assert abs(r["est_overlap"] - r["exact_overlap"]) <= max(
+            20, 0.35 * r["exact_overlap"]
+        )
