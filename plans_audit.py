@@ -124,9 +124,14 @@ HEADLINE = [
     "e_markov_transitions",
     "text_collocations",
     "emb_bitext_margin",
-    # round 12: ANN-tier bitext (the scale leg) + its agreement audit
+    # round 12: ANN-tier bitext (the scale leg) + its agreement audit,
+    # and the event-family wave
     "emb_bitext_margin_ivf",
     "emb_bitext_margin_audit",
+    "e_attribution",
+    "e_rolling_anomaly",
+    "e_value_histogram",
+    "e_audience_overlap",
     "text_dup_window_profile",
     "e_dau_hll",
 ]

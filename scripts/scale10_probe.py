@@ -144,6 +144,10 @@ PROBE_QUERIES = [
     "e_attribution",
     "e_rolling_anomaly",
     "e_value_histogram",
+    # HLL set algebra: per-type registers + pair unions are constant-
+    # size relations; the only corpus-sized step is the distinct
+    # (type, user) projection feeding the register builder
+    "e_audience_overlap",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"
