@@ -748,8 +748,6 @@ def e_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractional credit over in-lookback touches, paired via the binned
     interval-join discipline (equi-join on (user_id, time bin), exact
     range as a post-filter)."""
-    from oxford_data_pipeline_spark.functions.compat import round6
-
     ev = load_table(spark, sf_dir, "events")
     conv = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("conv_id"),
@@ -783,6 +781,16 @@ def e_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("conv_id", "touch_id", "touch_type", "touch_ts")
     )
+    return attribution_report_from(pairs)
+
+
+def attribution_report_from(pairs: DataFrame) -> DataFrame:
+    """Read-time attribution report over a (conv_id, touch_id,
+    touch_type, touch_ts) pair relation — the rank-window + rollup
+    tail shared by the batch query and the streaming pair-emitter
+    twin (`stream_eventops.attribution_stream`)."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
     wf = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
     wl = Window.partitionBy("conv_id").orderBy(
         F.col("touch_ts").desc(), F.col("touch_id").desc()

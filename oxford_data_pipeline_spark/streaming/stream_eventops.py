@@ -371,3 +371,82 @@ def weekly_hist_report_from(daily: DataFrame) -> DataFrame:
         round6(F.col("p50_est")).alias("p50_est"),
         round6(F.col("p90_est")).alias("p90_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming multi-touch attribution (the e_attribution online half)
+# --------------------------------------------------------------------------
+# Per-user state = the touch window: the (view/click) events inside
+# the trailing 3-day lookback, pruned as event time advances — state
+# size is bounded by one user's activity inside the lookback, never
+# by history.  A purchase emits one pair row per in-window touch (the
+# same (conv_id, touch_id, touch_type, touch_ts) relation the batch
+# query builds with its binned interval join); the report derives at
+# read time via the SHARED `attribution_report_from` tail.
+# Ordering contract: per-user in-order event-time replay sorted by
+# (ts, event_id) — a touch at the exact conversion instant attributes
+# only when its event_id precedes the conversion's (the stream
+# processes it first); the batch leg admits any same-instant touch.
+# Event timestamps in this engine are ns-grain, so same-instant pairs
+# do not occur in practice; the batch-equality test runs on the real
+# driver tables.
+
+ATTR_PAIR_SCHEMA = (
+    "conv_id long, touch_id long, touch_type string, touch_ts long"
+)
+_ATTR_STATE = "t_ids array<bigint>, t_types array<string>, t_ts array<bigint>"
+
+
+def _attribution_pairs(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from oxford_data_pipeline_spark.plans.eventops import _ATTR_LOOKBACK_NS
+
+    events = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    if state.exists:
+        sid, styp, sts = state.get
+        t_ids, t_types, t_ts = list(sid), list(styp), list(sts)
+    else:
+        t_ids, t_types, t_ts = [], [], []
+    rows = []
+    for ts, eid, typ in zip(
+        events["ts"].astype("int64"),
+        events["event_id"].astype("int64"),
+        events["event_type"],
+    ):
+        ts, eid, typ = int(ts), int(eid), str(typ)
+        lo = ts - _ATTR_LOOKBACK_NS
+        drop = 0
+        while drop < len(t_ts) and t_ts[drop] <= lo:
+            drop += 1
+        if drop:
+            t_ids, t_types, t_ts = t_ids[drop:], t_types[drop:], t_ts[drop:]
+        if typ in ("view", "click"):
+            t_ids.append(eid)
+            t_types.append(typ)
+            t_ts.append(ts)
+        elif typ == "purchase":
+            rows.extend(
+                (eid, t_ids[i], t_types[i], t_ts[i])
+                for i in range(len(t_ids))
+            )
+    state.update((t_ids, t_types, t_ts))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["conv_id", "touch_id", "touch_type", "touch_ts"]
+        )
+
+
+def attribution_stream(stream: DataFrame) -> DataFrame:
+    """Per-conversion attribution pair deltas from a
+    (user_id, ts, event_id, event_type) stream (ts = epoch ns):
+    exactly the batch query's pair relation, emitted online."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _attribution_pairs,
+        outputStructType=ATTR_PAIR_SCHEMA,
+        stateStructType=_ATTR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

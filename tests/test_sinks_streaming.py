@@ -2262,3 +2262,66 @@ def test_streaming_value_hists_match_batch(spark, tmp_path):
         .collect()
     )))
     assert derived == batch_report and len(derived) > 0
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """Attribution pair-emitter twin (the e_attribution online half):
+    the real driver events replayed as a two-file availableNow stream
+    through `attribution_stream` (a restart boundary between the
+    files: two separate runs against one checkpoint) must emit
+    exactly the batch query's pair relation, and the shared
+    read-time tail must reproduce the batch report."""
+    from pyspark.sql import functions as F2
+
+    from oxford_data_pipeline_spark.plans.eventops import (
+        attribution_report_from,
+        e_attribution,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_eventops import (
+        attribution_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"])
+    d = tmp_path / "attr_stream"
+    d.mkdir()
+    half = len(pdf) // 2
+    schema = "user_id long, ts long, event_id long, event_type string"
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .transform(attribution_stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "attr_out"))
+            .option("checkpointLocation", str(tmp_path / "attr_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pdf.iloc[:half].to_parquet(d / "b1.parquet")
+    run()                      # first run: batch 1 only
+    pdf.iloc[half:].to_parquet(d / "b2.parquet")
+    run()                      # restart: state restored, batch 2
+    streamed_pairs = spark.read.parquet(str(tmp_path / "attr_out"))
+    # emission uniqueness across the restart boundary
+    assert (
+        streamed_pairs.groupBy("conv_id", "touch_id")
+        .count()
+        .filter(F2.col("count") > 1)
+        .count()
+        == 0
+    )
+    derived = sorted(
+        map(tuple, attribution_report_from(streamed_pairs).collect())
+    )
+    batch_report = sorted(
+        map(tuple, e_attribution(spark, SF_DIR).collect())
+    )
+    assert derived == batch_report and len(derived) > 0
