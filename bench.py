@@ -89,6 +89,13 @@ EXPLAINED_SLOW = {
         " every round is O(corpus) map-side-combinable over a persisted"
         " input, never pairwise"
     ),
+    "oxford_pipeline": (
+        "the Entry-A flagship COMPOSITE: extract -> QC -> PCA -> CCA ->"
+        " projection -> alignment chained end-to-end as one query — its"
+        " cost is the sum of six pipeline stages by definition (each"
+        " stage is individually benched at sub-second), and its min has"
+        " straddled the 2.5 s bar with grid load since r11 (2.0-2.7 s)"
+    ),
 }
 
 

@@ -61,9 +61,12 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
         a14_sessionize,
         e_attribution,
         e_audience_overlap,
+        e_cooccurrence_lift,
         e_dau_hll,
         e_funnel,
+        e_interarrival,
         e_markov_transitions,
+        e_path_topk,
         e_retention,
         e_rolling_anomaly,
         e_value_histogram,
@@ -123,6 +126,34 @@ def main(spark: SparkSession | None = None, sf_dir: str | None = None,
     overlap = e_audience_overlap(spark, sf_dir).collect()
     assert all(r["merge_mismatches"] == 0 for r in overlap)
     assert all(r["est_union"] <= r["est_a"] + r["est_b"] for r in overlap)
+
+    # round-13 trio: path mining ranks are dense and count-ordered
+    # with a CROSS-PLAN bound (a 3-step path contains its leading
+    # 1-step transition, so its count never exceeds that Markov
+    # cell's); basket co-occurrence obeys n_ab <= min(n_a, n_b) with
+    # positive lift; inter-arrival quantiles are ordered p50 <= p90
+    # <= max
+    paths = e_path_topk(spark, sf_dir).collect()
+    assert [r["rank"] for r in paths] == list(range(1, len(paths) + 1))
+    assert all(
+        a["n_paths"] >= b["n_paths"] for a, b in zip(paths, paths[1:])
+    )
+    mcount = {(r["from_state"], r["to_state"]): r["n"] for r in markov}
+    assert all(
+        r["n_paths"] <= mcount[(r["s1"], r["s2"])] for r in paths
+    )
+    assert 0 < sum(r["share"] for r in paths) <= 1.0 + 1e-9
+
+    cooc = e_cooccurrence_lift(spark, sf_dir).collect()
+    assert all(r["n_ab"] <= min(r["n_a"], r["n_b"]) for r in cooc)
+    assert all(r["lift"] > 0 and 0 < r["support"] <= 1 for r in cooc)
+
+    gaps = e_interarrival(spark, sf_dir).collect()
+    assert all(
+        r["p50_minutes"] <= r["p90_minutes"] <= r["max_whole_minutes"] + 1
+        for r in gaps
+    )
+    assert all(r["n_gaps"] > 0 for r in gaps)
 
     print(f"batch: {n_sessions} sessions, {n_attr} attributed purchases,"
           f" funnel {funnel[1]['n_users']}->{funnel[2]['n_users']}->"

@@ -30,52 +30,50 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # Driver-snapshot rotation (round-4 verdict item 7): the external
 # driver records correctness rows for roughly the FIRST 50 registry
 # entries only, so registration order is driver exposure, and the
-# front list rotates every round to keep each query's driver row <= 2
-# rounds old.  Round 12 front-loads (a) the six queries NEW this
-# round (`emb_bitext_margin_ivf` — the ANN-tier bitext scale leg,
-# round-11 verdict item 1 — with `emb_bitext_margin_audit`, its
-# tier-agreement gate, and the event-family wave `e_attribution` /
-# `e_rolling_anomaly` / `e_value_histogram` / `e_audience_overlap`)
-# plus the two that
-# materially CHANGED: `emb_bitext_margin` (dense scored relation
-# re-routed through memoized(), oracle recomposed from shared CTEs —
-# result-identical, re-proven here) and `mm_image_decode` (gif_decode
-# now composites background vs frame in RGB space, r12 advisor medium
-# item); then (b) the 11 queries whose newest driver row is r8
-# (round-11 verdict item 2, listed there); then (c) 31 of the 48
-# r9-stale queries.  That fills all 50 slots.  The 17 r9 rows that
-# defer to r13 are the least-risk ones: untouched single-shuffle
-# stat/relational/window kernels (`m3/m5/m9/m10/m11/m13/m16`,
-# `sc_scalar_functions`, `o1/o3/o4`, `e_set_ops`,
-# `f9_significance_filter`, `w4/w5/w6/w7`), all green in the regenerated
-# ORACLE_PARITY.json at both SFs every round and exercised by the
-# suite.  Only ORACLE-CHECKED queries go in the window — a rows-only
-# query would burn a slot on an err:"no_oracle" record.  Rotation
-# reorders, never drops; the suite's own oracle tests still cover the
-# full set.
-_ROUND12_FRONT = [
+# front list rotates every round to keep each query's driver row
+# fresh.  Round 13 front-loads (a) the three queries NEW this round
+# (the wave-3 event family: `e_path_topk` n-step sequence mining,
+# `e_cooccurrence_lift` within-session market baskets,
+# `e_interarrival` gap quantiles) plus the two that CHANGED —
+# `a14_sessionize` (session assignment factored into the shared
+# `session_assignments` helper / `_SESSION_ASSIGN_CTES` now reused by
+# the co-occurrence query; result-identical, re-proven here) and
+# `e_audience_overlap` (r12 advisor item 1: dead-code ternary removed
+# from the uregs join — plan-identical, re-proven here); then (b) the
+# 17 queries whose newest driver row is r9 (round-12 verdict item 1,
+# deferred from the r12 window); then (c) 28 of the 48 r10-stale
+# queries, highest-risk first (multi-stage dedup/sim/emb/retrieval
+# pipelines and the flagship composite).  That fills all 50 slots.
+# The 20 r10 rows deferring to r14 are the least-risk ones: untouched
+# single-pass curation gates/samplers (`cur_*`), all green in the
+# regenerated ORACLE_PARITY.json at both SFs every round and
+# exercised by the suite.  Only ORACLE-CHECKED queries go in the
+# window — a rows-only query would burn a slot on an err:"no_oracle"
+# record.  Rotation reorders, never drops; the suite's own oracle
+# tests still cover the full set.
+_ROUND13_FRONT = [
     # (a) new + materially changed this round
-    "emb_bitext_margin_ivf", "emb_bitext_margin_audit",
-    "e_attribution", "e_rolling_anomaly", "e_value_histogram",
-    "e_audience_overlap",
-    "emb_bitext_margin", "mm_image_decode",
-    # (b) the r8-stale cohort (newest driver row = r8)
-    "cur_classifier_scored", "cur_classifier_train", "mm_frame_sample",
-    "sim_ivf_delete_recall", "sim_ivf_incremental_recall",
-    "sim_ivfpq_recall", "sim_ivfpq_rerank_recall", "sim_lsh_recall",
-    "text_bpe_compression", "text_bpe_merges", "text_dup_ngram_coverage",
-    # (c) 35 of the r9-stale cohort (newest driver row = r9)
-    "a10_hierarchical_rollup", "a11_cumulative_share", "a12_mc_average",
-    "a3_cross_session_agg", "a4_connectivity_pivot", "a5_max_then_mean",
-    "a6_label_distribution", "a7_threshold_grid", "a8_count_stats",
-    "a9_rollup_summary", "cur_domain_blocklist", "cur_domain_mix",
-    "dedup_containment", "dedup_lsh_audit", "dedup_survivors_keep_longest",
-    "dedup_url", "f11_flip_detection", "j3_pair_selfjoin",
-    "j4_fact_join_chain", "j7_condition_weight_reuse",
-    "j8_fold_train_split", "mm_audio_decode", "ret_hybrid_rrf_audit",
-    "sim_ivf_churn_recall", "text_chunk_dedup", "text_chunking",
-    "text_langid", "text_langid_confusion", "text_quality",
-    "w2_removal_schedule", "w3_restricted_peak",
+    "e_path_topk", "e_cooccurrence_lift", "e_interarrival",
+    "a14_sessionize", "e_audience_overlap",
+    # (b) the r9-stale cohort (newest driver row = r9)
+    "e_set_ops", "f9_significance_filter", "m10_wilcoxon_stat",
+    "m11_cohens_d", "m13_effective_dim", "m16_spearman",
+    "m3_weight_minmax_norm", "m5_relational_matmul", "m9_pearson_corr",
+    "o1_anatomical_order", "o3_seeded_sample", "o4_truncate_min_length",
+    "sc_scalar_functions", "w4_peak_amplitude", "w5_percentile_threshold",
+    "w6_contiguous_folds", "w7_first_match_baseline",
+    # (c) 28 of the 48 r10-stale queries (multi-stage pipelines first;
+    # the 20 deferred to r14 are single-pass cur_* gates/samplers)
+    "oxford_pipeline", "j9_asof_join", "e_json_props",
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_incremental",
+    "dedup_pagerank_canonical", "dedup_semantic", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_survivors", "dedup_url_survivors",
+    "dedup_winnowing",
+    "emb_hard_negatives", "emb_label_cohesion", "emb_outliers",
+    "sim_compression_ladder", "sim_cosine_topk", "sim_ivf_retrain",
+    "sim_lsh_ann", "sim_matryoshka_recall", "sim_sq8_recall",
+    "ret_phrase_search", "text_dup_span_cut", "text_postings_incremental",
+    "text_tfidf_top_terms", "mm_audio_features", "mm_image_features",
 ]
 
 
@@ -89,16 +87,17 @@ def _rotate(front: list[str]) -> None:
         d.update(items)
 
 
-_rotate(_ROUND12_FRONT)
+_rotate(_ROUND13_FRONT)
 
-# r13 FRONT-LOAD LIST: the 17 r9-stale rows deferred above
-# (`e_set_ops`, `f9_significance_filter`, `m10_wilcoxon_stat`,
-# `m11_cohens_d`, `m13_effective_dim`, `m16_spearman`,
-# `m3_weight_minmax_norm`, `m5_relational_matmul`, `m9_pearson_corr`,
-# `o1_anatomical_order`, `o3_seeded_sample`, `o4_truncate_min_length`,
-# `sc_scalar_functions`, `w4_peak_amplitude`, `w5_percentile_threshold`,
-# `w6_contiguous_folds`, `w7_first_match_baseline`), then the
-# r10-stale cohort.
+# r14 FRONT-LOAD LIST: the 20 r10-stale cur_* rows deferred above
+# (`cur_adaptive_quality_gate`, `cur_bigram_surprisal`,
+# `cur_bloom_prefilter`, `cur_c4_heuristics`, `cur_corpus_diff`,
+# `cur_corpus_drift`, `cur_decontaminate`, `cur_dsir_weights`,
+# `cur_length_profile`, `cur_mixture_weights`, `cur_pack_stats`,
+# `cur_pii_scrub`, `cur_pipeline`, `cur_provenance`,
+# `cur_quality_classifier`, `cur_repetition`, `cur_stratified_sample`,
+# `cur_temperature_mix`, `cur_term_cms`, `cur_unigram_surprisal`),
+# then the r11-stale cohort.
 # (`text_longest_dup_substring` is rows-only by design — it never
 # takes a window slot.)
 

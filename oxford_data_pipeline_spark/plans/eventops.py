@@ -95,24 +95,32 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SESSION_GAP_NS = 30 * _MIN_NS
 
-_SESSIONIZE_ORACLE = f"""
-WITH ordered AS (
-    SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value,
+# Shared session-assignment CTE chain (gap-flag + running sum): the
+# single source of truth for what "a session" means in SQL, composed
+# into both the A14 rollup oracle and the within-session
+# co-occurrence oracle below (they must never drift on the gap rule).
+_SESSION_ASSIGN_CTES = f"""
+ordered AS (
+    SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns, value,
            lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ts
     FROM events
 ),
 flagged AS (
-    SELECT user_id, event_id, ts_ns, value,
+    SELECT user_id, event_id, event_type, ts_ns, value,
            CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > {_SESSION_GAP_NS}
                 THEN 1 ELSE 0 END AS is_new
     FROM ordered
 ),
 assigned AS (
-    SELECT user_id, ts_ns, value,
+    SELECT user_id, event_type, ts_ns, value,
            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
     FROM flagged
 )
+"""
+
+_SESSIONIZE_ORACLE = f"""
+WITH {_SESSION_ASSIGN_CTES}
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        count(*) AS n_events,
        min(ts_ns) AS t_start_ns,
@@ -124,21 +132,17 @@ GROUP BY 1, 2
 """
 
 
-@register("a14_sessionize", _SESSIONIZE_ORACLE)
-def a14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization, batch form (the streaming module's
-    applyInPandasWithState operator as a pure window plan): a >30 min
-    silence starts a new session.  Gap-flag + running sum assign
-    session ids in one window pass over the user partition; the
-    per-session rollup groups on the bounded (user, session) key.
-    Same single exchange as the as-of join."""
-    from oxford_data_pipeline_spark.functions.compat import round2
-
-    ev = load_table(spark, sf_dir, "events")
+def session_assignments(ev: DataFrame) -> DataFrame:
+    """Gap-based session assignment (user_id, event_type, ts_ns,
+    value, session_idx): gap-flag + running sum inside ONE window pass
+    over the user partition — the Spark half of the shared
+    `_SESSION_ASSIGN_CTES` definition, reused by A14's rollup and the
+    within-session co-occurrence query so the gap rule can't drift."""
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
         "event_id",
+        "event_type",
         F.col("ts").alias("ts_ns"),
         "value",
         F.when(
@@ -156,9 +160,23 @@ def a14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_ns", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    assigned = flagged.withColumn(
+    return flagged.withColumn(
         "session_idx", F.sum("is_new").over(wrun).cast("long")
     )
+
+
+@register("a14_sessionize", _SESSIONIZE_ORACLE)
+def a14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form (the streaming module's
+    applyInPandasWithState operator as a pure window plan): a >30 min
+    silence starts a new session.  Gap-flag + running sum assign
+    session ids in one window pass over the user partition; the
+    per-session rollup groups on the bounded (user, session) key.
+    Same single exchange as the as-of join."""
+    from oxford_data_pipeline_spark.functions.compat import round2
+
+    ev = load_table(spark, sf_dir, "events")
+    assigned = session_assignments(ev)
     return assigned.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts_ns").alias("t_start_ns"),
@@ -1182,11 +1200,8 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     uregs = (
         pa.join(
             tregs,
-            F.col("event_type").isin_collection
-            if False else (
-                (F.col("event_type") == F.col("type_a"))
-                | (F.col("event_type") == F.col("type_b"))
-            ),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
         )
         .groupBy("type_a", "type_b", "bucket")
         .agg(F.max("mreg").alias("mreg"))
@@ -1263,4 +1278,250 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("exact_overlap"), F.lit(0)).alias("exact_overlap"),
             "merge_mismatches",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# E-PATH-TOPK — top-k 3-step event-type paths (sequence mining)
+# --------------------------------------------------------------------------
+# The n-step generalization of e_markov_transitions' 1-step matrix:
+# the most-travelled (type → type → type) paths over each user's
+# time-ordered event stream.  Path extraction is ONE window pass over
+# the user partition (two leads — same single exchange as the as-of
+# join / sessionize family); the triple histogram then collapses
+# map-side to at most |types|^3 keys, so the ranking window runs on a
+# bounded relation no matter the corpus size.  Top-k is rank-with-
+# deterministic-tie-break (count desc, then path lexicographic), never
+# a driver-side sort.
+_PATH_K = 10
+
+_PATH_TOPK_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type AS s1,
+           lead(event_type, 1) OVER w AS s2,
+           lead(event_type, 2) OVER w AS s3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+paths AS (
+    SELECT s1, s2, s3, count(*) AS n_paths
+    FROM seq WHERE s3 IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+tot AS (SELECT sum(n_paths) AS n_total FROM paths),
+ranked AS (
+    SELECT s1, s2, s3, n_paths,
+           row_number() OVER (ORDER BY n_paths DESC, s1, s2, s3) AS rank
+    FROM paths
+)
+SELECT r.rank, r.s1, r.s2, r.s3, r.n_paths,
+       round(r.n_paths / t.n_total * 1000000 + 0.01, 0) / 1000000 + 0 AS share
+FROM ranked r CROSS JOIN tot t
+WHERE r.rank <= {_PATH_K}
+"""
+
+
+@register("e_path_topk", _PATH_TOPK_ORACLE)
+def e_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k 3-step event-type paths (see section comment): two leads
+    in one user-partition window, histogram on the bounded triple key,
+    deterministic rank."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    paths = (
+        seq.filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    # |types|^3 rows at most: a single-partition rank window and a
+    # broadcast 1-row total are both bounded, not corpus-sized
+    tot = paths.agg(F.sum("n_paths").alias("n_total"))
+    wr = Window.orderBy(
+        F.col("n_paths").desc(), F.col("s1"), F.col("s2"), F.col("s3")
+    )
+    ranked = paths.withColumn("rank", F.row_number().over(wr))
+    return (
+        ranked.filter(F.col("rank") <= _PATH_K)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "s1",
+            "s2",
+            "s3",
+            "n_paths",
+            round6(F.col("n_paths") / F.col("n_total")).alias("share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E-COOCCURRENCE-LIFT — within-session market-basket pairs
+# --------------------------------------------------------------------------
+# Sessions as baskets: which event types co-occur in the SAME session
+# more (lift > 1) or less (lift < 1) than independence predicts.
+# Session assignment reuses the shared `session_assignments` /
+# `_SESSION_ASSIGN_CTES` definition (one user-partition window pass);
+# baskets collapse to distinct (user, session, type) rows — bounded by
+# |types| per session — and the pair relation is a co-partitioned
+# SELF EQUI-JOIN on the (user, session) key, never a cross product:
+# per-session blow-up is at most |types|^2, and the support rollup is
+# map-side combinable on the bounded (type_a, type_b) key.  Lift and
+# support derive from three tiny broadcast-joined aggregates.
+_COOCCURRENCE_ORACLE = f"""
+WITH {_SESSION_ASSIGN_CTES},
+baskets AS (
+    SELECT DISTINCT user_id, session_idx, event_type FROM assigned
+),
+n_sessions AS (
+    SELECT count(DISTINCT (user_id, session_idx)) AS n FROM assigned
+),
+singles AS (
+    SELECT event_type, count(*) AS n_type FROM baskets GROUP BY 1
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_ab
+    FROM baskets a
+    JOIN baskets b
+      ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       sa.n_type AS n_a, sb.n_type AS n_b,
+       round(p.n_ab / ns.n * 1000000 + 0.01, 0) / 1000000 + 0 AS support,
+       round((CAST(p.n_ab AS DOUBLE) * ns.n) / (sa.n_type * sb.n_type)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS lift
+FROM pairs p
+JOIN singles sa ON p.type_a = sa.event_type
+JOIN singles sb ON p.type_b = sb.event_type
+CROSS JOIN n_sessions ns
+"""
+
+
+@register("e_cooccurrence_lift", _COOCCURRENCE_ORACLE)
+def e_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type co-occurrence with support and lift
+    (see section comment): sessions as baskets, co-partitioned
+    self-join on the (user, session) key, broadcast marginals."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = load_table(spark, sf_dir, "events")
+    assigned = session_assignments(ev)
+    baskets = assigned.select(
+        "user_id", "session_idx", "event_type"
+    ).distinct()
+    n_sessions = baskets.select("user_id", "session_idx").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    pairs = (
+        baskets.select(
+            "user_id", "session_idx", F.col("event_type").alias("type_a")
+        )
+        .join(
+            baskets.select(
+                "user_id", "session_idx", F.col("event_type").alias("type_b")
+            ),
+            ["user_id", "session_idx"],
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            round6(F.col("n_ab") / F.col("n")).alias("support"),
+            round6(
+                (F.col("n_ab").cast("double") * F.col("n"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E-INTERARRIVAL — per-type inter-arrival time distribution
+# --------------------------------------------------------------------------
+# Latency-profile the event stream: for each event type, the gaps
+# between consecutive events of that type BY THE SAME USER.  Gap
+# extraction is one lag in a (user, type)-partition window (single
+# exchange); the per-type rollup is an ordinary aggregation whose only
+# non-combinable members are the exact percentiles — kept exact here
+# so the oracle agrees, with the documented 100 TB swap to
+# `percentile_approx` (mergeable t-digest) at a fixed accuracy.  All
+# time math in integer nanoseconds until the final divide.
+_INTERARRIVAL_ORACLE = """
+WITH ordered AS (
+    SELECT event_type, epoch_ns(ts) AS ts_ns,
+           lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY epoch_ns(ts), event_id) AS prev_ts
+    FROM events
+),
+gaps AS (
+    SELECT event_type, ts_ns - prev_ts AS gap_ns
+    FROM ordered WHERE prev_ts IS NOT NULL
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       round(avg(gap_ns / 60000000000.0) * 1000000 + 0.01, 0) / 1000000 + 0
+           AS mean_minutes,
+       round(quantile_cont(gap_ns / 60000000000.0, 0.5) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS p50_minutes,
+       round(quantile_cont(gap_ns / 60000000000.0, 0.9) * 1000000 + 0.01, 0)
+           / 1000000 + 0 AS p90_minutes,
+       max(gap_ns) // 60000000000 AS max_whole_minutes
+FROM gaps
+GROUP BY 1
+"""
+
+
+@register("e_interarrival", _INTERARRIVAL_ORACLE)
+def e_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gap distribution (see section comment):
+    one lag in a (user, type) window, exact-percentile rollup on the
+    bounded per-type grain."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.select(
+            "event_type",
+            (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns"),
+        )
+        .filter(F.col("gap_ns").isNotNull())
+        .withColumn("gap_min", F.col("gap_ns") / F.lit(60_000_000_000.0))
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        round6(F.avg("gap_min")).alias("mean_minutes"),
+        round6(F.percentile("gap_min", F.lit(0.5))).alias("p50_minutes"),
+        round6(F.percentile("gap_min", F.lit(0.9))).alias("p90_minutes"),
+        F.expr("max(gap_ns) DIV 60000000000").alias("max_whole_minutes"),
     )

@@ -383,13 +383,14 @@ def weekly_hist_report_from(daily: DataFrame) -> DataFrame:
 # same (conv_id, touch_id, touch_type, touch_ts) relation the batch
 # query builds with its binned interval join); the report derives at
 # read time via the SHARED `attribution_report_from` tail.
-# Ordering contract: per-user in-order event-time replay sorted by
-# (ts, event_id) — a touch at the exact conversion instant attributes
-# only when its event_id precedes the conversion's (the stream
-# processes it first); the batch leg admits any same-instant touch.
-# Event timestamps in this engine are ns-grain, so same-instant pairs
-# do not occur in practice; the batch-equality test runs on the real
-# driver tables.
+# Ordering contract: per-user in-order event-time replay.  Within a
+# micro-batch, same-timestamp ties replay touches BEFORE purchases
+# (regardless of event_id order), because the batch leg admits any
+# same-instant touch (`touch_ts <= conv_ts`) — this makes the twin
+# exactly batch-equal whenever ties co-arrive (r12 advisor item 3).
+# A tie SPLIT across micro-batches (purchase in batch N, same-instant
+# touch in batch N+1) is inherently unattributable online; event
+# timestamps are ns-grain, so that race does not occur in practice.
 
 ATTR_PAIR_SCHEMA = (
     "conv_id long, touch_id long, touch_type string, touch_ts long"
@@ -404,7 +405,14 @@ def _attribution_pairs(
 ) -> Iterator[pd.DataFrame]:
     from oxford_data_pipeline_spark.plans.eventops import _ATTR_LOOKBACK_NS
 
-    events = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    events = pd.concat(list(batches))
+    # same-instant ties replay touches first (see ordering contract):
+    # the batch pair relation is `touch_ts <= conv_ts`, so a touch at
+    # the exact purchase instant must be in the window when the
+    # purchase emits, whatever the event_id order
+    events = events.assign(
+        __purchase=(events["event_type"] == "purchase").astype("int64")
+    ).sort_values(["ts", "__purchase", "event_id"])
     if state.exists:
         sid, styp, sts = state.get
         t_ids, t_types, t_ts = list(sid), list(styp), list(sts)

@@ -134,6 +134,15 @@ HEADLINE = [
     "e_audience_overlap",
     "text_dup_window_profile",
     "e_dau_hll",
+    # round 13 (wave-3 event family): path mining (ONE two-lead window
+    # exchange on user_id + a <=|types|^3 histogram + bounded global
+    # rank), co-occurrence (shared session-assignment window + a
+    # co-partitioned basket self-join + broadcast marginals),
+    # inter-arrival (one (user, type) lag window + per-type exact-
+    # percentile rollup)
+    "e_path_topk",
+    "e_cooccurrence_lift",
+    "e_interarrival",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -169,6 +178,11 @@ SINGLE_PARTITION_WINDOWS = {
         " reference's trial,time sequence); the windowed relation is one"
         " session's trial-by-time grid — session-bounded in production,"
         " never an unbounded corpus"
+    ),
+    "e_path_topk": (
+        "deterministic top-k rank over the PATH HISTOGRAM — the window"
+        " input is the <= |types|^3 aggregated triple relation, never"
+        " event rows (the corpus collapses map-side before the rank)"
     ),
 }
 

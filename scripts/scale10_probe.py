@@ -148,6 +148,15 @@ PROBE_QUERIES = [
     # size relations; the only corpus-sized step is the distinct
     # (type, user) projection feeding the register builder
     "e_audience_overlap",
+    # round-13 additions (wave-3 event family): path mining (one
+    # two-lead window pass per user + a <=|types|^3 histogram),
+    # within-session co-occurrence (session-assignment window + a
+    # co-partitioned basket self-join bounded by |types|^2 per
+    # session), inter-arrival quantiles (one lag window per
+    # (user, type) + per-type rollup) — all expected event-mass linear
+    "e_path_topk",
+    "e_cooccurrence_lift",
+    "e_interarrival",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"
@@ -301,6 +310,13 @@ X100_QUERIES = [
     # the x10 grid keeps the full bitext build+read measurement.
     "e_rolling_anomaly",
     "e_value_histogram",
+    # round-13 (r12 verdict item 2): the two event queries that had
+    # x10 rows (~3x) but no second-decade measurement — the question
+    # is whether the lookback-pair relation (attribution) and the
+    # distinct-(type,user) projection (audience overlap) stay the
+    # ONLY corpus-sized steps at 100x event mass
+    "e_attribution",
+    "e_audience_overlap",
 ]
 _MARK100 = "## Two-decade probe (sf0.1 -> 100x synthetic, fixed query budget)"
 
@@ -442,6 +458,20 @@ def main_x100() -> None:
         'flat) — the drift/retrain/occupancy rows above are that',
         "dial's measurement; the x10 grid keeps the full bitext",
         'build+read numbers.',
+        'Round-13 rows (r12 verdict item 2): `e_attribution` — the',
+        'binned (user_id, lookback-bin) equi-join pairs only in-window',
+        'touches, so pair mass tracks per-user in-lookback activity x',
+        'conversions (event-mass linear when user count scales with',
+        'the corpus, as here); the rank windows partition on conv_id',
+        'and never see more than one lookback of touches.',
+        '`e_audience_overlap` — audiences travel as 256-register HLL',
+        'relations; the distinct (type, user) projection is the only',
+        'corpus-sized step, and everything after it (pair unions,',
+        'inclusion-exclusion, the merge-identity audit) is constant',
+        'size in event volume.  NOTE: the exact-overlap audit column',
+        'rides along at x100 too (a user-keyed equi-join) — in',
+        'production that column is the sampled audit, not the serving',
+        'path.',
         "",
     ]
     section = "\n".join(lines)
@@ -464,34 +494,45 @@ _MARKSTREAM = "## Streaming event maintainers at one decade (sf0.1 -> 10x)"
 
 
 def time_stream_maintainers(spark, sf_dir: str, work: str) -> dict:
-    """Time the four `stream_eventops` maintenance paths (round-11
-    verdict item 5 — the online halves were batch-equality-TESTED but
-    never scale-probed) over the events table split at its midpoint
-    into two in-order micro-batches — the checkpointed-restart shape
-    the equality tests prove.  The register/state maintainers time
-    deltas+merge+derive; the stateful twins time a real
-    `availableNow` streaming run (two files, maxFilesPerTrigger=1)
-    plus their compaction reads."""
+    """Time the seven `stream_eventops` maintenance paths (round-11
+    verdict item 5 for the four wave-1 twins; round-12 verdict item 3
+    extends to the three r12 maintainers — the online halves were
+    batch-equality-TESTED but never scale-probed) over the events
+    table split at its midpoint into two in-order micro-batches — the
+    checkpointed-restart shape the equality tests prove.  The
+    register/count/histogram maintainers time deltas+merge+derive;
+    the stateful twins time a real `availableNow` streaming run (two
+    files, maxFilesPerTrigger=1) plus their compaction reads."""
     import shutil
 
     from pyspark.sql import functions as F
 
+    from oxford_data_pipeline_spark.plans.eventops import (
+        anomaly_scores_from,
+        attribution_report_from,
+    )
     from oxford_data_pipeline_spark.sources.catalog import load_table
     from oxford_data_pipeline_spark.streaming.stream_eventops import (
+        attribution_stream,
+        daily_count_deltas,
         dau_register_deltas,
         funnel_stage_stream,
         markov_matrix_from,
+        merge_daily_counts,
         merge_dau_registers,
         merge_retention_state,
+        merge_value_hists,
         retention_deltas,
         retention_matrix_from,
         transition_stream,
+        value_hist_deltas,
+        weekly_hist_report_from,
     )
 
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+        "user_id", "ts", "event_id", "event_type", "value"
     )
     pdf = ev.toPandas().sort_values(["ts", "event_id"])
     half = len(pdf) // 2
@@ -550,6 +591,31 @@ def time_stream_maintainers(spark, sf_dir: str, work: str) -> dict:
     run_stream(funnel_stage_stream, "funnel")
     _noop(spark.read.parquet(os.path.join(work, "funnel_out")))
     out["stream:funnel_stages"] = round(time.perf_counter() - t0, 3)
+
+    # r12 maintainers (round-12 verdict item 3): additive count/
+    # histogram merges + their read-time derivations
+    t0 = time.perf_counter()
+    counts = merge_daily_counts(
+        daily_count_deltas(h1), daily_count_deltas(h2)
+    )
+    _noop(anomaly_scores_from(counts))
+    out["stream:daily_counts"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    hists = merge_value_hists(value_hist_deltas(h1), value_hist_deltas(h2))
+    _noop(weekly_hist_report_from(hists))
+    out["stream:value_hist"] = round(time.perf_counter() - t0, 3)
+
+    # the attribution pair emitter is a stateful twin: a real
+    # availableNow run over the two files plus its compaction read
+    t0 = time.perf_counter()
+    run_stream(attribution_stream, "attr")
+    _noop(
+        attribution_report_from(
+            spark.read.parquet(os.path.join(work, "attr_out"))
+        )
+    )
+    out["stream:attribution"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
     return out
 
@@ -568,7 +634,9 @@ def main_streams() -> None:
         _MARKSTREAM,
         "",
         "Generated by `python scripts/scale10_probe.py --streams`",
-        "(round-11 verdict item 5): the four `stream_eventops`",
+        "(round-11 verdict item 5; extended to the three r12",
+        "maintainers per round-12 verdict item 3): the seven",
+        "`stream_eventops`",
         "maintenance paths timed over the events table split into two",
         "in-order micro-batches at sf0.1 and at the 10x replica corpus",
         "(10x events, 10x distinct users).  Register/state maintainers",
@@ -600,7 +668,15 @@ def main_streams() -> None:
         "carry O(1) per-user state through applyInPandasWithState: wall",
         "tracks event mass plus the per-micro-batch state-store",
         "exchange on user_id — the sessionize posture, no per-event",
-        "driver work anywhere.",
+        "driver work anywhere.  The r12 rows: `stream:daily_counts`",
+        "and `stream:value_hist` maintain |types| x |days| and",
+        "|days| x 20-bucket relations by additive full-outer merge —",
+        "cost is the delta count-aggs (map-side-combinable), state",
+        "constant-size in event volume; `stream:attribution` carries",
+        "the bounded trailing-lookback touch window per user (state",
+        "tracks |users| x in-window activity, never history) and its",
+        "compaction read derives the report via the shared",
+        "`attribution_report_from` tail.",
         "",
     ]
     section = "\n".join(lines)
@@ -716,6 +792,17 @@ def main() -> None:
         "rollup is the only corpus-sized step, the z-window runs over",
         "|types| x |days| rows); `e_value_histogram` tracks the scan",
         "with constant 20-row/day state (the mergeability contract).",
+        "Round-13 rows (the wave-3 event family): `e_path_topk` is one",
+        "two-lead window exchange on user_id + a histogram that",
+        "collapses map-side to <= |types|^3 keys (ratio = the window",
+        "pass over 10x events; the rank input is constant-size);",
+        "`e_cooccurrence_lift` is the shared session-assignment window",
+        "+ a co-partitioned basket self-join bounded by |types|^2 per",
+        "session + broadcast marginals (event-mass linear);",
+        "`e_interarrival` is one (user, type) lag window + a per-type",
+        "exact-percentile rollup (the percentile is the only",
+        "non-combinable member — the documented percentile_approx swap",
+        "applies at real scale).",
         "",
     ]
     section = "\n".join(lines)

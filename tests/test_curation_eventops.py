@@ -692,3 +692,144 @@ def test_audience_overlap_real_data_invariants(spark):
         assert abs(r["est_overlap"] - r["exact_overlap"]) <= max(
             20, 0.35 * r["exact_overlap"]
         )
+
+
+def test_path_topk_sequences(spark, tmp_path):
+    """3-step path mining on a crafted stream: sliding (not tumbling)
+    triples per user, users with < 3 events contribute nothing, tied
+    counts break lexicographically, and shares sum over the full
+    histogram (all paths here fit in top-k)."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_path_topk
+
+    rows = []
+    m = 60_000_000_000
+    i = 0
+
+    def ev(user, typ, minute):
+        nonlocal i
+        rows.append((i, minute * m, user, typ, 1.0, "{}"))
+        i += 1
+
+    # user 1: view click view click -> (view,click,view), (click,view,click)
+    for k, t in enumerate(["view", "click", "view", "click"]):
+        ev(1, t, k)
+    # user 2: view click view -> (view,click,view) again
+    for k, t in enumerate(["view", "click", "view"]):
+        ev(2, t, k)
+    # user 3: only two events -> no triple
+    ev(3, "error", 0); ev(3, "error", 1)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "path_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = e_path_topk(spark, d).collect()
+    assert [(r["s1"], r["s2"], r["s3"], r["n_paths"]) for r in got] == [
+        ("view", "click", "view", 2),
+        ("click", "view", "click", 1),
+    ]
+    assert got[0]["rank"] == 1 and got[1]["rank"] == 2
+    assert abs(sum(r["share"] for r in got) - 1.0) < 1e-9
+
+
+def test_path_topk_tie_break_is_lexicographic(spark, tmp_path):
+    """Two distinct triples with the SAME count: rank order must be
+    (count desc, then s1/s2/s3 lexicographic) — deterministic under
+    any partitioning."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_path_topk
+
+    rows = []
+    m = 60_000_000_000
+    for k, t in enumerate(["view", "click", "error"]):   # user 1
+        rows.append((k, k * m, 1, t, 1.0, "{}"))
+    for k, t in enumerate(["click", "view", "error"]):   # user 2
+        rows.append((10 + k, k * m, 2, t, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "path_tie_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = [(r["s1"], r["s2"], r["s3"]) for r in e_path_topk(spark, d).collect()]
+    assert got == [("click", "view", "error"), ("view", "click", "error")]
+
+
+def test_cooccurrence_lift_hand_computed(spark, tmp_path):
+    """Market-basket lift on three crafted sessions: baskets
+    {view,click} / {view} / {click,purchase} give lift(click,view) =
+    (1*3)/(2*2) and lift(click,purchase) = (1*3)/(2*1); a repeated
+    type inside one session counts ONCE (distinct basket semantics);
+    the >30 min gap splits user 1's sessions."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_cooccurrence_lift
+
+    rows = []
+    m = 60_000_000_000
+    # user 1, session 1 at minutes 0-10: view, click, click (dup type)
+    rows.append((0, 0 * m, 1, "view", 1.0, "{}"))
+    rows.append((1, 5 * m, 1, "click", 1.0, "{}"))
+    rows.append((2, 10 * m, 1, "click", 1.0, "{}"))
+    # user 1, session 2 after a 60 min gap: view alone
+    rows.append((3, 70 * m, 1, "view", 1.0, "{}"))
+    # user 2, one session: click, purchase
+    rows.append((4, 0 * m, 2, "click", 1.0, "{}"))
+    rows.append((5, 1 * m, 2, "purchase", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "cooc_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {(r["type_a"], r["type_b"]): r
+           for r in e_cooccurrence_lift(spark, d).collect()}
+    assert set(got) == {("click", "view"), ("click", "purchase")}
+    cv = got[("click", "view")]
+    assert (cv["n_ab"], cv["n_a"], cv["n_b"]) == (1, 2, 2)
+    assert cv["lift"] == 0.75 and abs(cv["support"] - 1 / 3) < 1e-6
+    cp = got[("click", "purchase")]
+    assert (cp["n_ab"], cp["n_a"], cp["n_b"]) == (1, 2, 1)
+    assert cp["lift"] == 1.5
+
+
+def test_interarrival_exact_quantiles(spark, tmp_path):
+    """Gap quantiles on a crafted stream: gaps {1,1,2,4} minutes give
+    interpolated p50 = 1.5 and p90 = 3.4 (the exact-percentile
+    convention both engines share); gaps never cross users or event
+    types."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_interarrival
+
+    rows = []
+    m = 60_000_000_000
+    # user 1 clicks at minutes 0,1,2,4,8 -> gaps 1,1,2,4
+    for k, minute in enumerate([0, 1, 2, 4, 8]):
+        rows.append((k, minute * m, 1, "click", 1.0, "{}"))
+    # user 2's single click and user 1's single view: no gap from either,
+    # and no cross-user/cross-type gap may appear
+    rows.append((10, 3 * m, 2, "click", 1.0, "{}"))
+    rows.append((11, 5 * m, 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "gap_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_type"]: r for r in e_interarrival(spark, d).collect()}
+    assert set(got) == {"click"}                  # view/user-2 gap-less
+    r = got["click"]
+    assert r["n_gaps"] == 4
+    assert r["mean_minutes"] == 2.0
+    assert r["p50_minutes"] == 1.5
+    assert abs(r["p90_minutes"] - 3.4) < 1e-9
+    assert r["max_whole_minutes"] == 4

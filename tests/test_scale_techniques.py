@@ -986,3 +986,63 @@ def test_bench_slow_rows_all_pinned():
         f" {unpinned} — add to bench.EXPLAINED_SLOW or charge the work to"
         " a build phase"
     )
+
+
+def test_lsh_tier_contract_is_a_guard_not_prose():
+    """The LSH candidate tier (recall ~0.4) must NEVER feed a serving
+    query directly — its contract is candidate generation where an
+    exact verify follows (r12 verdict item 4, promoting the docstring
+    contract to a tripwire).  AST-walk every plans/ and streaming/
+    module: the ONLY permitted call sites of `sim_lsh_ann` are its
+    registration and `sim_lsh_recall` (the recall audit, which joins
+    every candidate against the exact brute-force truth — the verify).
+    Wiring a new consumer fails here until it is either verify-followed
+    and allowlisted, or re-pointed at the IVFADC+R serving tier."""
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "oxford_data_pipeline_spark",
+    )
+    allowed = {("plans/similarity.py", "sim_lsh_recall")}
+    found = set()
+    for sub in ("plans", "streaming"):
+        d = os.path.join(pkg, sub)
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(d, fn)
+            tree = ast.parse(open(path).read())
+            # record the enclosing function of every sim_lsh_ann CALL
+            class V(ast.NodeVisitor):
+                def __init__(self):
+                    self.stack = []
+
+                def visit_FunctionDef(self, node):
+                    self.stack.append(node.name)
+                    self.generic_visit(node)
+                    self.stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    f = node.func
+                    name = getattr(f, "id", getattr(f, "attr", None))
+                    if name == "sim_lsh_ann":
+                        found.add(
+                            (f"{sub}/{fn}",
+                             self.stack[-1] if self.stack else "<module>")
+                        )
+                    self.generic_visit(node)
+
+            V().visit(tree)
+    assert found == allowed, (
+        f"sim_lsh_ann consumed outside the verify-followed allowlist: "
+        f"{sorted(found - allowed)} — serve from sim_ivfpq_rerank or "
+        f"add an exact verify and extend the allowlist deliberately"
+    )
+    # and the contract itself must stay pinned in the docstring
+    from oxford_data_pipeline_spark.plans.similarity import sim_lsh_ann
+
+    assert "TIER CONTRACT" in sim_lsh_ann.__doc__

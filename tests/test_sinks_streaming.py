@@ -2325,3 +2325,75 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
         map(tuple, e_attribution(spark, SF_DIR).collect())
     )
     assert derived == batch_report and len(derived) > 0
+
+
+def test_streaming_attribution_same_instant_touch(spark, tmp_path):
+    """Same-instant tie replay (r12 advisor item 3): a touch at the
+    EXACT purchase timestamp with a LATER event_id must still
+    attribute — within a micro-batch, ties replay touches before
+    purchases, so the twin is exactly batch-equal regardless of
+    event_id order."""
+    from oxford_data_pipeline_spark.plans.eventops import (
+        attribution_report_from,
+        e_attribution,
+    )
+    from oxford_data_pipeline_spark.streaming.stream_eventops import (
+        attribution_stream,
+    )
+
+    t0 = 1_700_000_000_000_000_000
+    h = 3_600_000_000_000
+    rows = [
+        # user 1: view 1h before, purchase id 5, then a same-instant
+        # view whose event_id (9) FOLLOWS the purchase's
+        (1, t0 - h, 2, "view"),
+        (1, t0, 5, "purchase"),
+        (1, t0, 9, "view"),
+        # user 2: same-instant click with a SMALLER id (already ok
+        # pre-fix) — both orders must attribute identically
+        (2, t0, 3, "click"),
+        (2, t0, 7, "purchase"),
+    ]
+    import pandas as pd2
+
+    pdf = pd2.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    d = tmp_path / "tie_stream"
+    d.mkdir()
+    pdf.to_parquet(d / "b1.parquet")
+    q = (
+        spark.readStream.schema(
+            "user_id long, ts long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .transform(attribution_stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "tie_out"))
+        .option("checkpointLocation", str(tmp_path / "tie_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed_pairs = spark.read.parquet(str(tmp_path / "tie_out"))
+    got = sorted(map(tuple, streamed_pairs.select(
+        "conv_id", "touch_id").collect()))
+    # conv 5 pairs with touches 2 (earlier) AND 9 (same instant,
+    # later id); conv 7 pairs with touch 3
+    assert got == [(5, 2), (5, 9), (7, 3)]
+    # and the shared tail reproduces the batch report on the same rows
+    ev = spark.createDataFrame(
+        [(eid, ts, u, t, 1.0, "{}") for (u, ts, eid, t) in rows],
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os as os2
+
+    bd = str(tmp_path / "tie_events")
+    os2.makedirs(bd)
+    ev.write.parquet(os2.path.join(bd, "events.parquet"))
+    assert sorted(
+        map(tuple, attribution_report_from(streamed_pairs).collect())
+    ) == sorted(map(tuple, e_attribution(spark, bd).collect()))
