@@ -89,6 +89,14 @@ EXPLAINED_SLOW = {
         " every round is O(corpus) map-side-combinable over a persisted"
         " input, never pairwise"
     ),
+    "dedup_graph_triangles": (
+        "triangle enumeration on the DUP-HOSTILE near-dup graph by"
+        " construction (the driver corpus plants dense duplicate"
+        " cliques, so wedge mass — Σ out-deg² even under the"
+        " degree-orientation bound — IS the measured quantity; the"
+        " probe attributes its 10x ratio to the planted dup density,"
+        " same class as dedup_pagerank_canonical)"
+    ),
     "oxford_pipeline": (
         "the Entry-A flagship COMPOSITE: extract -> QC -> PCA -> CCA ->"
         " projection -> alignment chained end-to-end as one query — its"

@@ -1955,3 +1955,128 @@ def paragraph_survivors_relation(t: DataFrame) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting / clustering coefficients on the near-dup graph
+# --------------------------------------------------------------------------
+# The dedup-quality diagnostic the cluster labels alone can't give:
+# genuine duplicate clusters are CLIQUISH (every copy pairs with every
+# copy — high local clustering coefficient), while false-positive
+# CHAINS (a~b~c merged by two borderline pairs with no a~c edge) are
+# triangle-poor.  Low local_cc inside a large component flags chaining
+# risk before `dedup_survivors` drops documents over it.
+#
+# Scale shape (the compact-forward algorithm): every edge orients from
+# its lower-(degree, id) endpoint to the higher one, turning the graph
+# into a DAG where out-degree is bounded by O(sqrt(2m)) — the wedge
+# join (o1.dst = o2.src) therefore enumerates each triangle exactly
+# once with Σ out-deg² bounded mass, and closure is an equi-join back
+# against the oriented edge list.  All three joins are co-partitioned
+# hash joins on doc ids; the input is the capped, verified MinHash
+# pair relation (never raw candidates), so edge mass is already
+# skew-guarded by the LSH bucket caps upstream.
+_TRIANGLES_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES},
+deg AS (
+    SELECT doc_id, count(*) AS d FROM (
+        SELECT doc1 AS doc_id FROM cand
+        UNION ALL
+        SELECT doc2 FROM cand
+    ) GROUP BY 1
+),
+oriented AS (
+    SELECT CASE WHEN (da.d, c.doc1) < (db.d, c.doc2)
+                THEN c.doc1 ELSE c.doc2 END AS src,
+           CASE WHEN (da.d, c.doc1) < (db.d, c.doc2)
+                THEN c.doc2 ELSE c.doc1 END AS dst
+    FROM cand c
+    JOIN deg da ON da.doc_id = c.doc1
+    JOIN deg db ON db.doc_id = c.doc2
+),
+tri AS (
+    SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+    FROM oriented e1
+    JOIN oriented e2 ON e1.dst = e2.src
+    JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+per_node AS (
+    SELECT doc_id, count(*) AS n_tri FROM (
+        SELECT u AS doc_id FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    ) GROUP BY 1
+)
+SELECT d.doc_id, d.d AS degree,
+       coalesce(t.n_tri, 0) AS n_triangles,
+       round(CASE WHEN d.d >= 2
+                  THEN 2.0 * coalesce(t.n_tri, 0) / (d.d * (d.d - 1))
+                  ELSE 0.0 END * 1000000 + 0.01, 0) / 1000000 + 0
+           AS local_cc
+FROM deg d LEFT JOIN per_node t USING (doc_id)
+"""
+
+
+@register("dedup_graph_triangles", _TRIANGLES_ORACLE)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts and local clustering coefficients
+    over the MinHash-verified near-dup graph (see section comment):
+    degree-ordered edge orientation (compact-forward), one wedge join
+    + one closure join, per-node rollup."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    return triangle_stats(pairs)
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """The compact-forward triangle kernel over any undirected edge
+    relation (doc1 < doc2, distinct): returns (doc_id, degree,
+    n_triangles, local_cc) — shared by the registered near-dup query
+    and unit-testable on crafted graphs."""
+    deg = (
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(
+        F.col("doc_id").alias("doc1"), F.col("d").alias("d1")
+    )
+    db = deg.select(
+        F.col("doc_id").alias("doc2"), F.col("d").alias("d2")
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("doc1") < F.col("doc2"))
+    )
+    oriented = (
+        pairs.join(da, "doc1")
+        .join(db, "doc2")
+        .select(
+            F.when(lower_first, F.col("doc1")).otherwise(F.col("doc2"))
+            .alias("src"),
+            F.when(lower_first, F.col("doc2")).otherwise(F.col("doc1"))
+            .alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    per_node = (
+        tri.select(F.col("u").alias("doc_id"))
+        .unionAll(tri.select(F.col("v").alias("doc_id")))
+        .unionAll(tri.select(F.col("w").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return deg.join(per_node, "doc_id", "left").select(
+        "doc_id",
+        F.col("d").alias("degree"),
+        n_tri.alias("n_triangles"),
+        round6(
+            F.when(
+                F.col("d") >= 2,
+                2.0 * n_tri / (F.col("d") * (F.col("d") - 1)),
+            ).otherwise(F.lit(0.0))
+        ).alias("local_cc"),
+    )

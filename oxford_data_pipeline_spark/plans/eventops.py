@@ -1525,3 +1525,99 @@ def e_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.percentile("gap_min", F.lit(0.9))).alias("p90_minutes"),
         F.expr("max(gap_ns) DIV 60000000000").alias("max_whole_minutes"),
     )
+
+
+# --------------------------------------------------------------------------
+# E-SEASONALITY — day-of-week periodicity detection (chi-square)
+# --------------------------------------------------------------------------
+# Does an event type beat to a weekly rhythm?  The corpus collapses
+# FIRST to the (event_type, day-of-week) count grid — one map-side-
+# combinable aggregation, the only corpus-sized step, same posture as
+# e_rolling_anomaly's day grain — and the chi-square statistic against
+# the uniform-weekday null runs on the bounded |types| x 7 relation
+# (absent weekdays contribute their full (0-E)^2/E term via a
+# broadcast 7-row grid, so partial weeks can't silently deflate the
+# statistic).  is_periodic thresholds at the df=6, alpha=0.05 critical
+# value; the peak weekday is deterministic (max count, then smallest
+# dow).  Day-of-week = (epoch_day + 4) mod 7 with 0 = Sunday (day 0,
+# 1970-01-01, was a Thursday) — integer arithmetic, timezone-free,
+# identical in both engines.
+_CHI2_CRIT_DF6 = 12.591587243743977  # chi2.ppf(0.95, 6)
+
+_SEASONALITY_ORACLE = f"""
+WITH counts AS (
+    SELECT event_type,
+           CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS BIGINT) AS dow,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT t.event_type, d.range AS dow, coalesce(c.n, 0) AS n
+    FROM (SELECT DISTINCT event_type FROM counts) t
+    CROSS JOIN range(7) d
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.dow = d.range
+),
+tot AS (
+    SELECT event_type, sum(n) AS n_total FROM grid GROUP BY 1
+),
+ranked AS (
+    SELECT g.event_type, g.dow, g.n, t.n_total,
+           row_number() OVER (PARTITION BY g.event_type
+                              ORDER BY g.n DESC, g.dow) AS rn
+    FROM grid g JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(max(n_total) AS BIGINT) AS n_events,
+       round(sum(pow(n - n_total / 7.0, 2) / (n_total / 7.0))
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS chi2,
+       CAST(max(CASE WHEN rn = 1 THEN dow END) AS BIGINT) AS peak_dow,
+       round(max(CASE WHEN rn = 1 THEN n END) / max(n_total)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS peak_share,
+       CAST(sum(pow(n - n_total / 7.0, 2) / (n_total / 7.0))
+            > {_CHI2_CRIT_DF6} AS INT) AS is_periodic
+FROM ranked
+GROUP BY 1
+"""
+
+
+@register("e_seasonality", _SEASONALITY_ORACLE)
+def e_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week periodicity per event type (see section comment):
+    one corpus-sized count aggregation to the |types| x 7 grid, then
+    chi-square vs the uniform null with a deterministic peak weekday."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.expr("(ts DIV 86400000000000 + 4) % 7").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # full 7-day grid per type: absent weekdays must contribute their
+    # (0 - E)^2 / E term (broadcast 7-row dimension, bounded)
+    dows = spark.range(7).select(F.col("id").alias("dow"))
+    types = counts.select("event_type").distinct()
+    grid = (
+        types.join(F.broadcast(dows))
+        .join(counts, ["event_type", "dow"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    tot = grid.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("dow")
+    )
+    ranked = grid.join(F.broadcast(tot), "event_type").withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    exp = F.col("n_total") / F.lit(7.0)
+    chi2 = F.sum(F.pow(F.col("n") - exp, F.lit(2)) / exp)
+    return ranked.groupBy("event_type").agg(
+        F.max("n_total").cast("bigint").alias("n_events"),
+        round6(chi2).alias("chi2"),
+        F.max(F.when(F.col("rn") == 1, F.col("dow"))).cast("bigint").alias(
+            "peak_dow"
+        ),
+        round6(
+            F.max(F.when(F.col("rn") == 1, F.col("n"))) / F.max("n_total")
+        ).alias("peak_share"),
+        (chi2 > _CHI2_CRIT_DF6).cast("int").alias("is_periodic"),
+    )

@@ -7,7 +7,7 @@ embarrassingly parallel — no shuffles except the final aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oxford_data_pipeline_spark.functions.compat import round6
@@ -676,3 +676,78 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), "w1", "w2"
     ).limit(100)
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit — corpus health in one row
+# --------------------------------------------------------------------------
+# The log-log rank-frequency slope is the standard one-number corpus
+# diagnostic (natural text sits near -1; boilerplate/spam floods and
+# template corpora bend it): fit ln(freq) ~ ln(rank) by least squares
+# over the top-R terms.  Scale shape: ONE map-side-combinable count
+# aggregation over the exploded token relation (the only corpus-sized
+# step — the same shared `tokens_relation` every text query reads),
+# then a distributed top-R (TakeOrderedAndProject — never a global
+# sort of the Heaps-law vocabulary), and the regression runs on the
+# bounded R-row relation via the built-in least-squares aggregates
+# (regr_slope/regr_intercept/regr_r2 — identical definitions in both
+# engines).  Top-R mass share rides along from the same pass.
+_ZIPF_TOP_R = 200
+
+_ZIPF_ORACLE = f"""
+WITH {{tokens}},
+tf AS (
+    SELECT tok AS token, count(*) AS freq
+    FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+),
+tot AS (SELECT sum(freq) AS n_tokens FROM tf),
+ranked AS (
+    SELECT freq,
+           row_number() OVER (ORDER BY freq DESC, token) AS rank
+    FROM tf
+    ORDER BY freq DESC, token
+    LIMIT {_ZIPF_TOP_R}
+)
+SELECT count(*) AS n_terms_ranked,
+       round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS zipf_slope,
+       round(regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS zipf_intercept,
+       round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS zipf_r2,
+       round(sum(freq) / (SELECT n_tokens FROM tot)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS top_r_mass_share
+FROM ranked
+""".format(tokens=_TOKENS_CTE.strip().removeprefix("\n"))
+
+
+@register("text_zipf_fit", _ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic (see section comment): one count
+    aggregation, a distributed top-R, least-squares fit on the bounded
+    R-row relation."""
+    exploded = (
+        tokens_relation(spark, sf_dir)
+        .filter(F.size("t") > 0)
+        .select(F.explode("t").alias("token"))
+    )
+    tf = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    tot = tf.agg(F.sum("freq").cast("double").alias("n_tokens"))
+    # distributed top-R (TakeOrderedAndProject), then rank the bounded
+    # relation — the Heaps-law vocabulary is never globally sorted
+    top = tf.orderBy(F.col("freq").desc(), F.col("token")).limit(_ZIPF_TOP_R)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("token"))
+        ),
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rank").cast("double"))
+    return ranked.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_terms_ranked"),
+        round6(F.regr_slope(lf, lr)).alias("zipf_slope"),
+        round6(F.regr_intercept(lf, lr)).alias("zipf_intercept"),
+        round6(F.regr_r2(lf, lr)).alias("zipf_r2"),
+        round6(F.sum("freq") / F.max("n_tokens")).alias("top_r_mass_share"),
+    )

@@ -143,6 +143,14 @@ HEADLINE = [
     "e_path_topk",
     "e_cooccurrence_lift",
     "e_interarrival",
+    # round 13 wave 4 (diagnostics): seasonality (one corpus-sized
+    # count agg + a |types| x 7 grid), zipf (one count agg + a
+    # distributed top-R — TakeOrderedAndProject, never a vocab sort),
+    # triangles (degree-oriented wedge + closure equi-joins on the
+    # verified pair relation)
+    "e_seasonality",
+    "text_zipf_fit",
+    "dedup_graph_triangles",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -183,6 +191,11 @@ SINGLE_PARTITION_WINDOWS = {
         "deterministic top-k rank over the PATH HISTOGRAM — the window"
         " input is the <= |types|^3 aggregated triple relation, never"
         " event rows (the corpus collapses map-side before the rank)"
+    ),
+    "text_zipf_fit": (
+        "rank WITHIN the already-selected top-R term set —"
+        " TakeOrderedAndProject precedes the window, so it orders"
+        " <= R (= 200) rows, never the Heaps-law vocabulary"
     ),
 }
 

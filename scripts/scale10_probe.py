@@ -157,6 +157,15 @@ PROBE_QUERIES = [
     "e_path_topk",
     "e_cooccurrence_lift",
     "e_interarrival",
+    # round-13 wave 4: seasonality (one count agg to the |types| x 7
+    # grid — the anomaly/day-grain posture), zipf (one count agg +
+    # distributed top-R + bounded regression), triangles (degree-
+    # oriented wedge/closure joins over the verified pair graph —
+    # dup-hostile replicas multiply edge AND wedge mass by
+    # construction, the measured price of extreme dup density)
+    "e_seasonality",
+    "text_zipf_fit",
+    "dedup_graph_triangles",
 ]
 
 _MARK = "## One-decade probe (sf0.1 -> 10x synthetic)"
@@ -802,7 +811,17 @@ def main() -> None:
         "`e_interarrival` is one (user, type) lag window + a per-type",
         "exact-percentile rollup (the percentile is the only",
         "non-combinable member — the documented percentile_approx swap",
-        "applies at real scale).",
+        "applies at real scale).  Wave-4 diagnostics: `e_seasonality`",
+        "is one count aggregation to the |types| x 7 grid (the",
+        "anomaly-family posture — ~flat is correct); `text_zipf_fit`",
+        "is one token-count aggregation + a distributed top-R +",
+        "a regression over <= R rows (ratio = the token scan);",
+        "`dedup_graph_triangles` runs on the dup-hostile replica graph",
+        "where both edge and wedge mass grow faster than the corpus BY",
+        "CONSTRUCTION (every doc gains ~9 near-twins, cliques fatten",
+        "cubically) — its ratio is the planted dup density being",
+        "measured, the same attribution as pagerank, with the",
+        "degree-orientation bounding the wedge join at Σ out-deg².",
         "",
     ]
     section = "\n".join(lines)

@@ -833,3 +833,42 @@ def test_interarrival_exact_quantiles(spark, tmp_path):
     assert r["p50_minutes"] == 1.5
     assert abs(r["p90_minutes"] - 3.4) < 1e-9
     assert r["max_whole_minutes"] == 4
+
+
+def test_seasonality_chi_square(spark, tmp_path):
+    """Weekday periodicity on a crafted stream: a type concentrated on
+    ONE weekday has chi2 = 6n (flagged periodic with the right peak
+    day); a type spread uniformly over all seven weekdays has chi2 = 0
+    (not periodic, peak = smallest dow by tie-break); absent weekdays
+    contribute their (0-E)^2/E mass via the full grid."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import e_seasonality
+
+    rows = []
+    day_ns = 86_400_000_000_000
+    i = 0
+    # 'error': 20 events, all on dow 2 (day d with (d+4)%7==2 -> d=5)
+    for k in range(20):
+        rows.append((i, 5 * day_ns + k, 1 + k, "error", 1.0, "{}"))
+        i += 1
+    # 'click': 7 events, one per weekday (days 0..6 cover all dows)
+    for d in range(7):
+        rows.append((i, d * day_ns, 100 + d, "click", 1.0, "{}"))
+        i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string"
+    )
+    d = str(tmp_path / "season_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_type"]: r for r in e_seasonality(spark, d).collect()}
+    err = got["error"]
+    assert err["n_events"] == 20
+    assert err["chi2"] == 120.0            # 6n for a single-day type
+    assert err["peak_dow"] == 2 and err["peak_share"] == 1.0
+    assert err["is_periodic"] == 1
+    clk = got["click"]
+    assert clk["chi2"] == 0.0 and clk["is_periodic"] == 0
+    assert clk["peak_dow"] == 0            # all-equal tie -> smallest dow

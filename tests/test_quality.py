@@ -1233,3 +1233,34 @@ def test_longest_dup_substring_planted_fixture(spark, tmp_path):
     assert got["max_dup_len"] == 100
     assert got["sample_window"] == plant
     assert got["n_dup_windows"] == 1 and got["n_dup_positions"] == 2
+
+
+def test_zipf_fit_exact_power_law(spark, tmp_path):
+    """An exactly Zipfian corpus (freq = 12/rank for ranks 1..4)
+    recovers slope -1, r2 1, intercept ln(12) under the least-squares
+    fit; ranks tie-break lexicographically; the top-R mass share is 1
+    when R covers the whole vocabulary."""
+    import math
+    import os
+
+    from oxford_data_pipeline_spark.plans import textops as T
+
+    T._tokens_cache.clear()
+    words = ["alpha"] * 12 + ["beta"] * 6 + ["gamma"] * 4 + ["delta"] * 3
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, text, "en", "src1", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "zipf_docs")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    try:
+        r = T.text_zipf_fit(spark, d).collect()[0]
+    finally:
+        T._tokens_cache.clear()
+    assert r["n_terms_ranked"] == 4
+    assert r["zipf_slope"] == -1.0
+    assert r["zipf_r2"] == 1.0
+    assert abs(r["zipf_intercept"] - round(math.log(12), 6)) < 1e-9
+    assert r["top_r_mass_share"] == 1.0

@@ -1046,3 +1046,64 @@ def test_lsh_tier_contract_is_a_guard_not_prose():
     from oxford_data_pipeline_spark.plans.similarity import sim_lsh_ann
 
     assert "TIER CONTRACT" in sim_lsh_ann.__doc__
+
+
+def test_triangle_kernel_on_crafted_graphs(spark):
+    """The compact-forward kernel on known graphs: a 4-clique gives
+    every node 3 triangles and local_cc 1; a 3-path gives zero
+    triangles with cc 0; an attached pendant keeps its cc 0 while the
+    clique nodes' coefficients drop by exactly the added
+    degree-pair mass."""
+    from oxford_data_pipeline_spark.plans.dedup import triangle_stats
+
+    # K4 on {1,2,3,4} plus pendant 5-1 plus disjoint path 10-11-12
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (1, 5), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    got = {r["doc_id"]: r for r in triangle_stats(pairs).collect()}
+    # K4: C(4,3) = 4 triangles, 3 per node
+    assert sum(r["n_triangles"] for r in got.values()) % 3 == 0
+    for v in (2, 3, 4):
+        assert got[v]["n_triangles"] == 3 and got[v]["local_cc"] == 1.0
+    # node 1 carries the pendant: degree 4, still 3 triangles ->
+    # cc = 2*3/(4*3) = 0.5
+    assert got[1]["degree"] == 4 and got[1]["n_triangles"] == 3
+    assert got[1]["local_cc"] == 0.5
+    assert got[5]["degree"] == 1 and got[5]["local_cc"] == 0.0
+    # path: no triangles anywhere
+    for v in (10, 11, 12):
+        assert got[v]["n_triangles"] == 0 and got[v]["local_cc"] == 0.0
+
+
+def test_triangle_query_matches_bruteforce(spark):
+    """On the real near-dup graph: the registered query's per-node
+    counts equal a brute-force enumeration over the collected edge set
+    (bounded at test SF), and the global sum is divisible by 3."""
+    from itertools import combinations
+
+    from oxford_data_pipeline_spark.plans.dedup import (
+        dedup_graph_triangles,
+        dedup_minhash_lsh,
+    )
+
+    edges = {
+        (r["doc1"], r["doc2"])
+        for r in dedup_minhash_lsh(spark, SF_DIR).select("doc1", "doc2").collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = {v: 0 for v in adj}
+    for v, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            if b in adj.get(a, ()):
+                brute[v] += 1
+    brute = {v: n // 1 for v, n in brute.items()}
+    got = {r["doc_id"]: r for r in dedup_graph_triangles(spark, SF_DIR).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v]["n_triangles"] == brute[v], v
+        assert got[v]["degree"] == len(adj[v])
+        assert 0.0 <= got[v]["local_cc"] <= 1.0
+    assert sum(brute.values()) % 3 == 0
