@@ -458,3 +458,50 @@ def attribution_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def seasonality_report_from(daily: DataFrame) -> DataFrame:
+    """Read-time weekday-periodicity report from the MAINTAINED
+    (event_type, day, n) count relation — the same state
+    `daily_count_deltas`/`merge_daily_counts` keep for the anomaly
+    query serves seasonality for free: dow = (day + 4) mod 7 is a
+    function of the day key, so the (type, dow) grid is an exact
+    rollup of the maintained counts (no approximation, no second
+    corpus pass).  Reproduces `e_seasonality`'s batch output
+    column-for-column."""
+    from pyspark.sql import Window
+
+    from oxford_data_pipeline_spark.functions.compat import round6
+    from oxford_data_pipeline_spark.plans.eventops import _CHI2_CRIT_DF6
+
+    spark = daily.sparkSession
+    counts = daily.groupBy(
+        "event_type", F.expr("(day + 4) % 7").alias("dow")
+    ).agg(F.sum("n").alias("n"))
+    dows = spark.range(7).select(F.col("id").alias("dow"))
+    types = counts.select("event_type").distinct()
+    grid = (
+        types.join(F.broadcast(dows))
+        .join(counts, ["event_type", "dow"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    tot = grid.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("dow")
+    )
+    ranked = grid.join(F.broadcast(tot), "event_type").withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    exp = F.col("n_total") / F.lit(7.0)
+    chi2 = F.sum(F.pow(F.col("n") - exp, F.lit(2)) / exp)
+    return ranked.groupBy("event_type").agg(
+        F.max("n_total").cast("bigint").alias("n_events"),
+        round6(chi2).alias("chi2"),
+        F.max(F.when(F.col("rn") == 1, F.col("dow"))).cast("bigint").alias(
+            "peak_dow"
+        ),
+        round6(
+            F.max(F.when(F.col("rn") == 1, F.col("n"))) / F.max("n_total")
+        ).alias("peak_share"),
+        (chi2 > _CHI2_CRIT_DF6).cast("int").alias("is_periodic"),
+    )

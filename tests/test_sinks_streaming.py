@@ -2397,3 +2397,32 @@ def test_streaming_attribution_same_instant_touch(spark, tmp_path):
     assert sorted(
         map(tuple, attribution_report_from(streamed_pairs).collect())
     ) == sorted(map(tuple, e_attribution(spark, bd).collect()))
+
+
+def test_streaming_daily_counts_serve_seasonality(spark):
+    """One maintained relation, two reports: the (event_type, day, n)
+    state the daily-count maintainer keeps for the anomaly query also
+    derives the weekday-seasonality report EXACTLY (dow is a function
+    of the day key, so the rollup is lossless) — streamed two-batch
+    merged state -> seasonality_report_from equals the batch
+    e_seasonality output."""
+    from oxford_data_pipeline_spark.plans.eventops import e_seasonality
+    from oxford_data_pipeline_spark.streaming.stream_eventops import (
+        daily_count_deltas,
+        merge_daily_counts,
+        seasonality_report_from,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"])
+    half = len(pdf) // 2
+    h1 = spark.createDataFrame(pdf.iloc[:half])
+    h2 = spark.createDataFrame(pdf.iloc[half:])
+    state = merge_daily_counts(
+        daily_count_deltas(h1), daily_count_deltas(h2)
+    )
+    derived = sorted(map(tuple, seasonality_report_from(state).collect()))
+    batch = sorted(map(tuple, e_seasonality(spark, SF_DIR).collect()))
+    assert derived == batch and len(derived) > 0
