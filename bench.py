@@ -39,6 +39,27 @@ import time
 # training + reassignment are charged to build_ann_index; the timed
 # query is the before/after audit).
 SLOW_MIN_SEC = 2.5
+
+# Load-aware grid (round-13 verdict item 2): the r13 driver benched on
+# a loaded machine (median 1.32x uniform inflation, 4-7x spikes) and
+# the committed-grid pinning tripwire went red against an artifact
+# whose slowness was the MACHINE's, not the plans'.  The grid now
+# self-identifies: it captures /proc/loadavg at grid start/end and a
+# median per-query ratio against the previously COMMITTED grid's
+# minima; when that ratio exceeds LOAD_FACTOR_BAR the artifact carries
+# loaded_grid=true and the triage lists (and the suite's pinning test)
+# apply the slow bar to LOAD-NORMALIZED minima — a driver bench on a
+# busy box leaves an artifact that says so instead of failing the
+# suite.  A real uniform plan regression cannot hide here: the
+# committed grid is regenerated idle and re-committed every round, so
+# a code-caused slowdown shows up in the round-end idle grid (and in
+# SCALING.md), not just in a driver snapshot.
+LOAD_FACTOR_BAR = 1.2
+# minimum committed-row seconds for a ratio sample (sub-0.2 s rows are
+# scheduler-noise-dominated) and minimum sample count to trust a median
+LOAD_RATIO_MIN_SEC = 0.2
+LOAD_RATIO_MIN_SAMPLES = 20
+
 EXPLAINED_SLOW = {
     "mm_jpeg_decode": (
         "seven deliberate per-doc codec verification legs (baseline,"
@@ -107,10 +128,52 @@ EXPLAINED_SLOW = {
 }
 
 
+def _read_loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):  # pragma: no cover (non-Linux)
+        return None
+
+
+def _grid_load_factor(
+    qmin: dict[str, float], committed_min: dict[str, float]
+) -> float:
+    """Median per-query min ratio vs the previously committed grid —
+    the uniform-inflation estimate a loaded box produces.  Returns 1.0
+    when there is no committed grid or too few trustworthy samples."""
+    ratios = sorted(
+        qmin[n] / committed_min[n]
+        for n, prev in committed_min.items()
+        if n in qmin and qmin[n] == qmin[n]
+        and isinstance(prev, (int, float)) and prev == prev
+        and prev >= LOAD_RATIO_MIN_SEC
+    )
+    if len(ratios) < LOAD_RATIO_MIN_SAMPLES:
+        return 1.0
+    mid = len(ratios) // 2
+    med = (ratios[mid] if len(ratios) % 2
+           else (ratios[mid - 1] + ratios[mid]) / 2)
+    return round(max(1.0, med), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1)) if sf_match else None
+
+    # snapshot the previously COMMITTED grid before this run overwrites
+    # it — the reference for the load factor below
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    committed_min: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            committed_min = json.load(fh).get("queries_min", {}) or {}
+    except (OSError, ValueError):
+        pass
+    loadavg_start = _read_loadavg()
 
     from oxford_data_pipeline_spark.plans import QUERIES
     from oxford_data_pipeline_spark.plans.dedup import build_dedup_index
@@ -200,6 +263,22 @@ def main() -> None:
     # Arrow/JIT/scan warmup on an otherwise-fast query is inherent
     # first-touch noise, not unattributed build work — the actionable
     # list is the one where real seconds hide in rep-1.
+    loadavg_end = _read_loadavg()
+    grid_load_factor = _grid_load_factor(qmin, committed_min)
+    loaded_grid = grid_load_factor > LOAD_FACTOR_BAR
+    # triage against LOAD-NORMALIZED minima: on a loaded box the bar
+    # scales with the measured uniform inflation (see LOAD_FACTOR_BAR
+    # comment) so machine load can't manufacture "slow plan" flags
+    norm = grid_load_factor if loaded_grid else 1.0
+    if loaded_grid:
+        print(
+            f"bench: LOADED GRID — median min-ratio {grid_load_factor}x vs"
+            f" committed grid (loadavg {loadavg_start} -> {loadavg_end});"
+            " triage lists use load-normalized minima — adjudicate by idle"
+            " re-measure",
+            file=sys.stderr,
+        )
+
     ratio_flags = {
         n: round(timings[n] / qmin[n], 2)
         for n in timings
@@ -215,10 +294,11 @@ def main() -> None:
     }
     unpinned_slow = sorted(
         n for n, v in qmin.items()
-        if v == v and v > SLOW_MIN_SEC and n not in EXPLAINED_SLOW
+        if v == v and v / norm > SLOW_MIN_SEC and n not in EXPLAINED_SLOW
     )
     if unpinned_slow:
-        print(f"bench: UNPINNED slow rows (min > {SLOW_MIN_SEC}s):"
+        print(f"bench: UNPINNED slow rows (min > {SLOW_MIN_SEC}s"
+              f"{f' after /{norm} load normalization' if loaded_grid else ''}):"
               f" {unpinned_slow} — add to EXPLAINED_SLOW with a reason",
               file=sys.stderr)
     detail = {
@@ -235,6 +315,13 @@ def main() -> None:
         ),
         "explained_slow": EXPLAINED_SLOW,
         "unpinned_slow": unpinned_slow,
+        # load self-identification (r13 verdict item 2): raw minima
+        # stay in queries_min; consumers normalize by grid_load_factor
+        # when loaded_grid is set
+        "grid_load_factor": grid_load_factor,
+        "loaded_grid": loaded_grid,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
     }
 
     # Second scale factor for round-over-round attribution (default
@@ -246,8 +333,6 @@ def main() -> None:
         detail["index_build"][sec_dir] = build_indexes(sec_dir)
         detail["queries_secondary"] = run_all(sec_dir, 1)[0]
 
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 

@@ -37,3 +37,43 @@ def round2(col: Column | str) -> Column:
     ``round(x * 100 + 0.01, 0) / 100 + 0``). For SUMs over large fact
     tables where accumulated noise reaches ~1e-4."""
     return _round_scaled(col, 100)
+
+
+def floor_div_sql(expr: str, divisor: int) -> str:
+    """Spark-SQL snippet for exact int64 FLOOR division of ``expr`` by
+    a positive ``divisor`` — the day/week-grain calendar contract.
+
+    Both Spark's ``DIV`` and DuckDB's integer ``//`` truncate toward
+    zero (measured — DuckDB only floors for FLOAT operands), so a bare
+    quotient puts a pre-epoch evening (e.g. 1969-12-31T18:00, day
+    -0.25) on day 0 alongside 1970-01-01 (r13 advisor item 2).  The
+    calendar grain must FLOOR.  Subtracting ``pmod`` (always
+    non-negative) first makes the numerator an exact multiple of the
+    divisor, so truncating division returns the true floor quotient in
+    pure int64 arithmetic — no double round-trip, which would lose ns
+    precision above 2^53."""
+    return f"(({expr}) - pmod(({expr}), {divisor})) DIV {divisor}"
+
+
+def oracle_floor_div_sql(expr: str, divisor: int) -> str:
+    """DuckDB twin of :func:`floor_div_sql`: DuckDB's integer ``//``
+    truncates toward zero and its ``%`` follows the dividend's sign, so
+    the non-negative remainder is ``((x % d) + d) % d`` and subtracting
+    it makes ``//`` exact-floor — identical int64 semantics to the
+    Spark snippet on every input, pre-epoch included."""
+    return (
+        f"(({expr}) - ((({expr}) % {divisor} + {divisor}) % {divisor}))"
+        f" // {divisor}"
+    )
+
+
+# Floored epoch-day / epoch-week snippets for the event-time grain
+# (ns timestamps).  Every Spark-side day/week key derives from these so
+# batch plans, streaming maintainers, and the DuckDB oracles (which use
+# the already-flooring ``//``) agree on ALL inputs, pre-epoch included.
+EPOCH_DAY_SQL = floor_div_sql("ts", 86_400_000_000_000)
+EPOCH_WEEK_SQL = floor_div_sql("ts", 604_800_000_000_000)
+ORACLE_EPOCH_DAY_SQL = oracle_floor_div_sql("epoch_ns(ts)", 86_400_000_000_000)
+ORACLE_EPOCH_WEEK_SQL = oracle_floor_div_sql(
+    "epoch_ns(ts)", 604_800_000_000_000
+)

@@ -31,55 +31,70 @@ from oxford_data_pipeline_spark.plans import (  # noqa: F401  (registration side
 # driver records correctness rows for roughly the FIRST 50 registry
 # entries only, so registration order is driver exposure, and the
 # front list rotates every round to keep each query's driver row
-# fresh.  Round 13 front-loads (a) the six queries NEW this round
-# (the wave-3 event family: `e_path_topk` n-step sequence mining,
-# `e_cooccurrence_lift` within-session market baskets,
-# `e_interarrival` gap quantiles; and the wave-4 diagnostics:
-# `e_seasonality` chi-square weekday periodicity, `text_zipf_fit`
-# rank-frequency corpus health, `dedup_graph_triangles`
-# compact-forward triangle counting on the near-dup graph) plus the
-# two that CHANGED —
-# `a14_sessionize` (session assignment factored into the shared
-# `session_assignments` helper / `_SESSION_ASSIGN_CTES` now reused by
-# the co-occurrence query; result-identical, re-proven here) and
-# `e_audience_overlap` (r12 advisor item 1: dead-code ternary removed
-# from the uregs join — plan-identical, re-proven here); then (b) the
-# 17 queries whose newest driver row is r9 (round-12 verdict item 1,
-# deferred from the r12 window); then (c) 25 of the 48 r10-stale
-# queries, highest-risk first (multi-stage dedup/sim/emb/retrieval
-# pipelines and the flagship composite).  That fills all 50 slots.
-# The 23 r10 rows deferring to r14 are the least-risk ones: untouched
-# single-pass curation gates/samplers (`cur_*`) and three single-agg
-# text/mm kernels, all green in the
-# regenerated ORACLE_PARITY.json at both SFs every round and
-# exercised by the suite.  Only ORACLE-CHECKED queries go in the
-# window — a rows-only query would burn a slot on an err:"no_oracle"
-# record.  Rotation reorders, never drops; the suite's own oracle
-# tests still cover the full set.
-_ROUND13_FRONT = [
-    # (a) new + materially changed this round
-    "e_path_topk", "e_cooccurrence_lift", "e_interarrival",
-    "e_seasonality", "text_zipf_fit", "dedup_graph_triangles",
-    "a14_sessionize", "e_audience_overlap",
-    # (b) the r9-stale cohort (newest driver row = r9)
-    "e_set_ops", "f9_significance_filter", "m10_wilcoxon_stat",
-    "m11_cohens_d", "m13_effective_dim", "m16_spearman",
-    "m3_weight_minmax_norm", "m5_relational_matmul", "m9_pearson_corr",
-    "o1_anatomical_order", "o3_seeded_sample", "o4_truncate_min_length",
-    "sc_scalar_functions", "w4_peak_amplitude", "w5_percentile_threshold",
-    "w6_contiguous_folds", "w7_first_match_baseline",
-    # (c) 25 of the 48 r10-stale queries (multi-stage pipelines first;
-    # the 23 deferred to r14 are single-pass cur_* gates/samplers plus
-    # text_tfidf_top_terms / mm_audio_features / mm_image_features)
-    "oxford_pipeline", "j9_asof_join", "e_json_props",
-    "dedup_clusters", "dedup_embedding_cosine", "dedup_incremental",
-    "dedup_pagerank_canonical", "dedup_semantic", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_survivors", "dedup_url_survivors",
-    "dedup_winnowing",
-    "emb_hard_negatives", "emb_label_cohesion", "emb_outliers",
-    "sim_compression_ladder", "sim_cosine_topk", "sim_ivf_retrain",
-    "sim_lsh_ann", "sim_matryoshka_recall", "sim_sq8_recall",
-    "ret_phrase_search", "text_dup_span_cut", "text_postings_incremental",
+# fresh.
+#
+# ROTATION POLICY (r13 verdict item 6 — stated so the arithmetic
+# stays honest as the registry grows): with Q oracle-checked queries
+# and a 50-slot window, a full cycle takes ceil(Q / 50) rounds, so at
+# Q = 186/170 the staleness floor is 4 rounds.  Slots are filled in
+# this priority order: (1) queries NEW or materially CHANGED this
+# round (plan or oracle — both need re-proving; new queries also get
+# parity + judge coverage, so this share is kept small), then (2) the
+# oldest driver-row cohort, oldest first, until the window is full.
+# Only ORACLE-CHECKED queries take slots — a rows-only query would
+# burn one on an err:"no_oracle" record.  Rotation reorders, never
+# drops; the suite's own oracle tests still cover the full set.
+#
+# Round 14 front-loads (0) the three queries NEW this round
+# (`e_growth_accounting` weekly new/retained/resurrected/churned off
+# the retention-state relations, `text_source_diversity` per-source
+# TTR/Simpson concentration, `text_readability` Flesch profile per
+# language); then (a) the six queries whose plan or oracle
+# CHANGED this round — the day/week-grain exact-floor contract (r13
+# advisor item 2: both Spark `DIV` and DuckDB integer `//` truncate
+# toward zero, so pre-epoch timestamps landed day keys off the
+# calendar; fixed floor-consistently on BOTH sides via
+# `floor_div_sql` / `oracle_floor_div_sql`) touches `e_seasonality`
+# (+ pmod dow), `e_dau_hll`, `e_rolling_anomaly`, `e_value_histogram`,
+# `e_retention`; `dedup_graph_triangles`'s oracle is recomposed from
+# the VERIFIED pair relation instead of raw band candidates (r13
+# advisor item 1); then (b) the 23 queries whose newest driver row is
+# r10 (r13 verdict item 1 — the curation module ages together), then
+# (c) 18 of the 48 r11-stale queries, multi-stage pipelines first.
+# The 25 r11 rows deferring to r15 (e_dau_hll / e_retention moved up
+# into (a) as changed) are single-aggregation kernels and
+# closed-form stats twins, all green in the regenerated
+# ORACLE_PARITY.json at both SFs every round and exercised by the
+# suite; they MUST lead the r15 window (staleness hits the 4-round
+# floor there).
+_ROUND14_FRONT = [
+    # (0) new this round
+    "e_growth_accounting", "text_source_diversity", "text_readability",
+    # (a) plan or oracle changed this round (exact-floor day/week
+    # contract; triangles oracle recomposed from verified pairs)
+    "e_seasonality", "e_dau_hll", "e_rolling_anomaly",
+    "e_value_histogram", "e_retention", "dedup_graph_triangles",
+    # (b) the r10-stale cohort (newest driver row = r10)
+    "cur_adaptive_quality_gate", "cur_bigram_surprisal",
+    "cur_bloom_prefilter", "cur_c4_heuristics", "cur_corpus_diff",
+    "cur_corpus_drift", "cur_decontaminate", "cur_dsir_weights",
+    "cur_length_profile", "cur_mixture_weights", "cur_pack_stats",
+    "cur_pii_scrub", "cur_pipeline", "cur_provenance",
+    "cur_quality_classifier", "cur_repetition", "cur_stratified_sample",
+    "cur_temperature_mix", "cur_term_cms", "cur_unigram_surprisal",
+    "mm_audio_features", "mm_image_features", "text_tfidf_top_terms",
+    # (c) 18 of the 48 r11-stale queries, multi-stage pipelines first
+    # (deferred to r15: single-agg kernels, closed-form stats twins,
+    # the f/j relational predicates, and — trimmed for the three (0)
+    # slots — ret_snippets / mm_jpeg_decode / mm_phash_neardup, the
+    # heaviest-suite-covered of this cohort)
+    "dedup_exact", "dedup_labels_incremental", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    "dedup_paragraph", "dedup_paragraph_survivors",
+    "sim_ivf_ann", "sim_ivf_delete", "sim_ivf_drift",
+    "sim_ivf_incremental", "sim_ivf_recall", "sim_ivfpq_ann",
+    "sim_ivfpq_rerank", "sim_serving_ndcg",
+    "ret_hybrid_rrf", "ret_mmr", "ret_rm3_expansion",
 ]
 
 
@@ -93,18 +108,20 @@ def _rotate(front: list[str]) -> None:
         d.update(items)
 
 
-_rotate(_ROUND13_FRONT)
+_rotate(_ROUND14_FRONT)
 
-# r14 FRONT-LOAD LIST: the 23 r10-stale rows deferred above
-# (`cur_adaptive_quality_gate`, `cur_bigram_surprisal`,
-# `cur_bloom_prefilter`, `cur_c4_heuristics`, `cur_corpus_diff`,
-# `cur_corpus_drift`, `cur_decontaminate`, `cur_dsir_weights`,
-# `cur_length_profile`, `cur_mixture_weights`, `cur_pack_stats`,
-# `cur_pii_scrub`, `cur_pipeline`, `cur_provenance`,
-# `cur_quality_classifier`, `cur_repetition`, `cur_stratified_sample`,
-# `cur_temperature_mix`, `cur_term_cms`, `cur_unigram_surprisal`,
-# `text_tfidf_top_terms`, `mm_audio_features`, `mm_image_features`),
-# then the r11-stale cohort.
+# r15 FRONT-LOAD LIST: the 28 r11-stale rows deferred above
+# (`ret_snippets`, `mm_jpeg_decode`, `mm_phash_neardup`,
+# `cur_classifier_calibration`, `cur_cluster_split`,
+# `cur_topic_balance`, `cur_vocab_hll`, `cur_weighted_sample`,
+# `e_funnel`, `e_markov_transitions`, `emb_knn_classify`,
+# `f5_having_admission`, `f7_min_distinct`, `f_predicate_stack`,
+# `j1_event_psth`, `j2_dim_enrichment`, `m12_sign_alignment`,
+# `m1_cca_closed_form`, `m4_pca_closed_form`, `m6_glm_closed_form`,
+# `mm_metadata_profile`, `mm_phash`,
+# `text_bm25_topk`, `text_collocations`, `text_dup_spans`,
+# `text_dup_window_profile`, `text_fingerprint`, `text_token_count`),
+# then the r12-stale cohort, oldest first.
 # (`text_longest_dup_substring` is rows-only by design — it never
 # takes a window slot.)
 

@@ -1978,11 +1978,22 @@ def paragraph_survivors_relation(t: DataFrame) -> DataFrame:
 # skew-guarded by the LSH bucket caps upstream.
 _TRIANGLES_ORACLE = f"""
 WITH {_MINHASH_CAND_CTES},
+vpairs AS (
+    -- the VERIFIED pair relation (candidates that survive the shared-
+    -- shingle verify), matching `dedup_minhash_lsh`'s output exactly —
+    -- the r13 advisor caught the previous version building degrees
+    -- from raw `cand`, which only coincided because no Jaccard
+    -- threshold filters the verify today
+    SELECT DISTINCT c.doc1, c.doc2
+    FROM cand c
+    JOIN shingles s1 ON s1.doc_id = c.doc1
+    JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+),
 deg AS (
     SELECT doc_id, count(*) AS d FROM (
-        SELECT doc1 AS doc_id FROM cand
+        SELECT doc1 AS doc_id FROM vpairs
         UNION ALL
-        SELECT doc2 FROM cand
+        SELECT doc2 FROM vpairs
     ) GROUP BY 1
 ),
 oriented AS (
@@ -1990,7 +2001,7 @@ oriented AS (
                 THEN c.doc1 ELSE c.doc2 END AS src,
            CASE WHEN (da.d, c.doc1) < (db.d, c.doc2)
                 THEN c.doc2 ELSE c.doc1 END AS dst
-    FROM cand c
+    FROM vpairs c
     JOIN deg da ON da.doc_id = c.doc1
     JOIN deg db ON db.doc_id = c.doc2
 ),

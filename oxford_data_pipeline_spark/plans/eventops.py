@@ -20,6 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oxford_data_pipeline_spark.functions.compat import (
+    EPOCH_DAY_SQL,
+    EPOCH_WEEK_SQL,
+    ORACLE_EPOCH_DAY_SQL,
+    ORACLE_EPOCH_WEEK_SQL,
+    floor_div_sql,
+    oracle_floor_div_sql,
+)
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.sources.catalog import load_table
 
@@ -399,9 +407,9 @@ def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (user, week) — both map-side-combinable — and one equi-join back on
 # user_id (co-partitioned with the aggregation's exchange); the cell
 # matrix is bounded by weeks^2, so the rate join broadcasts.
-_RETENTION_ORACLE = """
+_RETENTION_ORACLE = f"""
 WITH weeks AS (
-    SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
+    SELECT user_id, {ORACLE_EPOCH_WEEK_SQL} AS week
     FROM events
 ),
 firstw AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1),
@@ -430,7 +438,7 @@ def e_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oxford_data_pipeline_spark.functions.compat import round6
 
     weeks = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 604800000000000").alias("week")
+        "user_id", F.expr(EPOCH_WEEK_SQL).alias("week")
     )
     firstw = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     active = weeks.distinct()
@@ -453,6 +461,149 @@ def e_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").cast("double") / F.col("cohort_size")
         ).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# E-GROWTH-ACCOUNTING — weekly new / retained / resurrected / churned
+# --------------------------------------------------------------------------
+# The growth-accounting decomposition over the SAME two relations the
+# retention matrix uses (per-user first week + distinct (user, week)
+# activity): each active (user, week) is exactly one of NEW (week =
+# first week), RETAINED (active the previous week too) or RESURRECTED
+# (returning after a gap); CHURNED(w) counts users active in w-1 but
+# not w.  The quick ratio (new + resurrected) / churned summarizes
+# whether growth outruns loss; NULL when nothing churned.  Scale
+# shape: the distinct (user, week) projection is the only corpus-
+# sized step — shared with `e_retention`, and in production BOTH
+# reports serve from the SAME maintained retention state
+# (`stream_eventops.growth_report_from` — one relation, two reports,
+# like the daily-count state serving anomaly + seasonality); the
+# previous-week and churn joins are co-partitioned on user_id, and
+# the rollup is bounded by |weeks|.
+_GROWTH_ORACLE = f"""
+WITH weeks AS (
+    SELECT user_id, {ORACLE_EPOCH_WEEK_SQL} AS week
+    FROM events
+),
+firstw AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1),
+active AS (SELECT DISTINCT user_id, week FROM weeks),
+labeled AS (
+    SELECT a.user_id, a.week,
+           CASE WHEN a.week = f.cohort_week THEN 'new'
+                WHEN p.user_id IS NOT NULL THEN 'retained'
+                ELSE 'resurrected' END AS status
+    FROM active a
+    JOIN firstw f USING (user_id)
+    LEFT JOIN active p
+      ON p.user_id = a.user_id AND p.week = a.week - 1
+),
+per_week AS (
+    SELECT week,
+           count(*) AS n_active,
+           sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+           sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+           sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+               AS n_resurrected
+    FROM labeled GROUP BY 1
+),
+churn AS (
+    SELECT p.week + 1 AS week, count(*) AS n_churned
+    FROM active p
+    LEFT JOIN active c
+      ON c.user_id = p.user_id AND c.week = p.week + 1
+    WHERE c.user_id IS NULL
+    GROUP BY 1
+)
+SELECT w.week,
+       CAST(w.n_active AS BIGINT) AS n_active,
+       CAST(w.n_new AS BIGINT) AS n_new,
+       CAST(w.n_retained AS BIGINT) AS n_retained,
+       CAST(w.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned,
+       CASE WHEN coalesce(ch.n_churned, 0) > 0 THEN
+           round((w.n_new + w.n_resurrected)
+                 / CAST(ch.n_churned AS DOUBLE) * 1000000 + 0.01, 0)
+               / 1000000 + 0
+       END AS quick_ratio
+FROM per_week w LEFT JOIN churn ch USING (week)
+"""
+
+
+def growth_accounting_from(
+    firstw: DataFrame, active: DataFrame
+) -> DataFrame:
+    """Read-time growth-accounting report from the (per-user first
+    week, distinct (user, week) activity) relations — the SAME state
+    the retention matrix derives from, shared by the batch query and
+    the streaming retention maintainer so the status definitions
+    can't drift."""
+    from oxford_data_pipeline_spark.functions.compat import round6
+
+    prev = active.select(
+        "user_id",
+        (F.col("week") + 1).alias("week"),
+        F.lit(1).alias("was_prev"),
+    )
+    labeled = (
+        active.join(
+            firstw.select("user_id", "cohort_week"), "user_id"
+        )
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("week") == F.col("cohort_week"), "new")
+            .when(F.col("was_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    per_week = labeled.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("status") == "retained").cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum((F.col("status") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    churn = (
+        active.select("user_id", (F.col("week") + 1).alias("week"))
+        .join(active, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_churned_raw"))
+    )
+    churned = F.coalesce(F.col("n_churned_raw"), F.lit(0))
+    return per_week.join(F.broadcast(churn), "week", "left").select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        churned.cast("bigint").alias("n_churned"),
+        F.when(
+            churned > 0,
+            round6(
+                (F.col("n_new") + F.col("n_resurrected"))
+                / F.col("n_churned_raw").cast("double")
+            ),
+        ).alias("quick_ratio"),
+    )
+
+
+@register("e_growth_accounting", _GROWTH_ORACLE)
+def e_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (see section comment): the retention
+    state's two relations through the shared
+    `growth_accounting_from` tail."""
+    weeks = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(EPOCH_WEEK_SQL).alias("week")
+    )
+    firstw = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    active = weeks.distinct()
+    return growth_accounting_from(firstw, active)
 
 
 # --------------------------------------------------------------------------
@@ -563,8 +714,8 @@ _RHO_SQL = """(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
 
 _DAU_HLL_ORACLE = f"""
 WITH ev AS (
-    SELECT epoch_ns(ts) // 604800000000000 AS week,
-           epoch_ns(ts) // 86400000000000 AS day,
+    SELECT {ORACLE_EPOCH_WEEK_SQL} AS week,
+           {ORACLE_EPOCH_DAY_SQL} AS day,
            user_id,
            md5(CAST(user_id AS VARCHAR)) AS h
     FROM events
@@ -666,8 +817,8 @@ def e_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the direct weekly sketch, LinearCounting small-range
     correction on deterministic branch inputs."""
     ev = load_table(spark, sf_dir, "events").select(
-        F.expr("ts DIV 604800000000000").alias("week"),
-        F.expr("ts DIV 86400000000000").alias("day"),
+        F.expr(EPOCH_WEEK_SQL).alias("week"),
+        F.expr(EPOCH_DAY_SQL).alias("day"),
         "user_id",
     )
     daily = user_hll_registers(ev, ["week", "day"])
@@ -843,9 +994,9 @@ def attribution_report_from(pairs: DataFrame) -> DataFrame:
 # the anomaly pass costs nothing at any corpus size.  Baseline = the
 # previous 7 observed days (rows frame, >= 3 required); z is emitted
 # on the rounded grid and the flag thresholds |z| > 2.
-_ANOMALY_ORACLE = """
+_ANOMALY_ORACLE = f"""
 WITH daily AS (
-    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+    SELECT event_type, {ORACLE_EPOCH_DAY_SQL} AS day,
            count(*) AS n
     FROM events GROUP BY 1, 2
 ),
@@ -905,7 +1056,7 @@ def e_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(
-            "event_type", F.expr("ts DIV 86400000000000").alias("day")
+            "event_type", F.expr(EPOCH_DAY_SQL).alias("day")
         )
         .agg(F.count("*").alias("n"))
     )
@@ -932,8 +1083,8 @@ _HIST_TOP = 19
 
 _VALUE_HIST_ORACLE = f"""
 WITH base AS (
-    SELECT epoch_ns(ts) // 86400000000000 AS day,
-           (epoch_ns(ts) // 86400000000000) // 7 AS week,
+    SELECT {ORACLE_EPOCH_DAY_SQL} AS day,
+           {oracle_floor_div_sql(ORACLE_EPOCH_DAY_SQL, 7)} AS week,
            least({_HIST_TOP}, CAST(floor(value / {_HIST_W}) AS INT)) AS bucket
     FROM events
 ),
@@ -988,8 +1139,8 @@ def value_hist_buckets(events: DataFrame) -> DataFrame:
     the shared bucketing of the batch query and the streaming
     histogram maintainer."""
     return events.select(
-        F.expr("ts DIV 86400000000000").alias("day"),
-        F.expr("(ts DIV 86400000000000) DIV 7").alias("week"),
+        F.expr(EPOCH_DAY_SQL).alias("day"),
+        F.expr(floor_div_sql(EPOCH_DAY_SQL, 7)).alias("week"),
         F.least(
             F.lit(_HIST_TOP),
             F.floor(F.col("value") / _HIST_W).cast("int"),
@@ -1321,27 +1472,15 @@ WHERE r.rank <= {_PATH_K}
 """
 
 
-@register("e_path_topk", _PATH_TOPK_ORACLE)
-def e_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k 3-step event-type paths (see section comment): two leads
-    in one user-partition window, histogram on the bounded triple key,
-    deterministic rank."""
+def path_topk_report_from(paths: DataFrame) -> DataFrame:
+    """Read-time top-k derivation over a (s1, s2, s3, n_paths) triple
+    count relation — shared by the batch query and the streaming
+    triple-count maintainer (`stream_eventops.path_triple_stream`) so
+    the rank/share definition can't drift.  The input is bounded by
+    |types|^3 keys, so the single-partition rank window and the
+    broadcast 1-row total are bounded, not corpus-sized."""
     from oxford_data_pipeline_spark.functions.compat import round6
 
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("s1"),
-        F.lead("event_type", 1).over(w).alias("s2"),
-        F.lead("event_type", 2).over(w).alias("s3"),
-    )
-    paths = (
-        seq.filter(F.col("s3").isNotNull())
-        .groupBy("s1", "s2", "s3")
-        .agg(F.count(F.lit(1)).alias("n_paths"))
-    )
-    # |types|^3 rows at most: a single-partition rank window and a
-    # broadcast 1-row total are both bounded, not corpus-sized
     tot = paths.agg(F.sum("n_paths").alias("n_total"))
     wr = Window.orderBy(
         F.col("n_paths").desc(), F.col("s1"), F.col("s2"), F.col("s3")
@@ -1359,6 +1498,26 @@ def e_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.col("n_paths") / F.col("n_total")).alias("share"),
         )
     )
+
+
+@register("e_path_topk", _PATH_TOPK_ORACLE)
+def e_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k 3-step event-type paths (see section comment): two leads
+    in one user-partition window, histogram on the bounded triple key,
+    deterministic rank via the shared `path_topk_report_from` tail."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    paths = (
+        seq.filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    return path_topk_report_from(paths)
 
 
 # --------------------------------------------------------------------------
@@ -1406,18 +1565,16 @@ CROSS JOIN n_sessions ns
 """
 
 
-@register("e_cooccurrence_lift", _COOCCURRENCE_ORACLE)
-def e_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-session event-type co-occurrence with support and lift
-    (see section comment): sessions as baskets, co-partitioned
-    self-join on the (user, session) key, broadcast marginals."""
+def cooccurrence_report_from(baskets: DataFrame) -> DataFrame:
+    """Read-time support/lift derivation over a DISTINCT
+    (user_id, session_idx, event_type) basket-membership relation —
+    shared by the batch query and the streaming basket maintainer
+    (`stream_eventops.basket_stream`) so the lift definition can't
+    drift.  The pair relation is a co-partitioned self equi-join on
+    the (user, session) key (per-session blow-up <= |types|^2, never a
+    cross product); marginals and the session total broadcast."""
     from oxford_data_pipeline_spark.functions.compat import round6
 
-    ev = load_table(spark, sf_dir, "events")
-    assigned = session_assignments(ev)
-    baskets = assigned.select(
-        "user_id", "session_idx", "event_type"
-    ).distinct()
     n_sessions = baskets.select("user_id", "session_idx").distinct().agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1463,6 +1620,20 @@ def e_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e_cooccurrence_lift", _COOCCURRENCE_ORACLE)
+def e_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type co-occurrence with support and lift
+    (see section comment): sessions as baskets (shared
+    `session_assignments` definition), then the shared
+    `cooccurrence_report_from` tail."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = session_assignments(ev)
+    baskets = assigned.select(
+        "user_id", "session_idx", "event_type"
+    ).distinct()
+    return cooccurrence_report_from(baskets)
+
+
 # --------------------------------------------------------------------------
 # E-INTERARRIVAL — per-type inter-arrival time distribution
 # --------------------------------------------------------------------------
@@ -1499,24 +1670,17 @@ GROUP BY 1
 """
 
 
-@register("e_interarrival", _INTERARRIVAL_ORACLE)
-def e_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type inter-arrival gap distribution (see section comment):
-    one lag in a (user, type) window, exact-percentile rollup on the
-    bounded per-type grain."""
+def interarrival_report_from(gaps: DataFrame) -> DataFrame:
+    """Read-time per-type gap rollup over an (event_type, gap_ns)
+    relation — shared by the batch query and the streaming last-seen
+    register (`stream_eventops.interarrival_gap_stream`) so the
+    percentile/rounding definition can't drift.  Exact percentiles on
+    the bounded per-type grain; the documented 100 TB swap is
+    `percentile_approx` over the same relation."""
     from oxford_data_pipeline_spark.functions.compat import round6
 
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
-    )
-    gaps = (
-        ev.select(
-            "event_type",
-            (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns"),
-        )
-        .filter(F.col("gap_ns").isNotNull())
-        .withColumn("gap_min", F.col("gap_ns") / F.lit(60_000_000_000.0))
+    gaps = gaps.withColumn(
+        "gap_min", F.col("gap_ns") / F.lit(60_000_000_000.0)
     )
     return gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
@@ -1525,6 +1689,22 @@ def e_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.percentile("gap_min", F.lit(0.9))).alias("p90_minutes"),
         F.expr("max(gap_ns) DIV 60000000000").alias("max_whole_minutes"),
     )
+
+
+@register("e_interarrival", _INTERARRIVAL_ORACLE)
+def e_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gap distribution (see section comment):
+    one lag in a (user, type) window, then the shared
+    `interarrival_report_from` rollup tail."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = ev.select(
+        "event_type",
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns"),
+    ).filter(F.col("gap_ns").isNotNull())
+    return interarrival_report_from(gaps)
 
 
 # --------------------------------------------------------------------------
@@ -1540,14 +1720,19 @@ def e_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statistic).  is_periodic thresholds at the df=6, alpha=0.05 critical
 # value; the peak weekday is deterministic (max count, then smallest
 # dow).  Day-of-week = (epoch_day + 4) mod 7 with 0 = Sunday (day 0,
-# 1970-01-01, was a Thursday) — integer arithmetic, timezone-free,
-# identical in both engines.
+# 1970-01-01, was a Thursday) — integer arithmetic, timezone-free.
+# Cross-engine contract (r13 advisor item 2): epoch_day is FLOOR
+# division on both sides (Spark via `floor_div_sql`, DuckDB's `//`
+# already floors) and the mod is non-negative on both sides (Spark
+# `pmod`, DuckDB `((x % 7) + 7) % 7`), so pre-epoch timestamps land on
+# the same dow in [0, 6] in both engines instead of falling off the
+# 7-row grid.
 _CHI2_CRIT_DF6 = 12.591587243743977  # chi2.ppf(0.95, 6)
 
 _SEASONALITY_ORACLE = f"""
 WITH counts AS (
     SELECT event_type,
-           CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS BIGINT) AS dow,
+           CAST((({ORACLE_EPOCH_DAY_SQL} + 4) % 7 + 7) % 7 AS BIGINT) AS dow,
            count(*) AS n
     FROM events GROUP BY 1, 2
 ),
@@ -1590,7 +1775,7 @@ def e_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy(
         "event_type",
-        F.expr("(ts DIV 86400000000000 + 4) % 7").alias("dow"),
+        F.expr(f"pmod({EPOCH_DAY_SQL} + 4, 7)").alias("dow"),
     ).agg(F.count(F.lit(1)).alias("n"))
     # full 7-day grid per type: absent weekdays must contribute their
     # (0 - E)^2 / E term (broadcast 7-row dimension, bounded)

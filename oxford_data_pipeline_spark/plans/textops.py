@@ -751,3 +751,147 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.regr_r2(lf, lr)).alias("zipf_r2"),
         round6(F.sum("freq") / F.max("n_tokens")).alias("top_r_mass_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# TEXT-SOURCE-DIVERSITY — per-source vocabulary richness / concentration
+# --------------------------------------------------------------------------
+# The corpus-mixture health check next to `text_zipf_fit`'s global
+# fit: per SOURCE, how rich and how concentrated is the vocabulary?
+# Type-token ratio (distinct types / token mass) falls when a source
+# is repetitive boilerplate; the Simpson index (probability two
+# randomly drawn tokens are the SAME type, sum n_i(n_i-1) / N(N-1))
+# rises with concentration — together they flag the sources a mixture
+# weight should down-sample before training.  Scale shape: ONE
+# map-side-combinable count aggregation to the (source, token) grain
+# (the only corpus-sized step — same posture as zipf's tf relation),
+# then a per-source rollup bounded by |sources| x per-source
+# vocabulary.  The Simpson sum runs in DOUBLE from the bounded grain.
+_SOURCE_DIVERSITY_ORACLE = """
+WITH {tokens},
+tf AS (
+    SELECT source, tok AS token, count(*) AS n
+    FROM (SELECT source, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*) / CAST(sum(n) AS DOUBLE)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS ttr,
+       round(sum(n * (n - 1.0)) / (sum(n) * (sum(n) - 1.0))
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS simpson_index,
+       round(max(n) / CAST(sum(n) AS DOUBLE)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS top_token_share
+FROM tf
+GROUP BY 1
+""".format(tokens=_TOKENS_CTE.strip().removeprefix("\n"))
+
+
+@register("text_source_diversity", _SOURCE_DIVERSITY_ORACLE)
+def text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness and concentration (see section
+    comment): one count aggregation to the (source, token) grain, then
+    a bounded per-source rollup of TTR / Simpson / top-token share."""
+    exploded = (
+        tokens_relation(spark, sf_dir)
+        .filter(F.size("t") > 0)
+        .select("source", F.explode("t").alias("token"))
+    )
+    tf = exploded.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n = F.col("n")
+    tot = F.sum("n").cast("double")
+    return tf.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        round6(F.count(F.lit(1)) / tot).alias("ttr"),
+        round6(F.sum(n * (n - F.lit(1.0))) / (tot * (tot - F.lit(1.0)))).alias(
+            "simpson_index"
+        ),
+        round6(F.max("n") / tot).alias("top_token_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TEXT-READABILITY — Flesch reading ease per language
+# --------------------------------------------------------------------------
+# Curation-grade readability profiling: per document, words (the
+# shared token relation), sentences (runs of terminal punctuation in
+# the RAW text, clamped >= 1), and a syllable proxy (vowel-group runs
+# over the normalized text — the standard dictionary-free
+# approximation); Flesch reading ease = 206.835 - 1.015 w/s - 84.6
+# syl/w.  The per-language rollup reports the mean score, the mean
+# sentence length, and the share of "easy" (>= 60) documents — the
+# readability mix a curation pipeline balances against.  All per-doc
+# work is scan-local regexp counting (embarrassingly parallel, no
+# UDFs); the rollup is one combinable aggregation to |langs| rows.
+_READ_EASY_BAR = 60.0
+
+_READABILITY_ORACLE = """
+WITH {tokens},
+perdoc AS (
+    SELECT lang,
+           CAST(len(t) AS DOUBLE) AS words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS DOUBLE) AS sentences,
+           CAST(len(regexp_extract_all(norm, '[aeiouy]+')) AS DOUBLE)
+               AS syllables
+    FROM toks WHERE len(t) > 0
+),
+scored AS (
+    SELECT lang, words, sentences,
+           206.835 - 1.015 * (words / sentences)
+                   - 84.6 * (syllables / words) AS flesch
+    FROM perdoc
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(flesch) * 1000000 + 0.01, 0) / 1000000 + 0 AS avg_flesch,
+       round(avg(words / sentences) * 1000000 + 0.01, 0) / 1000000 + 0
+           AS avg_words_per_sentence,
+       round(avg(CASE WHEN flesch >= {bar} THEN 1.0 ELSE 0.0 END)
+             * 1000000 + 0.01, 0) / 1000000 + 0 AS share_easy
+FROM scored
+GROUP BY 1
+""".format(
+    tokens=_TOKENS_CTE.strip().removeprefix("\n"), bar=_READ_EASY_BAR
+)
+
+
+@register("text_readability", _READABILITY_ORACLE)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per language (see section comment):
+    scan-local regexp counts per document, one bounded rollup."""
+    toks = tokens_relation(spark, sf_dir).filter(F.size("t") > 0)
+    perdoc = toks.select(
+        "lang",
+        F.size("t").cast("double").alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+            F.lit(1),
+        ).cast("double").alias("sentences"),
+        F.size(F.regexp_extract_all("norm", F.lit("[aeiouy]+"), F.lit(0)))
+        .cast("double")
+        .alias("syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables") / F.col("words"))
+    )
+    scored = perdoc.select(
+        "lang", "words", "sentences", flesch.alias("flesch")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(F.avg("flesch")).alias("avg_flesch"),
+        round6(F.avg(F.col("words") / F.col("sentences"))).alias(
+            "avg_words_per_sentence"
+        ),
+        round6(
+            F.avg(
+                F.when(F.col("flesch") >= _READ_EASY_BAR, 1.0).otherwise(0.0)
+            )
+        ).alias("share_easy"),
+    )

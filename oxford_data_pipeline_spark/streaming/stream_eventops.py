@@ -1,15 +1,24 @@
-"""Streaming twins for the event-analytics queries: per-user NEXT-EVENT
-transitions (`e_markov_transitions`) and ordered funnel stage
-completion (`e_funnel`) as stateful operators.
+"""Streaming twins for the event-analytics queries — every batch
+family's online half lives here: transitions/funnel (wave 1), the
+DAU-register / retention / daily-count / value-histogram maintainers
+and the attribution pair emitter (wave 2), and the path-triple /
+session-basket / inter-arrival state machines (wave 3), plus the
+read-time serves that give maintained state a SECOND report for free
+(`seasonality_report_from` off the daily counts,
+`growth_report_from` off the retention state).
 
-Both are `applyInPandasWithState` state machines keyed on user_id —
-the sessionize discipline: the only shuffle is the state exchange on
-the user key; per-user state is O(1) (a last-event carry, three
-funnel timestamps), so state size grows with |users|, never with
-event volume.  Contract: per-user in-order event-time replay (the
-same contract every maintenance twin in this package documents); the
-batch-equality tests replay the driver tables through the stream and
-require the aggregated outputs to match the batch plans exactly.
+The stateful operators are `applyInPandasWithState` state machines
+keyed on user_id (or (user_id, event_type)) — the sessionize
+discipline: the only shuffle is the state exchange on the key;
+per-key state is O(1) registers (a last-event carry, funnel
+timestamps, the open session's type set, a last-seen timestamp), so
+state size grows with |keys|, never with event volume.  Contract:
+per-key in-order event-time replay (the same contract every
+maintenance twin in this package documents); the batch-equality
+tests replay the driver tables through the stream across a
+checkpointed restart boundary and require the derived reports —
+through the SHARED report tails in `plans/eventops.py` — to match
+the batch plans exactly.
 
 Output shape is DELTAS, not finished reports:
 
@@ -36,6 +45,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from oxford_data_pipeline_spark.functions.compat import (
+    EPOCH_DAY_SQL,
+    EPOCH_WEEK_SQL,
+)
 
 TRANSITION_SCHEMA = "from_state string, to_state string"
 _TRANS_STATE = "last_ts long, last_id long, last_type string"
@@ -183,8 +197,8 @@ def dau_register_deltas(events: DataFrame) -> DataFrame:
     from oxford_data_pipeline_spark.plans.eventops import user_hll_registers
 
     ev = events.select(
-        F.expr("ts DIV 604800000000000").alias("week"),
-        F.expr("ts DIV 86400000000000").alias("day"),
+        F.expr(EPOCH_WEEK_SQL).alias("week"),
+        F.expr(EPOCH_DAY_SQL).alias("day"),
         "user_id",
     )
     return user_hll_registers(ev, ["week", "day"])
@@ -222,7 +236,7 @@ def retention_deltas(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Micro-batch (user_id, ts) events → (firstw delta, active delta):
     this batch's per-user min week and distinct (user, week) rows."""
     weeks = events.select(
-        "user_id", F.expr("ts DIV 604800000000000").alias("week")
+        "user_id", F.expr(EPOCH_WEEK_SQL).alias("week")
     )
     firstw = weeks.groupBy("user_id").agg(
         F.min("week").alias("cohort_week")
@@ -300,7 +314,7 @@ def daily_count_deltas(events: DataFrame) -> DataFrame:
     """Micro-batch events → (event_type, day, n) count deltas via the
     same day bucketing as the batch query."""
     return events.groupBy(
-        "event_type", F.expr("ts DIV 86400000000000").alias("day")
+        "event_type", F.expr(EPOCH_DAY_SQL).alias("day")
     ).agg(F.count("*").alias("n"))
 
 
@@ -476,7 +490,7 @@ def seasonality_report_from(daily: DataFrame) -> DataFrame:
 
     spark = daily.sparkSession
     counts = daily.groupBy(
-        "event_type", F.expr("(day + 4) % 7").alias("dow")
+        "event_type", F.expr("pmod(day + 4, 7)").alias("dow")
     ).agg(F.sum("n").alias("n"))
     dows = spark.range(7).select(F.col("id").alias("dow"))
     types = counts.select("event_type").distinct()
@@ -505,3 +519,204 @@ def seasonality_report_from(daily: DataFrame) -> DataFrame:
         ).alias("peak_share"),
         (chi2 > _CHI2_CRIT_DF6).cast("int").alias("is_periodic"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming path mining (the e_path_topk online half)
+# --------------------------------------------------------------------------
+# Per-user state = the LAST TWO event types seen (the sessionize /
+# transitions exchange, one register wider): each arriving event with
+# two predecessors emits one (s1, s2, s3) triple delta.  The
+# maintained artifact is the additive (s1, s2, s3, n_paths) count
+# relation — bounded by |types|^3 regardless of history — and the
+# top-k report derives at read time via the SHARED
+# `path_topk_report_from` tail, so batch and stream can't drift.
+
+PATH_SCHEMA = "s1 string, s2 string, s3 string"
+_PATH_STATE = "last_ts long, last_id long, t1 string, t2 string"
+
+
+def _path_triples(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    events = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    if state.exists:
+        last_ts, last_id, t1, t2 = state.get
+    else:
+        last_ts, last_id, t1, t2 = -1, -1, None, None
+    rows = []
+    for ts, eid, typ in zip(
+        events["ts"].astype("int64"),
+        events["event_id"].astype("int64"),
+        events["event_type"],
+    ):
+        typ = str(typ)
+        if t1 is not None and t2 is not None:
+            rows.append((t1, t2, typ))
+        last_ts, last_id, t1, t2 = int(ts), int(eid), t2, typ
+    state.update((last_ts, last_id, t1, t2))
+    if rows:
+        yield pd.DataFrame(rows, columns=["s1", "s2", "s3"])
+
+
+def path_triple_stream(stream: DataFrame) -> DataFrame:
+    """Per-user 3-step path triple deltas from a
+    (user_id, ts, event_id, event_type) stream (ts = epoch ns)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _path_triples,
+        outputStructType=PATH_SCHEMA,
+        stateStructType=_PATH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_path_counts(maintained: DataFrame, delta: DataFrame) -> DataFrame:
+    """counts ⊕ counts: full-outer on the (s1, s2, s3) triple key,
+    additive merge — the maintained relation stays <= |types|^3 rows."""
+    m = maintained.withColumnRenamed("n_paths", "n_a")
+    d = delta.withColumnRenamed("n_paths", "n_b")
+    return m.join(d, ["s1", "s2", "s3"], "full_outer").select(
+        "s1",
+        "s2",
+        "s3",
+        (
+            F.coalesce(F.col("n_a"), F.lit(0))
+            + F.coalesce(F.col("n_b"), F.lit(0))
+        ).alias("n_paths"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming session baskets (the e_cooccurrence_lift online half)
+# --------------------------------------------------------------------------
+# The sessionize state machine, emitting DISTINCT basket membership
+# online: per-user state = (last event time, session counter, the set
+# of types already seen in the OPEN session); a >gap silence bumps the
+# counter and clears the set, and each FIRST occurrence of a type
+# within a session emits one (user_id, session_idx, event_type) row.
+# session_idx reproduces the batch `session_assignments` running sum
+# exactly (1-based, strict > gap), and the emitted relation IS the
+# batch plan's distinct basket relation — support/lift derive at read
+# time via the SHARED `cooccurrence_report_from` tail.  Per-session
+# output is bounded by |types| rows; state by one type set + 3 longs.
+
+BASKET_SCHEMA = "user_id long, session_idx long, event_type string"
+_BASKET_STATE = "last_ts long, last_id long, seq long, types string"
+_TYPE_SEP = "\x00"
+
+
+def _session_baskets(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from oxford_data_pipeline_spark.plans.eventops import _SESSION_GAP_NS
+
+    (user_id,) = key
+    events = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    if state.exists:
+        last_ts, last_id, seq, types_s = state.get
+        types = set(types_s.split(_TYPE_SEP)) if types_s else set()
+    else:
+        last_ts, last_id, seq, types = -1, -1, 0, set()
+    rows = []
+    for ts, eid, typ in zip(
+        events["ts"].astype("int64"),
+        events["event_id"].astype("int64"),
+        events["event_type"],
+    ):
+        ts, typ = int(ts), str(typ)
+        if seq == 0 or ts - last_ts > _SESSION_GAP_NS:
+            seq += 1
+            types = set()
+        if typ not in types:
+            types.add(typ)
+            rows.append((user_id, seq, typ))
+        last_ts, last_id = ts, int(eid)
+    state.update((last_ts, last_id, seq, _TYPE_SEP.join(sorted(types))))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_idx", "event_type"]
+        )
+
+
+def basket_stream(stream: DataFrame) -> DataFrame:
+    """Distinct per-session basket-membership rows from a
+    (user_id, ts, event_id, event_type) stream (ts = epoch ns)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _session_baskets,
+        outputStructType=BASKET_SCHEMA,
+        stateStructType=_BASKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming inter-arrival gaps (the e_interarrival online half)
+# --------------------------------------------------------------------------
+# Per-(user, type) state = ONE last-seen timestamp register; each
+# arriving event with a predecessor emits its (event_type, gap_ns)
+# delta.  The per-type distribution report derives at read time via
+# the SHARED `interarrival_report_from` tail (exact percentiles on
+# the bounded per-type grain; `percentile_approx` is the documented
+# 100 TB swap over the same relation).  A `has` flag marks the unset
+# register instead of a sentinel timestamp, so pre-epoch (negative)
+# event times stay in contract.
+
+GAP_SCHEMA = "event_type string, gap_ns long"
+_GAP_STATE = "last_ts long, has int"
+
+
+def _interarrival_gaps(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (_user_id, event_type) = key
+    events = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    if state.exists:
+        last_ts, has = state.get
+    else:
+        last_ts, has = 0, 0
+    rows = []
+    for ts in events["ts"].astype("int64"):
+        ts = int(ts)
+        if has:
+            rows.append((str(event_type), ts - last_ts))
+        last_ts, has = ts, 1
+    state.update((last_ts, has))
+    if rows:
+        yield pd.DataFrame(rows, columns=["event_type", "gap_ns"])
+
+
+def interarrival_gap_stream(stream: DataFrame) -> DataFrame:
+    """Per-(user, type) inter-arrival gap deltas from a
+    (user_id, ts, event_id, event_type) stream (ts = epoch ns)."""
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _interarrival_gaps,
+        outputStructType=GAP_SCHEMA,
+        stateStructType=_GAP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def growth_report_from(
+    state: tuple[DataFrame, DataFrame]
+) -> DataFrame:
+    """Read-time growth-accounting report from the maintained
+    retention state — the SAME (firstw, active) relations
+    `retention_matrix_from` reads serve new/retained/resurrected/
+    churned for free (one maintained relation pair, two reports —
+    the daily-count/seasonality pattern).  Derivation is the shared
+    `growth_accounting_from` tail, batch-equal by construction."""
+    from oxford_data_pipeline_spark.plans.eventops import (
+        growth_accounting_from,
+    )
+
+    firstw, active = state
+    return growth_accounting_from(firstw, active)

@@ -151,6 +151,14 @@ HEADLINE = [
     "e_seasonality",
     "text_zipf_fit",
     "dedup_graph_triangles",
+    # round 14 (wave 5): growth accounting (the retention-state
+    # relations + co-partitioned prev-week/churn joins on user_id +
+    # a |weeks|-bounded rollup), source diversity (ONE count agg to
+    # the (source, token) grain + a bounded per-source rollup),
+    # readability (scan-local regexp counting + a |langs| rollup)
+    "e_growth_accounting",
+    "text_source_diversity",
+    "text_readability",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

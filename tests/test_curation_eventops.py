@@ -872,3 +872,136 @@ def test_seasonality_chi_square(spark, tmp_path):
     clk = got["click"]
     assert clk["chi2"] == 0.0 and clk["is_periodic"] == 0
     assert clk["peak_dow"] == 0            # all-equal tie -> smallest dow
+
+
+def test_floor_div_sql_matches_python_floor():
+    """The shared day/week-grain floor-division snippet (r13 advisor
+    item 2) must agree with Python's flooring `//` on BOTH signs —
+    Spark's bare DIV truncates toward zero and would disagree on every
+    negative (pre-epoch) input that isn't an exact multiple."""
+    from oxford_data_pipeline_spark.functions.compat import floor_div_sql
+
+    from tests.conftest import SF_DIR  # noqa: F401  (session fixture path)
+    from oxford_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests")
+    vals = [-86_400_000_000_001, -86_400_000_000_000, -1, 0, 1,
+            86_399_999_999_999, 86_400_000_000_000, 123_456_789,
+            -123_456_789]
+    df = spark.createDataFrame([(v,) for v in vals], "ts long").select(
+        "ts", F.expr(floor_div_sql("ts", 86_400_000_000_000)).alias("day")
+    )
+    got = {r["ts"]: r["day"] for r in df.collect()}
+    for v in vals:
+        assert got[v] == v // 86_400_000_000_000, v
+
+
+def test_seasonality_pre_epoch_matches_oracle(spark, tmp_path):
+    """Pre-epoch timestamps (r13 advisor item 2): day keys must FLOOR
+    in both engines and dow must stay in [0, 6] (Spark pmod / DuckDB
+    double-mod), so 1969 events keep their weekday instead of falling
+    off the 7-row grid.  1969-12-31 was a Wednesday -> dow 3 under the
+    0=Sunday convention; cross-checked value-for-value against the
+    DuckDB oracle on the same parquet."""
+    import datetime as dt
+    import os
+
+    import duckdb
+
+    from oxford_data_pipeline_spark.plans.eventops import (
+        _SEASONALITY_ORACLE,
+        e_seasonality,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    rows = []
+    # 'error': 10 events all on 1969-12-31 (epoch day -1, Wednesday)
+    for k in range(10):
+        rows.append(
+            (k, dt.datetime(1969, 12, 31, 12, 0, k), 1 + k, "error", 1.0, "{}")
+        )
+    # 'click': one event per day for 1969-12-29 .. 1970-01-04 (all 7
+    # weekdays, straddling the epoch boundary)
+    for d in range(7):
+        rows.append(
+            (
+                100 + d,
+                dt.datetime(1969, 12, 29, 6) + dt.timedelta(days=d),
+                200 + d,
+                "click",
+                1.0,
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string"
+    )
+    d = str(tmp_path / "preepoch_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {r["event_type"]: r for r in e_seasonality(spark, d).collect()}
+    err = got["error"]
+    assert err["n_events"] == 10
+    assert err["peak_dow"] == 3            # Wednesday, NOT negative
+    assert err["chi2"] == 60.0 and err["is_periodic"] == 1
+    clk = got["click"]
+    assert clk["chi2"] == 0.0 and clk["peak_dow"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'events.parquet', '*.parquet')}')"
+    )
+    try:
+        assert_matches_oracle(e_seasonality(spark, d), con, _SEASONALITY_ORACLE)
+    finally:
+        con.close()
+
+
+def test_growth_accounting_crafted_stream(spark, tmp_path):
+    """Growth accounting on a crafted 4-week stream with every status
+    exercised: u1 active w0..w3 (new once, then retained), u2 active
+    w0 and w2 (new, churns into w1, resurrects in w2, churns into w3),
+    u3 first appears w2.  Weekly rows and the quick ratio are
+    hand-computed; churn is attributed to the week the user went
+    missing."""
+    import os
+
+    from oxford_data_pipeline_spark.plans.eventops import (
+        e_growth_accounting,
+    )
+
+    week_ns = 604_800_000_000_000
+    rows = []
+    i = 0
+    for user, weeks in ((1, [0, 1, 2, 3]), (2, [0, 2]), (3, [2, 3])):
+        for w in weeks:
+            rows.append((i, w * week_ns + 1000 * user, user, "view", 1.0, "{}"))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string",
+    )
+    d = str(tmp_path / "growth_events")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["week"]: r for r in e_growth_accounting(spark, d).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    w0 = got[0]
+    assert (w0["n_active"], w0["n_new"], w0["n_retained"],
+            w0["n_resurrected"], w0["n_churned"]) == (2, 2, 0, 0, 0)
+    assert w0["quick_ratio"] is None           # nothing churned yet
+    w1 = got[1]
+    assert (w1["n_active"], w1["n_new"], w1["n_retained"],
+            w1["n_resurrected"], w1["n_churned"]) == (1, 0, 1, 0, 1)
+    assert w1["quick_ratio"] == 0.0            # u2 churned, no inflow
+    w2 = got[2]
+    assert (w2["n_active"], w2["n_new"], w2["n_retained"],
+            w2["n_resurrected"], w2["n_churned"]) == (3, 1, 1, 1, 0)
+    assert w2["quick_ratio"] is None
+    w3 = got[3]
+    assert (w3["n_active"], w3["n_new"], w3["n_retained"],
+            w3["n_resurrected"], w3["n_churned"]) == (2, 0, 2, 0, 1)
+    assert w3["quick_ratio"] == 0.0

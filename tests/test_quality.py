@@ -1264,3 +1264,99 @@ def test_zipf_fit_exact_power_law(spark, tmp_path):
     assert r["zipf_r2"] == 1.0
     assert abs(r["zipf_intercept"] - round(math.log(12), 6)) < 1e-9
     assert r["top_r_mass_share"] == 1.0
+
+
+def test_source_diversity_crafted_corpus(spark, tmp_path):
+    """Per-source diversity on a crafted corpus: a boilerplate source
+    (one token repeated) gets TTR -> 0 and Simpson 1; a source of
+    all-distinct tokens gets TTR 1 and Simpson 0; a half-half source
+    lands exactly between (Simpson = n(n-1)-sum over pairs)."""
+    import os
+
+    from oxford_data_pipeline_spark.plans import textops as T
+
+    T._tokens_cache.clear()
+    rows = [
+        # src_rep: 10 tokens, all 'spam' -> types 1, ttr 0.1, simpson 1
+        (1, " ".join(["spam"] * 10), "en", "src_rep", 0),
+        # src_rich: 8 distinct tokens -> ttr 1, simpson 0
+        (2, "one two three four five six seven eight", "en", "src_rich", 0),
+        # src_mix: aa aa bb bb -> N=4, types 2, simpson = (2+2)/(4*3) = 1/3
+        (3, "aa aa bb bb", "en", "src_mix", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long",
+    )
+    d = str(tmp_path / "div_docs")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    try:
+        got = {
+            r["source"]: r
+            for r in T.text_source_diversity(spark, d).collect()
+        }
+    finally:
+        T._tokens_cache.clear()
+    rep = got["src_rep"]
+    assert rep["n_tokens"] == 10 and rep["n_types"] == 1
+    assert rep["ttr"] == 0.1 and rep["simpson_index"] == 1.0
+    assert rep["top_token_share"] == 1.0
+    rich = got["src_rich"]
+    assert rich["n_types"] == 8 and rich["ttr"] == 1.0
+    assert rich["simpson_index"] == 0.0 and rich["top_token_share"] == 0.125
+    mix = got["src_mix"]
+    assert mix["n_tokens"] == 4 and mix["n_types"] == 2
+    assert mix["ttr"] == 0.5
+    assert abs(mix["simpson_index"] - round(1 / 3, 6)) < 2e-6
+    assert mix["top_token_share"] == 0.5
+
+
+def test_readability_crafted_corpus(spark, tmp_path):
+    """Flesch scoring on crafted docs with hand-computable counts: a
+    one-word one-sentence doc scores 206.835 - 1.015 - 84.6*syl; the
+    sentence clamp keeps punctuation-free docs at >= 1 sentence; the
+    easy-share threshold splits the two languages as constructed."""
+    import os
+
+    from oxford_data_pipeline_spark.plans import textops as T
+
+    T._tokens_cache.clear()
+    rows = [
+        # 'go': 1 word, no terminal punctuation (clamped to 1
+        # sentence), 1 vowel group -> flesch = 206.835-1.015-84.6 = 121.22
+        (1, "go", "en", "s", 0),
+        # two sentences, 4 words, syllables: cat=1 sat=1 dog=1 ran=1
+        # w/s = 2, syl/w = 1 -> 206.835 - 2.03 - 84.6 = 120.205
+        (2, "cat sat. dog ran!", "en", "s", 0),
+        # hard doc: 1 sentence, 2 words, many vowel groups
+        # 'aeiou aeiou' -> 1 group per word; syl/w=1, w/s=2 -> easy
+        # make hard via long vowel-group word: 'banana bandana.'
+        # syllables: ba-na-na(3) ban-da-na(3) -> syl/w=3, w/s=2
+        # flesch = 206.835 - 2.03 - 253.8 = -48.995 (not easy)
+        (3, "banana bandana.", "fr", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long",
+    )
+    d = str(tmp_path / "read_docs")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    try:
+        got = {
+            r["lang"]: r for r in T.text_readability(spark, d).collect()
+        }
+    finally:
+        T._tokens_cache.clear()
+    en = got["en"]
+    assert en["n_docs"] == 2
+    want_doc1 = 206.835 - 1.015 * 1 - 84.6 * 1
+    want_doc2 = 206.835 - 1.015 * 2 - 84.6 * 1
+    assert abs(en["avg_flesch"] - round((want_doc1 + want_doc2) / 2, 6)) < 2e-6
+    assert en["avg_words_per_sentence"] == 1.5
+    assert en["share_easy"] == 1.0
+    fr = got["fr"]
+    assert fr["n_docs"] == 1
+    assert abs(fr["avg_flesch"] - round(206.835 - 1.015 * 2 - 84.6 * 3, 6)) < 2e-6
+    assert fr["share_easy"] == 0.0

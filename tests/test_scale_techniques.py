@@ -977,15 +977,60 @@ def test_bench_slow_rows_all_pinned():
     )
     with open(detail_path) as fh:
         detail = json.load(fh)
+    # Load-aware bar (r13 verdict item 2): when the artifact marks
+    # itself as produced on a loaded box (grid_load_factor = median
+    # min-ratio vs the previously committed grid), normalize the
+    # minima by that factor instead of failing the suite on machine
+    # load — the r13 driver grid (1.32x uniform inflation) is exactly
+    # this case, adjudicated by idle re-measure.
+    norm = (
+        detail.get("grid_load_factor", 1.0)
+        if detail.get("loaded_grid")
+        else 1.0
+    )
     unpinned = sorted(
         n for n, v in detail["queries_min"].items()
-        if v == v and v > bench.SLOW_MIN_SEC and n not in bench.EXPLAINED_SLOW
+        if v == v and v / norm > bench.SLOW_MIN_SEC
+        and n not in bench.EXPLAINED_SLOW
     )
     assert not unpinned, (
-        f"slow rows (min > {bench.SLOW_MIN_SEC}s) without a pinned reason:"
+        f"slow rows (min > {bench.SLOW_MIN_SEC}s"
+        f"{f' after /{norm} load normalization' if norm != 1.0 else ''})"
+        f" without a pinned reason:"
         f" {unpinned} — add to bench.EXPLAINED_SLOW or charge the work to"
         " a build phase"
     )
+
+
+def test_grid_load_factor_detects_uniform_inflation():
+    """The load-factor estimator (r13 verdict item 2): a uniformly
+    inflated grid yields the inflation as the median ratio; an idle
+    grid yields 1.0; too few trustworthy samples (committed rows under
+    the noise floor, or a fresh repo with no committed grid) falls
+    back to 1.0 rather than guessing."""
+    import bench
+
+    committed = {f"q{i}": 0.5 + 0.01 * i for i in range(30)}
+    idle = dict(committed)
+    assert bench._grid_load_factor(idle, committed) == 1.0
+    loaded = {n: v * 1.32 for n, v in committed.items()}
+    got = bench._grid_load_factor(loaded, committed)
+    assert abs(got - 1.32) < 0.01
+    # spikes on a minority of rows don't move the median
+    spiky = dict(committed)
+    for i in range(5):
+        spiky[f"q{i}"] = committed[f"q{i}"] * 6.0
+    assert bench._grid_load_factor(spiky, committed) == 1.0
+    # a FASTER grid never normalizes below 1.0
+    faster = {n: v * 0.8 for n, v in committed.items()}
+    assert bench._grid_load_factor(faster, committed) == 1.0
+    # too few samples -> 1.0
+    assert bench._grid_load_factor(loaded, dict(list(committed.items())[:5])) == 1.0
+    assert bench._grid_load_factor({}, {}) == 1.0
+    # sub-noise-floor committed rows are excluded from the sample
+    tiny = {f"t{i}": 0.05 for i in range(40)}
+    tiny_inflated = {n: 0.4 for n in tiny}
+    assert bench._grid_load_factor(tiny_inflated, tiny) == 1.0
 
 
 def test_lsh_tier_contract_is_a_guard_not_prose():
@@ -1099,7 +1144,6 @@ def test_triangle_query_matches_bruteforce(spark):
         for a, b in combinations(sorted(nbrs), 2):
             if b in adj.get(a, ()):
                 brute[v] += 1
-    brute = {v: n // 1 for v, n in brute.items()}
     got = {r["doc_id"]: r for r in dedup_graph_triangles(spark, SF_DIR).collect()}
     assert set(got) == set(adj)
     for v in adj:
