@@ -85,14 +85,20 @@ FROM per_doc p JOIN tok t ON p.doc_id = t.doc_id
 def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, gram, cnt) for non-distinct word bigrams, docs ≥ 2 tokens."""
     t = tokens_relation(spark, sf_dir).filter(F.size("t") >= 2)
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size("t") - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)
-        ),
-    )
+    # arrays_zip of the two shifted slices + post-explode concat: fully
+    # codegen (the previous transform(sequence, i -> concat_ws(...))
+    # lambda was interpreted once per bigram)
     return (
-        t.select("doc_id", F.explode(gram).alias("gram"))
+        t.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("a"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("b"),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.concat_ws(" ", "g.a", "g.b").alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -384,19 +390,24 @@ def cur_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than broadcasting; only the vocabulary-size scalar is
     broadcast."""
     t = tokens_relation(spark, sf_dir).filter(F.size("t") >= 2)
+    # consecutive-token pairs via arrays_zip of the two shifted slices:
+    # fully codegen — the previous transform(sequence(...), i -> ...)
+    # lambda was evaluated INTERPRETED once per bigram per evaluation
+    # of this corpus-sized subtree
     big = t.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> struct(element_at(t, i) AS u,"
-                "             element_at(t, i + 1) AS v))"
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)").alias("u"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("v"),
             )
         ).alias("b"),
     ).select("doc_id", "b.u", "b.v")
     bc = big.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cuv"))
     cc = bc.groupBy("u").agg(F.sum("cuv").alias("cu"))
-    vs = big.agg(F.countDistinct("v").cast("double").alias("vsz"))
+    # |V| from the bounded distinct-bigram relation (same distinct-v
+    # set as the corpus relation) — not a third corpus-sized pass
+    vs = bc.agg(F.countDistinct("v").cast("double").alias("vsz"))
     p = (F.col("cuv") + 1) / (F.col("cu") + F.col("vsz"))
     return (
         big.join(bc, ["u", "v"])

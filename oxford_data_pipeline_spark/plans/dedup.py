@@ -1425,26 +1425,38 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("doc1").alias("src"), F.col("doc2").alias("dst")
     ).union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # Loop-invariant work is hoisted and materialized ONCE: out-degree
+    # is joined into the edge relation up front (each edge carries its
+    # src's outdeg; the per-edge term stays pr/outdeg so the float
+    # trajectory is unchanged), so every iteration is ONE join
+    # edges_w x pr plus the dst-keyed partial-aggregable sum —
+    # previously deg was re-aggregated and joined again inside all
+    # _PAGERANK_ITERS rounds.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_w = (
+        edges.join(deg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges_w.select(F.col("src").alias("doc_id")).distinct()
+    # n is loop-invariant too: one bounded row, materialized once
+    # instead of re-counting the distinct nodes inside every round
+    nn = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "doc_id", (F.lit(1.0) / F.col("n").cast("double")).alias("pr")
     ).localCheckpoint(eager=True)
     for _ in range(_PAGERANK_ITERS):
-        contrib = (
-            edges.join(pr, edges["src"] == pr["doc_id"])
-            .join(deg, "src")
+        # the symmetric graph gives every node degree >= 1, so every
+        # node appears as some edge's dst and the contribution sum
+        # already covers ALL nodes — no nodes re-join needed
+        nxt = (
+            edges_w.join(pr, edges_w["src"] == pr["doc_id"])
             .select(
                 F.col("dst").alias("doc_id"),
                 (F.col("pr") / F.col("outdeg").cast("double")).alias("c"),
             )
             .groupBy("doc_id")
             .agg(F.sum("c").alias("s"))
-        )
-        nxt = (
-            nodes.join(contrib, "doc_id")
             .crossJoin(F.broadcast(nn))
             .select(
                 "doc_id",
@@ -2043,11 +2055,17 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     relation (doc1 < doc2, distinct): returns (doc_id, degree,
     n_triangles, local_cc) — shared by the registered near-dup query
     and unit-testable on crafted graphs."""
+    # deg and oriented are each referenced by several downstream
+    # subtrees; localCheckpoint materializes them ONCE (both are
+    # bounded: n nodes / m edges).  Before this, the per-node rollup's
+    # 3-way union re-evaluated the wedge+closure joins 3x and the
+    # orientation join 9x — the dominant cost of the whole query.
     deg = (
         pairs.select(F.col("doc1").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc2").alias("doc_id")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     da = deg.select(
         F.col("doc_id").alias("doc1"), F.col("d").alias("d1")
@@ -2067,15 +2085,20 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("doc2")).otherwise(F.col("doc1"))
             .alias("dst"),
         )
+        .localCheckpoint(eager=True)
     )
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    # one pass over tri: explode the 3 corners instead of a 3-way
+    # unionAll (which would evaluate the wedge+closure joins 3x)
     per_node = (
-        tri.select(F.col("u").alias("doc_id"))
-        .unionAll(tri.select(F.col("v").alias("doc_id")))
-        .unionAll(tri.select(F.col("w").alias("doc_id")))
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias(
+                "doc_id"
+            )
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )

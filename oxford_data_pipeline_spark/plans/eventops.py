@@ -1338,8 +1338,18 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id")
         .distinct()
     )
-    tregs = user_hll_registers(ev, ["event_type"])
-    types = ev.select("event_type").distinct()
+    # The per-type register sketch is BOUNDED (|types| x <=256 rows) and
+    # referenced by four downstream subtrees (uregs, est_a, est_b, and
+    # the types grid); materializing it once stops each reference from
+    # re-running the corpus distinct + register aggregation.  The corpus
+    # relation `ev` itself stays lazy — at 100 TB it is never
+    # materialized; it is scanned once here, once for the independent
+    # direct-union sketch, and twice for the exact-overlap audit join
+    # (the audit is corpus-sized by definition).
+    tregs = user_hll_registers(ev, ["event_type"]).localCheckpoint(eager=True)
+    # every type has >= 1 user, hence >= 1 register row — same set as
+    # distinct(event_type) over the corpus, read from the bounded sketch
+    types = tregs.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
         .join(
@@ -1348,6 +1358,8 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pa = F.broadcast(pairs)
+    # merged-union registers: bounded (|types|^2 x <=256 rows) and read
+    # twice below (mismatch audit + union estimate) — materialized once
     uregs = (
         pa.join(
             tregs,
@@ -1356,6 +1368,7 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("type_a", "type_b", "bucket")
         .agg(F.max("mreg").alias("mreg"))
+        .localCheckpoint(eager=True)
     )
     # direct union sketch recomputed from the raw (type, user) rows —
     # the independent second path of the audited identity

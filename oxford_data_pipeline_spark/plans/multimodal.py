@@ -567,7 +567,11 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     block relation — the simhash pair-generation shape applied to the
     multimodal fingerprint; candidate fan-out is bounded at cap² per
     hot block and every emitted pair is exact-verified by bit_count."""
-    ph = mm_phash(spark, sf_dir)
+    # materialize the fingerprint relation ONCE (one 6-long row per
+    # doc): the block/occ/capped/a/b subtrees below reference it 4x,
+    # and each reference would otherwise re-run the whole Arrow
+    # decode+phash kernel over every image payload
+    ph = mm_phash(spark, sf_dir).localCheckpoint(eager=True)
     blocks = ph.select(
         "doc_id", "phash",
         F.posexplode(

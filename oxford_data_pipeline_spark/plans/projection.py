@@ -76,23 +76,40 @@ def embeddings_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
-        sumsq = (
-            "aggregate(vec, 0D, (acc, x) -> acc + x * x)"
-        )
         return emb.select(
             "vec_id",
             "label",
             F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
-        ).withColumn("nrm", F.sqrt(F.expr(sumsq)))
+        ).withColumn("nrm", F.sqrt(vec_sumsq("vec")))
 
     return memoized(_emb_vec_cache, spark, ("emb_vec", sf_dir), build)
 
 
-def pair_dot(a: str, b: str):
-    """dot(a, b) of two array<double> columns as one fold expression."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    )
+def pair_dot(a: str, b: str, n: int = N_DIMS):
+    """dot(a, b) of two length-`n` array<double> columns, unrolled to a
+    whole-stage-codegen-able left-associative sum.
+
+    Float-identical to the previous
+    ``aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)``
+    fold: same ((0 + a0*b0) + a1*b1) + ... addition order, same NULL
+    propagation.  The fold form's lambdas are evaluated INTERPRETED per
+    element (higher-order functions are CodegenFallback), which at
+    |pairs| x n elements dominates every dense scoring pass; the
+    unrolled sum runs inside WholeStageCodegen at columnar speed."""
+    acc = F.lit(0.0)
+    for i in range(n):
+        acc = acc + F.col(a)[i] * F.col(b)[i]
+    return acc
+
+
+def vec_sumsq(col: str, n: int = N_DIMS):
+    """sum of squares of a length-`n` array<double> column, unrolled —
+    float-identical to ``aggregate(col, 0D, (acc, x) -> acc + x * x)``
+    (same addition order), codegen-able like `pair_dot`."""
+    acc = F.lit(0.0)
+    for i in range(n):
+        acc = acc + F.col(col)[i] * F.col(col)[i]
+    return acc
 
 
 def zscore_by_dim(long: DataFrame) -> DataFrame:

@@ -933,11 +933,22 @@ def _lr_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = tokens_relation(spark, sf_dir).filter(F.size("t") > 0)
     n = F.size("t")
-    top_tf = F.expr(
-        "array_max(transform(array_distinct(t),"
-        " u -> size(filter(t, x -> x = u))))"
+    # max token multiplicity RELATIONALLY (explode -> per-(doc, token)
+    # count -> per-doc max): the previous in-array
+    # array_max(transform(array_distinct(t), u -> size(filter(t, ...))))
+    # is O(|t|^2) INTERPRETED lambda evals per document — quadratic in
+    # doc length and a straggler risk on long documents at scale; the
+    # relational form is linear, codegen, and map-side-combinable.
+    # Same value per doc (every toks row has size(t) > 0, so the inner
+    # join drops nothing).
+    top_tf_rel = (
+        toks.select("doc_id", F.explode("t").alias("u"))
+        .groupBy("doc_id", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tf"))
     )
-    return toks.select(
+    return toks.join(top_tf_rel, "doc_id").select(
         "doc_id",
         F.array(
             F.lit(1.0),
@@ -947,7 +958,7 @@ def _lr_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(
                 F.length(F.regexp_replace("norm", " ", "")).cast("double") / n
             ),
-            round6(top_tf.cast("double") / n),
+            round6(F.col("top_tf").cast("double") / n),
         ).alias("x"),
         (F.col("n_chars") >= _LR_LABEL_CHARS).cast("int").alias("y"),
     )
@@ -986,14 +997,13 @@ def cur_classifier_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = np.round(nb * 1e6 + 0.01) / 1e6  # the round6 nudge
         return pd.DataFrame({"b": [[float(v) for v in nb]]})
 
+    # x . b unrolled over the d known features (codegen; float-identical
+    # to the previous aggregate(zip_with(...)) fold — see pair_dot)
+    from oxford_data_pipeline_spark.plans.projection import pair_dot
+
     for _ in range(_LR_ITERS):
         t = feat.crossJoin(F.broadcast(beta))
-        eta = round6(
-            F.expr(
-                "aggregate(zip_with(x, b, (xi, bi) -> xi * bi), 0D,"
-                " (acc, v) -> acc + v)"
-            )
-        )
+        eta = round6(pair_dot("x", "b", d))
         t = t.withColumn("eta", eta)
         t = t.withColumn(
             "p", round6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta"))))
@@ -1026,13 +1036,7 @@ def cur_classifier_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     scored = feat.crossJoin(F.broadcast(beta)).withColumn(
-        "eta",
-        round6(
-            F.expr(
-                "aggregate(zip_with(x, b, (xi, bi) -> xi * bi), 0D,"
-                " (acc, v) -> acc + v)"
-            )
-        ),
+        "eta", round6(pair_dot("x", "b", d))
     )
     acc = scored.agg(
         round6(

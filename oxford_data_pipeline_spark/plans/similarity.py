@@ -2315,9 +2315,11 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MRL_QUERY_BUDGET)
         .select("vec_id")
     )
-    tn = F.sqrt(F.expr(
-        f"aggregate(slice(vec, 1, {_MRL_DIMS}), 0D, (acc, x) -> acc + x * x)"
-    ))
+    # truncated-prefix norm: unrolled over the first _MRL_DIMS elements
+    # (same addition order as the previous aggregate(slice(...)) fold)
+    from oxford_data_pipeline_spark.plans.projection import vec_sumsq
+
+    tn = F.sqrt(vec_sumsq("vec", _MRL_DIMS))
     vq = vecs.join(F.broadcast(qsel), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.slice("vec", 1, _MRL_DIMS).alias("tq"),
@@ -2332,7 +2334,11 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         tn.alias("tnc"),
         F.col("nrm").alias("nc"),
     )
-    tcos = F.round(pair_dot("tq", "tc") / (F.col("tnq") * F.col("tnc")) * 1e6 + 0.01, 0)
+    tcos = F.round(
+        pair_dot("tq", "tc", _MRL_DIMS) / (F.col("tnq") * F.col("tnc")) * 1e6
+        + 0.01,
+        0,
+    )
     w = W.partitionBy("query_id").orderBy(F.col("c6").desc(), F.col("cand_id"))
     shortlist = (
         vc.join(F.broadcast(vq), F.col("query_id") != F.col("cand_id"))
