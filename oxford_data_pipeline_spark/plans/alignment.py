@@ -101,10 +101,16 @@ def m12_sign_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_mean = series.groupBy("event_type", "user_id").agg(
         F.avg("v_raw").alias("mu")
     )
+    # `centered` is BOUNDED (|types| x |users| x 24 profile rows — an
+    # aggregate of the corpus, never the corpus) and referenced by FOUR
+    # downstream subtrees (peaks, the baseline series b, corrs, signed);
+    # materializing it once stops each reference from re-running the
+    # corpus-sized per-(type, user, hour) aggregation + centering join.
     centered = (
         series.join(user_mean, ["event_type", "user_id"])
         .withColumn("v", F.col("v_raw") - F.col("mu"))
         .select("event_type", "user_id", "t", "v")
+        .localCheckpoint(eager=True)
     )
     windowed = centered.filter(F.col("t").between(_PEAK_LO, _PEAK_HI))
     from pyspark.sql.window import Window as W

@@ -95,21 +95,23 @@ def pair_dot(a: str, b: str, n: int = N_DIMS):
     propagation.  The fold form's lambdas are evaluated INTERPRETED per
     element (higher-order functions are CodegenFallback), which at
     |pairs| x n elements dominates every dense scoring pass; the
-    unrolled sum runs inside WholeStageCodegen at columnar speed."""
-    acc = F.lit(0.0)
-    for i in range(n):
-        acc = acc + F.col(a)[i] * F.col(b)[i]
-    return acc
+    unrolled sum runs inside WholeStageCodegen at columnar speed.
+
+    Emitted as ONE SQL string parsed JVM-side (r14): the Column-API
+    form issued ~3n py4j calls per use, which showed up as ~0.5-1 s of
+    DRIVER-side plan construction on every dense-scoring query; the
+    parser builds the identical left-associative expression tree."""
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(n))
+    return F.expr(f"0.0D + {terms}" if n else "0.0D")
 
 
 def vec_sumsq(col: str, n: int = N_DIMS):
     """sum of squares of a length-`n` array<double> column, unrolled —
     float-identical to ``aggregate(col, 0D, (acc, x) -> acc + x * x)``
-    (same addition order), codegen-able like `pair_dot`."""
-    acc = F.lit(0.0)
-    for i in range(n):
-        acc = acc + F.col(col)[i] * F.col(col)[i]
-    return acc
+    (same addition order), codegen-able like `pair_dot` and emitted as
+    one JVM-parsed SQL string like it."""
+    terms = " + ".join(f"{col}[{i}] * {col}[{i}]" for i in range(n))
+    return F.expr(f"0.0D + {terms}" if n else "0.0D")
 
 
 def zscore_by_dim(long: DataFrame) -> DataFrame:

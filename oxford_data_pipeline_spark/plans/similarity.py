@@ -1065,6 +1065,9 @@ def build_ann_index(
                 # materialized and attributed here like the rest
                 "sim_ivf_delete_recall",
                 "sim_ivf_churn_recall",
+                # the delta-query exact truth of the incremental audit
+                # (was the one truth table still built inline; r14)
+                "sim_ivf_incremental_recall",
             )
             for k, v in _timed_audit(_audit_reg[name], spark, sf_dir, name).items()
         },
@@ -1999,6 +2002,8 @@ def _inc_base_pred(col: str = "vec_id") -> F.Column:
 
 _inc_centroid_cache: dict[tuple, DataFrame] = {}
 _inc_ranked_cache: dict[tuple, DataFrame] = {}
+_inc_norms_cache: dict[tuple, DataFrame] = {}
+_inc_brute_cache: dict[tuple, DataFrame] = {}
 
 
 def _inc_index_parts(
@@ -2011,8 +2016,16 @@ def _inc_index_parts(
     per-vector cost is O(k) centroid affinities — no Lloyd, no
     second pass over the existing corpus."""
     long_all = embeddings_long(spark, sf_dir).select("vec_id", "dim", "val")
-    norms_all = long_all.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    # norms are an index-class artifact (one row per vector, persisted
+    # next to the vectors in production) referenced by every
+    # incremental/churn/delete/retrain tower — memoized like the
+    # centroid and ranked artifacts so each reference is a table read,
+    # not a re-aggregation of the corpus-long relation
+    norms_all = memoized(
+        _inc_norms_cache, spark, (sf_dir, "inc_norms"),
+        lambda: long_all.groupBy("vec_id").agg(
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+        ),
     )
     centroids = memoized(
         _inc_centroid_cache, spark,
@@ -2184,15 +2197,27 @@ def sim_ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "cand_id", F.lit(1).alias("hit"))
     )
-    vq_delta = vq.join(
-        queries.select("query_id").distinct(), "query_id"
-    )
-    brute = (
-        vc.join(F.broadcast(vq_delta), F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cos.alias("c6"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select("query_id", "cand_id")
+    # the exact ground truth for the delta-query sample is an
+    # evaluation artifact like every other recall audit's truth table —
+    # memoized and pre-built in build_ann_index (it was the one truth
+    # table still constructed inline in the timed region; r14), so the
+    # timed query measures the incremental-tier serving evaluation +
+    # the truth join, consistent with the churn/delete/PQ audits
+    def build_brute() -> DataFrame:
+        vq_delta = vq.join(
+            queries.select("query_id").distinct(), "query_id"
+        )
+        return (
+            vc.join(F.broadcast(vq_delta), F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", cos.alias("c6"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    brute = memoized(
+        _inc_brute_cache, spark,
+        (sf_dir, _INC_QUERY_MOD, _TOP_K, "inc"), build_brute,
     )
     return (
         brute.join(ann, ["query_id", "cand_id"], "left")
@@ -3336,9 +3361,16 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~_churn_del_pred()
         ).select(F.col("vec_id").alias("query_id"))
     )
-    live_before = merged.join(
-        live_norms.select("vec_id"), "vec_id"
-    ).select("vec_id", "cell")
+    # live_before is BOUNDED (one (vec_id, cell) row per live vector —
+    # index-sized, never corpus-payload-sized) and referenced twice
+    # (the before-candidate tower and the before-occupancy rollup);
+    # materializing it once stops the second reference from re-running
+    # the merged-assignment join
+    live_before = (
+        merged.join(live_norms.select("vec_id"), "vec_id")
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=True)
+    )
 
     def cand_from(ranked, assignment):
         probes = (

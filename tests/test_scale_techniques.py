@@ -1151,3 +1151,24 @@ def test_triangle_query_matches_bruteforce(spark):
         assert got[v]["degree"] == len(adj[v])
         assert 0.0 <= got[v]["local_cc"] <= 1.0
     assert sum(brute.values()) % 3 == 0
+
+
+def test_m12_centered_materialized_once(spark):
+    """r14 optimization guard: m12_sign_alignment materializes the
+    bounded per-(type, user, hour) centered profile ONCE
+    (localCheckpoint) — its four consumers (peaks, baseline series,
+    corrs, signed) must read the checkpoint, not re-expand the
+    corpus-sized events aggregation.  Before the fix the executed plan
+    carried four independent parquet-scan towers; a regression brings
+    the parquet scans back into the final plan."""
+    from oxford_data_pipeline_spark.plans.alignment import m12_sign_alignment
+
+    df = m12_sign_alignment(spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_parquet = plan.count("Scan parquet")
+    assert n_parquet == 0, (
+        f"expected all m12 subtrees to read the checkpointed centered"
+        f" relation (0 parquet scans in the final plan), got {n_parquet}"
+    )
+    assert "Scan ExistingRDD" in plan
