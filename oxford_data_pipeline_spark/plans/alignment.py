@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oxford_data_pipeline_spark.functions.compat import round6
+from oxford_data_pipeline_spark.plans.memo import bounded_once
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.sources.catalog import load_table
 
@@ -106,11 +107,14 @@ def m12_sign_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream subtrees (peaks, the baseline series b, corrs, signed);
     # materializing it once stops each reference from re-running the
     # corpus-sized per-(type, user, hour) aggregation + centering join.
-    centered = (
+    # LAZY checkpoint (r15, verdict item 4 + advisor item 4): the plan
+    # truncation is identical, but the corpus aggregation no longer runs
+    # as a separate eager job at construction time — the first consumer
+    # materializes it inside the query's own action.
+    centered = bounded_once(
         series.join(user_mean, ["event_type", "user_id"])
         .withColumn("v", F.col("v_raw") - F.col("mu"))
         .select("event_type", "user_id", "t", "v")
-        .localCheckpoint(eager=True)
     )
     windowed = centered.filter(F.col("t").between(_PEAK_LO, _PEAK_HI))
     from pyspark.sql.window import Window as W

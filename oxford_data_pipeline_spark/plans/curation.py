@@ -24,6 +24,7 @@ from oxford_data_pipeline_spark.plans.dedup import (
     _WALK_CTES,
     _shingle_df,
 )
+from oxford_data_pipeline_spark.plans.memo import bounded_once
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.plans.retrieval import (
     _TOKENIZE_TEXT_SQL,
@@ -705,11 +706,11 @@ def cur_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.join(toks, "doc_id")
         .groupBy("source")
         .agg(F.sum("n_tok").alias("n_tokens"))
-        # source-level relation: a handful of rows, checkpointed so the
-        # totals/weights double-reference reads it instead of twice
-        # re-aggregating the corpus
-        .localCheckpoint(eager=True)
     )
+    # source-level relation: a handful of rows, checkpointed (lazily,
+    # r15) so the totals/weights double-reference reads it instead of
+    # twice re-aggregating the corpus
+    per_source = bounded_once(per_source)
     tot = per_source.agg(
         F.sum("n_tokens").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_sources"),

@@ -19,7 +19,7 @@ from oxford_data_pipeline_spark.operators.textops import (
     simhash_signature,
     word_shingles,
 )
-from oxford_data_pipeline_spark.plans.memo import memoized
+from oxford_data_pipeline_spark.plans.memo import bounded_once, memoized
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE, tokens_relation
 
@@ -1075,11 +1075,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("v2"), F.col("vec").alias("wb"), F.col("nrm").alias("nb")
     )
     cos = pair_dot("wa", "wb") / (F.col("na") * F.col("nb"))
-    return (
+    # compute the 64-term dot ONCE per candidate pair (r15): inlined in
+    # both .filter(cos >= t) and .select(round6(cos)) the optimizer
+    # carries TWO copies of the unrolled sum — double codegen source
+    # (compile time per run) and double evaluation per surviving row.
+    # The scored relation is bounded by the blocking contract (<= cap^2
+    # per bucket), so materializing (v1, v2, cos) is cheap at any scale.
+    scored = bounded_once(
         cand.join(va, "v1")
         .join(vb, "v2")
-        .filter(cos >= _COS_THRESHOLD)
-        .select("v1", "v2", round6(cos).alias("cosine"))
+        .select("v1", "v2", cos.alias("cos"))
+    )
+    return (
+        scored.filter(F.col("cos") >= _COS_THRESHOLD)
+        .select("v1", "v2", round6(F.col("cos")).alias("cosine"))
     )
 
 
@@ -1433,15 +1442,20 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previously deg was re-aggregated and joined again inside all
     # _PAGERANK_ITERS rounds.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_w = (
-        edges.join(deg, "src")
-        .select("src", "dst", "outdeg")
-        .localCheckpoint(eager=True)
+    # LAZY checkpoints (r15): identical plan truncation / loop-invariant
+    # hoisting as r14, but the materialization folds into the query's
+    # own jobs instead of separate eager barrier jobs (verdict item 4)
+    edges_w = bounded_once(
+        edges.join(deg, "src").select("src", "dst", "outdeg")
     )
     nodes = edges_w.select(F.col("src").alias("doc_id")).distinct()
     # n is loop-invariant too: one bounded row, materialized once
     # instead of re-counting the distinct nodes inside every round
-    nn = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    nn = bounded_once(nodes.agg(F.count(F.lit(1)).alias("n")))
+    # the pr generations stay EAGER: each one is freed by
+    # free_local_checkpoint as soon as the next generation exists (the
+    # BPE storage discipline), and unpersisting a lazy, not-yet-
+    # materialized checkpoint would drop its blocks before first use
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "doc_id", (F.lit(1.0) / F.col("n").cast("double")).alias("pr")
     ).localCheckpoint(eager=True)
@@ -2060,12 +2074,11 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     # bounded: n nodes / m edges).  Before this, the per-node rollup's
     # 3-way union re-evaluated the wedge+closure joins 3x and the
     # orientation join 9x — the dominant cost of the whole query.
-    deg = (
+    deg = bounded_once(
         pairs.select(F.col("doc1").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc2").alias("doc_id")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
     )
     da = deg.select(
         F.col("doc_id").alias("doc1"), F.col("d").alias("d1")
@@ -2076,7 +2089,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     lower_first = (F.col("d1") < F.col("d2")) | (
         (F.col("d1") == F.col("d2")) & (F.col("doc1") < F.col("doc2"))
     )
-    oriented = (
+    oriented = bounded_once(
         pairs.join(da, "doc1")
         .join(db, "doc2")
         .select(
@@ -2085,7 +2098,6 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("doc2")).otherwise(F.col("doc1"))
             .alias("dst"),
         )
-        .localCheckpoint(eager=True)
     )
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))

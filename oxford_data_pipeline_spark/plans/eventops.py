@@ -28,6 +28,7 @@ from oxford_data_pipeline_spark.functions.compat import (
     floor_div_sql,
     oracle_floor_div_sql,
 )
+from oxford_data_pipeline_spark.plans.memo import bounded_once
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.sources.catalog import load_table
 
@@ -1346,7 +1347,9 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized; it is scanned once here, once for the independent
     # direct-union sketch, and twice for the exact-overlap audit join
     # (the audit is corpus-sized by definition).
-    tregs = user_hll_registers(ev, ["event_type"]).localCheckpoint(eager=True)
+    # LAZY checkpoint (r15): same plan truncation, no separate eager
+    # materialization job at construction — see memo.bounded_once
+    tregs = bounded_once(user_hll_registers(ev, ["event_type"]))
     # every type has >= 1 user, hence >= 1 register row — same set as
     # distinct(event_type) over the corpus, read from the bounded sketch
     types = tregs.select("event_type").distinct()
@@ -1360,7 +1363,7 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = F.broadcast(pairs)
     # merged-union registers: bounded (|types|^2 x <=256 rows) and read
     # twice below (mismatch audit + union estimate) — materialized once
-    uregs = (
+    uregs = bounded_once(
         pa.join(
             tregs,
             (F.col("event_type") == F.col("type_a"))
@@ -1368,7 +1371,6 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("type_a", "type_b", "bucket")
         .agg(F.max("mreg").alias("mreg"))
-        .localCheckpoint(eager=True)
     )
     # direct union sketch recomputed from the raw (type, user) rows —
     # the independent second path of the audited identity

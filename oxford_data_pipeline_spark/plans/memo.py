@@ -22,6 +22,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def bounded_once(df: DataFrame) -> DataFrame:
+    """Materialize-once marker for a BOUNDED intermediate that several
+    subtrees of ONE query re-reference: a LAZY ``localCheckpoint``.
+
+    Like the eager form (r14) it truncates the SQL plan at construction
+    — every consumer reads one ``Scan ExistingRDD`` instead of
+    re-expanding the subtree's lineage, so the optimizer never sees the
+    repeated towers — but the materialization job is folded into the
+    query's own action instead of running as a separate barrier job at
+    DataFrame-construction time (r14 verdict item 4 + advisor item 4:
+    the eager job cost more than the recompute it saved at sf0.1, and
+    callers that build the plan without consuming it paid the full
+    aggregation).  First consumer computes the RDD once; its blocks are
+    kept on executors (MEMORY_AND_DISK) for the remaining consumers.
+    Same per-run semantics as eager: nothing survives the query run,
+    nothing is keyed on the input path."""
+    return df.localCheckpoint(eager=False)
+
+
 def memoized(
     cache: dict,
     spark: SparkSession,

@@ -570,8 +570,11 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the fingerprint relation ONCE (one 6-long row per
     # doc): the block/occ/capped/a/b subtrees below reference it 4x,
     # and each reference would otherwise re-run the whole Arrow
-    # decode+phash kernel over every image payload
-    ph = mm_phash(spark, sf_dir).localCheckpoint(eager=True)
+    # decode+phash kernel over every image payload.  LAZY checkpoint
+    # (r15): same single-kernel-run guarantee, no separate eager job.
+    from oxford_data_pipeline_spark.plans.memo import bounded_once
+
+    ph = bounded_once(mm_phash(spark, sf_dir))
     blocks = ph.select(
         "doc_id", "phash",
         F.posexplode(

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oxford_data_pipeline_spark.functions.compat import round6
+from oxford_data_pipeline_spark.plans.memo import bounded_once
 from oxford_data_pipeline_spark.plans.mlops import _CCA2_STAGES, _CCA2_SUMS
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.sources.catalog import load_table
@@ -208,10 +209,10 @@ def oxford_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("srk", F.row_number().over(wsamp))
         .filter(F.col("srk") <= SAMP_K)
         .select("label", "vec_id", "e1", "e2")
-        # stage boundary: PCA, pairing, and projection all consume the
-        # sampled relation; materialize it once
-        .localCheckpoint(eager=True)
     )
+    # stage boundary: PCA, pairing, and projection all consume the
+    # sampled relation; materialize it once (lazily — r15)
+    sampled = bounded_once(sampled)
     # 3. PCA per side (M4, closed form)
     n = F.count(F.lit(1))
     pca = sampled.groupBy("label").agg(

@@ -85,6 +85,21 @@ def embeddings_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memoized(_emb_vec_cache, spark, ("emb_vec", sf_dir), build)
 
 
+import re as _re
+
+_IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _assert_ident(name: str) -> None:
+    """Both dot helpers interpolate column names into a raw SQL string;
+    a reserved word or non-identifier name would misparse or silently
+    bind as a struct path (r14 advisor item 1).  Every caller passes a
+    plain identifier — enforce that instead of quoting, so the emitted
+    expression text (and thus the codegen cache key) stays unchanged."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"pair_dot/vec_sumsq need a plain identifier, got {name!r}")
+
+
 def pair_dot(a: str, b: str, n: int = N_DIMS):
     """dot(a, b) of two length-`n` array<double> columns, unrolled to a
     whole-stage-codegen-able left-associative sum.
@@ -101,6 +116,8 @@ def pair_dot(a: str, b: str, n: int = N_DIMS):
     form issued ~3n py4j calls per use, which showed up as ~0.5-1 s of
     DRIVER-side plan construction on every dense-scoring query; the
     parser builds the identical left-associative expression tree."""
+    _assert_ident(a)
+    _assert_ident(b)
     terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(n))
     return F.expr(f"0.0D + {terms}" if n else "0.0D")
 
@@ -110,6 +127,7 @@ def vec_sumsq(col: str, n: int = N_DIMS):
     float-identical to ``aggregate(col, 0D, (acc, x) -> acc + x * x)``
     (same addition order), codegen-able like `pair_dot` and emitted as
     one JVM-parsed SQL string like it."""
+    _assert_ident(col)
     terms = " + ".join(f"{col}[{i}] * {col}[{i}]" for i in range(n))
     return F.expr(f"0.0D + {terms}" if n else "0.0D")
 

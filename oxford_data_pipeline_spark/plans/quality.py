@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from oxford_data_pipeline_spark.functions.compat import round6
 from oxford_data_pipeline_spark.plans.dedup import _SHINGLES_CTE, _shingle_df
+from oxford_data_pipeline_spark.plans.memo import bounded_once
 from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.sources.catalog import fan_out, load_table
@@ -692,8 +693,8 @@ def cur_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.size(F.array_distinct("t")).cast("double") / nt).alias("x2"),
             (F.col("n_chars") >= _LR_LABEL_CHARS).cast("int").alias("y"),
         )
-        .localCheckpoint(eager=True)  # one feature pass feeds all iterations
     )
+    feat = bounded_once(feat)  # one feature pass feeds all iterations (lazy, r15)
     spark_session = feat.sparkSession
     beta = spark_session.createDataFrame(
         [(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double"
@@ -738,7 +739,8 @@ def cur_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + sc * (sb * r2 - r1 * sc)) / det).alias("b1"),
             round6((sa * (sd * r2 - se * r1) - sb * (sb * r2 - r1 * sc)
                     + r0 * (sb * se - sd * sc)) / det).alias("b2"),
-        ).localCheckpoint(eager=True)
+        )
+        beta = bounded_once(beta)
     scored = feat.crossJoin(F.broadcast(beta)).withColumn(
         "eta",
         round6(F.col("b0") + F.col("b1") * F.col("x1")
@@ -975,7 +977,7 @@ def cur_classifier_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = len(_LR_FULL_NAMES)
     ridge = float(_LR_RIDGE[:-2])
-    feat = _lr_full_features(spark, sf_dir).localCheckpoint(eager=True)
+    feat = bounded_once(_lr_full_features(spark, sf_dir))
     sess = feat.sparkSession
     beta = sess.createDataFrame([([0.0] * d,)], "b array<double>")
 
@@ -1028,11 +1030,10 @@ def cur_classifier_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(i, d)
         ] + [F.sum(w * xi(i) * F.col("z")).alias(f"r_{i}") for i in range(d)]
         sums = t.agg(*aggs)
-        beta = (
+        beta = bounded_once(
             sums.withColumn("g", F.lit(1))
             .groupBy("g")
             .applyInPandas(solve, "b array<double>")
-            .localCheckpoint(eager=True)
         )
 
     scored = feat.crossJoin(F.broadcast(beta)).withColumn(

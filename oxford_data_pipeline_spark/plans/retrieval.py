@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oxford_data_pipeline_spark.functions.compat import round6
-from oxford_data_pipeline_spark.plans.memo import memoized
+from oxford_data_pipeline_spark.plans.memo import bounded_once, memoized
 from oxford_data_pipeline_spark.plans.registry import register
 from oxford_data_pipeline_spark.plans.textops import _TOKENS_CTE, tokens_relation
 
@@ -1229,10 +1229,9 @@ def ret_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole IVFADC+R serving subtree; the greedy unroll references it
     # ~2+M times, so materialize it ONCE (same discipline as the
     # iterative dedup/pagerank programs)
-    ann = (
+    ann = bounded_once(
         sim_ivfpq_rerank(spark, sf_dir)
         .select("query_id", "cand_id", "cosine")
-        .localCheckpoint(eager=True)
     )
     vecs = embeddings_vec(spark, sf_dir)
     v1 = vecs.select(
@@ -1258,8 +1257,8 @@ def ret_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "c1", "c2",
             round6(pair_dot("w1", "w2") / (F.col("n1") * F.col("n2"))).alias("sim"),
         )
-        .localCheckpoint(eager=True)  # ≤(queries×k²) rows, probed per round
     )
+    psim = bounded_once(psim)  # ≤(queries×k²) rows, probed per round
     wq = Window.partitionBy("query_id")
     top1 = (
         ann.withColumn(

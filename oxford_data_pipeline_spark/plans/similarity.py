@@ -22,7 +22,7 @@ from oxford_data_pipeline_spark.plans.dedup import (
     _EMB_LONG_SQL,
     _PLANES_SQL,
 )
-from oxford_data_pipeline_spark.plans.memo import memoized
+from oxford_data_pipeline_spark.plans.memo import bounded_once, memoized
 from oxford_data_pipeline_spark.plans.projection import embeddings_long
 from oxford_data_pipeline_spark.plans.registry import register
 
@@ -1447,18 +1447,13 @@ WHERE d.dot / (na.nrm * nb.nrm) >= {_SEMANTIC_THRESHOLD}
 """)
 
 
-@register("dedup_semantic", _SEMDEDUP_ORACLE)
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: within-IVF-cell semantic-duplicate pairs (cosine >=
-    {_SEMANTIC_THRESHOLD}), reusing the trained coarse quantizer as
-    the blocking index.  Keep-rule downstream: min vec_id per pair.
-    Cells above _SEMDEDUP_CELL_CAP are sub-split by vec_id mod
-    ceil(csz/cap) so no pair product exceeds ~cap^2 under skew.
-
-    Verification uses the ARRAY-form relation: the dot product folds
-    the two vectors in one JVM expression, so each candidate pair is
-    one row through the join — not N_DIMS rows plus an aggregation
-    exchange (the long-form variant measured ~3x slower at sf0.1)."""
+def _semdedup_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-threshold scored relation behind `dedup_semantic`:
+    (cell, v1, v2, cos) for every in-(cell, subcell) candidate pair.
+    Split out so the plan-shape guard can assert the skew cap (csz /
+    _SEMDEDUP_CELL_CAP) sits ahead of the pair join — the registered
+    query checkpoints this relation, which truncates its executed
+    plan at the materialization boundary."""
     from oxford_data_pipeline_spark.plans.projection import embeddings_vec, pair_dot
 
     _long, _norms, _centroids, assignment, _cand = _ivf_candidates(spark, sf_dir)
@@ -1485,8 +1480,32 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(va, "v1")
         .join(vb, "v2")
-        .filter(cos >= _SEMANTIC_THRESHOLD)
-        .select("cell", "v1", "v2", round6(cos).alias("cosine"))
+        .select("cell", "v1", "v2", cos.alias("cos"))
+    )
+
+
+@register("dedup_semantic", _SEMDEDUP_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-IVF-cell semantic-duplicate pairs (cosine >=
+    {_SEMANTIC_THRESHOLD}), reusing the trained coarse quantizer as
+    the blocking index.  Keep-rule downstream: min vec_id per pair.
+    Cells above _SEMDEDUP_CELL_CAP are sub-split by vec_id mod
+    ceil(csz/cap) so no pair product exceeds ~cap^2 under skew.
+
+    Verification uses the ARRAY-form relation: the dot product folds
+    the two vectors in one JVM expression, so each candidate pair is
+    one row through the join — not N_DIMS rows plus an aggregation
+    exchange (the long-form variant measured ~3x slower at sf0.1).
+
+    The scored relation is materialized once behind a lazy checkpoint
+    (r15) — same rationale as dedup_embedding_cosine: inlined in both
+    .filter(cos >= t) and .select(round6(cos)) the optimizer carries
+    TWO copies of the unrolled 64-term sum (double codegen source and
+    double evaluation); bounded at ~cap^2 rows per (cell, subcell)."""
+    scored = bounded_once(_semdedup_scored(spark, sf_dir))
+    return (
+        scored.filter(F.col("cos") >= _SEMANTIC_THRESHOLD)
+        .select("cell", "v1", "v2", round6(F.col("cos")).alias("cosine"))
     )
 
 
@@ -2217,7 +2236,7 @@ def sim_ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     brute = memoized(
         _inc_brute_cache, spark,
-        (sf_dir, _INC_QUERY_MOD, _TOP_K, "inc"), build_brute,
+        (sf_dir, _INC_QUERY_MOD, _TOP_K, _INC_BASE_HEX, "inc"), build_brute,
     )
     return (
         brute.join(ann, ["query_id", "cand_id"], "left")
@@ -3366,10 +3385,9 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the before-candidate tower and the before-occupancy rollup);
     # materializing it once stops the second reference from re-running
     # the merged-assignment join
-    live_before = (
+    live_before = bounded_once(
         merged.join(live_norms.select("vec_id"), "vec_id")
         .select("vec_id", "cell")
-        .localCheckpoint(eager=True)
     )
 
     def cand_from(ranked, assignment):

@@ -477,10 +477,17 @@ def test_semdedup_cap_in_plan(spark):
     product."""
     from oxford_data_pipeline_spark.plans.similarity import (
         _SEMDEDUP_CELL_CAP,
-        dedup_semantic,
+        _semdedup_scored,
     )
 
-    plan = dedup_semantic(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    # the registered query checkpoints the scored relation (r15), which
+    # truncates its executed plan at the materialization boundary — the
+    # blocking/sub-split guarantees live in the scored relation's plan,
+    # which is exactly what the query materializes and consumes
+    plan = (
+        _semdedup_scored(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "csz" in plan, "cell-size relation missing from plan"
     assert f"{_SEMDEDUP_CELL_CAP}" in plan, "cell cap missing from plan"
 
@@ -1153,6 +1160,26 @@ def test_triangle_query_matches_bruteforce(spark):
     assert sum(brute.values()) % 3 == 0
 
 
+def test_pair_dot_rejects_non_identifier(spark):
+    """r14 advisor item 1: pair_dot/vec_sumsq interpolate column names
+    into a raw SQL string — a reserved word or non-identifier name must
+    raise instead of misparsing or silently binding as a struct path.
+    (The `spark` fixture is needed only for the positive-path F.expr
+    construction at the end.)"""
+    from oxford_data_pipeline_spark.plans.projection import pair_dot, vec_sumsq
+
+    for bad in ("a.b", "a b", "a-b", "1a", "a`b", "a[0]", ""):
+        with pytest.raises(ValueError):
+            pair_dot(bad, "ok")
+        with pytest.raises(ValueError):
+            pair_dot("ok", bad)
+        with pytest.raises(ValueError):
+            vec_sumsq(bad)
+    # plain identifiers still build (no Spark session needed for expr)
+    pair_dot("wa", "wb", 2)
+    vec_sumsq("vec", 2)
+
+
 def test_m12_centered_materialized_once(spark):
     """r14 optimization guard: m12_sign_alignment materializes the
     bounded per-(type, user, hour) centered profile ONCE
@@ -1166,9 +1193,14 @@ def test_m12_centered_materialized_once(spark):
     df = m12_sign_alignment(spark, SF_DIR)
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n_parquet = plan.count("Scan parquet")
-    assert n_parquet == 0, (
-        f"expected all m12 subtrees to read the checkpointed centered"
-        f" relation (0 parquet scans in the final plan), got {n_parquet}"
+    # accept both DSv1 and DSv2 scan renderings (r14 advisor item 3):
+    # a Spark upgrade may print "BatchScan parquet" instead of
+    # "Scan parquet", and the materialized relation may render as
+    # ExistingRDD or LocalTableScan — the invariant is "no file scans,
+    # at least one materialized-relation scan", not the exact strings
+    n_file_scans = plan.count("Scan parquet") + plan.count("BatchScan")
+    assert n_file_scans == 0, (
+        f"expected all m12 subtrees to read the materialized centered"
+        f" relation (0 file scans in the final plan), got {n_file_scans}"
     )
-    assert "Scan ExistingRDD" in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
