@@ -1334,7 +1334,15 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit column."""
     from oxford_data_pipeline_spark.functions.compat import round6
 
-    ev = (
+    # The distinct (event_type, user_id) audience relation is an
+    # AGGREGATE of the corpus (bounded by |users| x |types|, never the
+    # event count) and is referenced FOUR times — the per-type register
+    # sketch, the direct-union sketch, and both sides of the
+    # exact-overlap audit join.  r14 left it lazy, so every reference
+    # re-scanned events and re-ran the distinct shuffle (4 corpus
+    # passes); materializing it once (r15) costs one distinct pass and
+    # three bounded reads — strictly fewer corpus scans at any scale.
+    ev = bounded_once(
         load_table(spark, sf_dir, "events")
         .select("event_type", "user_id")
         .distinct()
@@ -1342,11 +1350,7 @@ def e_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-type register sketch is BOUNDED (|types| x <=256 rows) and
     # referenced by four downstream subtrees (uregs, est_a, est_b, and
     # the types grid); materializing it once stops each reference from
-    # re-running the corpus distinct + register aggregation.  The corpus
-    # relation `ev` itself stays lazy — at 100 TB it is never
-    # materialized; it is scanned once here, once for the independent
-    # direct-union sketch, and twice for the exact-overlap audit join
-    # (the audit is corpus-sized by definition).
+    # re-running the register aggregation.
     # LAZY checkpoint (r15): same plan truncation, no separate eager
     # materialization job at construction — see memo.bounded_once
     tregs = bounded_once(user_hll_registers(ev, ["event_type"]))

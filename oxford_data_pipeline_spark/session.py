@@ -27,6 +27,28 @@ def get_spark(app_name: str = "oxford_data_pipeline_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing knobs, env-parameterised for cluster tuning but
+        # DEFAULTED to Spark's own defaults after a measured A/B (r15,
+        # OPTIMIZATION_r15.md "AQE coalescing audit"): with
+        # parallelismFirst=false + a 64m advisory, every sf0.1 shuffle
+        # collapses to one partition and reduce-side compute serializes
+        # (text_dup_window_profile 3.2 -> 5.3 s, dedup_simhash_pairs
+        # 0.63 -> 1.14 s); parallelism-first already size-coalesces tiny
+        # shuffles via minPartitionSize, which is the right local shape.
+        # On a real cluster with 100 MB-1 GB partitions the advisory
+        # path is the documented recommendation — hence the env knobs.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_AQE_CACHED", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Read TIMESTAMP(NANOS) parquet as raw longs; set once here so
         # catalog reads never mutate session conf (round-3 advice) —

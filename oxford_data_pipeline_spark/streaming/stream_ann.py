@@ -67,33 +67,67 @@ def apply_ivf_tombstones(inverted: DataFrame, remove_ids: DataFrame) -> DataFram
     )
 
 
+def _dbl_sql(x: float) -> str:
+    """Exact double literal for an inline SQL expression: repr() is the
+    shortest round-trip decimal form and Double.parseDouble restores
+    the identical IEEE-754 value, so the frozen quantizer weights reach
+    the plan bit-for-bit (a bare decimal literal would parse as
+    DECIMAL).  Constant-folded at optimization time — no runtime CAST."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 def ivf_assign_stream(embs: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding, ...) → (vec_id, cell, ...): nearest
     base-trained centroid per arriving vector, computed entirely
-    scan-locally (one zip_with/aggregate fold per centroid against the
-    frozen literal) — no state, no exchange, identical values to the
-    batch incremental assignment."""
+    scan-locally against the frozen quantizer — no state, no exchange,
+    identical values to the batch incremental assignment.
+
+    r15: the per-centroid dot products and the vector norm were
+    ``aggregate(zip_with(...))`` folds — Spark's higher-order array
+    functions are CodegenFallback, so every arriving vector paid
+    k x dims interpreted lambda evaluations (the r14 batch-side
+    headline defect, still live on this streaming path).  The
+    centroid weights are plan literals, so the whole argmax unrolls to
+    codegen arithmetic: one left-associative 64-term sum per cell with
+    the weights embedded as exact double literals (same addition order
+    as the fold — float-identical; asserted against the batch
+    assignment in tests/test_sinks_streaming.py)."""
     passthrough = [c for c in embs.columns if c != "embedding"]
     extra = [p for p in passthrough if p != "vec_id"]
-    cents = centroid_literal(centroids)
+    rows = centroids.select("cell", "dim", "w").collect()
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = float(r["w"])
+    # the unroll length is the QUANTIZER's dimensionality — arriving
+    # vectors must match it for the dot to be meaningful (same fixed-
+    # dims contract as the batch assignment)
+    n_dims = max(len(ds) for ds in by_cell.values()) if by_cell else 0
     vec = F.expr("transform(embedding, x -> cast(x as double))")
     with_v = embs.select(
         *passthrough,
         vec.alias("_v"),
-        cents.alias("_cents"),
     ).withColumn(
         "_nrm",
-        F.sqrt(F.expr("aggregate(_v, 0D, (acc, x) -> acc + x * x)")),
+        F.sqrt(F.expr(
+            "0.0D + "
+            + " + ".join(f"_v[{i}] * _v[{i}]" for i in range(n_dims))
+        )),
     )
     # aff mirrors build_ranked: round(cos * 1e6 + 0.01) / 1e6; the
     # winner is max (aff, -cell) so ties go to the smallest cell, as
     # the batch row_number orderBy (aff desc, cell) does.
-    best = F.expr(
-        "array_max(transform(_cents, c -> struct("
-        "round(aggregate(zip_with(_v, c.w, (x, y) -> x * y), 0D,"
-        "      (acc, x) -> acc + x) / (_nrm * c.cn) * 1e6 + 0.01, 0) / 1e6"
-        " AS aff, -c.cell AS negcell)))"
-    )
+    structs = []
+    for cell in sorted(by_cell):
+        ws = [by_cell[cell][d] for d in sorted(by_cell[cell])]
+        cn = math.sqrt(sum(w * w for w in ws))
+        dot = "0.0D + " + " + ".join(
+            f"_v[{i}] * {_dbl_sql(w)}" for i, w in enumerate(ws)
+        )
+        structs.append(
+            f"struct(round(({dot}) / (_nrm * {_dbl_sql(cn)}) * 1e6 + 0.01, 0)"
+            f" / 1e6 AS aff, {-int(cell)} AS negcell)"
+        )
+    best = F.expr(f"array_max(array({', '.join(structs)}))")
     return with_v.withColumn("_best", best).select(
         "vec_id",
         # zero-norm guard (matches the batch assignment): a vector with

@@ -35,10 +35,15 @@ def postings_stream(docs: DataFrame) -> DataFrame:
     extra = [p for p in passthrough if p != "doc_id"]
     t = docs.select(*passthrough, tokens(normalized("text")).alias("t"))
     term = t.select(*passthrough, "t", F.explode(F.array_distinct("t")).alias("term"))
-    tf = F.expr(
-        "aggregate(t, 0L, (acc, x) -> CASE WHEN x = term THEN acc + 1L"
-        " ELSE acc END)"
-    )
+    # within-document term count, still scan-local (no state, no
+    # exchange) but in CODEGEN: the previous `aggregate(t, 0L, ...)`
+    # fold evaluated an interpreted lambda per token per distinct term
+    # (higher-order functions are CodegenFallback — the r14 top_tf
+    # defect); size(t) - size(array_remove(t, term)) counts the same
+    # occurrences with a generated loop.  Tokens are never NULL (the
+    # tokenizer filters empties), so remove-equality matches the fold's
+    # `x = term` arithmetic exactly.
+    tf = (F.size("t") - F.size(F.array_remove("t", F.col("term")))).cast("long")
     return term.select("doc_id", "term", tf.alias("tf"), *extra)
 
 
