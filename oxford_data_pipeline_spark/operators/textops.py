@@ -43,18 +43,28 @@ def tokens(norm: Column) -> Column:
     return F.filter(F.split(norm, " +"), lambda x: x != "")
 
 
-def positional_ngrams(col: str, k: int) -> Column:
-    """Array of struct(pos, shingle): the k-gram STARTING at each
-    1-based token position of array column `col` — positions kept (and
-    duplicates kept), unlike `word_shingles`' distinct set.  Explode
-    the result for the positional relations behind span extraction
-    (`text_dup_spans`) and winnowing fingerprints (`dedup_winnowing`).
+def positional_gram_parts(col: str, k: int) -> Column:
+    """array<struct<g0..g{k-1}>>: element i-1 holds the k tokens of the
+    k-gram STARTING at 1-based token position i of array column `col`
+    — positions kept (and duplicates kept), unlike `word_shingles`'
+    distinct set.  Built as `arrays_zip` of k shifted slices, which is
+    pure codegen; the previous form
+    (`transform(sequence(1, n-k+1), i -> struct(i, concat_ws(...)))`)
+    evaluated an INTERPRETED lambda per gram (higher-order functions
+    are CodegenFallback — the r14 bigram defect, fixed here for the
+    positional relations too, r15).  Callers must pre-filter
+    `size(col) >= k`, then `posexplode` the result (1-based pos =
+    index + 1) and build the shingle string with `concat_ws` AFTER the
+    explode so the concat runs once per row in codegen.
     Oracle SQL twin: `t[i] || ' ' || ... ` over
     `unnest(generate_series(1, len(t) - k + 1))`."""
-    parts = ", ".join(f"element_at({col}, i + {j})" for j in range(k))
-    return F.expr(
-        f"transform(sequence(1, size({col}) - {k - 1}),"
-        f" i -> struct(i AS pos, concat_ws(' ', {parts}) AS shingle))"
+    return F.arrays_zip(
+        *[
+            F.expr(f"slice({col}, {j + 1}, size({col}) - {k - 1})").alias(
+                f"g{j}"
+            )
+            for j in range(k)
+        ]
     )
 
 

@@ -709,18 +709,20 @@ FROM sel WHERE rnk = 1
 def winnow_fingerprints(t: DataFrame) -> DataFrame:
     """Core winnowing transform over a (doc_id, t: array<string>)
     relation -> distinct selected (doc_id, pos, fp) rows."""
-    from oxford_data_pipeline_spark.operators.textops import positional_ngrams
+    from oxford_data_pipeline_spark.operators.textops import positional_gram_parts
 
     t = t.filter(F.size("t") >= _WIN_K)
     kg = t.select(
         "doc_id",
         (F.size("t") - (_WIN_K - 1)).alias("n_grams"),
-        F.explode(positional_ngrams("t", _WIN_K)).alias("g"),
+        F.posexplode(positional_gram_parts("t", _WIN_K)).alias("p", "g"),
     ).select(
         "doc_id",
         "n_grams",
-        F.col("g.pos").cast("int").alias("pos"),
-        F.md5("g.shingle").alias("h"),
+        (F.col("p") + 1).cast("int").alias("pos"),
+        F.md5(
+            F.concat_ws(" ", *[F.col(f"g.g{j}") for j in range(_WIN_K)])
+        ).alias("h"),
     )
     memb = kg.filter(F.col("n_grams") >= _WIN_W).select(
         "doc_id",

@@ -155,12 +155,16 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup cut list."""
     from oxford_data_pipeline_spark.plans.textops import tokens_relation
 
-    from oxford_data_pipeline_spark.operators.textops import positional_ngrams
+    from oxford_data_pipeline_spark.operators.textops import positional_gram_parts
 
     t = tokens_relation(spark, sf_dir)
     ptoks = t.filter(F.size("t") >= 3).select(
-        "doc_id", F.explode(positional_ngrams("t", 3)).alias("g")
-    ).select("doc_id", F.col("g.pos").cast("int").alias("pos"), "g.shingle")
+        "doc_id", F.posexplode(positional_gram_parts("t", 3)).alias("p", "g")
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("int").alias("pos"),
+        F.concat_ws(" ", "g.g0", "g.g1", "g.g2").alias("shingle"),
+    )
     pdf = ptoks.groupBy("shingle").agg(
         F.countDistinct("doc_id").alias("doc_freq")
     )
@@ -558,20 +562,35 @@ def text_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = tokens_relation(spark, sf_dir)
     base = t.filter(F.size("t") > 0).join(spans, "doc_id", "left")
+    # Splice by SLICING the gaps between spans instead of tagging and
+    # filtering every token (r15): the previous
+    # filter(transform(t, ...), s -> ... exists(spans, ...)) chain paid
+    # ~2|t| + |t|x|spans| INTERPRETED lambda calls per document
+    # (higher-order functions are CodegenFallback); the fold below pays
+    # |spans|+2 interpreted calls per document and does the heavy
+    # lifting inside native array slice/concat kernels.  Spans are
+    # disjoint in gram space but adjacent islands can share ONE
+    # boundary token (B.span_start == A.span_end when the gram gap is
+    # exactly 1), hence the greatest(0, ...) clamp on the gap length.
     kept = F.expr(
-        "filter(transform(t, (x, i) -> struct(x AS tok, i + 1 AS pos)),"
-        " s -> spans IS NULL OR NOT exists(spans,"
-        " sp -> s.pos >= sp.span_start AND s.pos <= sp.span_end))"
+        "CASE WHEN spans IS NULL THEN t ELSE aggregate("
+        " array_sort(spans),"
+        " struct(CAST(array() AS ARRAY<STRING>) AS arr, 0 AS prev),"
+        " (acc, sp) -> struct("
+        "   concat(acc.arr, slice(t, acc.prev + 1,"
+        "          greatest(0, sp.span_start - acc.prev - 1))) AS arr,"
+        "   sp.span_end AS prev),"
+        " acc -> concat(acc.arr, slice(t, acc.prev + 1,"
+        "               size(t) - acc.prev))) END"
     )
     tagged = base.select(
         "doc_id", F.size("t").cast("long").alias("n_tokens"), kept.alias("kept")
     )
-    cleaned = F.array_join(F.expr("transform(kept, s -> s.tok)"), " ")
     return tagged.select(
         "doc_id",
         "n_tokens",
         (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
-        F.md5(cleaned).alias("cleaned_fp"),
+        F.md5(F.array_join("kept", " ")).alias("cleaned_fp"),
     )
 
 

@@ -49,6 +49,18 @@ def get_spark(app_name: str = "oxford_data_pipeline_spark") -> SparkSession:
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "64m"),
         )
+        # Janino compiled-class cache (r15): the default 100 entries
+        # thrash on a 189-query workload — every grid pass recompiles
+        # every WholeStageCodegen stage from scratch.  Sizing the cache
+        # to hold the workload's generated classes removes pure
+        # recompilation overhead (compiled CODE, never data or results;
+        # rep-1 timings still pay every first compile).  Scale-neutral:
+        # any long-lived production session re-running a query mix
+        # wants its generated classes resident.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Read TIMESTAMP(NANOS) parquet as raw longs; set once here so
         # catalog reads never mutate session conf (round-3 advice) —
